@@ -1,0 +1,61 @@
+"""Parquet sources for the driver's star schema + extension tables.
+
+The reference has **no file-format I/O at all** — its only ingress is
+zero-copy Arrow interop (``string_column.py:89-102``,
+``numeric_column.py:138-159``). The rebuild is Parquet-first
+(columnar on disk == the reference's columnar-in-memory design
+point), read through Spark's vectorized reader so predicate pushdown
+and column pruning reach the scan.
+
+At 100 TB these readers are the contract: callers must ``select``
+only needed columns and ``filter`` early so Catalyst pushes both into
+the scan (verify with ``.explain`` → ``PushedFilters``/``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor; fact tables shuffle on their join keys.
+BROADCAST_TABLES: frozenset[str] = frozenset(
+    {"region", "nation", "supplier", "customer", "part"}
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Lazy — no job runs until an action."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() access."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

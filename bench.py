@@ -1,0 +1,85 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Timing methodology: one warm-up of the flagship primes the JVM and
+the parquet footer cache; each query is then timed end-to-end
+(plan → execute → count-style action that materializes every row
+without shipping them to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from axolotls_spark.queries import REGISTRY
+from axolotls_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the
+# shuffle-heavy plans that dominate at scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "ref_feature_chain",
+    "window_topk_orders",
+    "agg_distinct_segments",
+    "dedup_exact",
+    "tf_top_terms",
+    "cosine_topk",
+    "minhash_near_dup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("axolotls-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # Warm-up: JVM + parquet footers.
+    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # min-of-N: this VM throttles under sustained load (identical
+    # runs vary 0.5s → 7s); the minimum is the least-noisy estimate
+    # of the plan's true cost.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    timings: dict[str, float] = {name: float("inf") for name in names}
+    # Rounds are interleaved (every query once per round) so each
+    # query gets at least one attempt before sustained-load throttle
+    # kicks in; min across rounds is the reported cost.
+    for _ in range(repeats):
+        for name in names:
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            # noop sink materializes every row distributed-side; no
+            # driver collect, mirroring cluster behavior.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {n: round(t, 4) for n, t in timings.items()}
+    total = sum(timings.values())
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
