@@ -45,9 +45,29 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table. Lazy — no job runs until an action."""
+    """Read one table. Lazy — no job runs until an action.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false),
+    which Spark 4 refuses by default. We read the raw nanos long
+    (``nanosAsLong``, runtime-settable so it works on any caller's
+    session) and rebuild a TIMESTAMP_NTZ via pure epoch arithmetic —
+    timezone-independent, so results match the DuckDB oracle's naive
+    reading under any session timezone.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -18,47 +18,21 @@ order-insensitive value-hash). Rules enforced here:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from axolotls_spark.functions import arrays as A
 from axolotls_spark.functions import scalar as S
 from axolotls_spark.functions.struct_ops import map_numeric_fields
 from axolotls_spark.io.sources import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: QueryFn
-    oracle: str | None = None
-    tags: tuple[str, ...] = field(default_factory=tuple)
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in REGISTRY:
-            raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+from axolotls_spark.registry import (  # noqa: F401 — re-exported API
+    REGISTRY,
+    QueryFn,
+    QuerySpec,
+    oracle_sql,
+    queries,
+    register,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -192,3 +166,13 @@ def ref_slice_take(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(5)
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Operator-family modules — importing registers their queries.
+# ---------------------------------------------------------------------------
+
+from axolotls_spark import queries_relational  # noqa: E402,F401
+from axolotls_spark import queries_temporal  # noqa: E402,F401
+from axolotls_spark import queries_text  # noqa: E402,F401
+from axolotls_spark import queries_similarity  # noqa: E402,F401

@@ -1,0 +1,184 @@
+"""Temporal + semi-structured operators — date functions, batch time
+windows (tumbling / sliding / session), JSON extraction.
+
+The reference's type system explicitly excludes all date/time types
+(``dtypes.py:92``: "no float16, and all date and time stuff"); these
+are SURVEY §2B extensions on the ``events``/``orders`` tables. Batch
+time windows here mirror Structured Streaming's window semantics
+(same ``F.window``/``F.session_window`` operators), so the streaming
+upgrade in axolotls_spark.streaming shares this logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.registry import register
+
+
+@register(
+    "date_parts_orders",
+    oracle="""
+    SELECT
+        o_orderkey,
+        EXTRACT(YEAR FROM o_orderdate)::INT  AS o_year,
+        EXTRACT(MONTH FROM o_orderdate)::INT AS o_month,
+        CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+        DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+            AS days_to_1998
+    FROM orders
+    """,
+    tags=("date", "extract", "date_trunc"),
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_1998"
+        ),
+    )
+
+
+@register(
+    "agg_monthly_revenue",
+    oracle="""
+    SELECT
+        CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+        COUNT(*)          AS n_orders,
+        SUM(o_totalprice) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("date", "agg", "time-series"),
+)
+def agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "window_tumbling_hourly",
+    oracle="""
+    SELECT
+        CAST(TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)
+            AS window_start,
+        event_type,
+        COUNT(*)   AS n_events,
+        SUM(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("time-window", "tumbling", "agg"),
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window — identical operator to the streaming
+    path (Structured Streaming groupBy window on an event-time
+    column + watermark). Window start is emitted as a string to be
+    timezone-representation-proof across engines."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_sliding_30m",
+    oracle="""
+    WITH slides AS (
+        SELECT UNNEST(GENERATE_SERIES(0, 1)) AS k
+    )
+    SELECT
+        CAST(TIME_BUCKET(INTERVAL '30 minutes',
+                         CAST(ts AS TIMESTAMP) - k * INTERVAL '30 minutes')
+             AS VARCHAR) AS window_start,
+        COUNT(*) AS n_events
+    FROM events, slides
+    GROUP BY 1
+    """,
+    tags=("time-window", "sliding", "agg"),
+)
+def window_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 h length, 30 min slide — each event lands in
+    2 windows. Spark's F.window(slideDuration) expands rows exactly
+    like the oracle's generate_series trick."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT
+        event_type,
+        COUNT(*)                                        AS n,
+        AVG(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS avg_k,
+        MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "string", "agg"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from ``events.props``. Spark side uses
+    the native JSON path operator (get_json_object); the oracle uses
+    a regex so it cannot depend on DuckDB's JSON extension being
+    loadable. Both yield the integer field ``k``."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(k).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "json_schema_inference",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) > 90
+    """,
+    tags=("json", "from_json", "filter"),
+)
+def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing via from_json with a declared schema —
+    the scalable path (one parse, typed access, filter pushes into
+    the scan's non-JSON columns)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return (
+        e.select("event_id", parsed.getField("k").alias("k"))
+        .filter(F.col("k") > 90)
+    )
