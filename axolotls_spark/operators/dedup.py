@@ -1,0 +1,253 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact, hash, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a
+document table — all expressed as distributed DataFrame ops (no
+driver materialization, no cartesian products).
+
+Scale design (the 100 TB story):
+
+- Exact dedup is a hash aggregate on the dedup key — one shuffle,
+  map-side partial aggregation.
+- MinHash+LSH: per-doc work is linear in token count; the only
+  joins are (a) shingle→signature aggregation (shuffle on doc_id)
+  and (b) the banding self-join, which is an *equi*-join on
+  (band, bucket_key) — candidate generation never compares all
+  pairs. Bucket skew (a giant bucket) is handled by AQE skew-join
+  splitting; pathological buckets can additionally be capped.
+- Token hashes use md5-prefix arithmetic (not Spark's xxhash64) so
+  signatures are engine-independent — the DuckDB oracle reproduces
+  them bit-for-bit, making even the LSH pipeline hash-checkable.
+
+Hash function family: h_i(x) = (a_i * (x mod P) + b_i) mod P with
+P = 2^31 - 1 (Mersenne prime); a_i*x stays < 2^62, so the math is
+exact in 64-bit integers in both Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+# Deterministic (a, b) parameters — generated once with
+# random.Random(42); frozen literals so Spark, the oracle SQL, and
+# any re-run agree without a shared RNG.
+_MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
+    (1181241943, 1051802487),
+    (240231708, 1968352745),
+    (1616518890, 1532821674),
+    (114964616, 1337093473),
+    (1176911537, 1570006127),
+    (1500872216, 862655672),
+    (1465957471, 777157381),
+    (1724586546, 1344903021),
+    (412076483, 268979648),
+    (196169513, 780242640),
+    (849070079, 991925648),
+    (44179594, 1961914889),
+)
+
+
+def minhash_params(k: int) -> tuple[tuple[int, int], ...]:
+    if k > len(_MINHASH_PARAMS):
+        raise ValueError(f"at most {len(_MINHASH_PARAMS)} hash functions frozen")
+    return _MINHASH_PARAMS[:k]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (matches oracle string_split_regex)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    Guarded for short docs: sequence(1, size-n+1) would produce a
+    *descending* [1, 0] when size < n (Spark sequences run either
+    direction), so texts shorter than n tokens yield an empty array.
+    """
+    toks = tokens_col(text)
+    seq = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_hash(col: Column) -> Column:
+    """Engine-independent 60-bit token hash: int(md5(x)[:15], 16).
+
+    Chosen over xxhash64 precisely so the DuckDB oracle can compute
+    the identical value: ('0x' || substr(md5(x),1,15))::BIGINT.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Exact dedup: one representative row per key set
+    (min doc_id wins — deterministic, unlike dropDuplicates'
+    arbitrary-row semantics, and still a single hash aggregate)."""
+    others = [c for c in df.columns if c not in keys]
+    aggs = [F.min(c).alias(c) for c in others]
+    return df.groupBy(*keys).agg(*aggs) if aggs else df.distinct()
+
+
+def doc_shingle_hashes(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sh) — one row per distinct shingle hash per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    ).select("doc_id", token_hash(F.col("shingle")).alias("sh"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, i, minh): k-row MinHash signature per document.
+
+    Plan shape: project (shingle + hash, no shuffle) → explode k
+    hash functions (broadcast literal inline table) → partial min →
+    final min. One shuffle total, on (doc_id, i).
+    """
+    params = minhash_params(k)
+    sh = doc_shingle_hashes(docs, id_col, text_col, n)
+    hashers = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")
+                )
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    ).alias("h")
+    return (
+        sh.select("doc_id", "sh", hashers)
+        .select(
+            "doc_id",
+            F.col("h.i").alias("i"),
+            (
+                (F.col("h.a") * (F.col("sh") % MERSENNE_P) + F.col("h.b"))
+                % MERSENNE_P
+            ).alias("hv"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("minh"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-duplicate pairs via LSH banding.
+
+    Bucket key is the ordered concat of the band's signature rows;
+    the self-join is an equi-join on (band, bucket_key) so work is
+    proportional to bucket sizes, never |docs|^2.
+    """
+    banded = signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    buckets = banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "minh"))),
+                lambda s: s.getField("minh").cast("string"),
+            ),
+            ",",
+        ).alias("bucket_key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    The shingle equi-join generates only co-occurring pairs; set
+    sizes come from a pre-aggregated per-doc count (broadcast-sized
+    relative to the pair stream). This is the verify stage after LSH
+    at scale; standalone it is still shuffle-bound, never cartesian.
+    """
+    sh = doc_shingle_hashes(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): bitwise-majority fingerprint over token
+    hashes. Near-dup docs land within small Hamming distance.
+
+    Expressed as explode(token × bit) → conditional sum → bit
+    reassembly; all integer arithmetic, oracle-reproducible.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).select("doc_id", token_hash(F.col("tok")).alias("th"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # SQL-function form: the python shiftright/shiftleft wrappers
+    # only take literal shift amounts, the SQL expressions take any.
+    weighted = toks.select(
+        "doc_id",
+        bit,
+        F.expr("CASE WHEN shiftright(th, bit) % 2 = 1 THEN 1 ELSE -1 END").alias("w"),
+    )
+    return (
+        weighted.groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )

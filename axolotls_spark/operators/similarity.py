@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns.
+
+Two tiers, mirroring how ANN works on a cluster:
+
+- ``brute_force_topk``: exact cosine top-k. The query set is small
+  and broadcast; every candidate partition scores its local rows and
+  a per-query ranking window keeps k. Work is |queries| × |corpus|
+  but embarrassingly parallel with NO shuffle of the corpus — only
+  the (tiny) scored-and-pre-truncated stream shuffles for ranking.
+- ``lsh_bucketed_topk``: approximate — random-hyperplane signatures
+  (SimHash for vectors) bucket the corpus; queries only score
+  candidates sharing a bucket. This is the 100 TB path: corpus scan
+  becomes a bucket-pruned equi-join.
+
+Projection hyperplanes are deterministic literals (seeded off-line)
+so runs — and the oracle — are reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark.functions.arrays import cosine
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows per ``queries`` row."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "sim", "rn")
+    )
+
+
+def rp_signature(df: DataFrame, dim: int, n_planes: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42) -> DataFrame:
+    """(id, sig): random-hyperplane sign signature as a bit string.
+
+    sign(v · h_j) per plane; the dot products are JVM-side
+    zip_with/aggregate folds over broadcast literal planes.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda v, h: v.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return df.select(
+        F.col(id_col).alias("sig_id"), F.concat(*bits).alias("sig")
+    )
+
+
+def _multi_table_signatures(
+    df: DataFrame, dim: int, n_planes: int, n_tables: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(sig_id, table, sig): one signature per LSH table (each table
+    uses an independent hyperplane set via a distinct seed)."""
+    parts = [
+        rp_signature(df, dim, n_planes, id_col, vec_col, seed=1000 + t)
+        .withColumn("table", F.lit(t))
+        for t in range(n_tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table LSH (OR-amplification).
+
+    A single signature table has per-plane collision prob
+    p = 1 - θ/π, so recall p^planes dies fast for moderate
+    similarity; L independent tables recover 1-(1-p^planes)^L.
+    Candidates are deduped across tables BEFORE scoring, so each
+    (query, candidate) pair is scored exactly once.
+    """
+    qs = _multi_table_signatures(queries, dim, n_planes, n_tables, id_col, vec_col)
+    cs = _multi_table_signatures(corpus, dim, n_planes, n_tables, id_col, vec_col)
+    cand = (
+        cs.join(
+            F.broadcast(qs.withColumnRenamed("sig_id", "query_id")),
+            ["table", "sig"],
+        )
+        .filter(F.col("query_id") != F.col("sig_id"))
+        .select("query_id", F.col("sig_id").alias("cand_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(c, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "sim", "rn")
+    )

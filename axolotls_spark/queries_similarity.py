@@ -1,0 +1,133 @@
+"""Similarity-search queries over ``embeddings`` (64-dim float).
+
+Certifies operators/similarity.py. The brute-force top-k is exactly
+oracle-checkable (dot products fold left-to-right in both engines);
+the random-projection LSH variant is rows-only (DuckDB has no stable
+equivalent of the literal hyperplane fold worth duplicating — the
+brute-force oracle is the accuracy reference instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axolotls_spark.functions.arrays import cosine, dot, norm
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.operators import similarity as SIM
+from axolotls_spark.registry import register
+
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT
+        label,
+        COUNT(*) AS n_vecs,
+        AVG({_SQL_NORM.format(v='embedding')}) AS avg_norm,
+        MAX({_SQL_NORM.format(v='embedding')}) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "embedding", "agg", "array"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg(n).alias("avg_norm"),
+        F.max(n).alias("max_norm"),
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               {_SQL_DOT.format(a='q.q_vec', b='c.embedding')}
+               / NULLIF({_SQL_NORM.format(v='q.q_vec')}
+                        * {_SQL_NORM.format(v='c.embedding')}, 0) AS sim
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, cand_id, sim, rn FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity", "cosine", "topk", "embedding", "window"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries
+    across the corpus, per-query ranking window keeps k. At 100 TB
+    the corpus is never shuffled — only scored rows move."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(q, emb, k=5)
+
+
+@register(
+    "similar_label_pairs",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+               / NULLIF({_SQL_NORM.format(v='a.embedding')}
+                        * {_SQL_NORM.format(v='b.embedding')}, 0) AS sim
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
+    """,
+    tags=("similarity", "cosine", "blocked-join", "embedding"),
+)
+def similar_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked similarity join: pairs restricted to equal ``label``
+    (threshold 0.35 chosen to be selective
+    on the synthetic corpus; the classic blocking trick — equi-join key prunes the quadratic
+    pair space before any scoring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.35)
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction; accuracy is judged
+    # against cosine_topk (exact) in tests, not a SQL oracle.
+    tags=("similarity", "lsh", "ann", "approximate"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing — the scale
+    path: only same-signature candidates are scored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_bucketed_topk(q, emb, dim=64, k=5, n_planes=4, n_tables=8)

@@ -1,0 +1,308 @@
+"""Text-analysis + deduplication queries over ``documents``.
+
+These certify the operators in ``operators/dedup.py`` and
+``operators/text_analysis.py``. The MinHash/LSH pipeline is
+hash-checkable end-to-end because token hashes are md5-prefix
+arithmetic both engines can compute (see dedup.token_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.operators import dedup as D
+from axolotls_spark.operators import text_analysis as T
+from axolotls_spark.registry import register
+
+# Shared SQL fragments for the oracle side ---------------------------------
+
+_SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_SQL_TOKEN_HASH = "('0x' || substr(md5({tok}), 1, 15))::BIGINT"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len({t}) - 1, 1)),"
+    " i -> array_to_string({t}[i:i+2], ' ')))"
+).format(t=_SQL_TOKENS)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+           MIN(source) AS source, MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup", "exact-dedup", "agg"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic representative (min doc_id) —
+    one hash aggregate; dropDuplicates would be one line but keeps an
+    arbitrary row, which is not oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"])
+
+
+@register(
+    "dedup_content_hash",
+    oracle=f"""
+    SELECT doc_id, md5(text) AS content_md5,
+           {_SQL_TOKEN_HASH.format(tok='text')} AS content_hash60
+    FROM documents
+    """,
+    tags=("dedup", "hash", "fingerprint"),
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashing for exact-dup detection at scale (hash join /
+    group on 60-bit digest instead of full text movement)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        D.token_hash(F.col("text")).alias("content_hash60"),
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='sh.shingle')} AS shash
+        FROM (
+            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
+            FROM documents
+        ) sh
+    ),
+    params(i, a, b) AS (
+        VALUES (0, 1181241943, 1051802487),
+               (1, 240231708, 1968352745),
+               (2, 1616518890, 1532821674),
+               (3, 114964616, 1337093473),
+               (4, 1176911537, 1570006127),
+               (5, 1500872216, 862655672),
+               (6, 1465957471, 777157381),
+               (7, 1724586546, 1344903021)
+    )
+    SELECT sh.doc_id, p.i,
+           MIN((p.a * (sh.shash % 2147483647) + p.b) % 2147483647) AS minh
+    FROM sh, params p
+    GROUP BY sh.doc_id, p.i
+    """,
+    tags=("dedup", "minhash", "near-dup"),
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 MinHash signatures — bit-for-bit oracle-checkable (md5
+    token hashes + Mersenne-prime affine family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, k=8)
+
+
+@register(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='sh.shingle')} AS shash
+        FROM (
+            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
+            FROM documents
+        ) sh
+    ),
+    params(i, a, b) AS (
+        VALUES (0, 1181241943, 1051802487),
+               (1, 240231708, 1968352745),
+               (2, 1616518890, 1532821674),
+               (3, 114964616, 1337093473),
+               (4, 1176911537, 1570006127),
+               (5, 1500872216, 862655672),
+               (6, 1465957471, 777157381),
+               (7, 1724586546, 1344903021)
+    ),
+    sig AS (
+        SELECT sh.doc_id, p.i,
+               MIN((p.a * (sh.shash % 2147483647) + p.b) % 2147483647) AS minh
+        FROM sh, params p
+        GROUP BY sh.doc_id, p.i
+    ),
+    buckets AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(minh::VARCHAR, ',' ORDER BY i) AS bucket_key
+        FROM sig GROUP BY doc_id, i // 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a
+    JOIN buckets b
+      ON a.band = b.band AND a.bucket_key = b.bucket_key
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "near-dup", "join"),
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH banding→candidate pairs pipeline (2 bands ×
+    4 rows): equi-join on bucket keys, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=8)
+    return D.lsh_candidate_pairs(sig, bands=2, rows_per_band=4)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='sh.shingle')} AS shash
+        FROM (
+            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
+            FROM documents
+        ) sh
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_shared / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.12
+    """,
+    tags=("dedup", "jaccard", "ngram", "near-dup", "join"),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for co-occurring pairs — the verify
+    stage after LSH candidate generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.12)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKEN_HASH.format(tok='t.tok')} AS th
+        FROM (SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents) t
+    ),
+    bits AS (SELECT UNNEST(range(0, 16)) AS bit),
+    weighted AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (th >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        FROM toks, bits
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM weighted GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash", "fingerprint"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=16)
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT
+        doc_id,
+        length(text)::BIGINT AS n_chars,
+        len({_SQL_TOKENS})::BIGINT AS n_tokens,
+        list_sum(list_transform({_SQL_TOKENS}, t -> length(t)))::DOUBLE
+            / NULLIF(len({_SQL_TOKENS}), 0) AS mean_token_len,
+        len(list_distinct({_SQL_TOKENS}))::DOUBLE
+            / NULLIF(len({_SQL_TOKENS}), 0) AS distinct_token_ratio,
+        (length(text) - length(replace(text, ' ', '')))::DOUBLE
+            / NULLIF(length(text), 0) AS space_ratio,
+        length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+            / NULLIF(length(text), 0) AS digit_ratio
+    FROM documents
+    """,
+    tags=("text-analysis", "quality-scoring"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@register(
+    "lang_id_scores",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            len(list_filter({_SQL_TOKENS},
+                t -> t IN ('the','a','of','and','to','in','is','value','table')))::DOUBLE
+                / NULLIF(len({_SQL_TOKENS}), 0) AS en_score,
+            len(list_filter({_SQL_TOKENS},
+                t -> t IN ('der','die','das','und','ist','ein','nicht','mit')))::DOUBLE
+                / NULLIF(len({_SQL_TOKENS}), 0) AS de_score
+        FROM documents
+    )
+    SELECT doc_id, lang, en_score, de_score,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted
+    FROM scored
+    """,
+    tags=("text-analysis", "lang-id"),
+)
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic. (The synthetic corpus uses
+    one shared vocabulary for every lang label, so the assertion is
+    on the operator's arithmetic, not label recovery.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    en = T.stopword_ratio(F.col("text"), "en")
+    de = T.stopword_ratio(F.col("text"), "de")
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("en_score"),
+        de.alias("de_score"),
+        F.when(en >= 0.05, "en").otherwise("unknown").alias("predicted"),
+    )
+
+
+@register(
+    "doc_fingerprint_rolling",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform({_SQL_TOKENS},
+                       t -> ({_SQL_TOKEN_HASH.format(tok='t')}) % 2147483647)),
+               (acc, h) -> (acc * 31 + h) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+    tags=("text-analysis", "fingerprint", "rolling-hash"),
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash — distinguishes permuted docs,
+    unlike set-based MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "tf_top_terms",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS tf
+    FROM (SELECT UNNEST({_SQL_TOKENS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY tf DESC, tok
+    LIMIT 20
+    """,
+    tags=("text-analysis", "term-frequency", "explode", "topk"),
+)
+def tf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(20)
+    )

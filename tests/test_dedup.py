@@ -1,0 +1,77 @@
+"""Operator tests for dedup: MinHash math vs a pure-Python
+reference, LSH/Jaccard relationships, simhash invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from axolotls_spark.operators import dedup as D
+
+
+def _py_token_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_minhash(text: str, k: int, n: int = 3) -> dict[int, int]:
+    toks = text.split()
+    shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    hashes = {_py_token_hash(s) % D.MERSENNE_P for s in shingles}
+    out = {}
+    for i, (a, b) in enumerate(D.minhash_params(k)):
+        out[i] = min((a * h + b) % D.MERSENNE_P for h in hashes)
+    return out
+
+
+def test_minhash_matches_python_reference(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    got = {
+        r.i: r.minh for r in D.minhash_signatures(df, k=4).collect()
+    }
+    assert got == _py_minhash(text, 4)
+
+
+def test_identical_docs_are_lsh_candidates(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now ok yes")],
+        "doc_id: long, text: string",
+    )
+    sig = D.minhash_signatures(df, k=8)
+    pairs = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(sig, 2, 4).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_jaccard_exact_values(spark):
+    # doc1/doc2 share exactly half their shingles
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x")],  # shingles: {abc,bcd} vs {abc,bcx}
+        "doc_id: long, text: string",
+    )
+    rows = D.jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].jaccard - 1 / 3) < 1e-12  # 1 shared / 3 union
+
+
+def test_simhash_invariants(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4"), (3, "z9 z8 z7 z6")],
+        "doc_id: long, text: string",
+    )
+    sh = {r.doc_id: r.simhash for r in D.simhash(df, bits=16).collect()}
+    assert sh[1] == sh[2]  # identical content → identical fingerprint
+    assert 0 <= sh[1] < 2**16
+    assert sh[1] != sh[3]
+
+
+def test_exact_dedup_representative(spark):
+    df = spark.createDataFrame(
+        [(5, "x", "en"), (2, "x", "de"), (9, "y", "fr")],
+        "doc_id: long, text: string, lang: string",
+    )
+    rows = {r.text: r for r in D.exact_dedup(df, ["text"]).collect()}
+    assert rows["x"].doc_id == 2 and rows["x"].lang == "de"
+    assert rows["y"].doc_id == 9

@@ -1,0 +1,54 @@
+"""Operator tests for similarity search: exactness of brute force
+vs numpy, ANN recall vs the exact reference."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.operators import similarity as SIM
+
+
+def test_brute_force_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    got = SIM.brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=3).collect()
+    q = rows[0]
+    sims = {
+        vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in rows.items()
+        if vid != 0
+    }
+    expect = sorted(sims, key=lambda vid: (-sims[vid], vid))[:3]
+    assert [r.cand_id for r in sorted(got, key=lambda r: r.rn)] == expect
+    for r in got:
+        assert r.sim == pytest.approx(sims[r.cand_id], rel=1e-9)
+
+
+def test_ann_recall_against_exact(spark, sf_dir):
+    """ANN is approximate; 8 tables x 4 planes on this corpus must
+    get recall@5 well above random (≈ k/N ≈ 1%)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.brute_force_topk(q, emb, k=5).collect()
+    approx = SIM.lsh_bucketed_topk(q, emb, dim=64, k=5, n_planes=4, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    hit = sum(
+        1 for r in approx if r.cand_id in exact_sets.get(r.query_id, set())
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    assert hit / total > 0.3, f"recall@5 {hit}/{total} too low"
+
+
+def test_rp_signature_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    s1 = {r.sig_id: r.sig for r in SIM.rp_signature(emb, 64, 8).collect()}
+    s2 = {r.sig_id: r.sig for r in SIM.rp_signature(emb, 64, 8).collect()}
+    assert s1 == s2
+    assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in s1.values())
