@@ -1,0 +1,104 @@
+"""Structured-Streaming queries over ``events`` — run with
+``Trigger.AvailableNow`` so a finite snapshot behaves like a batch
+action, making the streaming operators DuckDB-oracle-checkable: the
+final streamed state must equal the batch SQL over the same data.
+
+Update-mode sinks append one row per (key, micro-batch); the queries
+reduce to final state per key afterwards so results are correct even
+if the source ever splits into multiple micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark import streaming as S
+from axolotls_spark.registry import register
+
+
+@register(
+    "streaming_hourly_counts",
+    oracle="""
+    SELECT
+        CAST(TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)
+            AS window_start,
+        event_type,
+        COUNT(*)   AS n_events,
+        SUM(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "time-window", "watermark", "tumbling"),
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming agg; complete-mode
+    memory sink holds exactly the final windows."""
+    stream = S.read_events_stream(spark, sf_dir)
+    agg = S.hourly_event_counts(stream)
+    return S.run_to_memory(agg, "stream_hourly", output_mode="complete")
+
+
+@register(
+    "streaming_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL '15 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*)   AS n_events,
+           SUM(value) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session-window", "watermark", "stateful"),
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (15-min gap) via F.session_window.
+    Oracle reconstructs identical sessions with the LAG/cumsum
+    gaps-and-islands idiom (strict < gap == Spark's merge rule:
+    touching-but-not-overlapping windows stay separate)."""
+    stream = S.read_events_stream(spark, sf_dir)
+    sess = S.session_windows(stream, gap="15 minutes")
+    return S.run_to_memory(sess, "stream_sessions", output_mode="complete")
+
+
+@register(
+    "streaming_user_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)   AS n_events,
+           SUM(value) AS total_value,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "applyInPandasWithState", "stateful", "custom-operator"),
+)
+def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user count/sum/last-seen. Final state must equal the batch
+    group-by — the incremental-vs-batch equivalence that justifies
+    deploying the incremental version at scale."""
+    stream = S.read_events_stream(spark, sf_dir)
+    out = S.run_to_memory(
+        S.user_state_counts(stream), "stream_user_state", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,7 @@
+from axolotls_spark.streaming.jobs import (  # noqa: F401
+    hourly_event_counts,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    user_state_counts,
+)

@@ -1,0 +1,208 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming concept at all (SURVEY §1.4); this is
+the §2B extension surface: event-time windowed aggregation with a
+watermark, session windows, and a custom stateful operator via
+``applyInPandasWithState``.
+
+Design: every transformation here is written against a *streaming*
+DataFrame (``spark.readStream``), exercised in tests/driver runs with
+``Trigger.AvailableNow`` over the finite parquet snapshot — the same
+code runs unmodified against a live file/Kafka source on a cluster.
+Batch/stream parity is structural: the window operators are the same
+``F.window`` / ``F.session_window`` used by the batch temporal
+queries, so the DuckDB oracle for the batch query doubles as the
+oracle for the streaming run.
+
+Scale notes (100 TB / continuous):
+
+- Watermarks bound state: without ``withWatermark`` a windowed agg
+  keeps every window ever seen; with it, state older than the delay
+  is dropped. The finite-snapshot runs here use ``complete``/
+  ``update`` output (memory sink) purely to observe final values.
+- ``applyInPandasWithState`` state lives in the state store,
+  partitioned by group key — per-key state must stay O(1); ours is a
+  fixed-width tuple.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from axolotls_spark.io.sources import table_path
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
+# reads as raw long under the nanosAsLong legacy conf (same trick as
+# the batch reader, io/sources.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of ``events`` with a proper event-time column.
+
+    One file per micro-batch is the *snapshot* shape; a production
+    deployment points the same code at a directory a producer appends
+    to (or swaps in ``format("kafka")``) — downstream operators are
+    source-agnostic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source lists a *directory*; pathGlobFilter
+    # narrows it to the events file (other tables have other schemas).
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (not NTZ); the session timezone is
+    # pinned UTC (session.py) so the NTZ→TIMESTAMP cast is lossless
+    # and date_format renders identical strings to the batch path.
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).cast("timestamp"),
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a finite streaming query to completion into a memory sink
+    and return the result table. AvailableNow consumes everything
+    currently in the source, then stops — the streaming analogue of a
+    batch action, and the standard incremental-backfill trigger."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def hourly_event_counts(stream: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time window with a 2-hour watermark —
+    the canonical late-data-tolerant streaming aggregation. Same
+    operator as batch ``window_tumbling_hourly``."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "15 minutes") -> DataFrame:
+    """Per-user session windows: events closer than ``gap`` merge.
+
+    ``F.session_window`` is Spark's native dynamic-gap session
+    operator — state is one open window per active user, closed and
+    emitted once the watermark passes start+gap."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- custom stateful operator: per-user running aggregate ----------------
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_ts_us", LongType()),
+    ]
+)
+
+USER_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_seen", StringType()),
+    ]
+)
+
+
+def _update_user_state(
+    key, pdf_iter: Iterator, state: GroupState
+) -> Iterator:
+    """Arbitrary-stateful per-key update: fixed-width running
+    (count, sum, max event time) tuple per user."""
+    import pandas as pd
+
+    n, total, max_us = state.get() if state.exists else (0, 0.0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        ts_us = (pdf["ts"].astype("int64") // 1000).max()
+        max_us = max(max_us, int(ts_us))
+    state.update((n, total, max_us))
+    last_seen = pd.Timestamp(max_us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_seen": [last_seen],
+        }
+    )
+
+
+def user_state_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    emits the running (count, sum(value), last event time) per user
+    on every micro-batch that touches the user. This is the shape of
+    any bespoke incremental aggregate Spark lacks natively."""
+    return (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=USER_STATE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
