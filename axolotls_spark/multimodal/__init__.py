@@ -1,0 +1,8 @@
+from axolotls_spark.multimodal.ops import (  # noqa: F401
+    MEDIA_META_SCHEMA,
+    attach_payload,
+    byte_histogram_features,
+    decode_media,
+    frame_sample,
+    resize_images,
+)

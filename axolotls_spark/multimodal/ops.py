@@ -1,0 +1,234 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Model (SURVEY §2B / BASELINE north star): media travels through the
+pipeline as an opaque ``binary`` payload column plus a *typed*
+metadata struct — Spark never interprets the bytes until an explicit
+decode/feature step, which runs as an Arrow-batched ``mapInPandas``
+over whole payload batches (the only sane shape for per-item Python
+work at 100 TB: vectorized transfer, no per-row pickling, and the
+binary column prunes away for any query that doesn't touch it).
+
+Codec stubs: the container has no image/audio libraries, so the
+actual byte decoding is behind ``backend=`` — the default
+``"fake"`` backend derives deterministic pseudo-metadata from the
+payload bytes themselves (stable across engines and runs, so tests
+and oracles can check the plumbing end-to-end); ``backend="pil"`` /
+``"av"`` raise ``NotImplementedError`` marking exactly where a real
+deployment plugs in Pillow / PyAV. Everything around the stub —
+schemas, batch iteration, partitioning, explode shapes — is real.
+
+Payload provenance in this repo: the driver tables carry no binary
+columns, so ``attach_payload`` manufactures payloads as the UTF-8
+bytes of ``documents.text`` (deterministic, oracle-reproducible via
+DuckDB ``encode()``). On a real lake the payload column comes from
+``spark.read.format("binaryFile")`` or pre-materialized parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Typed metadata carried alongside every payload.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+_MEDIA_TYPES = ("image", "audio", "video")
+FRAME_BYTES = 256  # fake-codec frame size
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → media manifest: (doc_id, payload binary, meta struct).
+
+    Deterministic: payload = UTF-8 bytes of the text; media_type
+    cycles by doc_id; fake intrinsic dims derive from byte length.
+    All JVM-side expressions — the binary column is born columnar.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    blen = F.length(payload).cast("long")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.element_at(
+                F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("media_type"),
+            blen.alias("byte_len"),
+            (F.lit(64) + (blen % 512)).cast("int").alias("width"),
+            (F.lit(64) + ((blen * 7) % 512)).cast("int").alias("height"),
+            F.ceil(blen / FRAME_BYTES).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real codec: 'decodes' dimensions
+    and a checksum from the raw bytes. Replace with PIL/PyAV in a
+    real deployment — signature and output schema stay identical."""
+    n = len(payload)
+    return {
+        "dec_width": 64 + (n % 512),
+        "dec_height": 64 + ((n * 7) % 512),
+        "checksum": sum(payload[:64]) % 997,
+    }
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dec_width", IntegerType()),
+        StructField("dec_height", IntegerType()),
+        StructField("checksum", IntegerType()),
+    ]
+)
+
+
+def decode_media(manifest: DataFrame, backend: str = "fake") -> DataFrame:
+    """Decode payloads via Arrow-batched mapInPandas.
+
+    ``backend="fake"`` → deterministic pseudo-decode (tests/oracle);
+    anything else raises at *plan* time: the real codec is a
+    deployment concern, not an engine one.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"media codec backend {backend!r} requires image/audio libraries "
+            "not present in this environment; plug in PIL/PyAV here"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            dec = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(dec)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return manifest.select("doc_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+        StructField("feat_norm", DoubleType()),
+    ]
+)
+
+
+def byte_histogram_features(manifest: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature extraction: L1-normalized byte histogram per payload.
+
+    Real vectorized numpy work over Arrow batches — the exact shape
+    an embedding-model featurizer takes (payload batch in, fixed-dim
+    float vector out)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats, norms = [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr >> (8 - bins.bit_length() + 1), minlength=bins)[
+                    :bins
+                ].astype("float64")
+                total = hist.sum() or 1.0
+                v = hist / total
+                feats.append(v.tolist())
+                norms.append(float(np.sqrt((v * v).sum())))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "features": feats, "feat_norm": norms}
+            )
+
+    return manifest.select("doc_id", "payload").mapInPandas(run, HIST_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    manifest: DataFrame, max_side: int = 128, backend: str = "fake"
+) -> DataFrame:
+    """'Resize' images to fit max_side (fake backend: scales the
+    metadata dims and truncates the payload proportionally — the
+    plumbing, batching, and schema of a real PIL resize)."""
+    if backend != "fake":
+        raise NotImplementedError("real resize needs PIL; fake backend only")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                raw = bytes(p)
+                keep = max(1, int(len(raw) * scale))
+                rows.append((doc_id, nw, nh, raw[:keep]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "payload"]
+            )
+
+    imgs = manifest.filter(F.col("meta.media_type") == "image")
+    return imgs.select("doc_id", "payload", "meta").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_sample(manifest: DataFrame, every: int = 4) -> DataFrame:
+    """Sample every ``every``-th frame of video payloads.
+
+    Fake codec: a 'frame' is a FRAME_BYTES chunk. Pure JVM-side
+    expressions — sequence → transform(substring) → explode — so
+    frame extraction is codegen'd and shuffle-free; a real codec
+    would swap the chunking lambda for a mapInPandas decode."""
+    vids = manifest.filter(F.col("meta.media_type") == "video")
+    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+    frames = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("frame_idx"),
+            F.substring(
+                F.col("payload"), i * FRAME_BYTES + 1, FRAME_BYTES
+            ).alias("frame"),
+        ),
+    )
+    return vids.select(
+        "doc_id", F.explode(frames).alias("f")
+    ).select(
+        "doc_id",
+        F.col("f.frame_idx").alias("frame_idx"),
+        F.col("f.frame").alias("frame"),
+    )

@@ -1,0 +1,64 @@
+"""Multimodal pipeline: payload plumbing, fake-codec determinism,
+batch shapes, and the NotImplementedError codec gate."""
+
+from __future__ import annotations
+
+
+import pytest
+from pyspark.sql import functions as F
+
+from axolotls_spark import multimodal as M
+from axolotls_spark.io.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _manifest(spark):
+    return M.attach_payload(load_table(spark, SF_DIR, "documents"))
+
+
+def test_payload_bytes_roundtrip(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    rows = M.attach_payload(docs).join(docs, "doc_id").collect()
+    for r in rows:
+        assert bytes(r.payload) == r.text.encode("utf-8")
+        assert r.meta.byte_len == len(r.payload)
+
+
+def test_decode_matches_fake_codec(spark):
+    m = _manifest(spark).limit(20)
+    dec = {r.doc_id: r for r in M.decode_media(m).collect()}
+    for r in m.collect():
+        raw = bytes(r.payload)
+        d = dec[r.doc_id]
+        assert d.dec_width == 64 + (len(raw) % 512)
+        assert d.checksum == sum(raw[:64]) % 997
+
+
+def test_decode_real_backend_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(_manifest(spark), backend="pil")
+
+
+def test_byte_histogram_features(spark):
+    feats = M.byte_histogram_features(_manifest(spark).limit(10), bins=16).collect()
+    for r in feats:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_resize_scales_dims_and_payload(spark):
+    out = M.resize_images(_manifest(spark), max_side=128).collect()
+    assert out, "expected image rows"
+    for r in out:
+        assert max(r.width, r.height) <= 128
+
+
+def test_frame_sample_chunks(spark):
+    from axolotls_spark.multimodal.ops import FRAME_BYTES
+
+    m = _manifest(spark)
+    r = M.frame_sample(m, every=4).orderBy("doc_id", "frame_idx").first()
+    raw = bytes(m.filter(F.col("doc_id") == r.doc_id).first().payload)
+    assert r.frame_idx == 0
+    assert bytes(r.frame) == raw[:FRAME_BYTES]
