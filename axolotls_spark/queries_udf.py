@@ -1,0 +1,60 @@
+"""UDF-surface queries: vectorized pandas_udf and mapInArrow stages
+whose Python arithmetic is restated in oracle SQL — certifying the
+Arrow exchange path end-to-end, not just the math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axolotls_spark import interop as I
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.registry import register
+
+
+@register(
+    "udf_pandas_logit",
+    oracle="""
+    WITH p AS (
+        SELECT l_orderkey, l_linenumber,
+               1.0 / (l_quantity + 3.0) AS prob
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           ln(LEAST(GREATEST(prob, 1e-6), 1 - 1e-6)
+              / (1 - LEAST(GREATEST(prob, 1e-6), 1 - 1e-6))) AS logit_p
+    FROM p
+    """,
+    tags=("udf", "pandas-udf", "vectorized", "arrow", "ref-parity"),
+)
+def udf_pandas_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo's ``(1/(x+3)).logit()`` feature
+    (``demo/criteo.py:51``) as a vectorized pandas UDF — numpy kernel
+    over Arrow batches, checked against the SQL restatement."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prob = F.lit(1.0) / (F.col("l_quantity") + F.lit(3.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        I.logit_kernel(prob).alias("logit_p"),
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_id, value * 2.5 AS value
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+    tags=("udf", "mapInArrow", "arrow", "batch"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw RecordBatch transform via mapInArrow (zero pandas) —
+    the distributed analogue of the reference's zero-copy Arrow
+    export (``numeric_column.py:138-159``)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    return I.arrow_scale_batches(e, "value", 2.5)
