@@ -1,0 +1,191 @@
+"""Extended operator coverage: as-of join, pivot, string functions,
+map functions, exact percentiles.
+
+The as-of join is the headline here — the one relational operator
+Spark has no native form for (operators/temporal_join.py); the rest
+certify builtin surfaces SURVEY §2B lists that earlier modules
+didn't touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.operators.temporal_join import asof_join
+from axolotls_spark.registry import register
+
+
+@register(
+    "asof_join_last_order",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+        QUALIFY rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           o.o_orderkey   AS last_orderkey,
+           o.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("asof-join", "temporal", "window", "custom-operator"),
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event matched to the user's latest order at-or-before the
+    event time. Right side deduped per (custkey, orderdate) first so
+    both engines pick the same row; Spark side is the union+window
+    as-of (one shuffle, no range explosion), oracle is DuckDB's
+    native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    joined = asof_join(
+        e, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@register(
+    "pivot_status_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS F,
+           SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS O,
+           SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "agg", "reshape"),
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list — at scale the explicit list
+    matters: without it Spark runs an extra distinct job to discover
+    pivot columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+
+
+@register(
+    "string_functions_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                          AS name_upper,
+           length(p_name)::BIGINT                 AS name_len,
+           substring(p_name, 1, 8)                AS name_prefix,
+           len(string_split(p_name, ' '))::INT    AS n_words,
+           levenshtein(p_brand, 'Brand#33')::INT  AS brand_dist,
+           regexp_extract(p_brand, '[0-9]+')      AS brand_num,
+           concat_ws('|', p_brand, p_type)        AS brand_type,
+           instr(p_name, 'a')::BIGINT             AS first_a,
+           replace(p_type, ' ', '_')              AS type_snake
+    FROM part
+    """,
+    tags=("string-functions", "scalar"),
+)
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.levenshtein("p_brand", F.lit("Brand#33")).alias("brand_dist"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@register(
+    "map_functions_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           2::INT                           AS map_size,
+           l_quantity                       AS qty_val,
+           'qty,price'                      AS keys_csv,
+           l_quantity + l_extendedprice     AS vals_sum
+    FROM lineitem
+    """,
+    tags=("map-functions", "nested"),
+)
+def map_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (reference declares a Map dtype but never
+    builds a column — ``dtypes.py:213-235``; we actually support it):
+    construction, cardinality, lookup, key listing, value fold. The
+    oracle states the expected scalars directly (DuckDB's MAP has
+    different ergonomics; the values are what's certified)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("price"), F.col("l_extendedprice"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(m).alias("map_size"),
+        F.element_at(m, "qty").alias("qty_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.aggregate(
+            F.map_values(m), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("vals_sum"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_quantity, 0.5)      AS p50_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "statistics"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile == DuckDB
+    quantile_cont). At 100 TB the approx_percentile sketch is the
+    right tool; it's not oracle-matchable, so the exact form
+    certifies the operator and the approx form stays available."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_price"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+    )
