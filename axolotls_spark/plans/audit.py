@@ -1,0 +1,86 @@
+"""Physical-plan audit — make scale properties assertable.
+
+The engine's 100 TB contract is a set of *plan* facts, not code
+style: filters reach the parquet scan (PushedFilters), scans read
+only needed columns (ReadSchema), small dimensions broadcast
+(BroadcastHashJoin, no shuffle of the fact side), shuffle count is
+what the algorithm needs and no more, and hot expressions stay
+inside WholeStageCodegen. This module parses ``explain`` output into
+facts so tests can pin them — a plan regression (lost pushdown, a
+join silently degrading to sort-merge-with-shuffle) fails CI instead
+of surfacing as a 10× slowdown at the next scale factor.
+
+Note AQE: with adaptive execution the final physical plan is only
+known at runtime; ``explain`` shows the initial plan (+ AQE markers).
+Facts asserted here are properties of the initial plan, which is the
+right target for pushdown/pruning/broadcast-threshold checks.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@dataclass(frozen=True)
+class PlanFacts:
+    text: str
+    n_exchanges: int          # shuffle boundaries (excl. broadcast)
+    n_broadcast_exchanges: int
+    n_broadcast_hash_joins: int
+    n_sort_merge_joins: int
+    n_codegen_stages: int
+    pushed_filters: tuple[str, ...]   # one entry per scan
+    read_schemas: tuple[str, ...]     # one entry per scan
+
+    def scans_reading_all_columns(self, full_schema_cols: int) -> int:
+        """Scans whose ReadSchema has >= full_schema_cols fields —
+        i.e. column pruning did nothing."""
+        return sum(
+            1 for s in self.read_schemas if s.count(":") >= full_schema_cols
+        )
+
+
+def audit(df: DataFrame, execute: bool = False) -> PlanFacts:
+    """Parse plan facts from formatted explain output.
+
+    With AQE on, the pre-execution plan is the *initial* one —
+    shuffle/broadcast/pushdown facts are all visible there. Pass
+    ``execute=True`` to run the plan (noop sink) first so the
+    explain reflects AQE's final plan (including whole-stage codegen
+    ids, which only materialize on the executed plan).
+    """
+    if execute:
+        # Must be an action on THIS DataFrame's query execution — a
+        # write sink builds a separate QE and the original plan would
+        # stay isFinalPlan=false. collect() is audit-only (small SF).
+        df.collect()
+    text = explain_formatted(df)
+    # Formatted mode lists one "(n) NodeName" detail block per node.
+    def count(node_re: str) -> int:
+        return len(re.findall(rf"\(\d+\) {node_re}", text))
+
+    return PlanFacts(
+        text=text,
+        n_exchanges=count("Exchange\\b"),
+        n_broadcast_exchanges=count("BroadcastExchange"),
+        n_broadcast_hash_joins=count("Broadcast(?:Hash|NestedLoop)Join"),
+        n_sort_merge_joins=count("SortMergeJoin"),
+        n_codegen_stages=len(set(re.findall(r"codegen id : (\d+)", text))),
+        pushed_filters=tuple(
+            m.group(1).strip()
+            for m in re.finditer(r"PushedFilters: \[(.*?)\]", text)
+        ),
+        read_schemas=tuple(
+            m.group(1).strip()
+            for m in re.finditer(r"ReadSchema: struct<(.*?)>", text, re.S)
+        ),
+    )

@@ -35,6 +35,8 @@ HEADLINE = [
     "tf_top_terms",
     "cosine_topk",
     "minhash_near_dup_pairs",
+    "asof_join_last_order",
+    "multimodal_decode",
 ]
 
 

@@ -1,0 +1,67 @@
+"""Pin the scale-critical physical-plan facts (SURVEY §4 / 100 TB
+rules): pushdown reaches scans, columns prune, small dims broadcast,
+shuffle counts match the algorithm's minimum. A regression here is a
+performance bug even while every value-check still passes."""
+
+from __future__ import annotations
+
+from axolotls_spark.plans import audit
+from axolotls_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _facts(spark, name, **kw):
+    return audit(REGISTRY[name].fn(spark, SF_DIR), **kw)
+
+
+def test_flagship_pushdown_and_pruning(spark):
+    f = _facts(spark, "q1_pricing_summary")
+    # Date filter must reach the parquet scan...
+    assert any("l_shipdate" in p for p in f.pushed_filters)
+    # ...and the scan must not read all 16 lineitem columns.
+    assert len(f.read_schemas) == 1
+    assert f.read_schemas[0].count(",") < 8
+    # One wide agg => exactly one shuffle.
+    assert f.n_exchanges == 1
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    f = _facts(spark, "q5_region_revenue")
+    # supplier/nation/region (+customer/orders path) broadcast; the
+    # lineitem fact side must never shuffle for the dim joins.
+    assert f.n_broadcast_hash_joins >= 3
+    assert f.n_sort_merge_joins == 0
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    f = _facts(spark, "cosine_topk")
+    # Query side broadcast => corpus scan is shuffle-free; the only
+    # exchange is the ranking window over pre-truncated rows.
+    assert f.n_broadcast_hash_joins >= 1
+    assert f.n_sort_merge_joins == 0
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    f = _facts(spark, "dedup_exact")
+    assert f.n_exchanges == 1  # partial + final agg, one exchange
+
+
+def test_minhash_banding_join_no_cartesian(spark):
+    f = _facts(spark, "minhash_near_dup_pairs")
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    f = _facts(spark, "asof_join_last_order")
+    # union + window => shuffles bounded (dedupe window + asof
+    # window); crucially no nested-loop/cartesian range join.
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert f.n_exchanges <= 3
+
+
+def test_executed_plan_has_codegen(spark):
+    f = _facts(spark, "q1_pricing_summary", execute=True)
+    assert f.n_codegen_stages >= 1
