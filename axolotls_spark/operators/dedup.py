@@ -104,6 +104,33 @@ def doc_shingle_hashes(docs: DataFrame, id_col: str = "doc_id",
     ).select("doc_id", token_hash(F.col("shingle")).alias("sh"))
 
 
+def minhash_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, minh_0 … minh_{k-1}): whole MinHash signature in ONE
+    row per doc, ONE shuffle.
+
+    Plan shape: the k hash functions are k parallel ``min()``
+    aggregates over the same shingle rows — shuffle volume is the
+    shingle stream itself (with map-side partial mins collapsing it
+    to ≤ k values per doc per partition), not the k× exploded stream
+    a (doc, i) long-format aggregation would move.
+    """
+    params = minhash_params(k)
+    sh = doc_shingle_hashes(docs, id_col, text_col, n)
+    shp = F.col("sh") % MERSENNE_P
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * shp + F.lit(b)) % MERSENNE_P).alias(f"minh_{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -111,36 +138,23 @@ def minhash_signatures(
     k: int = 8,
     n: int = 3,
 ) -> DataFrame:
-    """(doc_id, i, minh): k-row MinHash signature per document.
-
-    Plan shape: project (shingle + hash, no shuffle) → explode k
-    hash functions (broadcast literal inline table) → partial min →
-    final min. One shuffle total, on (doc_id, i).
-    """
-    params = minhash_params(k)
-    sh = doc_shingle_hashes(docs, id_col, text_col, n)
-    hashers = F.explode(
+    """(doc_id, i, minh): long-format MinHash signature — the wide
+    single-shuffle aggregate unpivoted by a post-shuffle projection
+    (inline explode of k (i, minh) structs; adds zero exchanges)."""
+    wide = minhash_wide(docs, id_col, text_col, k, n)
+    pairs = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")
+                    F.lit(i).cast("int").alias("i"),
+                    F.col(f"minh_{i}").alias("minh"),
                 )
-                for i, (a, b) in enumerate(params)
+                for i in range(k)
             ]
         )
-    ).alias("h")
-    return (
-        sh.select("doc_id", "sh", hashers)
-        .select(
-            "doc_id",
-            F.col("h.i").alias("i"),
-            (
-                (F.col("h.a") * (F.col("sh") % MERSENNE_P) + F.col("h.b"))
-                % MERSENNE_P
-            ).alias("hv"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("minh"))
+    ).alias("p")
+    return wide.select("doc_id", pairs).select(
+        "doc_id", F.col("p.i").alias("i"), F.col("p.minh").alias("minh")
     )
 
 
@@ -175,6 +189,59 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+
+
+def near_dup_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 3,
+    bands: int = 2,
+) -> DataFrame:
+    """Fused MinHash→LSH candidate pairs: shingle scan → ONE wide
+    signature aggregate → band keys as pure projection → equi-join.
+
+    Two shuffles end-to-end (signature agg + band self-join) vs four
+    for the long-format composition (signature agg on (doc,i), band
+    re-agg, join) — the difference between 2 and 4 full passes over
+    the signature stream at 100 TB.
+    """
+    if k % bands:
+        raise ValueError("k must divide evenly into bands")
+    rows = k // bands
+    wide = minhash_wide(docs, id_col, text_col, k, n)
+    banded = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"minh_{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("bucket_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket_key").alias("bucket_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 

@@ -141,10 +141,10 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash→LSH banding→candidate pairs pipeline (2 bands ×
-    4 rows): equi-join on bucket keys, never all-pairs."""
+    4 rows): fused wide-signature path — two shuffles total, equi-join
+    on bucket keys, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(docs, k=8)
-    return D.lsh_candidate_pairs(sig, bands=2, rows_per_band=4)
+    return D.near_dup_candidate_pairs(docs, k=8, bands=2)
 
 
 @register(
