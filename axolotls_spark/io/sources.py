@@ -71,6 +71,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """CSV scan with explicit schema (inference costs a full extra
+    pass over the data — never at 100 TB)."""
+    r = spark.read.option("header", "true")
+    r = r.schema(schema) if schema else r.option("inferSchema", "false")
+    return r.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines scan; same explicit-schema rule as CSV."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -1,0 +1,65 @@
+"""Source/sink round-trips: partitioned parquet (with partition
+pruning), bucketed tables (shuffle-free join), CSV/JSON."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from axolotls_spark.io import sinks
+from axolotls_spark.io.sources import load_table, read_csv, read_json
+from axolotls_spark.plans import audit
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    sinks.write_parquet(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # Partition pruning: a lang filter must hit the partition index,
+    # not a data-column filter.
+    one = back.filter(F.col("lang") == "en")
+    txt = audit(one).text
+    assert "PartitionFilters" in txt and "lang" in txt.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    loc = str(tmp_path / "warehouse")
+    sinks.write_bucketed(
+        orders, "t_orders_b", ["o_custkey"], 8, sort_by=["o_custkey"],
+        path=os.path.join(loc, "orders"),
+    )
+    sinks.write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "t_cust_b", ["o_custkey"], 8, sort_by=["o_custkey"],
+        path=os.path.join(loc, "cust"),
+    )
+    a = spark.table("t_orders_b")
+    b = spark.table("t_cust_b")
+    joined = a.join(b.hint("merge"), "o_custkey")
+    f = audit(joined)
+    # Bucket co-location: the sort-merge join runs with ZERO
+    # exchanges — the scale win bucketing exists for.
+    assert f.n_sort_merge_joins >= 1
+    assert f.n_exchanges == 0
+    assert joined.count() > 0
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    csv_p, json_p = str(tmp_path / "c"), str(tmp_path / "j")
+    sinks.write_csv(docs, csv_p)
+    sinks.write_json(docs, json_p)
+    c = read_csv(spark, csv_p, "doc_id long, lang string, n_chars long")
+    j = read_json(spark, json_p, "doc_id long, lang string, n_chars long")
+    base = {(r.doc_id, r.lang, r.n_chars) for r in docs.collect()}
+    assert {(r.doc_id, r.lang, r.n_chars) for r in c.collect()} == base
+    assert {(r.doc_id, r.lang, r.n_chars) for r in j.collect()} == base
