@@ -64,6 +64,40 @@ def brute_force_topk(
     )
 
 
+def embedding_dedup(
+    df: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: drop every row whose
+    vector has cosine ≥ threshold with a LOWER-id row in the same
+    block (lowest id is the kept representative — deterministic
+    without computing full connected components, which would need an
+    iterative join loop this engine reserves for GraphFrames-class
+    work).
+
+    The pair space is pruned by the block equi-join (at 100 TB:
+    block on a coarse clusterer or LSH bucket, same shape); the
+    dupe-id set is then a broadcast-able anti-join side.
+    """
+    a, b = df.alias("a"), df.alias("b")
+    dupes = (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return df.join(dupes, id_col, "left_anti")
+
+
 def rp_signature(df: DataFrame, dim: int, n_planes: int = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  seed: int = 42) -> DataFrame:

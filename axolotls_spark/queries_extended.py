@@ -166,6 +166,96 @@ def map_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "dedup_by_embedding",
+    oracle=f"""
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings a
+        WHERE a.label = e.label AND a.vec_id < e.vec_id
+          AND {_SQL_DOT.format(a='a.embedding', b='e.embedding')}
+              / NULLIF({_SQL_NORM.format(v='a.embedding')}
+                       * {_SQL_NORM.format(v='e.embedding')}, 0) >= 0.35
+    )
+    """,
+    tags=("dedup", "embedding", "cosine", "near-dup", "anti-join"),
+)
+def dedup_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal (keep lowest id per
+    near-dup relation, label-blocked pair generation + anti-join)."""
+    from axolotls_spark.operators.similarity import embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dedup(emb, threshold=0.35).select("vec_id", "label")
+
+
+@register(
+    "unpivot_status_revenue",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS F,
+               SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS O,
+               SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, revenue FROM (
+        SELECT o_orderpriority, 'F' AS status, F AS revenue FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'O', O FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'P', P FROM wide
+    )
+    """,
+    tags=("unpivot", "reshape"),
+)
+def unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot → unpivot round shape (melt); nulls kept on both sides
+    for statuses absent within a priority."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "revenue"
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+        WHERE doc_id < 50
+    )
+    SELECT doc_id, i::INT AS pos, toks[i + 1] AS tok
+    FROM t, UNNEST(range(0, len(toks))) AS u(i)
+    """,
+    tags=("posexplode", "explode", "nested"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode — order-preserving token enumeration."""
+    from axolotls_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    )
+
+
 @register(
     "agg_percentiles",
     oracle="""
