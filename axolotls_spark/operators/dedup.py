@@ -246,6 +246,63 @@ def near_dup_candidate_pairs(
     )
 
 
+def connected_dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, group_rep): connected components over near-dup pairs
+    — every doc labeled with the MIN doc_id of its duplicate cluster
+    (isolated docs are their own representative).
+
+    Iterative min-label propagation: each round every node adopts
+    the smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Each round is one distributed join+aggregate; the driver only
+    checks a one-row convergence probe (``limit(1)``), never the
+    data — the standard Pregel-style loop shape. Intermediates are
+    cached and unpersisted round-over-round so the lineage doesn't
+    grow unboundedly.
+    """
+    edges = (
+        pairs.selectExpr(f"doc_a AS src", f"doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+    )
+    labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep"))
+    labels = labels.cache()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("rep").alias("group_rep")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

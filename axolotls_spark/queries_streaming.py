@@ -76,6 +76,40 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dim_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*)     AS n_events,
+           SUM(e.value) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "stream-static-join", "broadcast"),
+)
+def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a
+    static (broadcastable) customer dimension, then aggregated. The
+    static side is re-read per micro-batch by Spark — the standard
+    slowly-changing-dimension enrichment shape."""
+    from axolotls_spark.io.sources import load_table
+
+    stream = S.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    return S.run_to_memory(agg, "stream_dim_join", output_mode="complete")
+
+
+@register(
     "streaming_user_state",
     oracle="""
     SELECT user_id,

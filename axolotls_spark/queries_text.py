@@ -99,10 +99,10 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(docs, k=8)
 
 
-@register(
-    "minhash_near_dup_pairs",
-    oracle=f"""
-    WITH sh AS (
+# CTE block reproducing the MinHash→LSH candidate pairs — shared by
+# the pairs query and the connected-components grouping query.
+_SQL_CAND_CTES = f"""
+    sh AS (
         SELECT DISTINCT doc_id,
                {_SQL_TOKEN_HASH.format(tok='sh.shingle')} AS shash
         FROM (
@@ -130,12 +130,22 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, i // 4 AS band,
                string_agg(minh::VARCHAR, ',' ORDER BY i) AS bucket_key
         FROM sig GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b
+          ON a.band = b.band AND a.bucket_key = b.bucket_key
+         AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM buckets a
-    JOIN buckets b
-      ON a.band = b.band AND a.bucket_key = b.bucket_key
-     AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES}
+    SELECT doc_a, doc_b FROM cand
     """,
     tags=("dedup", "minhash", "lsh", "near-dup", "join"),
 )
@@ -145,6 +155,38 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on bucket keys, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return D.near_dup_candidate_pairs(docs, k=8, bands=2)
+
+
+@register(
+    "dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CAND_CTES},
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+    ),
+    rep AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CASE WHEN rep.mn IS NULL OR rep.mn > d.doc_id
+                THEN d.doc_id ELSE rep.mn END AS group_rep
+    FROM documents d LEFT JOIN rep ON d.doc_id = rep.u
+    """,
+    tags=("dedup", "connected-components", "iterative", "minhash"),
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over
+    the LSH candidate graph via iterative min-label propagation
+    (operators/dedup.py connected_dedup_groups). Oracle computes the
+    same components with a recursive transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_candidate_pairs(docs, k=8, bands=2)
+    return D.connected_dedup_groups(docs, pairs)
 
 
 @register(

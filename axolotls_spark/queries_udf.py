@@ -42,6 +42,48 @@ def udf_pandas_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_grouped_minmax",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           (nrm - MIN(nrm) OVER (PARTITION BY label))
+           / NULLIF(MAX(nrm) OVER (PARTITION BY label)
+                    - MIN(nrm) OVER (PARTITION BY label), 0) AS norm_mm
+    FROM n
+    """,
+    tags=("udf", "applyInPandas", "grouped-map", "arrow"),
+)
+def udf_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas (applyInPandas): per-label min-max scaling
+    of embedding norms. The norm is JVM-side; only the per-group
+    normalization runs in Python — the split a real pipeline uses
+    (cheap math in codegen, statistical kernel in pandas). Min-max
+    rather than z-score because min/max are accumulation-order-exact
+    in IEEE doubles, so the oracle matches bit-for-bit (mean/stddev
+    accumulate differently per engine)."""
+    from axolotls_spark.functions.arrays import norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", norm(F.col("embedding")).alias("nrm")
+    )
+
+    def minmax(pdf):
+        s = pdf["nrm"]
+        rng = s.max() - s.min()
+        pdf = pdf.assign(norm_mm=(s - s.min()) / rng if rng else None)
+        return pdf[["vec_id", "label", "norm_mm"]]
+
+    return emb.groupBy("label").applyInPandas(
+        minmax, "vec_id long, label int, norm_mm double"
+    )
+
+
+@register(
     "udf_map_in_arrow",
     oracle="""
     SELECT event_id, value * 2.5 AS value

@@ -75,3 +75,18 @@ def test_exact_dedup_representative(spark):
     rows = {r.text: r for r in D.exact_dedup(df, ["text"]).collect()}
     assert rows["x"].doc_id == 2 and rows["x"].lang == "de"
     assert rows["y"].doc_id == 9
+
+
+def test_connected_dedup_groups_chain(spark):
+    # Chain 1-2-3 plus isolated 4: all chain members label to 1.
+    from axolotls_spark.operators.dedup import connected_dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.group_rep
+        for r in connected_dedup_groups(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
