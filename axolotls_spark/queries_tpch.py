@@ -1,0 +1,666 @@
+"""TPC-H-shaped advanced relational queries (adapted to the driver's
+star schema — no partsupp/commitdate/receiptdate/shipmode columns, so
+the classic shapes are re-targeted onto the columns that exist).
+
+What this module certifies beyond queries_relational.py:
+
+- correlated EXISTS / NOT EXISTS (Q4, Q21 shapes) — expressed in the
+  DataFrame API as semi/anti joins with compound conditions, which is
+  exactly how Catalyst de-correlates the SQL form;
+- scalar subqueries, both global (Q22's AVG threshold) and correlated
+  (above-customer-average) — expressed as a broadcast 1-row join and
+  a window average respectively: no driver round-trip, no collect;
+- IN <aggregated subquery> (Q18) — a semi join against a HAVING agg;
+- disjunctive multi-column join predicates (Q19) — one equi-join key
+  plus an OR-of-ANDs residual, so Spark still plans a hash join (not
+  a nested loop) with the disjunction as post-join filter;
+- group-by-derived-columns over multi-way joins (Q7/Q9 shapes);
+- conditional-ratio aggregates producing a single row (Q14).
+
+All dims are broadcast; every fact-side shuffle is on a join or
+group key the next operator reuses. At 100 TB the EXISTS rewrites
+matter: a correlated subquery executed row-at-a-time would be a
+driver loop, while the semi-join form is one co-partitioned shuffle.
+
+Reference has no joins/subqueries at all (SURVEY §2A "ABSENT";
+verified against /root/reference — no join/agg identifier exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.registry import register
+
+
+@register(
+    "q4_late_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "exists", "semi-join", "agg"),
+)
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → LEFT SEMI join whose
+    condition references both sides (shipped >90 days after order).
+    Catalyst plans the same co-partitioned shuffle the SQL form
+    de-correlates to; no per-row subquery execution."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT SUM(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "pushdown", "agg", "scan-efficiency"),
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-rate query — every predicate is
+    pushdown-eligible (PushedFilters on l_shipdate/l_discount/
+    l_quantity) and the scan reads 4 columns of 11. The plan is
+    scan → filter → partial agg → single-row exchange; at 100 TB
+    this is bounded by parquet row-group skip efficiency."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q7_nation_trade_flow",
+    oracle="""
+    SELECT
+        n1.n_name                         AS supp_nation,
+        n2.n_name                         AS cust_nation,
+        EXTRACT(YEAR FROM l.l_shipdate)::INT AS ship_year,
+        SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, ship_year
+    """,
+    tags=("join", "multi-join", "broadcast-join", "agg", "derived-group-key"),
+)
+def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume. supplier+nation and
+    customer+nation are both broadcast (pre-filtered to 2 nations),
+    so lineitem shuffles only once — for the orders join — and the
+    group-by runs on a handful of keys."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp_n = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = c.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
+                             F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_n), o.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT
+        n.n_name                              AS nation,
+        EXTRACT(YEAR FROM o.o_orderdate)::INT AS o_year,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                  - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey  = l.l_partkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY n.n_name, o_year
+    """,
+    tags=("join", "multi-join", "agg", "derived-group-key"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supply cost proxied as 60% of retail price —
+    the schema has no partsupp). part/supplier/nation broadcast;
+    lineitem↔orders co-shuffle on orderkey is the only wide edge."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT
+        c.c_custkey, c.c_name, n.n_name AS nation,
+        SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "multi-join", "agg", "topk"),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers ranked by returned-item revenue.
+    Returnflag filter pushes to the lineitem scan; customer⋈nation
+    broadcast; TakeOrderedAndProject caps the result at 20 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "nation", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_late_ship_priority_mix",
+    oracle="""
+    SELECT
+        l.l_linestatus,
+        SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS high_line_count,
+        SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    """,
+    tags=("join", "conditional-agg", "case-when"),
+)
+def q12_late_ship_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (linestatus stands in for shipmode): pivoted
+    conditional counts over a join with a cross-side date predicate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_pct",
+    oracle="""
+    SELECT
+        100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END)
+              / SUM(l.l_extendedprice * (1 - l.l_discount)) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    tags=("join", "broadcast-join", "conditional-agg", "ratio"),
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — a single-row ratio of two
+    conditional sums over a broadcast part join."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN (
+        SELECT l_suppkey, total_revenue,
+               RANK() OVER (ORDER BY total_revenue DESC, l_suppkey) AS rk
+        FROM rev
+    ) r ON r.l_suppkey = s.s_suppkey
+    WHERE r.rk <= 5
+    """,
+    tags=("subquery", "cte", "window", "join"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue 'view' (CTE) → rank → top suppliers.
+    Ranking replaces the classic MAX= equality join — same semantics,
+    one less pass over the aggregate, and no float-equality join
+    (which is fragile across engines)."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.orderBy(F.desc("total_revenue"), F.asc("l_suppkey"))
+    top = rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= 5)
+    return (
+        F.broadcast(top)
+        .join(s, top.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT
+        c.c_custkey, c.c_name, o.o_orderkey,
+        CAST(o.o_orderdate AS DATE) AS orderdate,
+        o.o_totalprice,
+        SUM(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, orderdate, o.o_totalprice
+    """,
+    tags=("subquery", "in-subquery", "having", "semi-join", "agg"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN (aggregated HAVING subquery) → LEFT SEMI join
+    against the qualifying-order set. The qualifying set is small
+    (<1% of orders) so it broadcasts into the semi join; the outer
+    agg then reuses the orderkey clustering."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+    tags=("join", "disjunctive-predicate", "agg"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: equi-join on partkey + OR-of-ANDs residual mixing
+    columns from both sides. Spark keeps the hash join (equi key
+    extracted) and evaluates the disjunction post-join — the plan to
+    verify is BroadcastHashJoin with a Filter, never a nested loop."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("subquery", "exists", "not-exists", "multi-join", "agg", "topk"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier finished order (late = shipped >90d after order
+    date; the schema has no receipt/commit dates).
+
+    The correlated EXISTS/NOT-EXISTS pair is rewritten as one
+    per-order aggregate — distinct supplier count and distinct LATE
+    supplier count — then a filter (n_supps > 1 AND n_late_supps = 1
+    AND this supplier is late). One shuffle on orderkey computes
+    both; the row-at-a-time subquery form would be quadratic."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", late.cast("int")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supps"),
+    )
+    qualifying = (
+        lo.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        qualifying.join(F.broadcast(s), qualifying.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS numcust, SUM(c.c_acctbal) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("subquery", "scalar-subquery", "not-exists", "anti-join", "agg"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (average positive
+    balance) as a broadcast 1-row cross join — the distributed way to
+    thread a scalar through a filter without collect() — then an
+    anti join for above-average-balance customers who never placed a
+    large (>350k) order. (The synthetic data has no order-less
+    customers, so the anti join carries a predicate to stay a real
+    filter.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000.0
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q2_min_unit_price_supplier",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               AVG(l_extendedprice / l_quantity) AS unit_price
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey, unit_price
+    FROM (
+        SELECT l_partkey, l_suppkey, unit_price,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_price, l_suppkey) AS rn
+        FROM unit
+    )
+    WHERE rn = 1
+    """,
+    tags=("subquery", "cte", "window", "argmin-per-group"),
+)
+def q2_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp → observed unit prices from
+    lineitem): cheapest supplier per part, the argmin-per-group
+    pattern. A ranking window over the aggregate replaces Q2's
+    correlated MIN subquery — one shuffle on partkey serves both the
+    aggregate and the window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_price"), F.asc("l_suppkey")
+    )
+    return (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "unit_price",
+        )
+    )
+
+
+@register(
+    "subquery_above_cust_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("subquery", "correlated-scalar-subquery", "window"),
+)
+def subquery_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their own customer's
+    average) — rewritten as a window average, which is Catalyst's own
+    de-correlation: one shuffle on custkey instead of a per-row
+    subquery. Single-order customers drop out in both engines
+    (price = avg exactly, strict > excludes)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
