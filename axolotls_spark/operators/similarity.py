@@ -146,6 +146,89 @@ def _multi_table_signatures(
     return out
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_best: int = 1,
+) -> DataFrame:
+    """(id, cell, rn): nearest ``n_best`` centroid cells per vector
+    (cosine argmax, centroid-id tie-break → deterministic).
+
+    Centroids are broadcast; the cross join materializes only skinny
+    (id, cell, sim) rows — embeddings never fan out K-ways. The
+    ranking shuffle moves those skinny rows on id.
+    """
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    scored = df.select(id_col, vec_col).join(cents).select(
+        id_col,
+        "cell",
+        cosine(F.col(vec_col), F.col("cent_vec")).alias("cell_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rn", F.row_number().over(w))
+        .filter(F.col("cell_rn") <= n_best)
+        .select(id_col, "cell", "cell_rn")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    indexed by their nearest centroid cell; each query probes its
+    ``nprobe`` nearest cells and scores only vectors in them.
+
+    Unlike LSH this is fully deterministic given the centroid set
+    (no random planes), so it IS oracle-checkable. The cell
+    assignment is the IVF build (one pass, persistable); the probe
+    join is an equi-join on cell — at 100 TB the corpus is
+    partitioned by cell on disk and a probe touches nprobe/n_cells
+    of the data.
+    """
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, n_best=1)
+    probe_cells = assign_cells(
+        queries, centroids, id_col, vec_col, n_best=nprobe
+    ).withColumnRenamed(id_col, "query_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    cand = (
+        corpus_cells.withColumnRenamed(id_col, "cand_id")
+        .join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    scored = (
+        cand.join(c, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "sim", "rn")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

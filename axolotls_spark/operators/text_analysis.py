@@ -32,6 +32,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single
+# non-alphanumeric marks — the GPT-2 pre-tokenizer's shape without
+# the contraction special cases, kept to syntax RE2 (DuckDB) and
+# Java regex (Spark) evaluate identically.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """Array of BPE-ish pre-tokens (JVM-side regexp_extract_all —
+    no Python in the loop, stays in codegen)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang``."""
     toks = tokens_col(text)

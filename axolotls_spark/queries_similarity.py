@@ -120,6 +120,75 @@ def similar_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cent_vec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    corpus_scored AS (
+        SELECT e.vec_id AS cand_id, c.cell,
+               {_SQL_DOT.format(a='e.embedding', b='c.cent_vec')}
+               / NULLIF({_SQL_NORM.format(v='e.embedding')}
+                        * {_SQL_NORM.format(v='c.cent_vec')}, 0) AS cell_sim
+        FROM embeddings e, cents c
+    ),
+    corpus_cells AS (
+        SELECT cand_id, cell FROM (
+            SELECT cand_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cand_id
+                                      ORDER BY cell_sim DESC, cell) AS rn
+            FROM corpus_scored
+        ) WHERE rn = 1
+    ),
+    query_scored AS (
+        SELECT e.vec_id AS query_id, c.cell,
+               {_SQL_DOT.format(a='e.embedding', b='c.cent_vec')}
+               / NULLIF({_SQL_NORM.format(v='e.embedding')}
+                        * {_SQL_NORM.format(v='c.cent_vec')}, 0) AS cell_sim
+        FROM embeddings e, cents c
+        WHERE e.vec_id < 10
+    ),
+    probe_cells AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cell_sim DESC, cell) AS rn
+            FROM query_scored
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, cc.cand_id,
+               {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+               / NULLIF({_SQL_NORM.format(v='q.embedding')}
+                        * {_SQL_NORM.format(v='c.embedding')}, 0) AS sim
+        FROM probe_cells p
+        JOIN corpus_cells cc ON cc.cell = p.cell
+                            AND cc.cand_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = cc.cand_id
+    )
+    SELECT query_id, cand_id, sim, rn FROM (
+        SELECT query_id, cand_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "ivf", "ann", "approximate", "window"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k — 16 deterministic coarse cells
+    (the 16 lowest-id vectors as centroids), nprobe=4. Fully
+    deterministic, so unlike the LSH path it hash-matches a SQL
+    oracle; recall vs cosine_topk is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = emb.filter(F.col("vec_id") < 16)
+    return SIM.ivf_topk(q, emb, cents, k=5, nprobe=4)
+
+
+@register(
     "ann_lsh_topk",
     oracle=None,  # approximate by construction; accuracy is judged
     # against cosine_topk (exact) in tests, not a SQL oracle.

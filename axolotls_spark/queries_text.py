@@ -329,6 +329,47 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_stats_bpe",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')
+                   AS bpe
+        FROM documents
+    )
+    SELECT doc_id,
+           len(bpe)::BIGINT AS n_bpe_tokens,
+           len(list_filter(bpe, t -> regexp_matches(t, '^[A-Za-z]')))::BIGINT
+               AS n_word_tokens,
+           len(list_filter(bpe, t -> regexp_matches(t, '^[0-9]')))::BIGINT
+               AS n_number_tokens,
+           n_chars::DOUBLE / NULLIF(len(bpe), 0) AS chars_per_token
+    FROM toks
+    """,
+    tags=("text-analysis", "tokenization", "bpe", "regex"),
+)
+def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter
+    runs / digit runs / punctuation marks) — the cheap proxy for
+    'how many LLM tokens is this corpus' that runs at scan rate.
+    chars-per-token is the usual budget estimator."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_tokens_col(F.col("text"))
+    is_word = lambda t: t.rlike("^[A-Za-z]")  # noqa: E731
+    is_num = lambda t: t.rlike("^[0-9]")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(bpe, is_word)).cast("long").alias("n_word_tokens"),
+        F.size(F.filter(bpe, is_num)).cast("long").alias("n_number_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.nullif(F.size(bpe), F.lit(0))
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
     "tf_top_terms",
     oracle=f"""
     SELECT tok, COUNT(*) AS tf

@@ -46,6 +46,34 @@ def test_ann_recall_against_exact(spark, sf_dir):
     assert hit / total > 0.3, f"recall@5 {hit}/{total} too low"
 
 
+def test_ivf_recall_against_exact(spark, sf_dir):
+    """IVF with 16 cells / nprobe=4 probes 1/4 of the corpus; recall@5
+    must beat that scan fraction by a wide margin (similar vectors
+    share cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = emb.filter(F.col("vec_id") < 16)
+    exact = SIM.brute_force_topk(q, emb, k=5).collect()
+    approx = SIM.ivf_topk(q, emb, cents, k=5, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    hit = sum(
+        1 for r in approx if r.cand_id in exact_sets.get(r.query_id, set())
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    assert hit / total > 0.4, f"recall@5 {hit}/{total} too low"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = emb.filter(F.col("vec_id") < 16)
+    r1 = [(r.query_id, r.rn, r.cand_id) for r in SIM.ivf_topk(q, emb, cents).collect()]
+    r2 = [(r.query_id, r.rn, r.cand_id) for r in SIM.ivf_topk(q, emb, cents).collect()]
+    assert sorted(r1) == sorted(r2)
+
+
 def test_rp_signature_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     s1 = {r.sig_id: r.sig for r in SIM.rp_signature(emb, 64, 8).collect()}
