@@ -279,3 +279,97 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
         F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
     )
+
+
+@register(
+    "math_functions_lineitem",
+    oracle="""
+    SELECT
+        l_orderkey, l_linenumber,
+        l_extendedprice - l_quantity              AS f_sub,
+        l_extendedprice * l_discount              AS f_mul,
+        CAST(l_quantity AS BIGINT) % 7            AS f_mod,
+        ABS(l_discount - 0.05)                    AS f_abs,
+        SIGN(l_discount - 0.05)                   AS f_sign,
+        FLOOR(l_extendedprice)                    AS f_floor,
+        CEIL(l_extendedprice)                     AS f_ceil,
+        ROUND(l_extendedprice, 1)                 AS f_round,
+        SQRT(l_quantity)                          AS f_sqrt,
+        POWER(l_quantity, 2.0)                    AS f_pow,
+        GREATEST(l_quantity, l_discount * 100.0)  AS f_greatest,
+        LEAST(l_quantity, l_discount * 100.0)     AS f_least,
+        EXP(l_discount)                           AS f_exp
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    tags=("scalar", "math", "reference-parity"),
+)
+def math_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numeric closure beyond the reference's +|/|log|logit
+    (SURVEY §2A op 23-26 note: '-', '*', '%', comparisons et al. are
+    absent there but free in Spark) — certifies each maps to the
+    same IEEE semantics as the oracle engine. Pure projection, one
+    codegen stage."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    q, d, p = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (p - q).alias("f_sub"),
+        (p * d).alias("f_mul"),
+        (q.cast("long") % 7).alias("f_mod"),
+        F.abs(d - 0.05).alias("f_abs"),
+        F.signum(d - 0.05).alias("f_sign"),
+        F.floor(p).alias("f_floor"),
+        F.ceil(p).alias("f_ceil"),
+        F.round(p, 1).alias("f_round"),
+        F.sqrt(q).alias("f_sqrt"),
+        F.pow(q, 2.0).alias("f_pow"),
+        F.greatest(q, d * 100.0).alias("f_greatest"),
+        F.least(q, d * 100.0).alias("f_least"),
+        F.exp(d).alias("f_exp"),
+    )
+
+
+@register(
+    "sample_hash_mod",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 10
+    """,
+    tags=("sampling", "deterministic", "hash"),
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash — the reproducible
+    alternative to df.sample() for pipeline debugging and A/B
+    holdouts at 100 TB: the same keys are sampled on every engine,
+    every run, every partitioning (Bernoulli sample() is
+    seed+partitioning dependent and not oracle-checkable)."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        token_hash(F.col("o_orderkey").cast("string")) % 100 < 10
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # sketch outputs are estimator-specific by design;
+    # accuracy vs exact values is asserted in tests/test_functions.py.
+    tags=("agg", "approximate", "sketch", "hll", "rows-only"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct
+    counts and percentiles: HLL++ approx_count_distinct (fixed-size
+    state, no distinct shuffle) and t-digest-style approx_percentile.
+    Estimator internals differ per engine, so this is rows-only; the
+    error bound vs exact is pinned in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("approx_p50_price"),
+    )

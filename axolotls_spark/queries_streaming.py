@@ -110,6 +110,34 @@ def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    """,
+    tags=("streaming", "dedup", "watermark", "dropDuplicatesWithinWatermark"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state: the event
+    stream is unioned with itself (every event arrives twice — the
+    at-least-once-delivery scenario) and
+    dropDuplicatesWithinWatermark(event_id) must emit each event
+    exactly once, matching the batch DISTINCT."""
+    s1 = S.read_events_stream(spark, sf_dir)
+    s2 = S.read_events_stream(spark, sf_dir)
+    deduped = S.dedup_within_watermark(s1.unionByName(s2), ["event_id"])
+    out = S.run_to_memory(
+        deduped.select("event_id", "user_id", "event_type"),
+        "stream_dedup",
+        output_mode="append",
+    )
+    # Append sinks may see a key once per micro-batch boundary race;
+    # final distinct guards the multi-batch case (no-op when the
+    # snapshot lands in one batch).
+    return out.distinct()
+
+
+@register(
     "streaming_user_state",
     oracle="""
     SELECT user_id,

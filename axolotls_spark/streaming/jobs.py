@@ -145,6 +145,18 @@ def session_windows(stream: DataFrame, gap: str = "15 minutes") -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's fingerprint
+    only until the watermark passes it, so state is O(keys per delay
+    window) instead of O(all keys ever) — the only viable exact-dedup
+    shape for an unbounded 100 TB/day stream. Emits the first
+    occurrence of each key (append semantics)."""
+    return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
+
 # --- custom stateful operator: per-user running aggregate ----------------
 
 _STATE_SCHEMA = StructType(

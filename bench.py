@@ -37,6 +37,9 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "asof_join_last_order",
     "multimodal_decode",
+    "q21_sole_late_supplier",
+    "ann_ivf_topk",
+    "token_stats_bpe",
 ]
 
 

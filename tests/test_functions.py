@@ -86,3 +86,32 @@ def test_array_math(spark):
 def test_cosine_zero_norm_is_null(spark):
     df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a: array<double>, b: array<double>")
     assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c is None
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    """HLL++ distinct counts within 3*rsd of exact; approx median
+    within 2% of exact interpolated median."""
+    from pyspark.sql import functions as F
+
+    from axolotls_spark.io.sources import load_table
+    from axolotls_spark.queries import REGISTRY
+
+    approx = {
+        r.l_returnflag: r
+        for r in REGISTRY["agg_approx_sketches"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_orders - e.n_orders) <= 0.06 * e.n_orders
+        assert abs(a.approx_p50_price - e.p50) <= 0.02 * e.p50

@@ -62,6 +62,43 @@ def test_asof_join_single_shuffle_no_range_join(spark):
     assert f.n_exchanges <= 3
 
 
+def test_q6_scan_rate_pushdown(spark):
+    f = _facts(spark, "q6_revenue_delta")
+    # Every predicate is pushdown-eligible and the scan reads only
+    # the 4 referenced columns of lineitem's 11.
+    joined = " ".join(f.pushed_filters)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, f"missing pushed filter on {col}"
+    assert len(f.read_schemas) == 1
+    assert f.read_schemas[0].count(",") <= 3
+    assert f.n_exchanges == 1  # single-row final agg
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    # OR-of-ANDs residual must NOT degrade the equi-join to a
+    # nested loop / cartesian.
+    f = _facts(spark, "q19_disjunctive_revenue")
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert f.n_broadcast_hash_joins >= 1
+
+
+def test_q4_semi_join_not_cartesian(spark):
+    # Correlated-EXISTS rewrite: semi join keyed on orderkey with a
+    # date residual — must stay an equi join.
+    f = _facts(spark, "q4_late_ship_priority")
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_ivf_probe_is_equi_join(spark):
+    # The probe is an equi-join on cell; only the centroid cross
+    # joins (tiny broadcast nested loops) may appear.
+    f = _facts(spark, "ann_ivf_topk")
+    assert "CartesianProduct" not in f.text
+    assert f.n_sort_merge_joins == 0
+
+
 def test_executed_plan_has_codegen(spark):
     f = _facts(spark, "q1_pricing_summary", execute=True)
     assert f.n_codegen_stages >= 1
