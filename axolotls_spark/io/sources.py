@@ -71,6 +71,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread_for_cpu(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a *small-file* input so CPU-dense per-row work
+    (md5 per shingle, regex per token, 64-dim dot products) uses
+    every core.
+
+    Parquet scan parallelism is bytes-driven (maxPartitionBytes), so
+    a kilobytes-per-row table lands in ONE scan partition and a
+    downstream explode+hash runs single-threaded — a 10-30× local
+    slowdown invisible at 100 TB (where file count provides the
+    parallelism) but dominant at bench scale. The guard is a no-op
+    when the scan is already parallel enough, so the extra shuffle
+    never appears on big inputs.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+        return df
+    return df.repartition(target, key)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: str | None = None
 ) -> DataFrame:

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from axolotls_spark.io.sources import spread_for_cpu
+
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
 # Deterministic (a, b) parameters — generated once with
@@ -98,6 +100,7 @@ def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
 def doc_shingle_hashes(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, sh) — one row per distinct shingle hash per doc."""
+    docs = spread_for_cpu(docs, id_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
@@ -233,15 +236,31 @@ def near_dup_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket_key").alias("bucket_key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Bucket-group pair expansion instead of a self-join: a self-join
+    # would execute the whole shingle→minhash pipeline once PER SIDE
+    # (Spark doesn't share subplans across join inputs without an
+    # explicit cache). Grouping by bucket computes signatures once;
+    # per-bucket combinations are generated by a nested array
+    # transform. Bucket populations are small by construction (a big
+    # bucket means the corpus is mostly duplicates); the quadratic
+    # expansion is per-bucket and distributed.
+    buckets = (
+        banded.groupBy("band", "bucket_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -350,7 +369,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Expressed as explode(token × bit) → conditional sum → bit
     reassembly; all integer arithmetic, oracle-reproducible.
     """
-    toks = docs.select(
+    toks = spread_for_cpu(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     ).select("doc_id", token_hash(F.col("tok")).alias("th"))

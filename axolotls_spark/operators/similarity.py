@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from axolotls_spark.functions.arrays import cosine
+from axolotls_spark.io.sources import spread_for_cpu
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -45,7 +46,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = spread_for_cpu(corpus, id_col).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -165,7 +166,7 @@ def assign_cells(
             F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
         )
     )
-    scored = df.select(id_col, vec_col).join(cents).select(
+    scored = spread_for_cpu(df, id_col).select(id_col, vec_col).join(cents).select(
         id_col,
         "cell",
         cosine(F.col(vec_col), F.col("cent_vec")).alias("cell_sim"),

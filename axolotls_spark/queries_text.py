@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from axolotls_spark.io.sources import load_table
+from axolotls_spark.io.sources import load_table, spread_for_cpu
 from axolotls_spark.operators import dedup as D
 from axolotls_spark.operators import text_analysis as T
 from axolotls_spark.registry import register
@@ -267,7 +267,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text-analysis", "quality-scoring"),
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     feats = T.quality_features(F.col("text"))
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
@@ -295,7 +295,7 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language heuristic. (The synthetic corpus uses
     one shared vocabulary for every lang label, so the assertion is
     on the operator's arithmetic, not label recovery.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     en = T.stopword_ratio(F.col("text"), "en")
     de = T.stopword_ratio(F.col("text"), "de")
     return docs.select(
@@ -324,7 +324,7 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling hash — distinguishes permuted docs,
     unlike set-based MinHash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -353,7 +353,7 @@ def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs / digit runs / punctuation marks) — the cheap proxy for
     'how many LLM tokens is this corpus' that runs at scan rate.
     chars-per-token is the usual budget estimator."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     bpe = T.bpe_tokens_col(F.col("text"))
     is_word = lambda t: t.rlike("^[A-Za-z]")  # noqa: E731
     is_num = lambda t: t.rlike("^[0-9]")  # noqa: E731
@@ -381,6 +381,8 @@ def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text-analysis", "term-frequency", "explode", "topk"),
 )
 def tf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No spread_for_cpu here: whitespace split is too cheap to pay
+    # an extra exchange for (measured: the spread made it slower).
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(T.tokens_col(F.col("text"))).alias("tok"))
