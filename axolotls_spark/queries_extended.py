@@ -373,3 +373,123 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", F.lit(0.5), F.lit(10000)
         ).alias("approx_p50_price"),
     )
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT
+        o_orderkey, o_orderstatus, o_totalprice,
+        NTILE(4)        OVER w AS quartile,
+        PERCENT_RANK()  OVER w AS pct_rank,
+        CUME_DIST()     OVER w AS cume,
+        FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+        LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution", "ntile", "percent-rank"),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist)
+    plus first/last_value with an explicit full frame — last_value
+    under the default frame is a classic wrong-answer trap, so the
+    frame is spelled out in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT
+        strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        CASE WHEN GROUPING(date_trunc('hour', CAST(ts AS TIMESTAMP))) = 0
+             THEN strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                           '%Y-%m-%d %H:%M:%S') END AS hour,
+        COUNT(*)   AS n_events,
+        SUM(value) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', CAST(ts AS TIMESTAMP)),
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)))
+    HAVING GROUPING(date_trunc('day', CAST(ts AS TIMESTAMP))) = 0
+    """,
+    tags=("agg", "rollup", "time-window", "hypertable"),
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    continuous aggregates in ONE pass over the events stream table
+    (GROUPING SETS share the scan + partial aggregation). The grand
+    total row is excluded so every row belongs to a day."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # GROUPING() must live in the aggregate's own select list (Spark
+    # resolves HAVING against output aliases); filter in an outer
+    # query instead.
+    return spark.sql(
+        """
+        SELECT day, hour, n_events, total_value FROM (
+            SELECT
+                date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                     THEN date_format(date_trunc('hour', ts),
+                                      'yyyy-MM-dd HH:mm:ss') END AS hour,
+                COUNT(*)   AS n_events,
+                SUM(value) AS total_value,
+                GROUPING(date_trunc('day', ts)) AS gd
+            FROM events
+            GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+        ) WHERE gd = 0
+        """
+    )
+
+
+@register(
+    "array_functions_embeddings",
+    oracle="""
+    SELECT
+        vec_id,
+        embedding[1:4]                         AS head4,
+        list_reverse(embedding)[1]             AS last_elem,
+        list_max(embedding)                    AS arr_max,
+        list_min(embedding)                    AS arr_min,
+        list_sort(embedding)[1:3]              AS smallest3,
+        list_contains(embedding, 0.0)          AS has_zero,
+        len(list_concat(embedding[1:4], embedding[1:1]))::INT AS concat_len
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("array", "array-functions", "nested"),
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function closure over the higher-order basics already
+    certified (transform/filter/aggregate): slice, reverse, min/max,
+    sort, contains, concat — all JVM-side, no explode."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    arr = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.slice(arr, 1, 4).alias("head4"),
+        F.element_at(F.reverse(arr), 1).alias("last_elem"),
+        F.array_max(arr).alias("arr_max"),
+        F.array_min(arr).alias("arr_min"),
+        F.slice(F.array_sort(arr), 1, 3).alias("smallest3"),
+        F.array_contains(arr, F.lit(0.0)).alias("has_zero"),
+        F.size(F.concat(F.slice(arr, 1, 4), F.slice(arr, 1, 1))).alias(
+            "concat_len"
+        ),
+    )

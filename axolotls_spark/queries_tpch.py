@@ -525,20 +525,25 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late", late.cast("int")
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supps"),
-    )
+    # Per-order supplier stats as window aggregates over the same
+    # orderkey partitioning the join just produced — one pass, vs a
+    # groupBy + semi-join-back that would execute the lineitem⋈orders
+    # join twice (Spark shares no subplans across join inputs).
+    w = Window.partitionBy("l_orderkey")
     qualifying = (
-        lo.filter(F.col("is_late") == 1)
-        .join(
-            per_order.filter(
-                (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
-            "left_semi",
+        lo.withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supps",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
         )
     )
     return (

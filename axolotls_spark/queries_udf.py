@@ -100,3 +100,42 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
     )
     return I.arrow_scale_batches(e, "value", 2.5)
+
+
+@register(
+    "udtf_bigrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id, i::INT AS pos, array_to_string(t[i+1:i+2], ' ') AS ngram
+    FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0))) AS u(i)
+    """,
+    tags=("udtf", "lateral-join", "python-udf", "text-analysis"),
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) exercised through a SQL LATERAL
+    join — one input row expands to (pos, bigram) rows. This is the
+    API-surface certification: row-at-a-time Python is the SLOW path
+    (the production bigram op is the JVM-side shingles_col explode,
+    certified by minhash_* queries); a UDTF earns its cost only for
+    logic Spark expressions cannot express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, ngram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.strip().split()
+            for i in range(len(toks) - 1):
+                yield i, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.ngram
+        FROM documents d, LATERAL bigrams(d.text) b
+        WHERE d.doc_id < 30
+        """
+    )
