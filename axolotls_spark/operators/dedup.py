@@ -284,10 +284,13 @@ def connected_dedup_groups(
     cached and unpersisted round-over-round so the lineage doesn't
     grow unboundedly.
     """
+    # Cache the edge list: it is re-joined every round, and without
+    # the cache each round would re-execute the whole upstream
+    # candidate-pair pipeline (shingle → minhash → banding).
     edges = (
         pairs.selectExpr(f"doc_a AS src", f"doc_b AS dst")
         .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-    )
+    ).cache()
     labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep"))
     labels = labels.cache()
     for _ in range(max_iters):

@@ -168,6 +168,37 @@ def ref_slice_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ref_compat_chain",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        LN(l_quantity + 3.0)  AS f1,
+        LN((1.0 / (l_quantity + 3.0))
+           / (1.0 - (1.0 / (l_quantity + 3.0)))) AS f3
+    FROM lineitem
+    """,
+    tags=("compat", "reference-parity", "scalar"),
+)
+def ref_compat_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The criteo chain written through the compat veneer
+    (axolotls_spark/compat.py) — the reference's eager program shape
+    (``df[...] = (df[...] + 3).log()``, ``demo/criteo.py:34-51``)
+    compiling to the same single-stage Catalyst projection as the
+    expression-level ref_feature_chain."""
+    from axolotls_spark import compat as ax
+
+    df = ax.Frame(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+    )
+    df["f1"] = (df["l_quantity"] + 3.0).log()
+    df["f3"] = (1.0 / (df["l_quantity"] + 3.0)).logit()
+    return df.df.select("l_orderkey", "l_linenumber", "f1", "f3")
+
+
 # ---------------------------------------------------------------------------
 # Operator-family modules — importing registers their queries.
 # ---------------------------------------------------------------------------
