@@ -211,6 +211,49 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_full_outer_daily_activity",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.d, e.d) AS day,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(e.n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.d = e.d
+    """,
+    tags=("join", "full-outer-join", "agg"),
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates with disjoint date
+    ranges on both ends — preserves unmatched days from either side
+    (the one join type the suite didn't yet certify)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("od"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("ed"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.join(e, o.od == e.ed, "full_outer")
+        .select(
+            F.coalesce("od", "ed").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
