@@ -669,3 +669,314 @@ def subquery_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "q8_national_market_share",
+    oracle="""
+    SELECT o_year,
+           SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0.0 END)
+             / SUM(rev) AS mkt_share
+    FROM (
+        SELECT EXTRACT(YEAR FROM o.o_orderdate)::INT AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS rev,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey   = l.l_partkey
+        JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+        JOIN customer c ON c.c_custkey   = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    ) t
+    GROUP BY o_year
+    """,
+    tags=("join", "multi-join", "broadcast-join", "conditional-agg", "ratio"),
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1's share of STANDARD-part revenue sold
+    into ASIA-market customers, by order year. Seven-table join where
+    every dimension chain (part; supplier→nation; customer→nation→
+    region) collapses to a broadcast, so the fact side shuffles only
+    for the lineitem↔orders equi-join — one wide edge at any scale.
+
+    Reference has no joins at all (SURVEY §2A); this certifies the
+    deep-snowflake shape Catalyst must reorder + broadcast correctly.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    # supplier → its nation name (broadcast chain).
+    supp_n = s.join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("sn_key"),
+                     F.col("n_name").alias("supp_nation"))
+        ),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    # customers restricted to the ASIA market (nation⋈region broadcast).
+    asia_cust = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select(F.col("n_nationkey").alias("cn_key"))
+        ),
+        c.c_nationkey == F.col("cn_key"),
+        "left_semi",
+    ).select("c_custkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0)
+                )
+                / F.sum(rev)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q11_important_part_values",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey,
+               SUM(l.l_quantity * p.p_retailprice) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN part p     ON p.p_partkey   = l.l_partkey
+        WHERE n.n_regionkey = 2
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    """,
+    tags=("subquery", "scalar-subquery", "cte", "agg", "having-vs-total"),
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp → inventory value proxied as
+    shipped quantity × retail price, scoped to suppliers in region 2):
+    parts whose value exceeds 0.1% of the grand total.
+
+    The fraction-of-total scalar subquery becomes a broadcast 1-row
+    cross join — the aggregate subtree is evaluated twice (Spark
+    shares no subplans across join inputs), which is the right trade
+    at scale: the re-scan is embarrassingly parallel, while a global
+    window (Window.partitionBy() empty) would funnel every group
+    through one partition. On a cluster you'd persist `val` if the
+    upstream join were expensive enough to matter."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    region_supp = s.join(
+        F.broadcast(n.select("n_nationkey")),
+        s.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(region_supp), li.l_suppkey == F.col("s_suppkey"),
+                "left_semi")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("part_value"))
+    )
+    threshold = val.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
+
+
+@register(
+    "q13_cust_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    tags=("join", "outer-join", "agg", "double-agg", "histogram"),
+)
+def q13_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts, keeping
+    zero-order customers via a LEFT OUTER join with the filter inside
+    the join condition (moving it to WHERE would silently drop the
+    NULL-extended rows — the classic outer-join-filter trap).
+
+    Two aggregations: the first shuffles on custkey (same key as the
+    join, so AQE reuses the exchange); the second groups on the tiny
+    c_count domain — a near-free shuffle at any scale."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    cond = (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q16_supplier_cnt_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+    tags=("subquery", "not-in", "anti-join", "count-distinct", "agg"),
+)
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    qualifying (brand, size) part class, excluding blacklisted
+    (negative-balance) suppliers. NOT IN over a non-nullable key →
+    LEFT ANTI join (the null-safe rewrite is unnecessary and would
+    cost a nested loop). The part-side predicates all push to the
+    parquet scan; COUNT(DISTINCT) expands to a two-level aggregate
+    (partial distinct per partition, then merge) — no extra code."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    ).select("p_partkey", "p_brand", "p_size")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("subquery", "correlated-scalar-subquery", "window", "agg"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from unusually-small orders of one brand's
+    parts. The correlated per-part AVG becomes a window average over
+    the brand-filtered join — legitimate because the subquery's
+    correlation key (partkey) is a subset of the filtered parts, so
+    averaging after the broadcast semi-filter sees exactly the same
+    lineitem groups. One shuffle (on partkey, for the window)
+    replaces a per-row subquery; the driver-side equivalent would be
+    quadratic."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'large%'
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l.l_suppkey
+          HAVING SUM(l.l_quantity) > 100.0
+      )
+    """,
+    tags=("subquery", "in-subquery", "having", "semi-join", "like"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp → 'heavily shipping' suppliers of
+    'large%' parts in 1996 stand in for excess-stock suppliers):
+    IN (aggregated HAVING subquery) → LEFT SEMI join. The qualifying
+    supplier set is tiny (HAVING prunes it), so it broadcasts; the
+    nation filter collapses the outer side before the semi join even
+    runs. LIKE 'large%' is a prefix pattern → pushes down as a
+    StartsWith parquet filter."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("large")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 100.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n.select("n_nationkey")),
+               s.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
