@@ -102,3 +102,58 @@ def test_ivf_probe_is_equi_join(spark):
 def test_executed_plan_has_codegen(spark):
     f = _facts(spark, "q1_pricing_summary", execute=True)
     assert f.n_codegen_stages >= 1
+
+
+def test_q8_snowflake_dims_all_broadcast(spark):
+    # part, supplier→nation, customer→nation→region chains must all
+    # collapse to broadcasts; lineitem↔orders is the only candidate
+    # for a shuffle join.
+    f = _facts(spark, "q8_national_market_share")
+    assert f.n_broadcast_hash_joins >= 3
+    assert "CartesianProduct" not in f.text
+    assert f.n_sort_merge_joins <= 1
+
+
+def test_q11_threshold_is_broadcast_not_window(spark):
+    # Fraction-of-total: the 1-row threshold joins via broadcast
+    # (nested-loop over a single row is fine); no global-window
+    # single-partition funnel, no sort-merge join.
+    f = _facts(spark, "q11_important_part_values")
+    assert "CartesianProduct" not in f.text
+    assert f.n_sort_merge_joins == 0
+    assert "Window" not in f.text
+
+
+def test_q13_outer_join_stays_equi(spark):
+    # LEFT JOIN with the priority filter inside the join condition
+    # must still extract the custkey equi key — never a nested loop.
+    f = _facts(spark, "q13_cust_order_distribution")
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    # join (≤2 exchanges) + first agg reuses the join partitioning +
+    # tiny histogram agg (1) — anything more means a lost reuse.
+    assert f.n_exchanges <= 4
+
+
+def test_q16_blacklist_anti_join_broadcasts(spark):
+    f = _facts(spark, "q16_supplier_cnt_by_part")
+    assert f.n_broadcast_hash_joins >= 2  # anti(bad_supp) + part
+    assert f.n_sort_merge_joins == 0
+    # part-side predicates (brand/type/size-IN) reach the part scan.
+    joined = " ".join(f.pushed_filters)
+    assert "p_size" in joined and "p_brand" in joined
+
+
+def test_q17_correlated_avg_single_window_shuffle(spark):
+    f = _facts(spark, "q17_small_qty_revenue")
+    assert f.n_sort_merge_joins == 0
+    # window shuffle on partkey + single-row final agg, nothing more.
+    assert f.n_exchanges <= 2
+
+
+def test_q20_prefix_like_pushes_down(spark):
+    f = _facts(spark, "q20_excess_stock_suppliers")
+    joined = " ".join(f.pushed_filters)
+    assert "StartsWith(p_name" in joined
+    assert f.n_broadcast_hash_joins >= 2
+    assert f.n_sort_merge_joins == 0
