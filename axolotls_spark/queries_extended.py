@@ -493,3 +493,37 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat_len"
         ),
     )
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 <
+          CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 20 WHEN 'zh' THEN 50
+                    WHEN 'fr' THEN 10 ELSE 100 END
+    """,
+    tags=("sampling", "stratified", "deterministic", "hash"),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — per-language keep rates
+    (downsample the overrepresented languages, keep all of the rare
+    one), decided by content hash so the sample is identical on every
+    engine/run/partitioning. The LLM-corpus rebalancing primitive:
+    df.sampleBy() does the same stratification but is seed-and-
+    partitioning dependent, hence not reproducible across engines.
+    Pure map-side filter: no shuffle at any scale."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 5)
+        .when(F.col("lang") == "de", 20)
+        .when(F.col("lang") == "zh", 50)
+        .when(F.col("lang") == "fr", 10)
+        .otherwise(100)
+    )
+    return docs.filter(
+        token_hash(F.col("doc_id").cast("string")) % 100 < rate
+    ).select("doc_id", "lang", "source", "n_chars")

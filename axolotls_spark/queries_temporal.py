@@ -182,3 +182,70 @@ def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_id", parsed.getField("k").alias("k"))
         .filter(F.col("k") > 90)
     )
+
+
+@register(
+    "sessionize_events_batch",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id, session_seq,
+           COUNT(*)                                  AS n_events,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S')    AS session_start,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S')    AS session_end,
+           SUM(value)                                AS total_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    tags=("sessionization", "gaps-and-islands", "window", "agg"),
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30-minute silence per user. lag → boundary flag →
+    running sum = session id, then one aggregate per session.
+
+    All three windows + the final groupBy share the user_id hash
+    partitioning, so the whole pipeline is ONE shuffle regardless of
+    scale — the per-user ordering happens inside each partition.
+    This is the batch twin of streaming_sessionization
+    (F.session_window); identical session boundaries, checked against
+    the SQL gaps-and-islands form DuckDB runs. Ties on ts break by
+    event_id so both engines see identical orderings.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Interval arithmetic (not epoch casts): ts is TIMESTAMP_NTZ,
+    # which has no direct numeric cast but full interval support.
+    boundary = (
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTE"))
+    ).cast("int")
+    return (
+        e.withColumn("new_sess", boundary)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.sum("value").alias("total_value"),
+        )
+    )

@@ -391,3 +391,94 @@ def tf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("tok"))
         .limit(20)
     )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR ||
+               '@example.com or https://host' || (doc_id % 10)::VARCHAR ||
+               '.example/p?id=' || doc_id::VARCHAR AS text_pii
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text_pii,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                              '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g') AS redacted,
+           len(regexp_extract_all(text_pii,
+                                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+               AS n_emails
+    FROM pii
+    """,
+    tags=("text-analysis", "redaction", "regex", "pii"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrubbing pass every training-data
+    pipeline runs before anything else. The synthetic corpus carries
+    no natural PII, so the query first *plants* a deterministic
+    email + URL per document (from doc_id), then strips them with
+    engine-portable regexes (character classes only — no \\s/\\d
+    shorthand, so Java regex and RE2 agree byte-for-byte).
+
+    Pure narrow transformation: regexp_replace runs inside
+    whole-stage codegen on the scan partition — zero shuffles at any
+    scale, which is the point: redaction at 100 TB must be a
+    map-only pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    url_re = "https?://[^ ]+"
+    text_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://host"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/p?id="), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(text_pii, email_re, "<EMAIL>"),
+            url_re, "<URL>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(text_pii, F.lit(email_re), F.lit(0)))
+            .cast("long").alias("n_emails"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lower(trim(text))
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    """,
+    tags=("dedup", "keep-best", "window", "argmax-per-group"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: normalize (lower/trim) to form the dup
+    group, keep the *best* representative (longest, then smallest
+    doc_id) instead of an arbitrary one — dropDuplicates() keeps
+    whichever row a partition saw first, which is neither
+    deterministic nor quality-ranked. One shuffle on the normalized
+    key; at 100 TB you'd group on md5(normalized) instead to cap
+    shuffle width (see dedup_content_hash)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
