@@ -249,3 +249,106 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("total_value"),
         )
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(DATE_TRUNC('day', MIN(o_orderdate)) AS DATE) AS d0,
+               CAST(DATE_TRUNC('day', MAX(o_orderdate)) AS DATE) AS d1
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               COUNT(*) AS n_orders, SUM(o_totalprice) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT s.day,
+           COALESCE(d.n_orders, 0)   AS n_orders,
+           COALESCE(d.revenue, 0.0)  AS revenue
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    tags=("time-series", "gap-fill", "sequence", "explode", "outer-join"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: build a dense daily spine with
+    F.sequence(min_day, max_day) → explode, left-join the actual
+    daily aggregate onto it, and zero-fill the holes — the standard
+    time-series densification every downstream model/chart needs.
+
+    Scale shape: the spine is tiny (one row per calendar day — a few
+    thousand rows even for decades), so it stays a broadcast no
+    matter how large `orders` grows; the only wide edge is the daily
+    aggregate itself. The spine side is exploded from a single row —
+    never a driver loop."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+    spine = (
+        o.agg(
+            F.to_date(F.date_trunc("day", F.min("o_orderdate"))).alias("d0"),
+            F.to_date(F.date_trunc("day", F.max("o_orderdate"))).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               SUM(o_totalprice) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month_start, revenue,
+           LAG(revenue) OVER (ORDER BY month_start) AS prev_revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month_start))
+                 / LAG(revenue) OVER (ORDER BY month_start), 6) AS mom_pct
+    FROM monthly
+    """,
+    tags=("time-series", "window", "lag", "analytic"),
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — lag over an UNPARTITIONED
+    window, which funnels rows through one partition and is normally
+    a 100 TB anti-pattern; here it is safe *by construction* because
+    the windowed input is the monthly aggregate (one row per month,
+    bounded by the calendar, not by data volume). The docstrings of
+    sessionize_events_batch / q11 show the partitioned alternatives
+    when the input does scale with data."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month_start",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )
