@@ -40,6 +40,9 @@ HEADLINE = [
     "q21_sole_late_supplier",
     "ann_ivf_topk",
     "token_stats_bpe",
+    "q8_national_market_share",
+    "q13_cust_order_distribution",
+    "sessionize_events_batch",
 ]
 
 
