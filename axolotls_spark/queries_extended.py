@@ -527,3 +527,97 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         token_hash(F.col("doc_id").cast("string")) % 100 < rate
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "histogram_price_buckets",
+    oracle="""
+    SELECT LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 50000.0)::INT, 0), 9)
+               AS bucket,
+           COUNT(*)          AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram", "binning"),
+)
+def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (10 × 50k buckets, clamped ends) with
+    portable floor arithmetic — the fixed-bucket formulation keeps
+    the aggregate a plain hash agg on a 10-value key: one partial +
+    final shuffle regardless of data volume, unlike quantile-based
+    binning which needs a percentile pass first."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 50000.0).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+        regr_slope(l_extendedprice, l_quantity)     AS slope,
+        regr_intercept(l_extendedprice, l_quantity) AS intercept,
+        regr_r2(l_extendedprice, l_quantity)        AS r2,
+        covar_samp(l_extendedprice, l_quantity)     AS covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "statistics", "regression"),
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit via the regr_* aggregate family —
+    single-pass algebraic aggregates (sums of x, y, x², xy), so they
+    compose partial+final like any sum: distributed linear modeling
+    with no ML-library dependency and no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("slope"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("intercept"),
+        F.regr_r2("l_extendedprice", "l_quantity").alias("r2"),
+        F.covar_samp("l_extendedprice", "l_quantity").alias("covar"),
+    )
+
+
+@register(
+    "fuzzy_match_part_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a
+    JOIN names b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("string", "levenshtein", "fuzzy-join", "blocking"),
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching — near-identical part names by edit
+    distance. The scale pattern, not the pairwise one: dedupe to
+    DISTINCT names first (the name domain is bounded even when rows
+    aren't), equi-join on a blocking key (first character) so
+    Catalyst plans a hash join, and evaluate levenshtein only on the
+    in-block survivors. An unblocked name×name comparison is a
+    cartesian product — the thing this query exists to avoid."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+    )
