@@ -164,3 +164,37 @@ def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.value    AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "stream-stream-join", "watermark", "interval-join"),
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution
+    within 1 hour) — two independent streaming reads of the event
+    source, filtered to opposite event types, joined on user with a
+    time-range condition. Watermarks on both sides bound the join
+    state (see streaming.jobs.attribution_join); the batch SQL the
+    oracle runs is the exact same relational semantics."""
+    clicks = S.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = S.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = S.attribution_join(clicks, purchases)
+    return S.run_to_memory(joined, "stream_attribution", output_mode="append")

@@ -1,4 +1,5 @@
 from axolotls_spark.streaming.jobs import (  # noqa: F401
+    attribution_join,
     dedup_within_watermark,
     hourly_event_counts,
     read_events_stream,

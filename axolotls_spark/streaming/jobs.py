@@ -157,6 +157,48 @@ def dedup_within_watermark(
     return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
 
 
+def attribution_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: attribute each purchase
+    to every click by the same user in the preceding ``horizon``.
+
+    The time-range condition (purchase_ts in [click_ts, click_ts +
+    horizon]) plus watermarks on BOTH sides is what bounds join
+    state: each side buffers only rows younger than watermark +
+    horizon, so state is O(rate × horizon) — constant for a steady
+    stream — instead of O(everything ever seen). Without the range
+    condition Spark would keep both streams' full history forever;
+    that unbounded shape is exactly what this operator exists to
+    avoid at 100 TB/day.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond).select(
+        "user_id", "click_id", "purchase_id", "purchase_value"
+    )
+
+
 # --- custom stateful operator: per-user running aggregate ----------------
 
 _STATE_SCHEMA = StructType(
