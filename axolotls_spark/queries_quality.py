@@ -1,0 +1,226 @@
+"""Data-quality + SQL-surface coverage: table profiling, expectation
+(constraint) checking, ANSI-safe try_* arithmetic, and correlated
+LATERAL subqueries.
+
+Profiling and expectations are the two governance operators a
+training-data pipeline runs before anything else ("what does this
+table look like" / "which rows break the contract"); both are built
+as a SINGLE full-scan aggregate stacked to long format, so at 100 TB
+they cost one pass and one one-row shuffle regardless of how many
+columns/rules are profiled. The reference has no equivalent (it has
+no aggregation at all — SURVEY §2A); these extend §2B per the
+driver's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.registry import register
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "profile_table_stats",
+    oracle="""
+    WITH base AS (SELECT * FROM lineitem)
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*)                  AS n_rows,
+           COUNT(*) - COUNT({c})    AS n_null,
+           COUNT(DISTINCT {c})      AS n_distinct,
+           MIN({c})::DOUBLE         AS min_v,
+           MAX({c})::DOUBLE         AS max_v,
+           AVG({c})                 AS avg_v,
+           STDDEV_SAMP({c})         AS std_v
+    FROM base"""
+        for c in _PROFILE_COLS
+    )
+    + """
+    ORDER BY column_name
+    """,
+    tags=("profiling", "governance", "aggregation", "single-pass"),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile (count / nulls / distinct / min / max /
+    mean / stddev) for every numeric measure of lineitem, emitted in
+    long format (one row per column).
+
+    Scale shape: ONE aggregate over the scan computes all metrics for
+    all columns at once (partial aggregation map-side → single
+    one-row reduce), then the driver-side one-row result is unpivoted
+    with a literal stack — no per-column scans, no extra shuffle. At
+    100 TB this is exactly one pass over the data however many
+    columns are profiled. (The oracle's UNION ALL per column is the
+    readable SQL equivalent; DuckDB scans per branch but computes the
+    same values.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min_v"),
+            F.max(c).cast("double").alias(f"{c}__max_v"),
+            F.avg(c).alias(f"{c}__avg_v"),
+            F.stddev_samp(c).alias(f"{c}__std_v"),
+        ]
+    wide = li.agg(*aggs)
+    metrics = (
+        "n_rows", "n_null", "n_distinct", "min_v", "max_v", "avg_v", "std_v"
+    )
+    stack_expr = "stack({n}, {args}) as (column_name, {cols})".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(
+            "'{c}', {fields}".format(
+                c=c, fields=", ".join(f"`{c}__{m}`" for m in metrics)
+            )
+            for c in _PROFILE_COLS
+        ),
+        cols=", ".join(metrics),
+    )
+    return wide.selectExpr(stack_expr)
+
+
+_RULES = (
+    ("positive_price", "o_totalprice > 0"),
+    ("known_status", "o_orderstatus IN ('F', 'O', 'P')"),
+    ("priority_format", "o_orderpriority LIKE '_-%'"),
+    ("date_in_range",
+     "o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'"),
+    ("custkey_present", "o_custkey IS NOT NULL AND o_custkey >= 0"),
+)
+
+
+@register(
+    "quality_expectations",
+    oracle="""
+    WITH checked AS (SELECT * FROM orders)
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS rule_name,
+           COUNT(*) AS n_checked,
+           COUNT(*) FILTER (WHERE NOT ({cond})) AS n_violations
+    FROM checked"""
+        for name, cond in _RULES
+    )
+    + """
+    ORDER BY rule_name
+    """,
+    tags=("data-quality", "expectations", "governance", "single-pass"),
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over orders — each rule is a boolean SQL
+    predicate; the result reports checked/violation counts per rule
+    (the Deequ/Great-Expectations "validation report" shape).
+
+    Scale shape: all rules evaluate in ONE conditional aggregate over
+    a single scan (`sum(case when not rule)`), partial-aggregated
+    map-side; adding a rule adds a column to the agg, never a pass
+    over the data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, cond in _RULES:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__n_checked"),
+            F.sum(
+                F.when(~F.expr(cond), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"{name}__n_violations"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (rule_name, n_checked, n_violations)".format(
+        n=len(_RULES),
+        args=", ".join(
+            f"'{name}', `{name}__n_checked`, `{name}__n_violations`"
+            for name, _ in _RULES
+        ),
+    )
+    return wide.selectExpr(stack_expr)
+
+
+@register(
+    "try_arith_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 1, 0)     AS unit_over_qm1,
+           CASE WHEN l_discount > 0 THEN LN(l_discount) END AS ln_disc,
+           TRY_CAST(l_returnflag AS DOUBLE)                 AS flag_num,
+           CASE WHEN l_linenumber <= 2
+                THEN ['A','B'][l_linenumber] END            AS pick
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("try-functions", "ansi", "null-semantics", "scalar"),
+)
+def try_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark's try_* family returns NULL where
+    strict evaluation would raise — division by zero, log of a
+    non-positive, a non-numeric cast, an out-of-bounds array index.
+    This pins the engine's error-value contract (SURVEY §7 "division
+    & log semantics" risk): the oracle expresses the same semantics
+    with NULLIF / CASE / TRY_CAST guards, and the hash-match proves
+    both engines compute the identical well-defined result.
+    Map-only: no shuffle, filter pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 1
+        ).alias("unit_over_qm1"),
+        F.when(F.col("l_discount") > 0, F.log(F.col("l_discount"))).alias(
+            "ln_disc"
+        ),
+        F.col("l_returnflag").try_cast("double").alias("flag_num"),
+        F.try_element_at(
+            F.array(F.lit("A"), F.lit("B")), F.col("l_linenumber")
+        ).alias("pick"),
+    )
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle="""
+    SELECT n_name, c_name, c_acctbal
+    FROM (
+        SELECT n.n_name, c.c_name, c.c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                                  ORDER BY c.c_acctbal DESC, c.c_name) AS rn
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rn <= 3
+    """,
+    tags=("lateral-join", "sql-surface", "top-k-per-group"),
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per
+    nation, the top-3 customers by account balance. Certifies the
+    SQL surface accepts ANSI lateral joins; Catalyst rewrites the
+    correlated limit into a partitioned window (same plan as the
+    oracle's ROW_NUMBER form), so there is no nested-loop
+    re-execution per outer row — one shuffle by nationkey. Ties
+    broken by c_name so both engines pick identical rows."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) c
+        """
+    )

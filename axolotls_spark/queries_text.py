@@ -482,3 +482,65 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               len({_SQL_TOKENS}) AS n_tokens
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND n_chars BETWEEN 50 AND 5000
+          AND len({_SQL_TOKENS}) >= 10
+    ),
+    deduped AS (
+        SELECT text, MIN(doc_id) AS doc_id,
+               MIN(lang) AS lang, MIN(source) AS source,
+               MIN(n_chars) AS n_chars, MIN(n_tokens) AS n_tokens
+        FROM gated
+        GROUP BY text
+    )
+    SELECT doc_id, lang, source, n_chars, n_tokens
+    FROM deduped
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 <
+          CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 70 ELSE 100 END
+    """,
+    tags=("pipeline", "composition", "quality-filter", "dedup", "sampling"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the operators composed the way a
+    real training-data job chains them: language gate → quality gate
+    (length + token count) → exact dedup with deterministic
+    representative → stratified hash downsampling. One Catalyst DAG:
+    the gates are pushdown-eligible scan filters, the dedup is the
+    single shuffle, and the sample is a map-side filter on the
+    dedup's output — so the whole pipeline costs exactly one wide
+    edge at any scale. The point being certified is *composition*:
+    every stage is the same operator that passes its standalone
+    oracle check, and the composed DAG still hash-matches SQL run
+    end-to-end."""
+    from axolotls_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.withColumn("n_tokens", token_count(F.col("text"))).filter(
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(50, 5000)
+        & (F.col("n_tokens") >= 10)
+    )
+    deduped = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("source").alias("source"),
+        F.min("n_chars").alias("n_chars"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 40)
+        .when(F.col("lang") == "de", 70)
+        .otherwise(100)
+    )
+    return deduped.filter(
+        D.token_hash(F.col("doc_id").cast("string")) % 100 < rate
+    ).select("doc_id", "lang", "source", "n_chars", "n_tokens")

@@ -43,6 +43,7 @@ HEADLINE = [
     "q8_national_market_share",
     "q13_cust_order_distribution",
     "sessionize_events_batch",
+    "pipeline_corpus_curation",
 ]
 
 
