@@ -62,3 +62,38 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("compression", "gzip").json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """ORC writer — columnar alternative when the downstream stack is
+    Hive/Presto-flavored; same partition-pruning layout as parquet."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def upsert_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Incremental partition-level upsert via DYNAMIC partition
+    overwrite: only the partitions present in ``df`` are replaced;
+    every other partition of the target is left untouched.
+
+    This is the idempotent incremental-load primitive of a 100 TB
+    pipeline — a daily/hourly batch rewrites exactly its own
+    date-partitions, so re-running a failed batch is safe (same input
+    → same partitions → same bytes), and a backfill of one day never
+    rewrites the other 4 years of data. (With STATIC overwrite, the
+    default, ``mode=overwrite`` would truncate the whole table.)
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -110,6 +110,13 @@ def read_json(
     return r.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark's built-in vectorized ORC reader; gets the
+    same pushdown/pruning treatment as parquet (PushedFilters +
+    ReadSchema in the scan node)."""
+    return spark.read.orc(path)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

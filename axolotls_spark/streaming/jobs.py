@@ -199,6 +199,42 @@ def attribution_join(
     )
 
 
+def run_foreach_batch_upsert(
+    sdf: DataFrame,
+    target_path: str,
+    partition_col: str,
+    checkpoint: str,
+) -> None:
+    """Stream → batch-table bridge via ``foreachBatch``: each
+    micro-batch is written with DYNAMIC partition overwrite, so a
+    batch replaces exactly the partitions it touches.
+
+    Exactly-once without a transactional table format: the write is
+    *idempotent per partition* (replaying a failed micro-batch
+    rewrites the same partitions with the same rows), and the
+    checkpoint records which source offsets each batch covered — the
+    standard recovery contract when the sink is plain parquet. This
+    is how a continuous ingest keeps a partitioned warehouse table
+    current at 100 TB: state stays in the checkpoint, the table needs
+    no compaction-blocking locks, and readers see whole partitions
+    flip atomically (directory swap).
+    """
+    from axolotls_spark.io.sinks import upsert_partitions
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitions(batch_df, target_path, [partition_col])
+
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # --- custom stateful operator: per-user running aggregate ----------------
 
 _STATE_SCHEMA = StructType(

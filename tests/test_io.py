@@ -51,6 +51,53 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert joined.count() > 0
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from axolotls_spark.io.sources import read_orc
+
+    part = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    out = str(tmp_path / "part_orc")
+    sinks.write_orc(part, out)
+    back = read_orc(spark, out)
+    assert back.count() == part.count()
+    # Filter pushdown reaches the ORC scan just like parquet.
+    txt = audit(back.filter(F.col("p_retailprice") > 1500)).text
+    assert "PushedFilters" in txt and "p_retailprice" in txt
+
+
+def test_upsert_partitions_is_dynamic(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_inc")
+    sinks.write_parquet(docs, out, partition_by=["lang"])
+    before = spark.read.parquet(out)
+    n_total = before.count()
+    n_en = before.filter(F.col("lang") == "en").count()
+    # Incremental batch: rewrite ONLY lang=en with a modified copy.
+    patch = docs.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + 1000000
+    )
+    sinks.upsert_partitions(patch, out, ["lang"])
+    after = spark.read.parquet(out)
+    # Other partitions untouched, en replaced (not doubled).
+    assert after.count() == n_total
+    assert after.filter(F.col("lang") == "en").count() == n_en
+    assert (
+        after.filter(
+            (F.col("lang") == "en") & (F.col("n_chars") <= 1000000)
+        ).count()
+        == 0
+    )
+    assert (
+        after.filter(
+            (F.col("lang") != "en") & (F.col("n_chars") > 1000000)
+        ).count()
+        == 0
+    )
+
+
 def test_csv_json_roundtrip(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "lang", "n_chars"

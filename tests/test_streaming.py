@@ -55,3 +55,30 @@ def test_streaming_user_state_equals_batch(spark):
     g = {r.user_id: r.n_events for r in final.collect()}
     b = {r.user_id: r.n_events for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    """Stream → partitioned parquet via foreachBatch dynamic
+    overwrite: output equals the batch snapshot, and replaying the
+    whole source (fresh checkpoint) leaves the table unchanged —
+    the idempotency contract recovery relies on."""
+    target = str(tmp_path / "events_table")
+
+    def run(ckpt: str) -> None:
+        stream = S.read_events_stream(spark, SF_DIR).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        S.run_foreach_batch_upsert(
+            stream, target, "event_date", str(tmp_path / ckpt)
+        )
+
+    run("ck1")
+    batch_n = load_table(spark, SF_DIR, "events").count()
+    first = spark.read.parquet(target)
+    assert first.count() == batch_n
+    n_dates = first.select("event_date").distinct().count()
+    assert n_dates >= 1
+    run("ck2")  # full replay — must overwrite in place, not append
+    again = spark.read.parquet(target)
+    assert again.count() == batch_n
+    assert again.select("event_date").distinct().count() == n_dates
