@@ -51,14 +51,16 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean / stddev) for every numeric measure of lineitem, emitted in
     long format (one row per column).
 
-    Scale shape: ONE aggregate over the scan computes all metrics for
-    all columns at once (partial aggregation map-side → single
-    one-row reduce), then the driver-side one-row result is unpivoted
-    with a literal stack — no per-column scans, no extra shuffle. At
-    100 TB this is exactly one pass over the data however many
-    columns are profiled. (The oracle's UNION ALL per column is the
-    readable SQL equivalent; DuckDB scans per branch but computes the
-    same values.)
+    Scale shape: ONE scan feeds every metric for every column. The
+    exact ``countDistinct`` makes Catalyst plan Expand(n_cols+1) +
+    two-phase distinct aggregation — 2 exchanges, the second over
+    O(distinct values) rows only. At 100 TB the right profiling
+    variant swaps ``approx_count_distinct`` for the exact one: that
+    collapses the plan to a single exchange with no Expand (HLL
+    sketches merge map-side); exact is kept here because it is
+    DuckDB-oracle-matchable. (The oracle's UNION ALL per column is
+    the readable SQL equivalent; DuckDB scans per branch but computes
+    the same values.)
     """
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
@@ -224,3 +226,114 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@register(
+    "anomaly_zscore_orders",
+    oracle="""
+    WITH joined AS (
+        SELECT o_orderkey, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    stats AS (
+        SELECT c_mktsegment,
+               AVG(o_totalprice)         AS seg_avg,
+               STDDEV_SAMP(o_totalprice) AS seg_std
+        FROM joined GROUP BY c_mktsegment
+    )
+    SELECT j.o_orderkey, j.c_mktsegment, j.o_totalprice,
+           (j.o_totalprice - s.seg_avg) / s.seg_std AS zscore
+    FROM joined j JOIN stats s USING (c_mktsegment)
+    WHERE ABS((j.o_totalprice - s.seg_avg) / s.seg_std) > 1.5
+    """,
+    tags=("anomaly-detection", "data-quality", "two-phase-agg"),
+)
+def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: orders whose total price sits
+    more than 1.5 sample standard deviations from their market
+    segment's mean.
+
+    Scale shape: per-group stats via groupBy (the group-stats result
+    is O(segments) — tiny) then a BROADCAST join back onto the fact
+    rows, so flagging is a map-side operation. The tempting
+    alternative — a window over `partition by segment` — would hash
+    ALL 100 TB of orders into ~5 partitions (one per segment), a
+    catastrophic skew; the agg+broadcast form costs a second scan of
+    the join but never builds a giant partition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = o.select("o_orderkey", "o_custkey", "o_totalprice").join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    stats = joined.groupBy("c_mktsegment").agg(
+        F.avg("o_totalprice").alias("seg_avg"),
+        F.stddev_samp("o_totalprice").alias("seg_std"),
+    )
+    z = (F.col("o_totalprice") - F.col("seg_avg")) / F.col("seg_std")
+    return (
+        joined.join(F.broadcast(stats), "c_mktsegment")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 1.5)
+        .select("o_orderkey", "c_mktsegment", "o_totalprice", "zscore")
+    )
+
+
+_FK_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+@register(
+    "ri_orphan_report",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS edge,
+           COUNT(*) AS n_child,
+           COUNT(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}
+           )) AS n_orphans
+    FROM {child} c"""
+        for name, child, ckey, parent, pkey in _FK_EDGES
+    )
+    + "\nORDER BY edge",
+    tags=("referential-integrity", "data-quality", "anti-join", "governance"),
+)
+def ri_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK edges: for
+    each child→parent edge, how many child rows exist and how many
+    reference a missing parent key (orphans). The governance check a
+    pipeline runs after every ingest.
+
+    Scale shape per edge: distinct parent keys (partial-agg'd
+    map-side) LEFT-joined under the child — counting, never
+    materializing orphan rows; the per-edge result is one row, so the
+    final UNION is free. Parent key-sets that fit (dims) broadcast
+    automatically under AQE; fact-to-fact edges (lineitem->orders)
+    shuffle on the key, which is unavoidable and correct.
+    """
+    out = None
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        ch = load_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
+        pa = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("pk"))
+            .distinct()
+        )
+        edge = (
+            ch.join(pa, F.col("ck") == F.col("pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("pk").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("edge"), "n_child", "n_orphans")
+        )
+        out = edge if out is None else out.unionAll(edge)
+    return out

@@ -157,3 +157,40 @@ def test_q20_prefix_like_pushes_down(spark):
     assert "StartsWith(p_name" in joined
     assert f.n_broadcast_hash_joins >= 2
     assert f.n_sort_merge_joins == 0
+
+
+def test_anomaly_zscore_stats_broadcast(spark):
+    f = _facts(spark, "anomaly_zscore_orders")
+    # Segment stats re-join MUST be broadcast (tiny O(segments)
+    # side); a sort-merge there would shuffle the fact twice.
+    assert f.n_broadcast_hash_joins >= 1
+    # And never the skew trap: no window over 5 giant segment
+    # partitions.
+    assert "Window" not in f.text
+
+
+def test_profile_table_stats_single_scan(spark):
+    f = _facts(spark, "profile_table_stats")
+    # ONE scan feeds every metric for every column. The exact
+    # count-distincts force Catalyst's Expand + two-phase distinct
+    # plan: exactly 2 exchanges (the second over O(distinct values)
+    # rows, not the raw table) — pin it so a regression to per-column
+    # scans or >2 shuffles fails loudly.
+    assert f.text.count("InMemoryFileIndex") == 1
+    assert f.n_exchanges == 2
+    assert "Expand" in f.text
+
+
+def test_quality_expectations_single_pass(spark):
+    f = _facts(spark, "quality_expectations")
+    # No distincts here: strictly one scan + one exchange.
+    assert f.n_exchanges == 1
+    assert f.text.count("InMemoryFileIndex") == 1
+
+
+def test_pipeline_curation_single_wide_edge(spark):
+    f = _facts(spark, "pipeline_corpus_curation")
+    # Gates pushed into the scan; dedup is the only shuffle; the
+    # stratified sample is a map-side filter above it.
+    assert f.n_exchanges == 1
+    assert any("lang" in p or "n_chars" in p for p in f.pushed_filters)
