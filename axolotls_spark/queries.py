@@ -213,3 +213,4 @@ from axolotls_spark import queries_udf  # noqa: E402,F401
 from axolotls_spark import queries_extended  # noqa: E402,F401
 from axolotls_spark import queries_tpch  # noqa: E402,F401
 from axolotls_spark import queries_quality  # noqa: E402,F401
+from axolotls_spark import queries_llm  # noqa: E402,F401

@@ -1,0 +1,247 @@
+"""LLM-training-pipeline operators beyond filtering/dedup: TF-IDF
+term weighting, fixed-window document chunking with overlap,
+contiguous sequence packing, and int8 embedding quantization.
+
+These are the transforms that sit between "curated corpus" and
+"training batches" in a real pipeline (chunk → pack → quantize), and
+the retrieval-side weighting (TF-IDF) used for corpus analysis and
+sparse retrieval. The reference has no text/vector processing at all
+(SURVEY §2A — four column classes, arithmetic only); these extend
+§2B per the driver's north star. All four are pure Column-expression
+plans — no Python UDFs — so they run at JVM scan-rate at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.operators.dedup import tokens_col
+from axolotls_spark.registry import register
+
+_SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf,
+               t.tf * LN(n.n_docs / d.df) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * LN(n.n_docs / d.df) DESC, t.term
+               ) AS rn
+        FROM tf t JOIN dfreq d USING (term), n
+    )
+    SELECT doc_id, term, tf, tfidf FROM scored WHERE rn <= 3
+    """,
+    tags=("tfidf", "text-analysis", "sparse-retrieval", "top-k-per-group"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (idf = ln(N/df), ties broken
+    by term so both engines pick identical rows).
+
+    Scale shape: explode → (doc,term) count is one shuffle; document
+    frequency is a second aggregate over the (already small) tf
+    relation, and both the df relation and the 1-row corpus count
+    join back via BROADCAST — the corpus-sized data is shuffled
+    exactly once. N comes from a broadcast 1-row aggregate, never a
+    driver-side ``.count()`` action, so the whole thing is one job.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+_CHUNK = 50  # tokens per chunk
+_STRIDE = 40  # chunk start step => 10-token overlap
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks,
+               len({_SQL_TOKENS}) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           start::BIGINT AS start_tok,
+           len(toks[start:start + {_CHUNK} - 1])::BIGINT AS chunk_len,
+           md5(array_to_string(toks[start:start + {_CHUNK} - 1], ' '))
+               AS chunk_md5
+    FROM t, unnest(range(1, greatest(n, 1) + 1, {_STRIDE})) AS u(start)
+    """,
+    tags=("chunking", "llm-pipeline", "explode", "map-only"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking: 50-token chunks on a 40-token
+    stride (10-token overlap) — the RAG/pretraining chunker. Emits
+    (doc_id, chunk_idx, start, length, md5-of-chunk); the digest
+    stands in for the chunk text so the result stays narrow.
+
+    Scale shape: map-only — sequence() builds the start offsets from
+    the token count, posexplode fans out, slice() cuts each window.
+    No shuffle at all; output size is input × (1/stride) chunks per
+    token, produced at scan-rate. The overlap means a token is read
+    ≤ ⌈C/S⌉ times, all within one task's memory.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(_STRIDE)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok"), _CHUNK)
+    return (
+        t.select("doc_id", "toks", F.explode(starts).alias("start_tok"))
+        .select(
+            "doc_id",
+            ((F.col("start_tok") - 1) / _STRIDE).cast("long").alias(
+                "chunk_idx"
+            ),
+            F.col("start_tok").cast("long"),
+            F.size(chunk).cast("long").alias("chunk_len"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed sequence
+_PACK_SHARDS = 64
+
+
+@register(
+    "pack_sequences_contiguous",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+               len({_SQL_TOKENS})::BIGINT AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens, cum_tokens,
+           CAST(FLOOR((cum_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
+               AS pack_id
+    FROM c
+    """,
+    tags=("sequence-packing", "llm-pipeline", "window", "sharded"),
+)
+def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign documents (in deterministic
+    doc_id order) to fixed 2048-token training sequences by running
+    token count — the streaming packer used to batch pretraining data
+    (documents fill a pack until the budget spills into the next).
+
+    Scale shape: a GLOBAL running sum would be a single-partition
+    window — unusable at 100 TB. Packing is therefore sharded:
+    ``doc_id % 64`` (in production: file/split id) partitions the
+    window, so each shard packs independently and in parallel, one
+    shuffle by shard. Pack ids are unique per (shard, pack_id);
+    cross-shard order is irrelevant to training.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "pack_id",
+        F.floor((F.col("cum_tokens") - 1) / _PACK_BUDGET).cast("long"),
+    )
+
+
+@register(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / NULLIF(scale, 0.0))
+                         AS INTEGER)) AS q
+    FROM s
+    """,
+    tags=("quantization", "embeddings", "llm-pipeline", "map-only"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding
+    column: scale = max|x|/127, q_i = round(x_i/scale) — the storage
+    transform that shrinks a 100 TB float32 embedding store 4× for
+    ANN serving. Ties round away from zero in both engines (Java
+    HALF_UP == DuckDB round), and all arithmetic is forced to double
+    on both sides so the quantized codes match bit-for-bit.
+
+    Scale shape: map-only higher-order functions (transform /
+    array_max) — no shuffle, no UDF, runs at scan-rate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(
+            x.cast("double") / F.nullif(F.col("scale"), F.lit(0.0))
+        ).cast("int"),
+    )
+    return emb.select("vec_id", scale, "embedding").select(
+        "vec_id", "scale", q.alias("q")
+    )

@@ -194,3 +194,33 @@ def test_pipeline_curation_single_wide_edge(spark):
     # stratified sample is a map-side filter above it.
     assert f.n_exchanges == 1
     assert any("lang" in p or "n_chars" in p for p in f.pushed_filters)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    f = _facts(spark, "chunk_documents")
+    # Chunking is map-only: explode + slice, zero exchanges.
+    assert f.n_exchanges == 0
+
+
+def test_quantize_embeddings_no_shuffle_no_python(spark):
+    f = _facts(spark, "quantize_embeddings_int8")
+    assert f.n_exchanges == 0
+    # Higher-order functions, not UDFs: no Python evaluation node.
+    assert "BatchEvalPython" not in f.text
+    assert "ArrowEvalPython" not in f.text
+
+
+def test_tfidf_corpus_shuffled_once(spark):
+    f = _facts(spark, "tfidf_top_terms")
+    # df + N join back via broadcast; corpus-sized relations shuffle
+    # only for the (doc,term) agg and the per-doc window.
+    assert f.n_broadcast_hash_joins >= 2
+    assert f.n_sort_merge_joins == 0
+
+
+def test_pack_sequences_sharded_window(spark):
+    f = _facts(spark, "pack_sequences_contiguous")
+    # The window must partition by shard — a global (unpartitioned)
+    # running sum would single-thread 100 TB through one task.
+    assert "shard" in f.text and "Window" in f.text
+    assert f.n_exchanges <= 2
