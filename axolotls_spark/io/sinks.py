@@ -79,6 +79,41 @@ def write_orc(
     w.orc(path)
 
 
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files and return the new file count.
+
+    The operational hazard this exists for: a streaming/incremental
+    writer lands thousands of KB-sized files per partition; at 100 TB
+    the NameNode/listing cost and per-file open overhead dominate
+    scan time. Compaction sizes output by the DATA (sum of file
+    sizes / target), not by a guessed partition count, and writes via
+    a single repartition so every output file is ~equal.
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(jvm_path, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+    return n_files
+
+
 def upsert_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
     """Incremental partition-level upsert via DYNAMIC partition
     overwrite: only the partitions present in ``df`` are replaced;

@@ -352,3 +352,53 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
     )
+
+
+@register(
+    "date_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate)::INT                          AS q,
+           weekofyear(o_orderdate)::INT                       AS iso_week,
+           isodow(o_orderdate)::INT                           AS iso_dow,
+           (o_orderdate + INTERVAL 90 DAY)::DATE              AS ship_deadline,
+           last_day(o_orderdate + INTERVAL 1 MONTH)           AS next_month_end,
+           (o_orderdate + INTERVAL 1 YEAR)::DATE              AS anniversary,
+           (o_orderdate + CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0
+                               THEN INTERVAL 7 DAY
+                               ELSE to_days(((8 - isodow(o_orderdate)) % 7)::INT)
+                          END)::DATE                          AS next_monday,
+           datediff('day', o_orderdate, DATE '1998-12-01')::INT AS days_to_ref
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    tags=("temporal", "interval-arithmetic", "date-functions", "map-only"),
+)
+def date_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/interval arithmetic closure: quarter, ISO week, ISO
+    day-of-week, day/month/year interval shifts, month-end, next
+    weekday, day difference to an epoch. Pins the engines' calendar
+    semantics against each other (ISO week/dow are the classic
+    divergence points — Spark's weekofyear and DuckDB's weekofyear
+    are both ISO-8601; Spark's dayofweek is Sunday=1, so the ISO
+    form uses a shifted expression). Map-only: pushdown-eligible
+    modulo filter, zero shuffles."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    d = F.col("o_orderdate")
+    iso_dow = ((F.dayofweek(d) + 5) % 7 + 1).cast("int")
+    off = (8 - iso_dow) % 7
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("iso_week"),
+        iso_dow.alias("iso_dow"),
+        F.date_add(d, 90).alias("ship_deadline"),
+        F.last_day(F.add_months(d, 1)).alias("next_month_end"),
+        F.add_months(d, 12).alias("anniversary"),
+        F.date_add(d, F.when(off == 0, 7).otherwise(off)).alias(
+            "next_monday"
+        ),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).alias("days_to_ref"),
+    )
