@@ -402,3 +402,32 @@ def date_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.datediff(F.lit("1998-12-01").cast("date"), d).alias("days_to_ref"),
     )
+
+
+@register(
+    "variant_shred_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           COUNT(*)  AS n,
+           SUM(value) AS total_value
+    FROM events
+    GROUP BY k_bucket
+    """,
+    tags=("variant", "semi-structured", "json", "agg"),
+)
+def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4):
+    ``parse_json`` shreds ``events.props`` into a binary variant at
+    scan time, ``variant_get`` extracts typed paths with no
+    per-query string re-parsing — the open-table-format pattern for
+    JSON at 100 TB (parse once, store variant, path-extract at
+    column speed). Oracle extracts the same path with DuckDB's JSON
+    functions; both group on a derived bucket so the result is a
+    small aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select(k.alias("k_val"), "value")
+        .groupBy(F.floor(F.col("k_val") / 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )

@@ -5,6 +5,8 @@ Arrow exchange path end-to-end, not just the math.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -138,4 +140,40 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL bigrams(d.text) b
         WHERE d.doc_id < 30
         """
+    )
+
+
+@register(
+    "udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(l_extendedprice * l_quantity) / SUM(l_quantity)
+               AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udaf", "pandas-grouped-agg", "vectorized"),
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF — the UDAF
+    registration surface (quantity-weighted mean price per return
+    flag). Arrow ships each group's columns to Python ONCE as
+    vectors; numpy reduces them — the same torch-kernel-over-Arrow
+    shape as the reference's ops, applied to aggregation.
+
+    Scale note: a Python UDAF forgoes partial aggregation (all rows
+    of a group move to one executor), so it's only for aggregates
+    Catalyst can't express; this weighted mean IS expressible
+    natively (sum(x*w)/sum(w) — the oracle) and the native form is
+    what production uses; the UDAF certifies the extension point.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("w_avg_price")
     )

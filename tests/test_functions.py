@@ -115,3 +115,30 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
         a = approx[flag]
         assert abs(a.approx_orders - e.n_orders) <= 0.06 * e.n_orders
         assert abs(a.approx_p50_price - e.p50) <= 0.02 * e.p50
+
+
+def test_observe_metrics_single_pass(spark):
+    """Observation API: pipeline health metrics (row counts, null
+    counts, domain violations) collected DURING a job — no second
+    scan, no extra action. The governance hook a 100 TB curation run
+    attaches to every stage boundary."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from axolotls_spark.io.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    obs = Observation("ingest_health")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("int")).alias("n_null_text"),
+        F.sum((F.col("n_chars") <= 0).cast("int")).alias("n_empty"),
+    )
+    # One action drives both the query and the metrics.
+    n_en = observed.filter(F.col("lang") == "en").count()
+    got = obs.get
+    assert got["n_rows"] == docs.count()
+    assert got["n_null_text"] == 0
+    assert got["n_empty"] == 0
+    assert 0 < n_en < got["n_rows"]
