@@ -621,3 +621,45 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 3)
     )
+
+
+@register(
+    "collation_ci_grouping",
+    oracle="""
+    SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                      ELSE lower(p_type) END) AS type_ci,
+           COUNT(*) AS n,
+           SUM(p_retailprice) AS total_price
+    FROM part
+    GROUP BY type_ci
+    """,
+    tags=("collation", "sql-surface", "string", "agg"),
+)
+def collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): group a
+    deliberately mixed-case column under UTF8_LCASE so 'STANDARD
+    BRASS' and 'standard brass' land in one group — no lower()
+    normalization in the grouping key itself. The engine's collation
+    machinery (not an expression rewrite) performs the CI comparison;
+    the output key is lowercased only for cross-engine display
+    stability. Single hash-agg shuffle, same as any groupBy."""
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_type")
+    ).otherwise(F.lower("p_type"))
+    return (
+        p.select(
+            mixed.cast("string collate UTF8_LCASE").alias("type_coll"),
+            "p_retailprice",
+        )
+        .groupBy("type_coll")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_retailprice").alias("total_price"),
+        )
+        .select(
+            F.lower(F.col("type_coll")).cast("string").alias("type_ci"),
+            "n",
+            "total_price",
+        )
+    )

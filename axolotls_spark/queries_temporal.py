@@ -431,3 +431,44 @@ def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(F.col("k_val") / 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
     )
+
+
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1992-01-01' AS m
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '1998-12-01'
+    ),
+    rev AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n_orders,
+               SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month_start,
+           COALESCE(rev.n_orders, 0) AS n_orders,
+           COALESCE(rev.revenue, 0.0) AS revenue
+    FROM months LEFT JOIN rev ON months.m = rev.m
+"""
+
+
+@register(
+    "recursive_month_spine",
+    oracle=_RECURSIVE_SPINE_SQL,
+    tags=("recursive-cte", "sql-surface", "calendar-spine", "gap-fill"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 SQL surface): generate the 1992–1998
+    month spine recursively and left-join monthly order revenue onto
+    it — zero-filled calendar gap-fill, with the IDENTICAL SQL text
+    running on both engines.
+
+    Scale note: recursion executes sequentially (one step per month,
+    84 steps) — correct for calendar spines, whose size is calendar-
+    bounded, never data-bounded. Data-sized series use sequence()/
+    explode (timeseries_gap_fill); graph closure over cyclic data
+    needs the iterative AQE loop (dedup_groups) since recursive
+    UNION-dedup is not yet in Spark."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)
