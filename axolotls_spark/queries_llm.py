@@ -165,7 +165,7 @@ _PACK_SHARDS = 64
         FROM t
     )
     SELECT doc_id, shard, n_tokens, cum_tokens,
-           CAST(FLOOR((cum_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
+           CAST(FLOOR(GREATEST(cum_tokens - 1, 0) / {_PACK_BUDGET}) AS BIGINT)
                AS pack_id
     FROM c
     """,
@@ -199,7 +199,11 @@ def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
         "pack_id",
-        F.floor((F.col("cum_tokens") - 1) / _PACK_BUDGET).cast("long"),
+        # greatest(...,0) guards the zero-token-document edge (an
+        # empty doc opening a shard would otherwise land in pack -1).
+        F.floor(
+            F.greatest(F.col("cum_tokens") - 1, F.lit(0)) / _PACK_BUDGET
+        ).cast("long"),
     )
 
 

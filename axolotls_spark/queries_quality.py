@@ -310,30 +310,46 @@ def ri_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference a missing parent key (orphans). The governance check a
     pipeline runs after every ingest.
 
-    Scale shape per edge: distinct parent keys (partial-agg'd
-    map-side) LEFT-joined under the child — counting, never
-    materializing orphan rows; the per-edge result is one row, so the
-    final UNION is free. Parent key-sets that fit (dims) broadcast
-    automatically under AQE; fact-to-fact edges (lineitem->orders)
-    shuffle on the key, which is unavoidable and correct.
+    Scale shape: all edges sharing a child table share ONE scan of
+    it — lineitem's three FK checks are three left joins stacked on
+    a single pass (distinct parent key-sets, partial-agg'd map-side,
+    broadcast when they fit under AQE), reduced to one wide row and
+    unpivoted. 100 TB cost: one scan per child table (2 total), not
+    one per edge (4).
     """
-    out = None
+    from collections import defaultdict
+
+    by_child: dict[str, list] = defaultdict(list)
     for name, child, ckey, parent, pkey in _FK_EDGES:
-        ch = load_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
-        pa = (
-            load_table(spark, sf_dir, parent)
-            .select(F.col(pkey).alias("pk"))
-            .distinct()
+        by_child[child].append((name, ckey, parent, pkey))
+
+    out = None
+    for child, edges in by_child.items():
+        df = load_table(spark, sf_dir, child).select(
+            *{e[1] for e in edges}
         )
-        edge = (
-            ch.join(pa, F.col("ck") == F.col("pk"), "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_child"),
-                F.sum(
-                    F.when(F.col("pk").isNull(), 1).otherwise(0)
-                ).alias("n_orphans"),
+        aggs = [F.count(F.lit(1)).alias("__n_child")]
+        for name, ckey, parent, pkey in edges:
+            pk = f"__pk_{name}"
+            pa = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pkey).alias(pk))
+                .distinct()
             )
-            .select(F.lit(name).alias("edge"), "n_child", "n_orphans")
+            df = df.join(pa, F.col(ckey) == F.col(pk), "left")
+            aggs.append(
+                F.sum(
+                    F.when(F.col(pk).isNull(), 1).otherwise(0)
+                ).alias(f"__orph_{name}")
+            )
+        wide = df.agg(*aggs)
+        stack = "stack({n}, {args}) as (edge, n_child, n_orphans)".format(
+            n=len(edges),
+            args=", ".join(
+                f"'{name}', __n_child, `__orph_{name}`"
+                for name, *_ in edges
+            ),
         )
-        out = edge if out is None else out.unionAll(edge)
+        part = wide.selectExpr(stack)
+        out = part if out is None else out.unionAll(part)
     return out

@@ -44,6 +44,10 @@ HEADLINE = [
     "q13_cust_order_distribution",
     "sessionize_events_batch",
     "pipeline_corpus_curation",
+    "tfidf_top_terms",
+    "quantize_embeddings_int8",
+    "ri_orphan_report",
+    "variant_shred_props",
 ]
 
 

@@ -224,3 +224,11 @@ def test_pack_sequences_sharded_window(spark):
     # running sum would single-thread 100 TB through one task.
     assert "shard" in f.text and "Window" in f.text
     assert f.n_exchanges <= 2
+
+
+def test_ri_report_one_scan_per_child_table(spark):
+    f = _facts(spark, "ri_orphan_report")
+    # lineitem's three FK edges share ONE scan; orders appears twice
+    # (once as child, once as parent key-set).
+    assert f.text.count("lineitem.parquet") == 1
+    assert f.text.count("orders.parquet") == 2
