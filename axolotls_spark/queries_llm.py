@@ -249,3 +249,114 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", scale, "embedding").select(
         "vec_id", "scale", q.alias("q")
     )
+
+
+_DIM = 16
+_SQL_TOKEN_HASH = "('0x' || substr(md5({tok}), 1, 15))::BIGINT"
+
+
+@register(
+    "feature_hash_embed",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='term')} % {_DIM} AS bucket,
+               CASE WHEN ({_SQL_TOKEN_HASH.format(tok='term')}
+                          // {_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM toks
+    )
+    SELECT doc_id, bucket::BIGINT AS bucket, SUM(sgn)::BIGINT AS weight
+    FROM h GROUP BY doc_id, bucket
+    """,
+    tags=("feature-hashing", "vectorization", "llm-pipeline", "agg"),
+)
+def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: each token hashes to one of 16
+    buckets with a ±1 sign bit (signed feature hashing, Weinberger
+    et al.) — the vocabulary-free text→vector transform used when a
+    learned embedding is too expensive for a first-pass index.
+    Emitted in long (doc, bucket, weight) form — the sparse-vector
+    layout; a dense array is one map-side pivot away.
+
+    Scale shape: explode + one hash aggregate (partial map-side),
+    single shuffle on (doc_id, bucket); the hash is the same
+    md5-prefix arithmetic both engines compute, so the vectors are
+    bit-identical to the oracle's.
+    """
+    from axolotls_spark.operators.dedup import token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    th = token_hash(F.col("term"))
+    return (
+        toks.select(
+            "doc_id",
+            (th % _DIM).alias("bucket"),
+            # integer shift, NOT floor(th/16): the 60-bit hash
+            # exceeds double's 53-bit mantissa, so float division
+            # would corrupt the parity bit.
+            F.when((F.shiftright(th, 4) % 2) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    freq AS (
+        SELECT term, COUNT(*)::DOUBLE AS c FROM toks GROUP BY term
+    ),
+    total AS (SELECT SUM(c) AS t FROM freq),
+    scored AS (
+        SELECT k.doc_id, -LN(f.c / total.t) AS nll
+        FROM toks k JOIN freq f USING (term), total
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           AVG(nll) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("quality-scoring", "language-model", "llm-pipeline", "two-phase-agg"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean negative
+    log-probability under the corpus's own unigram distribution —
+    the classic cheap perplexity proxy for quality filtering
+    (gibberish and boilerplate both surface as outliers; real
+    pipelines swap in a held-out KenLM, same plan shape).
+
+    Scale shape: token explode → corpus unigram counts (one
+    aggregate); counts join back by term — frequency tables are
+    Zipf-small so AQE broadcasts them; the corpus total is a 1-row
+    broadcast cross join. Corpus-sized data shuffles once (the final
+    per-doc aggregate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("c") / F.col("t"))).alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("nll").alias("avg_neg_logprob"),
+        )
+    )
