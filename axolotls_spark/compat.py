@@ -140,15 +140,22 @@ class Frame:
         """Arrow ingress (reference from_arrow, string_column.py:89-102).
         Spark 4 accepts pyarrow Tables directly; the JVM↔Python hop is
         Arrow IPC — the distributed analogue of the reference's
-        zero-copy buffer sharing."""
-        return cls(spark.createDataFrame(table))
+        zero-copy buffer sharing. The positional order key is attached
+        at ingress (monotonically_increasing_id follows (partition,
+        row) order, which preserves a local table's row order) so
+        ordered slices work on Arrow-born frames too."""
+        return cls(
+            spark.createDataFrame(table).withColumn(
+                cls.ORDER, F.monotonically_increasing_id()
+            )
+        )
 
     def to_arrow(self):
         """Arrow egress (reference to_arrow, numeric_column.py:138-159),
         ordered by row_id when present so positional semantics hold."""
         df = self._df
         if self.ORDER in df.columns:
-            df = df.orderBy(self.ORDER)
+            df = df.orderBy(self.ORDER).drop(self.ORDER)
         return df.toArrow()
 
     # -- schema surface (struct_column.py:21-35, column_base.py:10-12) ----
@@ -195,16 +202,25 @@ class Frame:
         )
 
     # -- null handling, recursive (struct_column.py:73-85) ----------------
-    def fill_null(self, value) -> "Frame":
+    def fill_null(self, value, cols: list[str] | None = None) -> "Frame":
         out = self.clone()
-        out.fill_null_(value)
+        out.fill_null_(value, cols)
         return out
 
-    def fill_null_(self, value) -> None:
-        self._df = self._df.fillna(value)
+    def fill_null_(self, value, cols: list[str] | None = None) -> None:
+        """Recursive null fill — descends into nested struct columns
+        (the reference's StructColumn.fill_null_ recursion,
+        struct_column.py:73-85; plain fillna would skip nested
+        frames). ``cols`` limits the fill to a column subset, the
+        veneer spelling of ``df["dense_grp"].fill_null_(0)``."""
+        self._df = self._map_numeric(
+            lambda c: F.coalesce(c, F.lit(value)), cols
+        )._df
 
     # -- scalar broadcast over numeric fields (struct_column.py:88-105) ---
-    def _map_numeric(self, fn: Callable[[Column], Column]) -> "Frame":
+    def _map_numeric(
+        self, fn: Callable[[Column], Column], cols: list[str] | None = None
+    ) -> "Frame":
         def rec(col: Column, dt, name: str) -> Column:
             if isinstance(dt, StructType):
                 return F.struct(
@@ -224,8 +240,17 @@ class Frame:
             return col
 
         df = self._df
+        targets = (
+            set(cols)
+            if cols is not None
+            else {f.name for f in df.schema.fields if f.name != self.ORDER}
+        )
         proj = [
-            rec(F.col(f.name), f.dataType, f.name).alias(f.name)
+            (
+                rec(F.col(f.name), f.dataType, f.name).alias(f.name)
+                if f.name in targets
+                else F.col(f.name)
+            )
             for f in df.schema.fields
             if f.name != self.ORDER
         ]
@@ -237,18 +262,27 @@ class Frame:
 
     __radd__ = __add__
 
-    def log(self) -> "Frame":
-        return self._map_numeric(F.log)
+    def add(self, k, cols: list[str] | None = None) -> "Frame":
+        """``(df["dense_grp"] + 3)`` spelling with a column subset —
+        the struct-column broadcast of demo/criteo.py:39 scoped to
+        one nested frame."""
+        return self._map_numeric(lambda c: c + F.lit(k), cols)
+
+    def log(self, cols: list[str] | None = None) -> "Frame":
+        return self._map_numeric(F.log, cols)
 
     # -- display / action --------------------------------------------------
     def collect(self):
         df = self._df
         if self.ORDER in df.columns:
-            df = df.orderBy(self.ORDER)
+            df = df.orderBy(self.ORDER).drop(self.ORDER)
         return df.collect()
 
     def show(self, n: int = 20) -> None:
-        self._df.show(n)
+        df = self._df
+        if self.ORDER in df.columns:
+            df = df.orderBy(self.ORDER).drop(self.ORDER)
+        df.show(n)
 
 
 # functional.transform parity (functional/velox.py:11-18): module-level

