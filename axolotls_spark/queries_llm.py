@@ -360,3 +360,115 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("nll").alias("avg_neg_logprob"),
         )
     )
+
+
+@register(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               ({_SQL_TOKEN_HASH.format(tok="doc_id::VARCHAR")} % 1000000
+                + 0.5) / 1000000.0 AS u,
+               GREATEST(n_chars, 1)::DOUBLE AS w
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_chars, POW(u, 1.0 / w) AS samp_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY POW(u, 1.0 / w) DESC, doc_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, lang, n_chars, samp_key FROM keyed WHERE rn <= 25
+    """,
+    tags=("weighted-sampling", "reservoir", "llm-pipeline", "top-k-per-group"),
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each document draws a deterministic uniform u from its id hash
+    and competes with key u^(1/w) — here w = document length, the
+    usual quality/importance proxy; the top-25 keys per language are
+    the sample. Larger w → key closer to 1 → proportionally higher
+    selection odds, the A-ES reservoir guarantee.
+
+    Scale shape: the draw and key are map-side arithmetic on a hash
+    (deterministic — retries and the oracle agree); selection is one
+    top-k-per-group window, which Spark executes with
+    WindowGroupLimit (per-partition heaps before the shuffle), so
+    the exchange carries ≤ k·groups rows, not the corpus."""
+    from axolotls_spark.operators.dedup import token_hash
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        token_hash(F.col("doc_id").cast("string")) % 1000000 + 0.5
+    ) / 1000000.0
+    w_col = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.pow(u, 1.0 / w_col).alias("samp_key"),
+    )
+    win = Window.partitionBy("lang").orderBy(
+        F.col("samp_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang", "n_chars", "samp_key")
+    )
+
+
+@register(
+    "discretize_equal_frequency",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [0.25, 0.5, 0.75]) AS q
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           (CASE WHEN l_extendedprice >= q[1] THEN 1 ELSE 0 END
+          + CASE WHEN l_extendedprice >= q[2] THEN 1 ELSE 0 END
+          + CASE WHEN l_extendedprice >= q[3] THEN 1 ELSE 0 END)::INT
+               AS price_bin
+    FROM lineitem, cuts
+    WHERE l_orderkey % 20 = 0
+    """,
+    tags=("discretization", "feature-engineering", "broadcast", "binning"),
+)
+def discretize_equal_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (quartile binning) of a
+    numeric feature — the ML-prep transform behind "bucketize this
+    feature". Cutpoints come from ONE exact-percentile aggregate
+    (1-row result, broadcast); bin assignment is a map-side
+    comparison chain against the broadcast cutpoints.
+
+    Scale shape: this is the scalable discretizer — the naive
+    ntile(4) window would hash every row into ONE partition (global
+    order). Cutpoint-agg + broadcast costs one tiny shuffle and
+    leaves assignment at scan-rate; at 100 TB swap the exact
+    percentile for approx_percentile (same plan, sketch merge) —
+    exact is kept because it is oracle-matchable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.percentile(F.col("l_extendedprice"), F.lit([0.25, 0.5, 0.75])).alias(
+            "q"
+        )
+    )
+    binned = (
+        li.filter(F.col("l_orderkey") % 20 == 0)
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            (
+                (F.col("l_extendedprice") >= F.col("q")[0]).cast("int")
+                + (F.col("l_extendedprice") >= F.col("q")[1]).cast("int")
+                + (F.col("l_extendedprice") >= F.col("q")[2]).cast("int")
+            ).alias("price_bin"),
+        )
+    )
+    return binned
