@@ -663,3 +663,65 @@ def collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "sketch_mergeable_rollup",
+    oracle=None,  # sketch estimates are estimator-specific; accuracy
+    # vs exact values is pinned in tests/test_functions.py.
+    tags=("sketch", "hll", "kll", "reaggregation", "rows-only"),
+)
+def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches, Spark 4): build
+    per-DAY HLL sketches of distinct users and KLL sketches of the
+    value distribution, then answer the MONTHLY question by merging
+    the daily sketches — `hll_union_agg` / `kll_sketch_merge` —
+    without touching raw events again.
+
+    This is the incremental-analytics pattern 100 TB forces: raw
+    events are scanned once ever; each day persists a few-KB sketch;
+    any date-range rollup (month, quarter, trailing-28d) is a merge
+    over O(days) sketches, not a rescan of O(events). Distinct counts
+    don't sum across days (users repeat) — only sketch union answers
+    it from pre-aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("users_sk"),
+        F.kll_sketch_agg_double("value").alias("value_sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_sk")).alias(
+                "approx_users"
+            ),
+            # KLL exposes a pairwise merge (not an agg): fold the
+            # month's ≤31 daily sketches with aggregate() — first
+            # sketch is the init, the rest merge in.
+            F.kll_sketch_get_quantile_double(
+                F.aggregate(
+                    F.slice(
+                        F.collect_list("value_sk"),
+                        F.lit(2),
+                        F.greatest(
+                            F.size(F.collect_list("value_sk")) - 1,
+                            F.lit(0),
+                        ),
+                    ),
+                    F.element_at(F.collect_list("value_sk"), 1),
+                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
+                ),
+                F.lit(0.5),
+            ).alias("approx_median_value"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "approx_users",
+            "approx_median_value",
+            "n_events",
+            "n_days",
+        )
+    )

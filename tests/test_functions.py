@@ -142,3 +142,38 @@ def test_observe_metrics_single_pass(spark):
     assert got["n_null_text"] == 0
     assert got["n_empty"] == 0
     assert 0 < n_en < got["n_rows"]
+
+
+def test_sketch_rollup_accuracy(spark):
+    """Merged daily sketches must track exact monthly values: HLL
+    distinct within 5%, KLL median within the interquartile spread."""
+    from pyspark.sql import functions as F
+
+    from axolotls_spark.io.sources import load_table
+    from axolotls_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.month: r
+        for r in REGISTRY["sketch_mergeable_rollup"].fn(spark, sf).collect()
+    }
+    e = load_table(spark, sf, "events")
+    exact = {
+        r.month: r
+        for r in e.groupBy(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.median("value").alias("med"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) >= 1
+    for m, r in got.items():
+        ex = exact[m]
+        assert abs(r.approx_users - ex.users) <= max(0.05 * ex.users, 2)
+        assert abs(r.approx_median_value - ex.med) <= 0.1 * (abs(ex.med) + 1)
+        assert r.n_events > 0 and r.n_days >= 1

@@ -82,3 +82,34 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     again = spark.read.parquet(target)
     assert again.count() == batch_n
     assert again.select("event_date").distinct().count() == n_dates
+
+
+def test_python_datasource_stream(spark, tmp_path):
+    """Streaming Python DataSource V2: micro-batch offsets advance to
+    max_batches, partitions read executor-side, AvailableNow drains
+    the finite source; totals are deterministic."""
+    from axolotls_spark.io.python_datasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    sdf = (
+        spark.readStream.format("synthetic_docs")
+        .option("shards", 2)
+        .option("rows_per_shard", 10)
+        .option("max_batches", 3)
+        .load()
+    )
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_pyds")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_pyds")
+    assert got.count() == 3 * 2 * 10
+    assert got.select("doc_id").distinct().count() == 60
