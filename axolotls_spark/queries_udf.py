@@ -177,3 +177,98 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         wavg("l_extendedprice", "l_quantity").alias("w_avg_price")
     )
+
+
+@register(
+    "sql_udf_revenue_bands",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           SUM(CASE WHEN l_extendedprice * (1 - l_discount) > 30000
+                    THEN 1 ELSE 0 END) AS n_high
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("sql-udf", "create-function", "sql-surface", "agg"),
+)
+def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (CREATE TEMPORARY FUNCTION ...
+    RETURN expr, Spark 4): the engine's user extension point that
+    needs NO Python at execution time — the body inlines into the
+    Catalyst plan, so a 'UDF' runs at whole-stage-codegen speed.
+    Contrast with udaf_weighted_avg (Python, Arrow hop): SQL UDFs
+    are what a shared analytics platform hands analysts at 100 TB.
+    The oracle inlines the same expressions."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_high(r DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN r > 30000 THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(net_rev(l_extendedprice, l_discount)) AS revenue,
+               SUM(is_high(net_rev(l_extendedprice, l_discount))) AS n_high
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "udtf_polymorphic_ngrams",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id, (i - 1)::INT AS pos,
+           array_to_string(toks[i:i+2], ' ') AS gram
+    FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+    """,
+    tags=("udtf", "polymorphic", "analyze", "text"),
+)
+def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the output
+    schema is computed at ANALYSIS time from the call's literal
+    arguments — here the n-gram order — so one UDTF serves any n
+    with a precise schema, the table-function analogue of a
+    generic operator. n=3 is checked against the oracle's trigrams.
+
+    Scale note: the UDTF runs Arrow-batched per partition (map-side,
+    no shuffle); the analysis-time schema means Catalyst can prune
+    and reason about its columns like any native Generate."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = (
+                StructType()
+                .add("pos", IntegerType())
+                .add("gram", StringType())
+            )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = text.strip().split()
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield i, " ".join(toks[i : i + n])
+
+    spark.udtf.register("poly_ngrams", udtf(NGrams))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    docs.createOrReplaceTempView("docs_sample")
+    return spark.sql(
+        "SELECT d.doc_id, g.pos, g.gram "
+        "FROM docs_sample d, LATERAL poly_ngrams(d.text, 3) g"
+    )

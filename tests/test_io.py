@@ -147,3 +147,63 @@ def test_compact_small_files(spark, tmp_path):
     after_files = [p for p in os.listdir(out) if p.endswith(".parquet")]
     assert n == 1 and len(after_files) == 1
     assert {tuple(r) for r in spark.read.parquet(out).collect()} == before
+
+
+def test_incremental_rollup_exactness(spark, tmp_path):
+    """Lambda/IVM pattern with ALGEBRAIC aggregates: persist daily
+    partial aggregates (count, sum, min, max), answer the monthly
+    question by re-aggregating the partials — must equal the direct
+    monthly aggregate over raw events EXACTLY (longs) / to fp
+    tolerance (sums). This is the non-sketch half of incremental
+    analytics: avg is NOT algebraic, so the partials store
+    (sum, count) and derive avg at query time."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_DIR, "events")
+    daily_path = str(tmp_path / "daily_agg")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    sinks.write_parquet(daily, daily_path, partition_by=["event_type"])
+
+    monthly_from_partials = (
+        spark.read.parquet(daily_path)
+        .groupBy(
+            F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias("m"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    )
+    direct = (
+        events.groupBy(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("m"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    )
+    got = {(r.m, r.event_type): r for r in monthly_from_partials.collect()}
+    exp = {(r.m, r.event_type): r for r in direct.collect()}
+    assert set(got) == set(exp) and len(got) >= 2
+    for k, g in got.items():
+        e = exp[k]
+        assert g.n == e.n
+        assert g.min_v == e.min_v and g.max_v == e.max_v
+        assert abs(g.sum_v - e.sum_v) < 1e-6 * max(abs(e.sum_v), 1)
+        assert abs(g.avg_v - e.avg_v) < 1e-9 * max(abs(e.avg_v), 1)
