@@ -232,3 +232,36 @@ def test_ri_report_one_scan_per_child_table(spark):
     # (once as child, once as parent key-set).
     assert f.text.count("lineitem.parquet") == 1
     assert f.text.count("orders.parquet") == 2
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    f = _facts(spark, "sample_weighted_topk")
+    # Top-k-per-group must push per-partition heaps below the
+    # shuffle (WindowGroupLimit) — the exchange carries ≤ k·groups.
+    assert "WindowGroupLimit" in f.text
+    assert f.n_exchanges <= 2
+
+
+def test_unigram_logprob_broadcasts_freq(spark):
+    f = _facts(spark, "unigram_logprob_score")
+    # Zipf-small frequency table + 1-row total ride broadcasts.
+    assert f.n_broadcast_hash_joins >= 1
+    assert "BroadcastNestedLoopJoin" in f.text or f.n_broadcast_hash_joins >= 2
+    assert f.n_sort_merge_joins == 0
+
+
+def test_discretize_no_global_window(spark):
+    f = _facts(spark, "discretize_equal_frequency")
+    # Cutpoint broadcast, map-side assignment — the ntile trap
+    # (global-order window) must not appear.
+    assert "Window" not in f.text
+    assert f.n_sort_merge_joins == 0
+
+
+def test_sql_udf_stays_in_codegen(spark):
+    f = _facts(spark, "sql_udf_revenue_bands", execute=True)
+    # SQL UDF bodies inline into the plan: no Python eval nodes and
+    # codegen still spans the aggregate.
+    assert "BatchEvalPython" not in f.text
+    assert "ArrowEvalPython" not in f.text
+    assert f.n_codegen_stages >= 1
