@@ -265,3 +265,34 @@ def test_sql_udf_stays_in_codegen(spark):
     assert "BatchEvalPython" not in f.text
     assert "ArrowEvalPython" not in f.text
     assert f.n_codegen_stages >= 1
+
+
+def test_bitmap_distinct_partial_agg_no_expand(spark):
+    f = _facts(spark, "agg_bitmap_exact_distinct")
+    # Exact distinct via bitmap partials: the plan must NOT use the
+    # COUNT(DISTINCT) Expand node (which replicates every row per
+    # distinct column), and each branch is a two-level hash agg whose
+    # shuffle carries fixed-width bitmaps, not raw keys.
+    assert "Expand" not in f.text
+    assert "bitmap_construct_agg" in f.text
+    # Two branches x (bucket-agg shuffle + group-agg shuffle) + the
+    # final small join: partial aggregation must be present map-side.
+    assert f.text.count("HashAggregate") >= 4
+
+
+def test_pipe_syntax_compiles_to_pushed_scan(spark):
+    f = _facts(spark, "sql_pipe_revenue")
+    # Pipe-syntax SQL is sugar: the parameterized WHERE must still
+    # reach the parquet scan as a pushed filter, and the plan is the
+    # same single-shuffle aggregate as the nested-SELECT form.
+    assert any("l_quantity" in p for p in f.pushed_filters)
+    assert f.n_exchanges == 1
+
+
+def test_split_map_roundtrip_is_map_only(spark):
+    f = _facts(spark, "string_split_map_roundtrip")
+    # Generate (explode_outer) fuses into the scan projection:
+    # no shuffle, no Python eval, codegen covers the projection.
+    assert f.n_exchanges == 0
+    assert "BatchEvalPython" not in f.text
+    assert "ArrowEvalPython" not in f.text
