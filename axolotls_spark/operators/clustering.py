@@ -1,0 +1,90 @@
+"""Relational k-means (Lloyd's algorithm) over embedding vectors.
+
+Semantic clustering is a curation primitive for LLM data pipelines
+(cluster-then-sample, semantic dedup, topic balancing). The reference
+has no clustering (SURVEY §2A — its only ops are element-wise torch
+kernels); this is a §2B extension designed scale-first:
+
+- Vectors are held in LONG form (vec_id, pos, val) — the distance
+  computation is a plain broadcast-join + hash aggregate, never a
+  Python UDF, so it stays in whole-stage codegen.
+- Centroids (k × dim rows) are broadcast every iteration; the big
+  side is never shuffled for the distance step. The only wide
+  exchanges are the (vec_id, cid) argmin window and the centroid
+  re-average — both over data that shrinks with k·dim or N, not
+  N·dim·k.
+- Iterations are unrolled into one lazy plan (fixed, small count) —
+  deterministic init (first k vec_ids) makes the whole run
+  reproducible and oracle-checkable by unrolling the same algebra
+  in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def explode_long(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, array<float>) → (id, pos, val double), pos is 1-based to
+    match SQL generate_subscripts."""
+    return emb.select(
+        id_col,
+        (F.posexplode(vec_col)).alias("pos0", "val_f"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+
+
+def kmeans_assign(long: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid per vector.
+
+    ``long``: (vec_id, pos, val); ``centroids``: (cid, pos, cval).
+    Distance = Σ_pos (val-cval)²; ties broken by lowest cid so the
+    assignment is a pure function of the inputs.
+    """
+    d2 = (
+        long.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def kmeans_update(long: DataFrame, assign: DataFrame) -> DataFrame:
+    """Centroid re-average: (cid, pos, cval) from current members."""
+    return (
+        long.join(assign, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("cval"))
+    )
+
+
+def kmeans(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd iterations with deterministic init (the
+    first k vec_ids are the seed centroids). Returns (assignment,
+    centroids) as lazy DataFrames — one unrolled Catalyst plan."""
+    long = explode_long(emb)
+    centroids = (
+        long.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval"))
+    )
+    assign = None
+    for _ in range(iters):
+        assign = kmeans_assign(long, centroids)
+        centroids = kmeans_update(long, assign)
+    return assign, centroids

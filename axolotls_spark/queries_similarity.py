@@ -200,3 +200,82 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return SIM.lsh_bucketed_topk(q, emb, dim=64, k=5, n_planes=4, n_tables=8)
+
+
+_KMEANS_ORACLE = """
+    WITH long AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM long WHERE vec_id < 8),
+    d1 AS (
+        SELECT l.vec_id, c.cid,
+               SUM((l.val - c.cval) * (l.val - c.cval)) AS d2
+        FROM long l JOIN c0 c USING (pos)
+        GROUP BY l.vec_id, c.cid
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a.cid, l.pos, AVG(l.val) AS cval
+        FROM long l JOIN a1 a USING (vec_id)
+        GROUP BY a.cid, l.pos
+    ),
+    d2s AS (
+        SELECT l.vec_id, c.cid,
+               SUM((l.val - c.cval) * (l.val - c.cval)) AS d2
+        FROM long l JOIN c1 c USING (pos)
+        GROUP BY l.vec_id, c.cid
+    ),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d2s) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT a.cid, l.pos, AVG(l.val) AS cval
+        FROM long l JOIN a2 a USING (vec_id)
+        GROUP BY a.cid, l.pos
+    )
+    SELECT s.cid, s.n_members, n.centroid_norm
+    FROM (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid) s
+    JOIN (SELECT cid, ROUND(SQRT(SUM(cval * cval)), 6) AS centroid_norm
+          FROM c2 GROUP BY cid) n
+    USING (cid)
+"""
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_KMEANS_ORACLE,
+    tags=("clustering", "kmeans", "iterative", "embedding", "broadcast"),
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational k-means (k=8, 2 Lloyd iterations, deterministic
+    first-k init) — cluster sizes + centroid L2 norms. The distance
+    step is a broadcast join + hash aggregate over the long-form
+    vectors (operators/clustering.py); the identical algebra is
+    unrolled in the DuckDB oracle, so the assignment is exactly
+    hash-checked. Curation primitive for cluster-then-sample /
+    topic balancing over a 100 TB corpus: the N·dim fact side is
+    never shuffled for distances — only the shrunken (vec_id, cid)
+    argmin and the k·dim re-average exchange."""
+    from axolotls_spark.operators import clustering as CLU
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, cents = CLU.kmeans(emb, k=8, iters=2)
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    norms = cents.groupBy("cid").agg(
+        F.round(F.sqrt(F.sum(F.col("cval") * F.col("cval"))), 6)
+        .alias("centroid_norm")
+    )
+    return sizes.join(norms, "cid").select("cid", "n_members", "centroid_norm")

@@ -296,3 +296,14 @@ def test_split_map_roundtrip_is_map_only(spark):
     assert f.n_exchanges == 0
     assert "BatchEvalPython" not in f.text
     assert "ArrowEvalPython" not in f.text
+
+
+def test_kmeans_distance_broadcasts_centroids(spark):
+    """Lloyd distance step: centroids (k x dim) broadcast against the
+    long fact side each iteration — the N·dim side is never shuffled
+    for distances, so the plan has one BroadcastHashJoin per
+    iteration and no cartesian/NLJ anywhere."""
+    f = _facts(spark, "kmeans_clusters")
+    assert f.n_broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
