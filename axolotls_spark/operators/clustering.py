@@ -45,7 +45,9 @@ def kmeans_assign(long: DataFrame, centroids: DataFrame) -> DataFrame:
 
     ``long``: (vec_id, pos, val); ``centroids``: (cid, pos, cval).
     Distance = Σ_pos (val-cval)²; ties broken by lowest cid so the
-    assignment is a pure function of the inputs.
+    assignment is a pure function of the inputs. Returns
+    (vec_id, cid, d2) — d2 is the squared distance to the WINNING
+    centroid (pre-update), which is what inertia sums.
     """
     d2 = (
         long.join(F.broadcast(centroids), "pos")
@@ -61,7 +63,7 @@ def kmeans_assign(long: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         d2.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .select("vec_id", "cid", "d2")
     )
 
 

@@ -101,3 +101,88 @@ def doc_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + (token_hash(t) % p)) % p,
     )
+
+
+# --- Repetition filters & benchmark decontamination -----------------------
+# Gopher/MassiveText-style repetition quality signals and GPT-3-style
+# n-gram decontamination against a held-out benchmark set. Both are
+# standard curation passes in LLM data pipelines; the reference has
+# neither (its text surface is element-wise ops only — SURVEY §2A).
+
+
+def ngrams_all_col(text: Column, n: int) -> Column:
+    """All word n-grams (duplicates KEPT — unlike dedup.shingles_col)
+    so repetition can be measured. Empty array below n tokens."""
+    toks = tokens_col(text)
+    seq = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_token_frac(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 - distinct/total. Pure per-row expression — no shuffle."""
+    toks = tokens_col(text)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of all n-grams taken by the single most frequent one.
+
+    Scale-first: instead of explode + two keyed aggregations (a
+    shuffle of every n-gram in the corpus), sort the per-row n-gram
+    array and fold it with ``F.aggregate`` to the longest equal-run —
+    a map-only expression that stays in codegen. The DuckDB oracle
+    does the relational unnest/GROUP BY version of the same algebra.
+    """
+    grams = F.array_sort(ngrams_all_col(text, n))
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+        )
+
+    mx = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("mx"),
+        ),
+        merge,
+        lambda acc: acc["mx"],
+    )
+    return F.when(
+        F.size(grams) > 0, mx.cast("double") / F.size(grams)
+    ).otherwise(F.lit(0.0))
+
+
+def benchmark_ngram_overlap(
+    corpus: "DataFrame", bench: "DataFrame", n: int = 3
+) -> "DataFrame":
+    """Per-corpus-doc count of distinct n-grams shared with a
+    benchmark set — the GPT-3 appendix-C decontamination shape.
+
+    The benchmark n-gram set is tiny relative to the corpus (eval
+    suites are MBs; the corpus is TBs), so it is DISTINCTed and
+    broadcast: the corpus side is scanned once, never shuffled for
+    the probe, and the only wide exchange is the per-doc overlap
+    count over join survivors.
+    """
+    from axolotls_spark.operators.dedup import shingles_col
+
+    bench_g = (
+        bench.select(F.explode(shingles_col(F.col("text"), n)).alias("g"))
+        .distinct()
+    )
+    return (
+        corpus.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("g"))
+        .join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )

@@ -202,7 +202,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_topk(q, emb, dim=64, k=5, n_planes=4, n_tables=8)
 
 
-_KMEANS_ORACLE = """
+# Shared unrolled-Lloyd CTE (k=8, 2 iterations, first-k init):
+# long-form vectors, c0 seeds, d*/a* distance+argmin per iteration,
+# c* re-averaged centroids. a2 carries d2 (distance to the winning
+# pre-update centroid) so inertia is oracle-checkable too.
+_KMEANS_CTE = """
     WITH long AS (
         SELECT vec_id,
                generate_subscripts(embedding, 1) AS pos,
@@ -235,8 +239,8 @@ _KMEANS_ORACLE = """
         GROUP BY l.vec_id, c.cid
     ),
     a2 AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
+        SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY d2, cid) AS rn
             FROM d2s) WHERE rn = 1
@@ -246,6 +250,9 @@ _KMEANS_ORACLE = """
         FROM long l JOIN a2 a USING (vec_id)
         GROUP BY a.cid, l.pos
     )
+"""
+
+_KMEANS_ORACLE = _KMEANS_CTE + """
     SELECT s.cid, s.n_members, n.centroid_norm
     FROM (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid) s
     JOIN (SELECT cid, ROUND(SQRT(SUM(cval * cval)), 6) AS centroid_norm
@@ -279,3 +286,61 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("centroid_norm")
     )
     return sizes.join(norms, "cid").select("cid", "n_members", "centroid_norm")
+
+
+@register(
+    "kmeans_inertia",
+    oracle=_KMEANS_CTE + """
+    SELECT cid, COUNT(*) AS n_members,
+           ROUND(SUM(d2), 6) AS inertia,
+           ROUND(AVG(d2), 6) AS avg_d2
+    FROM a2 GROUP BY cid
+    """,
+    tags=("clustering", "kmeans", "quality", "embedding"),
+)
+def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inertia (within-cluster sum of squared distance to
+    the assigned centroid) after the same k=8 / 2-iteration run —
+    the quality metric an elbow sweep would minimize. d2 falls out
+    of the assignment argmin for free (no extra pass over the
+    vectors); only the k-row summary is exchanged."""
+    from axolotls_spark.operators import clustering as CLU
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, _ = CLU.kmeans(emb, k=8, iters=2)
+    return assign.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum("d2"), 6).alias("inertia"),
+        F.round(F.avg("d2"), 6).alias("avg_d2"),
+    )
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_KMEANS_CTE + """
+    SELECT vec_id, cid, rn FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn
+        FROM a2
+    ) WHERE rn <= 8
+    """,
+    tags=("clustering", "sampling", "curation", "window"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-sample: 8 most-central members per k-means
+    cluster (rank by distance-to-centroid, vec_id tiebreak) — the
+    topic-balancing step of a curation pipeline, guaranteeing every
+    semantic cluster is represented regardless of corpus skew. The
+    per-cluster top-k is a WindowGroupLimit over the already-small
+    assignment relation — the vectors themselves are not re-read."""
+    from axolotls_spark.operators import clustering as CLU
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, _ = CLU.kmeans(emb, k=8, iters=2)
+    w = Window.partitionBy("cid").orderBy("d2", "vec_id")
+    return (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("vec_id", "cid", "rn")
+    )

@@ -544,3 +544,81 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.filter(
         D.token_hash(F.col("doc_id").cast("string")) % 100 < rate
     ).select("doc_id", "lang", "source", "n_chars", "n_tokens")
+
+
+@register(
+    "gopher_repetition_filters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(t)::BIGINT AS n_tokens,
+               1.0 - len(list_distinct(t))::DOUBLE / len(t) AS dup_token_frac
+        FROM toks
+    ),
+    bg AS (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    tb AS (
+        SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_bigram_frac
+        FROM bgc GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.n_tokens, m.dup_token_frac, tb.top_bigram_frac,
+           (m.dup_token_frac <= 0.65 AND tb.top_bigram_frac <= 0.06) AS keep
+    FROM m JOIN tb USING (doc_id)
+    """,
+    tags=("text", "quality", "gopher", "repetition", "map-only"),
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters: duplicate-token
+    fraction and top-bigram fraction per document, with the keep
+    decision. Entirely map-only on the Spark side — the bigram
+    max-run is a sorted-array fold (operators/text_analysis.py
+    top_ngram_frac), zero shuffles, so at 100 TB this runs at scan
+    rate; the oracle computes the identical numbers relationally."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    dup = T.dup_token_frac(F.col("text"))
+    top = T.top_ngram_frac(F.col("text"), n=2)
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        dup.alias("dup_token_frac"),
+        top.alias("top_bigram_frac"),
+        ((dup <= 0.65) & (top <= 0.06)).alias("keep"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH ng AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS gs FROM documents
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 50 = 0),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_overlap
+        FROM (SELECT doc_id, unnest(gs) AS g FROM ng
+              WHERE doc_id % 50 <> 0) c
+        JOIN bench USING (g)
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_overlap, n_overlap >= 4 AS contaminated FROM hits
+    """,
+    tags=("text", "decontamination", "ngram", "broadcast", "curation"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C shape): every
+    50th doc plays the held-out eval set; corpus docs report how
+    many distinct 3-grams they share with it. The benchmark n-gram
+    set is distinct-ed and BROADCAST — the TB-scale corpus side is
+    never shuffled for the probe; only join survivors reach the
+    per-doc count."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = T.benchmark_ngram_overlap(corpus, bench, n=3)
+    return out.withColumn("contaminated", F.col("n_overlap") >= 4)

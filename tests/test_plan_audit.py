@@ -307,3 +307,22 @@ def test_kmeans_distance_broadcasts_centroids(spark):
     assert f.n_broadcast_hash_joins >= 2
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_gopher_filters_map_only(spark):
+    """Repetition metrics are a sorted-array fold per row — besides
+    the deliberate small-file spread there is NO shuffle, and no
+    Python in the plan: the filter runs at scan rate at 100 TB."""
+    f = _facts(spark, "gopher_repetition_filters")
+    assert f.n_exchanges <= 1  # only the spread_for_cpu repartition
+    assert "BatchEvalPython" not in f.text
+    assert f.n_sort_merge_joins == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set n-gram probe must broadcast: the corpus side is
+    never shuffled for the join."""
+    f = _facts(spark, "decontaminate_ngram_overlap")
+    assert f.n_broadcast_hash_joins >= 1
+    assert f.n_sort_merge_joins == 0
+    assert "CartesianProduct" not in f.text
