@@ -48,6 +48,9 @@ HEADLINE = [
     "quantize_embeddings_int8",
     "ri_orphan_report",
     "variant_shred_props",
+    "kmeans_clusters",
+    "gopher_repetition_filters",
+    "decontaminate_ngram_overlap",
 ]
 
 
