@@ -47,12 +47,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Lazy — no job runs until an action.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false),
-    which Spark 4 refuses by default. We read the raw nanos long
-    (``nanosAsLong``, runtime-settable so it works on any caller's
-    session) and rebuild a TIMESTAMP_NTZ via pure epoch arithmetic —
-    timezone-independent, so results match the DuckDB oracle's naive
-    reading under any session timezone.
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS,
+    isAdjustedToUTC=false) — which Spark 4 refuses unless read as a
+    raw nanos long (``nanosAsLong``) — or plain TIMESTAMP(MICROS),
+    depending on the generator version. We branch on the type Spark
+    actually reads: a long gets rebuilt into TIMESTAMP_NTZ via pure
+    epoch arithmetic (timezone-independent, so results match the
+    DuckDB oracle's naive reading under any session timezone); a
+    native timestamp passes through untouched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -61,6 +63,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") != "bigint":
+            return df
         return df.withColumn(
             "ts",
             F.expr(

@@ -1,0 +1,336 @@
+"""Sequence/product analytics over ``events`` + sparse-vector
+similarity over ``documents`` + manual join pruning.
+
+SURVEY §2B extensions. The reference has no sequence or similarity
+operators at all (its entire surface is element-wise math,
+``numeric_column.py:76-125``); these are the classic large-scale
+behavioural-analytics shapes (funnel, cohort retention) and the
+sparse counterpart of the dense embedding similarity in
+``operators/similarity.py``.
+
+Scale notes are on each query; the common theme is ONE shuffle per
+corpus-sized relation: funnels fold per-user sorted arrays after a
+single groupBy, retention derives cohorts from a ``collect_set``
+aggregate rather than a second window shuffle, and sparse cosine
+bounds its pair fan-out with a document-frequency prune (the DIMSUM
+trick) before the self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table, spread_for_cpu
+from axolotls_spark.operators.dedup import tokens_col
+from axolotls_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Funnel: strict-ordered view -> click -> purchase
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+            AND CAST(e.ts AS TIMESTAMP) > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+            AND CAST(e.ts AS TIMESTAMP) > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT
+        (SELECT COUNT(DISTINCT user_id) FROM events
+         WHERE event_type IN ('view', 'click', 'purchase')) AS n_users,
+        (SELECT COUNT(*) FROM v) AS n_view,
+        (SELECT COUNT(*) FROM c) AS n_click_after_view,
+        (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+    tags=("funnel", "sequence-analytics", "higher-order", "single-shuffle"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordered funnel: first view, first click AFTER that
+    view, first purchase AFTER that click; counts users reaching
+    each stage.
+
+    Scale shape: ONE shuffle (groupBy user), then a map-side
+    ``aggregate`` fold over each user's time-sorted event array —
+    the oracle's three self-joins would be three corpus shuffles.
+    Per-user state is 3 timestamps, so skewed users cost memory only
+    in their (bounded) collected arrays.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    null_ts = F.lit(None).cast("timestamp_ntz")
+    fold = F.aggregate(
+        "evs",
+        F.struct(
+            null_ts.alias("t1"), null_ts.alias("t2"), null_ts.alias("t3")
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                acc.t1.isNull() & (x.event_type == F.lit("view")), x.ts
+            )
+            .otherwise(acc.t1)
+            .alias("t1"),
+            F.when(
+                acc.t2.isNull()
+                & acc.t1.isNotNull()
+                & (x.event_type == F.lit("click"))
+                & (x.ts > acc.t1),
+                x.ts,
+            )
+            .otherwise(acc.t2)
+            .alias("t2"),
+            F.when(
+                acc.t3.isNull()
+                & acc.t2.isNotNull()
+                & (x.event_type == F.lit("purchase"))
+                & (x.ts > acc.t2),
+                x.ts,
+            )
+            .otherwise(acc.t3)
+            .alias("t3"),
+        ),
+    )
+    return per_user.select(fold.alias("f")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("f.t1").alias("n_view"),
+        F.count("f.t2").alias("n_click_after_view"),
+        F.count("f.t3").alias("n_purchase_after_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1)
+    SELECT c.cohort_week,
+           CAST(DATEDIFF('day', c.cohort_week, uw.wk) / 7 AS INT)
+               AS week_offset,
+           COUNT(*) AS n_users
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("retention", "cohort", "sequence-analytics", "single-shuffle"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-
+    active week, counted in each later week they return.
+
+    Scale shape: one groupBy(user) shuffle collecting the (tiny)
+    distinct-week set; cohort = array_min of that set, offsets via
+    explode — all map-side after the single exchange. The naive
+    plan (distinct + window-min + second aggregate) shuffles the
+    corpus twice.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    )
+    pu = e.groupBy("user_id").agg(F.collect_set("wk").alias("wks"))
+    exploded = pu.select(
+        F.array_min("wks").alias("cohort_week"),
+        F.explode("wks").alias("wk"),
+    )
+    return exploded.groupBy(
+        "cohort_week",
+        (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# Manual bloom-filter semi-join pruning
+
+
+@register(
+    "bloom_prejoin_filter",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           l.l_extendedprice * (1 - l.l_discount) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    tags=("join-pruning", "bloom-filter", "runtime-filter", "join"),
+)
+def bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join lineitem to urgent orders with an explicit bloom-filter
+    pre-prune on the fact side — the manual form of Spark's
+    InjectRuntimeFilter (whose ``bloom_filter_agg`` is internal-only
+    in Spark 4, so the bitset is built from user-level primitives:
+    xxhash64 → bit position, ``bit_or`` per 64-bit word).
+
+    At 100 TB the win is scan-side: the bitset probe rejects most
+    lineitem rows BEFORE the join shuffle, so the exchange moves
+    ~1/5 of the fact table. Hash collisions only cost shuffle bytes
+    (false positives; never false negatives — a member key always
+    has its bit set), and the exact hash join afterwards keeps the
+    result precise, which is why this stays oracle-checkable. The
+    filter itself is a <=64Ki-row (word, mask) relation — a ~512 KB
+    broadcast at 2^22 bits, sized for ~1M distinct keys — and both
+    build and probe stay inside whole-stage codegen.
+    """
+    m_bits = 1 << 22
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    urgent = o.select("o_orderkey")
+    bloom = (
+        urgent.select(
+            F.expr(f"pmod(xxhash64(o_orderkey), {m_bits}L)").alias("h")
+        )
+        .select(
+            F.expr("h div 64").alias("wi"),
+            F.expr("shiftleft(1L, cast(h % 64 AS INT))").alias("m"),
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).withColumn("h", F.expr(f"pmod(xxhash64(l_orderkey), {m_bits}L)"))
+    pruned = (
+        l.join(F.broadcast(bloom), F.expr("h div 64") == F.col("wi"))
+        .filter(F.expr("(mask >> cast(h % 64 AS INT)) & 1L = 1L"))
+    )
+    return (
+        pruned.join(
+            urgent.hint("shuffle_hash"), pruned.l_orderkey == urgent.o_orderkey
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs (DIMSUM-style df prune)
+
+_MAX_DF_FRAC = 0.25  # terms in >25% of docs are stopwords: pruned
+_MIN_COS = 0.30
+
+
+@register(
+    "sparse_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    dfreq AS (
+        SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term
+    ),
+    w AS (
+        SELECT t.doc_id, t.term, t.tf * LN((n.n_docs + 1) / (d.df + 1)) AS w
+        FROM tf t JOIN dfreq d USING (term), n
+        WHERE d.df > 1 AND d.df <= n.n_docs * {_MAX_DF_FRAC}
+    ),
+    nrm AS (
+        SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+    ),
+    u AS (
+        SELECT w.doc_id, w.term, w.w / nrm.nrm AS uw
+        FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           SUM(a.uw * b.uw) AS cosine
+    FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING SUM(a.uw * b.uw) >= {_MIN_COS}
+    """,
+    tags=("similarity", "sparse-vector", "tfidf", "self-join", "dimsum"),
+)
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with TF-IDF cosine >= 0.30 via a sparse
+    inverted-index self-join — the sparse sibling of
+    ``cosine_topk`` (dense embeddings).
+
+    Scale shape (DIMSUM): pair fan-out of an inverted-index join is
+    sum(df^2), unbounded on stopwords — so terms with df > 25%·N
+    are pruned BEFORE the join (they carry ~no idf weight anyway),
+    as are df=1 terms (cannot pair). Weights are L2-normalized
+    before pairing so the final aggregate is a plain SUM — no
+    norm join after the (largest) pair relation.
+    """
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") > 1) & (F.col("df") <= F.col("n_docs") * _MAX_DF_FRAC)
+        )
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    u = (
+        w.join(nrm, "doc_id")
+        .filter(F.col("nrm") > 0)
+        .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("uw"))
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.uw") * F.col("b.uw")).alias("cosine"))
+        .filter(F.col("cosine") >= _MIN_COS)
+    )

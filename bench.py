@@ -51,6 +51,9 @@ HEADLINE = [
     "kmeans_clusters",
     "gopher_repetition_filters",
     "decontaminate_ngram_overlap",
+    "funnel_conversion",
+    "sparse_cosine_pairs",
+    "bloom_prejoin_filter",
 ]
 
 

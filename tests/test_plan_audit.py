@@ -326,3 +326,52 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert f.n_broadcast_hash_joins >= 1
     assert f.n_sort_merge_joins == 0
     assert "CartesianProduct" not in f.text
+
+
+def test_funnel_single_shuffle_fold(spark):
+    """Strict-ordered funnel: one groupBy(user) exchange feeding a
+    map-side array fold — never the oracle's three self-joins (three
+    corpus shuffles), and no Python anywhere."""
+    f = _facts(spark, "funnel_conversion")
+    # groupBy(user) + the final 1-row global aggregate exchange.
+    assert f.n_exchanges <= 2
+    assert f.n_sort_merge_joins == 0
+    assert "BatchEvalPython" not in f.text
+
+
+def test_retention_single_corpus_shuffle(spark):
+    """Cohort retention: the events corpus is shuffled once
+    (groupBy user w/ collect_set); cohort + offsets derive map-side.
+    The post-explode re-aggregate touches only user-week rows."""
+    f = _facts(spark, "retention_cohorts")
+    assert f.n_exchanges <= 2
+    assert f.n_sort_merge_joins == 0
+    assert "BatchEvalPython" not in f.text
+
+
+def test_bloom_prejoin_broadcasts_bitset(spark):
+    """The bit_or bitset relation must broadcast (it is <=64Ki rows
+    by construction); the fact scan reads only the 4 needed columns
+    and the pruned fact side joins hash-side, never cartesian."""
+    f = _facts(spark, "bloom_prejoin_filter")
+    assert f.n_broadcast_hash_joins >= 1
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "BatchEvalPython" not in f.text
+
+
+def test_sparse_cosine_prunes_and_broadcasts_df(spark):
+    """DIMSUM sparse cosine: document frequencies and the 1-row
+    corpus count ride broadcast joins (the doc-term relation is the
+    only corpus-sized thing shuffled), and the pair join stays an
+    equi-join on term — no cartesian fan-out in the plan. (The only
+    BroadcastNestedLoopJoins are the deliberate 1-row corpus-count
+    crossJoins — constant fan-out, not a pair explosion.) The
+    executed plan must also show exchange REUSE: the a/b sides of
+    the self-join share one computation of the weight pipeline, so
+    the corpus is tokenized/aggregated once, not twice."""
+    f = _facts(spark, "sparse_cosine_pairs")
+    assert f.n_broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in f.text
+    fx = _facts(spark, "sparse_cosine_pairs", execute=True)
+    assert "ReusedExchange" in fx.text
