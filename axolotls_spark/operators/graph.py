@@ -1,0 +1,69 @@
+"""Relational graph analytics — PageRank over an aggregated graph.
+
+The reference has no graph surface (SURVEY §2A: element-wise torch
+kernels only); this is a §2B-style extension following the same
+design as relational k-means (operators/clustering.py): the
+corpus-sized work is ONE aggregation that shrinks 100 TB of facts to
+a small weighted graph, after which every Lloyd/power iteration is a
+broadcast join over the tiny rank vector — unrolled into a single
+lazy Catalyst plan, no driver-side loop state, no collect().
+
+Scale sketch: |nodes| = dimension cardinality (25 nations), |edges|
+<= |nodes|^2 — both broadcastable at any fact-table scale. For
+graphs where the rank vector itself is huge (billions of nodes) the
+same step degrades gracefully to a shuffle hash join on src — the
+code is identical, only the broadcast hint goes away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERS = 5
+
+
+def pagerank(edges: DataFrame, damping: float = DAMPING,
+             iters: int = ITERS) -> DataFrame:
+    """Power-iterate PageRank on a weighted edge list (src, dst, w).
+
+    Nodes = union of endpoints; transition weight = w / out-weight
+    of src; rank_0 = 1/N; rank_{t+1}(v) = (1-d)/N + d * sum over
+    in-edges of rank_t(u) * wn(u,v). Nodes with no out-edges leak
+    mass (standard simplification — no dangling redistribution),
+    which keeps every step a pure join+aggregate both engines can
+    replay. Returns (node, rank) as one unrolled lazy plan.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # 1-row count relation — broadcast, never a driver .count().
+    ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    t = edges.join(ow, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("wn")
+    )
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            t.join(F.broadcast(ranks), t.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

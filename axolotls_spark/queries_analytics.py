@@ -334,3 +334,198 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("a.uw") * F.col("b.uw")).alias("cosine"))
         .filter(F.col("cosine") >= _MIN_COS)
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the nation trade graph (aggregate-then-iterate)
+
+_PR_EDGES_SQL = """
+    edges AS (
+        SELECT ns.n_name AS src, nc.n_name AS dst,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    ncnt AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    t AS (SELECT e.src, e.dst, e.w / ow.ow AS wn FROM edges e JOIN ow USING (src)),
+    r0 AS (SELECT node, 1.0 / ncnt.n AS rank FROM nodes CROSS JOIN ncnt)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f""",
+    r{i} AS (
+        SELECT nodes.node,
+               (1 - 0.85) / ncnt.n
+                 + 0.85 * COALESCE(c.s, 0.0) AS rank
+        FROM nodes
+        CROSS JOIN ncnt
+        LEFT JOIN (
+            SELECT t.dst, SUM(r{i - 1}.rank * t.wn) AS s
+            FROM t JOIN r{i - 1} ON t.src = r{i - 1}.node
+            GROUP BY t.dst
+        ) c ON nodes.node = c.dst
+    )"""
+
+
+_PR_ORACLE = (
+    "WITH " + _PR_EDGES_SQL
+    + "".join(_pr_iter_sql(i) for i in range(1, 6))
+    + "\n    SELECT node AS nation, rank AS pagerank FROM r5"
+)
+
+
+@register(
+    "pagerank_trade_graph",
+    oracle=_PR_ORACLE,
+    tags=("graph", "pagerank", "iterative", "broadcast", "agg"),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank of the nation-to-nation trade graph (supplier nation
+    → customer nation, edge weight = revenue), 5 damped power
+    iterations — relational graph analytics in the k-means mold
+    (operators/clustering.py): NO driver loop state, no collect.
+
+    Scale shape: the ONLY corpus-sized work is the edge aggregation
+    (lineitem joined to broadcast dimensions, one shuffle for the
+    groupBy); the graph that comes out is |nations|² at most, so
+    every power iteration is a broadcast join over a 25-row rank
+    vector. 100 TB of facts, 25-node graph: aggregate-then-iterate.
+    """
+    from axolotls_spark.operators.graph import pagerank
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                 F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "w"
+            )
+        )
+    )
+    return pagerank(edges).select(
+        F.col("node").alias("nation"), F.col("rank").alias("pagerank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Term co-occurrence PMI (top-V vocabulary bound)
+
+_PMI_V = 200  # vocabulary cap: bounds pair fan-out to V^2
+_PMI_MIN_PAIRS = 5
+
+
+@register(
+    "cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM toks GROUP BY term),
+    vocab AS (
+        SELECT term, df FROM freq ORDER BY df DESC, term LIMIT {_PMI_V}
+    ),
+    tv AS (SELECT t.doc_id, t.term FROM toks t JOIN vocab USING (term)),
+    n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, COUNT(*)::DOUBLE AS n_ab
+        FROM tv a JOIN tv b
+            ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
+    )
+    SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+           LN(n_ab * n.n_docs / (va.df * vb.df)) AS pmi
+    FROM pairs
+    JOIN vocab va ON pairs.term_a = va.term
+    JOIN vocab vb ON pairs.term_b = vb.term
+    CROSS JOIN n
+    ORDER BY n_ab * n.n_docs / (va.df * vb.df) DESC, term_a, term_b
+    LIMIT 50
+    """,
+    tags=("text-analysis", "pmi", "cooccurrence", "self-join", "topk"),
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 term pairs by pointwise mutual information (document-
+    level co-occurrence) over a capped vocabulary.
+
+    Scale shape: the vocabulary is cut to the top-{_PMI_V} terms via
+    distributed top-k (TakeOrderedAndProject — never a global
+    single-partition window) and broadcast, so the pair join's
+    fan-out is bounded by V² regardless of corpus size. Ranking uses
+    the rational ratio n_ab·N/(df_a·df_b) rather than its log — IEEE
+    division is bit-identical across engines, LN's last ulp is not —
+    with the PMI itself emitted for the value compare (9 sig digits).
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).distinct()
+    freq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    vocab = freq.orderBy(F.col("df").desc(), "term").limit(_PMI_V)
+    tv = toks.join(F.broadcast(vocab.select("term")), "term")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    a = tv.alias("a")
+    b = tv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    ratio = F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))
+    return (
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.log(ratio).alias("pmi"),
+            ratio.alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), "term_a", "term_b")
+        .limit(50)
+        .drop("_r")
+    )

@@ -472,3 +472,69 @@ def discretize_equal_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return binned
+
+
+@register(
+    "temperature_mix_sources",
+    oracle="""
+    WITH sc AS (
+        SELECT source, COUNT(*)::DOUBLE AS n_s FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(SQRT(n_s)) AS sum_sqrt, SUM(n_s) AS n_total FROM sc
+    ),
+    rates AS (
+        SELECT source,
+               LEAST(1.0, (0.5 * n_total) * (SQRT(n_s) / sum_sqrt) / n_s)
+                   AS keep_rate
+        FROM sc CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, d.lang, r.keep_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+          < r.keep_rate * 1000000
+    """,
+    tags=("sampling", "mixture", "temperature", "llm-pipeline", "broadcast"),
+)
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5): per-source
+    keep rates proportional to sqrt(n_s) — the multilingual/domain
+    rebalancing rule from the XLM/mT5 lineage — targeting half the
+    corpus, with rates DERIVED FROM THE DATA in the same job (no
+    precomputed config, unlike sample_stratified_by_lang's fixed
+    rates).
+
+    Scale shape: source counts are one hash aggregate; the rate
+    table (|sources| rows) broadcasts back onto the corpus, and
+    membership is a deterministic content-hash threshold — identical
+    keys survive on every engine/run/partitioning, so the sample is
+    reproducible AND oracle-checkable. One corpus-wide scan, one
+    tiny aggregate, zero corpus shuffles.
+    """
+    from axolotls_spark.operators.dedup import token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
+    )
+    tot = sc.agg(
+        F.sum(F.sqrt("n_s")).alias("sum_sqrt"),
+        F.sum("n_s").alias("n_total"),
+    )
+    rates = sc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * F.col("n_total"))
+            * (F.sqrt("n_s") / F.col("sum_sqrt"))
+            / F.col("n_s"),
+        ).alias("keep_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            token_hash(F.col("doc_id").cast("string")) % 1000000
+            < F.col("keep_rate") * 1000000
+        )
+        .select("doc_id", "source", "lang", "keep_rate")
+    )

@@ -54,6 +54,8 @@ HEADLINE = [
     "funnel_conversion",
     "sparse_cosine_pairs",
     "bloom_prejoin_filter",
+    "pagerank_trade_graph",
+    "cooccurrence_pmi",
 ]
 
 

@@ -375,3 +375,33 @@ def test_sparse_cosine_prunes_and_broadcasts_df(spark):
     assert "CartesianProduct" not in f.text
     fx = _facts(spark, "sparse_cosine_pairs", execute=True)
     assert "ReusedExchange" in fx.text
+
+
+def test_pagerank_aggregate_then_iterate(spark):
+    """The only corpus-sized work is the edge aggregation (dims all
+    broadcast); every power iteration joins a broadcast rank vector.
+    No sort-merge join, cartesian, or Python anywhere in the plan."""
+    f = _facts(spark, "pagerank_trade_graph")
+    assert f.n_broadcast_hash_joins >= 8  # 4 dims + ranks per iteration
+    assert "CartesianProduct" not in f.text
+    assert "BatchEvalPython" not in f.text
+
+
+def test_pmi_vocab_topk_not_global_window(spark):
+    """The vocabulary cut must be a distributed top-k
+    (TakeOrderedAndProject), never a single-partition global window,
+    and the capped vocab joins broadcast-side."""
+    f = _facts(spark, "cooccurrence_pmi")
+    assert "TakeOrderedAndProject" in f.text
+    assert f.n_broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in f.text
+
+
+def test_temperature_mix_no_corpus_shuffle(spark):
+    """Rates derive from one hash aggregate; the corpus itself is
+    never shuffled — the only exchanges feed the tiny rate relation,
+    and the membership filter is pure codegen (no Python)."""
+    f = _facts(spark, "temperature_mix_sources")
+    assert f.n_sort_merge_joins == 0
+    assert f.n_broadcast_hash_joins >= 1
+    assert "BatchEvalPython" not in f.text
