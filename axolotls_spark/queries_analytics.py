@@ -529,3 +529,87 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_r")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch interval join via time-bucketing (scalable range join)
+
+_ATTR_WINDOW_S = 1800  # purchase within 30 min after a click
+
+
+@register(
+    "interval_join_attribution",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           DATEDIFF('second', CAST(c.ts AS TIMESTAMP),
+                    CAST(p.ts AS TIMESTAMP)) AS lag_s
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP)
+         <= CAST(c.ts AS TIMESTAMP) + INTERVAL {_ATTR_WINDOW_S} SECOND
+    WHERE c.event_type = 'click'
+    """,
+    tags=("interval-join", "range-join", "bucketing", "attribution"),
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a BATCH interval join: every
+    purchase by the same user within 30 min after a click (the batch
+    twin of streaming_attribution_join).
+
+    Scale shape: a naive range join on (user, time-range) degrades
+    to per-user nested loops. Instead each click is replicated into
+    its two covering 30-min buckets, the join runs on the composite
+    EQUI key (user_id, bucket) — hash join, AQE-skew-splittable —
+    and the exact range predicate filters residually. Each matching
+    pair meets exactly once because a purchase lives in exactly one
+    bucket. Replication factor is a constant 2, independent of data
+    volume or window size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        (F.unix_timestamp("ts") / _ATTR_WINDOW_S).cast("long").alias("bkt"),
+    )
+    c2 = clicks.withColumn(
+        "bkt",
+        F.explode(
+            F.array(
+                (F.unix_timestamp("click_ts") / _ATTR_WINDOW_S).cast("long"),
+                (F.unix_timestamp("click_ts") / _ATTR_WINDOW_S).cast("long")
+                + 1,
+            )
+        ),
+    )
+    return (
+        c2.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (c2.bkt == purchases.bkt),
+        )
+        .filter(
+            (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECOND")
+            )
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+            ).cast("int").alias("lag_s"),
+        )
+    )

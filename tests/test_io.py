@@ -207,3 +207,44 @@ def test_incremental_rollup_exactness(spark, tmp_path):
         assert g.min_v == e.min_v and g.max_v == e.max_v
         assert abs(g.sum_v - e.sum_v) < 1e-6 * max(abs(e.sum_v), 1)
         assert abs(g.avg_v - e.avg_v) < 1e-9 * max(abs(e.avg_v), 1)
+
+
+def test_sorted_layout_clusters_row_groups(spark, tmp_path):
+    """write_sorted_layout must produce near-disjoint per-file
+    key ranges (that's what makes footer-stats skipping work), and a
+    range predicate over the layout must reach the scan as a pushed
+    filter so row-group pruning can act on it."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from axolotls_spark.io.sinks import write_sorted_layout
+    from axolotls_spark.io.sources import load_table
+    from axolotls_spark.plans.audit import audit
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_by_date")
+    write_sorted_layout(orders, path, ["o_orderdate"], n_files=4)
+
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) >= 3
+    ranges = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        ci = cols["o_orderdate"]
+        mins = [md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # Adjacent files may touch at the boundary value but must not
+    # properly overlap — that is the disjoint-clustering property.
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    scan = spark.read.parquet(path).filter("o_orderdate >= '1997-06-01'")
+    f = audit(scan)
+    assert any("o_orderdate" in p for p in f.pushed_filters)

@@ -405,3 +405,13 @@ def test_temperature_mix_no_corpus_shuffle(spark):
     assert f.n_sort_merge_joins == 0
     assert f.n_broadcast_hash_joins >= 1
     assert "BatchEvalPython" not in f.text
+
+
+def test_interval_join_is_equi_not_range(spark):
+    """The bucketed interval join must plan as a hash equi-join on
+    (user, bucket) — never a nested-loop range join — with the
+    event-type filters pushed to the scans."""
+    f = _facts(spark, "interval_join_attribution")
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert any("event_type" in p for p in f.pushed_filters)
