@@ -35,6 +35,17 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
     which keeps every step a pure join+aggregate both engines can
     replay. Returns (node, rank) as one unrolled lazy plan.
     """
+    # The aggregated graph is tiny (|nodes|^2 rows max) but its
+    # lineage is the full fact-table aggregation; every unrolled
+    # iteration and every broadcast build would otherwise re-derive
+    # that lineage. Persisting the graph relation is the textbook
+    # "cache only what is re-used" case: one corpus pass, then all
+    # iterations run against the in-memory edge list. The repartition
+    # to one partition keeps each 25-row iteration stage from
+    # spawning shuffle.partitions near-empty tasks; for a graph with
+    # a huge rank vector (billions of nodes) drop the repartition and
+    # the same plan degrades gracefully to shuffled joins.
+    edges = edges.repartition(1).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -45,10 +56,10 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
     ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     t = edges.join(ow, "src").select(
         "src", "dst", (F.col("w") / F.col("ow")).alias("wn")
-    )
-    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    ).persist()
+    # (node, n) base relation every iteration rebuilds ranks from.
+    base = nodes.crossJoin(F.broadcast(ncnt)).persist()
+    ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
     for _ in range(iters):
         contrib = (
             t.join(F.broadcast(ranks), t.src == ranks.node)
@@ -56,8 +67,7 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
             .agg(F.sum(F.col("rank") * F.col("wn")).alias("s"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(ncnt))
+            base.join(contrib, base.node == contrib.dst, "left")
             .select(
                 "node",
                 (
