@@ -7,4 +7,5 @@ from axolotls_spark.streaming.jobs import (  # noqa: F401
     run_to_memory,
     session_windows,
     user_state_counts,
+    user_state_counts_v2,
 )

@@ -312,3 +312,80 @@ def user_state_counts(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class _UserAggProcessor:
+    """Arbitrary-state v2 processor (transformWithStateInPandas):
+    running per-user count / sum / last-seen in a ValueState cell.
+
+    State-store shape is identical to user_state_counts (fixed-width
+    tuple per key), but on the v2 API: typed state handles
+    (value/list/map states, timers, TTL) instead of a single opaque
+    GroupState — Spark 4's replacement surface for custom stateful
+    operators. Import-light so module import works on clusters
+    without the v2 API; failures surface at run time, not import.
+    """
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState(
+            "agg", "n_events BIGINT, total_value DOUBLE, last_seen_us BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        n, tot, last = 0, 0.0, 0
+        if self._agg.exists():
+            n, tot, last = self._agg.get()
+        for pdf in rows:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+            # pandas .value is ns since epoch (UTC); store micros.
+            last = max(last, int(pd.Timestamp(pdf["ts"].max()).value // 1000))
+        self._agg.update((n, tot, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [tot],
+                "last_seen_us": [last],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def user_state_counts_v2(stream: DataFrame) -> DataFrame:
+    """user_state_counts on the Spark 4 arbitrary-state v2 API."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    # Bind the duck-typed processor into the ABC at call time.
+    proc = type(
+        "UserAggProcessor", (_UserAggProcessor, StatefulProcessor), {}
+    )()
+    out = stream.select("user_id", "ts", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT,"
+            " total_value DOUBLE, last_seen_us BIGINT"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.date_format(
+            F.timestamp_micros(F.col("last_seen_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_seen"),
+    )

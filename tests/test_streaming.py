@@ -113,3 +113,18 @@ def test_python_datasource_stream(spark, tmp_path):
     got = spark.table("t_pyds")
     assert got.count() == 3 * 2 * 10
     assert got.select("doc_id").distinct().count() == 60
+
+
+def test_state_v2_gated_on_protobuf():
+    """transformWithStateInPandas (arbitrary-state v2) registration
+    must track protobuf availability: the operator code always
+    ships; the query only joins the correctness gate where the
+    state-server dependency exists."""
+    from axolotls_spark.queries import REGISTRY
+    from axolotls_spark.queries_streaming import (
+        _has_protobuf,
+        streaming_user_state_v2,
+    )
+
+    assert callable(streaming_user_state_v2)
+    assert ("streaming_user_state_v2" in REGISTRY) == _has_protobuf()
