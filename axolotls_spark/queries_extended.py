@@ -725,3 +725,55 @@ def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle="""
+    SELECT * FROM (
+    """ + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               corr({a}, {b}) AS pearson_r,
+               covar_samp({a}, {b}) AS cov_s
+        FROM lineitem"""
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ) + """
+    )
+    """,
+    tags=("statistics", "correlation", "single-scan", "agg"),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance of the
+    lineitem numeric measures — the EDA/feature-selection primitive.
+
+    Scale shape: ONE scan, one 1-row aggregate computing all C(4,2)
+    pairs simultaneously (corr/covar_samp are algebraic aggregates —
+    partial moments combine associatively map-side); the long-form
+    unpivot to (col_a, col_b) rows happens on the 1-row result. The
+    oracle's UNION ALL of per-pair scans is the shape to AVOID at
+    100 TB — 6 scans where one suffices.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(F.corr(a, b).alias(f"r__{a}__{b}"))
+            aggs.append(F.covar_samp(a, b).alias(f"c__{a}__{b}"))
+    wide = li.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"r__{a}__{b}").alias("pearson_r"),
+                F.col(f"c__{a}__{b}").alias("cov_s"),
+            )
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1:]
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.*")

@@ -538,3 +538,20 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "lang", "keep_rate")
     )
+
+
+@register(
+    "pca_project_embeddings",
+    oracle=None,  # eigenvector sign/order is solver-specific;
+    # accuracy vs numpy's reference PCA is pinned in tests/test_pca.py.
+    tags=("pca", "embedding", "llm-pipeline", "mapInPandas", "rows-only"),
+)
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component scores for every embedding vector
+    (see operators/pca.py for the moment-sketch design: one corpus
+    scan for map-side Gram partials, eigh on the 1-row covariance,
+    broadcast components, codegen projection)."""
+    from axolotls_spark.operators.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=8)
