@@ -472,3 +472,130 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION-dedup is not yet in Spark."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+                   AS hr,
+               value
+        FROM events
+    ),
+    bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM ev),
+    spine AS (
+        SELECT UNNEST(generate_series(h0, h1)) AS hr FROM bounds
+    ),
+    grid AS (
+        SELECT t.event_type, s.hr
+        FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN spine s
+    ),
+    hourly AS (
+        SELECT event_type, hr, AVG(value) AS val
+        FROM ev GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT g.event_type, g.hr, h.val FROM grid g
+        LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
+    ),
+    w AS (
+        SELECT event_type, hr, val,
+            last_value(val IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS prev_val,
+            last_value(CASE WHEN val IS NOT NULL THEN hr END IGNORE NULLS)
+                OVER (
+                PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS prev_hr,
+            first_value(val IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+            ) AS next_val,
+            first_value(CASE WHEN val IS NOT NULL THEN hr END IGNORE NULLS)
+                OVER (
+                PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+            ) AS next_hr
+        FROM joined
+    )
+    SELECT event_type, hr, (val IS NULL) AS was_gap,
+        CASE
+            WHEN val IS NOT NULL THEN val
+            WHEN prev_val IS NULL THEN next_val
+            WHEN next_val IS NULL THEN prev_val
+            ELSE prev_val + (next_val - prev_val) * (hr - prev_hr)
+                 / (next_hr - prev_hr)
+        END AS value_filled
+    FROM w
+    """,
+    tags=("time-series", "interpolation", "window", "ignore-nulls", "spine"),
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hourly averages per event
+    type: densify onto an hour spine, then fill each gap from its
+    nearest known neighbors weighted by distance (edges carry the
+    single available neighbor) — the upsample/align primitive for
+    sensor/metric pipelines.
+
+    Scale shape: the spine is one row per hour (tiny at any horizon)
+    crossed with the type dimension — broadcast against the hourly
+    aggregate. The neighbor search is two IGNORE-NULLS running
+    windows (forward + backward) over the dense grid, partitioned by
+    type: one shuffle of spine-sized (not corpus-sized) data; the
+    corpus itself is touched once by the hourly aggregate. No
+    per-gap joins, no Python.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+        "value",
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(F.avg("value").alias("val"))
+    spine = ev.agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    ).select(F.explode(F.sequence("h0", "h1")).alias("hr"))
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    joined = grid.join(hourly, ["event_type", "hr"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_hr = F.when(F.col("val").isNotNull(), F.col("hr"))
+    w = joined.select(
+        "event_type",
+        "hr",
+        "val",
+        F.last("val", ignorenulls=True).over(wb).alias("prev_val"),
+        F.last(known_hr, ignorenulls=True).over(wb).alias("prev_hr"),
+        F.first("val", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(known_hr, ignorenulls=True).over(wf).alias("next_hr"),
+    )
+    filled = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (F.col("hr") - F.col("prev_hr"))
+            / (F.col("next_hr") - F.col("prev_hr"))
+        )
+    )
+    return w.select(
+        "event_type",
+        "hr",
+        F.col("val").isNull().alias("was_gap"),
+        filled.alias("value_filled"),
+    )

@@ -622,3 +622,116 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     out = T.benchmark_ngram_overlap(corpus, bench, n=3)
     return out.withColumn("contaminated", F.col("n_overlap") >= 4)
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERIES = (
+    ("q0", ("data", "model")),
+    ("q1", ("learning", "training", "deep")),
+    ("q2", ("spark", "query")),
+)
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (
+        SELECT AVG(dl) AS avgdl, COUNT(*)::DOUBLE AS n_docs FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (
+        VALUES {", ".join(f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts)}
+    ),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               SUM(
+                   LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * t.tf * ({_BM25_K1} + 1)
+                   / (t.tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+               ) AS score
+        FROM q
+        JOIN tf t  ON t.term = q.term
+        JOIN dfreq d ON d.term = q.term
+        JOIN dl    ON dl.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+    """,
+    tags=("bm25", "sparse-retrieval", "text-analysis", "topk", "broadcast"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed query set — the sparse
+    lexical-retrieval primitive (Okapi BM25, k1=1.2,
+    b=0.75, the +1 idf variant so scores stay positive).
+
+    Scale shape: the query relation is a handful of terms and rides
+    a BROADCAST join that prunes the inverted (doc, term, tf)
+    relation to matching terms BEFORE any wide work — the corpus is
+    shuffled once for the tf aggregate and once for the per-doc
+    length; df and the 1-row corpus stats broadcast back. Top-10 per
+    query is a WindowGroupLimit over the (already tiny) scored
+    relation, ties broken by doc_id so both engines pick identical
+    rows.
+    """
+    from pyspark.sql import Window
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id STRING, term STRING",
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(q), "term").select("term", "df").distinct()), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id", "score")
+    )
