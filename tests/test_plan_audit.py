@@ -415,3 +415,25 @@ def test_interval_join_is_equi_not_range(spark):
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
     assert any("event_type" in p for p in f.pushed_filters)
+
+
+def test_bm25_query_prunes_before_wide_work(spark):
+    """The broadcast query relation must prune the inverted tf
+    relation via BroadcastHashJoin; corpus stats/df also broadcast.
+    No cartesian beyond the deliberate 1-row stats crossJoin."""
+    f = _facts(spark, "bm25_search")
+    assert f.n_broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in f.text
+    assert f.text.count("BroadcastNestedLoopJoin") <= 2  # 1-row stats
+
+
+def test_interpolation_windows_over_spine_not_corpus(spark):
+    """Both IGNORE-NULLS neighbor windows run over the dense grid
+    (spine x types — tiny), partitioned by type; the corpus is
+    touched once by the hourly aggregate. Spine and grid sides ride
+    broadcasts; no Python anywhere."""
+    f = _facts(spark, "timeseries_interpolate_linear")
+    assert "BatchEvalPython" not in f.text
+    assert "CartesianProduct" not in f.text
+    # hourly agg + grid join + window partitioning: bounded exchanges
+    assert f.n_exchanges <= 5
