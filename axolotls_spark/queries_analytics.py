@@ -29,6 +29,36 @@ from axolotls_spark.registry import register
 # Funnel: strict-ordered view -> click -> purchase
 
 
+def _funnel_step(acc, x):
+    """One fold step over a time-sorted (ts, event_type) array:
+    latch first view, first click strictly after it, first purchase
+    strictly after that. Pure column algebra — shared by the query
+    and the property tests (tests/test_properties.py)."""
+    return F.struct(
+        F.when(acc.t1.isNull() & (x.event_type == F.lit("view")), x.ts)
+        .otherwise(acc.t1)
+        .alias("t1"),
+        F.when(
+            acc.t2.isNull()
+            & acc.t1.isNotNull()
+            & (x.event_type == F.lit("click"))
+            & (x.ts > acc.t1),
+            x.ts,
+        )
+        .otherwise(acc.t2)
+        .alias("t2"),
+        F.when(
+            acc.t3.isNull()
+            & acc.t2.isNotNull()
+            & (x.event_type == F.lit("purchase"))
+            & (x.ts > acc.t2),
+            x.ts,
+        )
+        .otherwise(acc.t3)
+        .alias("t3"),
+    )
+
+
 @register(
     "funnel_conversion",
     oracle="""
@@ -82,31 +112,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             null_ts.alias("t1"), null_ts.alias("t2"), null_ts.alias("t3")
         ),
-        lambda acc, x: F.struct(
-            F.when(
-                acc.t1.isNull() & (x.event_type == F.lit("view")), x.ts
-            )
-            .otherwise(acc.t1)
-            .alias("t1"),
-            F.when(
-                acc.t2.isNull()
-                & acc.t1.isNotNull()
-                & (x.event_type == F.lit("click"))
-                & (x.ts > acc.t1),
-                x.ts,
-            )
-            .otherwise(acc.t2)
-            .alias("t2"),
-            F.when(
-                acc.t3.isNull()
-                & acc.t2.isNotNull()
-                & (x.event_type == F.lit("purchase"))
-                & (x.ts > acc.t2),
-                x.ts,
-            )
-            .otherwise(acc.t3)
-            .alias("t3"),
-        ),
+        _funnel_step,
     )
     return per_user.select(fold.alias("f")).agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -198,3 +198,124 @@ def test_packing_respects_budget_boundaries(spark, token_counts, shards):
             assert r.pack_id == expect_pack
             assert r.pack_id >= prev_pack
             prev_pack = r.pack_id
+
+
+@st.composite
+def funnel_case(draw):
+    users = draw(st.lists(st.integers(0, 3), min_size=1, max_size=3, unique=True))
+    evs = []
+    types = ["view", "click", "purchase", "error"]
+    for u in users:
+        minutes = draw(
+            st.lists(st.integers(0, 500), min_size=0, max_size=8, unique=True)
+        )
+        for i, m in enumerate(minutes):
+            evs.append((u, _t(m), types[draw(st.integers(0, 3))]))
+    return evs
+
+
+def _funnel_ref(evs):
+    """Brute-force strict-ordered funnel reference."""
+    n_users = len({u for u, _, t in evs if t in ("view", "click", "purchase")})
+    by_user: dict[int, list[tuple]] = {}
+    for u, ts, t in evs:
+        by_user.setdefault(u, []).append((ts, t))
+    n1 = n2 = n3 = 0
+    for items in by_user.values():
+        items.sort()
+        t1 = min((ts for ts, t in items if t == "view"), default=None)
+        t2 = (
+            min((ts for ts, t in items if t == "click" and ts > t1), default=None)
+            if t1
+            else None
+        )
+        t3 = (
+            min(
+                (ts for ts, t in items if t == "purchase" and ts > t2),
+                default=None,
+            )
+            if t2
+            else None
+        )
+        n1 += t1 is not None
+        n2 += t2 is not None
+        n3 += t3 is not None
+    return n_users, n1, n2, n3
+
+
+@given(funnel_case())
+@settings(**_SETTINGS)
+def test_funnel_fold_matches_reference(spark, evs):
+    """The single-shuffle array fold must equal the brute-force
+    strict-ordered funnel on arbitrary event orderings/ties."""
+    from axolotls_spark.queries_analytics import funnel_conversion
+
+    evs = [e for e in evs if e[2] in ("view", "click", "purchase")]
+    if not evs:
+        return
+    df = spark.createDataFrame(
+        evs, "user_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING"
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    # Reuse the registered query's fold by running it over a temp
+    # view-shaped frame: simplest is to replicate the final agg via
+    # the module's internals — call the public query on a fake dir is
+    # not possible, so assert via SQL on the same algebra:
+    from axolotls_spark import queries_analytics as QA
+
+    # Build the fold exactly as the operator does.
+    import pyspark.sql.functions as SF
+
+    null_ts = SF.lit(None).cast("timestamp_ntz")
+    fold = SF.aggregate(
+        "evs",
+        SF.struct(null_ts.alias("t1"), null_ts.alias("t2"), null_ts.alias("t3")),
+        QA._funnel_step,
+    )
+    row = (
+        per_user.select(fold.alias("f"))
+        .agg(
+            SF.count(SF.lit(1)).alias("n_users"),
+            SF.count("f.t1").alias("n_view"),
+            SF.count("f.t2").alias("n_click"),
+            SF.count("f.t3").alias("n_purchase"),
+        )
+        .collect()[0]
+    )
+    assert (row.n_users, row.n_view, row.n_click, row.n_purchase) == _funnel_ref(
+        evs
+    )
+
+
+@given(
+    st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=50, unique=True),
+    st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=50),
+)
+@settings(**_SETTINGS)
+def test_bloom_bitset_never_false_negative(spark, members, probes):
+    """The bit_or bitset construction must NEVER drop a true member
+    (false positives allowed, false negatives are corruption)."""
+    m_bits = 1 << 12  # small bitset to force collisions
+    mdf = spark.createDataFrame([(k,) for k in members], "k BIGINT")
+    bloom = (
+        mdf.select(F.expr(f"pmod(xxhash64(k), {m_bits}L)").alias("h"))
+        .select(
+            F.expr("h div 64").alias("wi"),
+            F.expr("shiftleft(1L, cast(h % 64 AS INT))").alias("m"),
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    pdf = spark.createDataFrame(
+        [(k,) for k in set(members) | set(probes)], "k BIGINT"
+    ).withColumn("h", F.expr(f"pmod(xxhash64(k), {m_bits}L)"))
+    kept = (
+        pdf.join(F.broadcast(bloom), F.expr("h div 64") == F.col("wi"))
+        .filter(F.expr("(mask >> cast(h % 64 AS INT)) & 1L = 1L"))
+        .select("k")
+        .collect()
+    )
+    kept_keys = {r.k for r in kept}
+    assert set(members) <= kept_keys
