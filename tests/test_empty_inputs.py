@@ -1,0 +1,75 @@
+"""Degenerate-input robustness: every operator family must plan and
+execute over EMPTY tables (0-row inputs with the production schemas)
+without crashing — the empty-partition / empty-source case every
+100 TB pipeline hits (fresh partitions, all-filtered scans, cold
+backfills). Results must keep their declared schema; row counts are
+asserted only where algebraically forced (not always 0 — global
+aggregates legitimately emit one row of nulls/zeros)."""
+
+from __future__ import annotations
+
+import pytest
+
+from axolotls_spark.io.sources import TABLES, load_table, table_path
+from axolotls_spark.queries import REGISTRY
+
+# One or more representatives per operator family — weighted toward
+# custom operators where empty-input bugs hide (folds over empty
+# arrays, iterative algebra over empty seeds, UDF batch shapes).
+FAMILIES = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q13_cust_order_distribution",
+    "q21_sole_late_supplier",
+    "ref_feature_chain",
+    "ref_transform_array",
+    "window_topk_orders",
+    "agg_distinct_segments",
+    "grouping_sets_sql",
+    "dedup_exact",
+    "minhash_near_dup_pairs",
+    "dedup_groups",
+    "cosine_topk",
+    "ann_ivf_topk",
+    "sparse_cosine_pairs",
+    "cooccurrence_pmi",
+    "bm25_search",
+    "tfidf_top_terms",
+    "kmeans_clusters",
+    "pagerank_trade_graph",
+    "pca_project_embeddings",
+    "funnel_conversion",
+    "retention_cohorts",
+    "interval_join_attribution",
+    "timeseries_gap_fill",
+    "timeseries_interpolate_linear",
+    "sessionize_events_batch",
+    "asof_join_last_order",
+    "bloom_prejoin_filter",
+    "temperature_mix_sources",
+    "chunk_documents",
+    "pack_sequences_contiguous",
+    "quantize_embeddings_int8",
+    "gopher_repetition_filters",
+    "decontaminate_ngram_overlap",
+    "multimodal_decode",
+    "pipeline_corpus_curation",
+    "profile_table_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name).limit(0)
+        df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_runs_on_empty_tables(spark, empty_sf_dir, name):
+    df = REGISTRY[name].fn(spark, empty_sf_dir)
+    rows = df.collect()
+    assert df.columns, f"{name}: lost its schema on empty input"
+    assert isinstance(rows, list)
