@@ -73,3 +73,26 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     rows = df.collect()
     assert df.columns, f"{name}: lost its schema on empty input"
     assert isinstance(rows, list)
+
+
+def test_llm_curation_demo_runs(spark, sf_dir, capsys):
+    """The end-to-end curation demo (demos/llm_curation.py) must run
+    on the live session and report a monotone non-increasing doc
+    funnel."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/demos")
+    import llm_curation
+
+    old_argv = sys.argv
+    sys.argv = ["llm_curation.py", sf_dir]
+    try:
+        llm_curation.main()
+    finally:
+        sys.argv = old_argv
+    out = capsys.readouterr().out
+    counts = [int(m) for m in re.findall(r"(\d+)\s*$", out, re.M)]
+    funnel = counts[:6]
+    assert funnel == sorted(funnel, reverse=True)
+    assert funnel[-1] > 0
