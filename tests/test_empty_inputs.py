@@ -96,3 +96,15 @@ def test_llm_curation_demo_runs(spark, sf_dir, capsys):
     funnel = counts[:6]
     assert funnel == sorted(funnel, reverse=True)
     assert funnel[-1] > 0
+
+
+def test_cli_list_and_oracle(capsys):
+    """CLI inventory surface: list filters by tag, oracle prints the
+    SQL — no Spark session needed for either."""
+    from axolotls_spark.__main__ import main
+
+    assert main(["list", "funnel"]) == 0
+    out = capsys.readouterr().out
+    assert "funnel_conversion" in out
+    assert main(["oracle", "dedup_exact"]) == 0
+    assert "GROUP BY text" in capsys.readouterr().out
