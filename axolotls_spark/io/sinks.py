@@ -160,3 +160,50 @@ def write_sorted_layout(
         .option("compression", "zstd")
         .parquet(path)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics as a pure relational transform: rows
+    matched by ``keys`` take the update's values, unmatched target
+    rows pass through, unmatched updates insert. Returns the merged
+    relation (write it with write_parquet / upsert_partitions).
+
+    This is the format-agnostic spelling of Delta/Iceberg MERGE for
+    plain parquet: one full-outer join on the keys (the algorithm's
+    single unavoidable shuffle — both sides hashed once), then a
+    per-column ``coalesce(update, target)``. At 100 TB the join
+    benefits from both sides sharing a bucketed layout on ``keys``
+    (write_bucketed) which makes even this shuffle-free.
+    """
+    from pyspark.sql import functions as F
+
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns]
+    )
+    cond = None
+    for k in keys:
+        c = target[k] == u[f"__u_{k}"]
+        cond = c if cond is None else cond & c
+    joined = target.join(u, cond, "full_outer")
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(u[f"__u_{c}"], target[c]).alias(c))
+        elif f"__u_{c}" in u.columns:
+            # matched row -> update wins; insert -> update side;
+            # unmatched target -> target side.
+            key_present = F.coalesce(
+                *[u[f"__u_{k}"].isNotNull() for k in keys[:1]]
+            )
+            out_cols.append(
+                F.when(key_present, u[f"__u_{c}"])
+                .otherwise(target[c])
+                .alias(c)
+            )
+        else:
+            out_cols.append(target[c])
+    return joined.select(*out_cols)

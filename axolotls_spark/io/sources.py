@@ -129,3 +129,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() access."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest raw files (images/audio/video payloads) as binary rows
+    via Spark's built-in binaryFile source: (path, modificationTime,
+    length, content). The multimodal ingestion half — downstream
+    decode/feature ops (multimodal/ops.py) consume the ``content``
+    column unchanged.
+
+    Scale notes: the source parallelizes by file; pair it with
+    compact_small_files-style consolidation upstream (millions of
+    tiny files throttle on listing + task overhead, the classic
+    multimodal-corpus failure). ``pathGlobFilter`` prunes at listing
+    time — before any read.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

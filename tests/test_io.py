@@ -248,3 +248,29 @@ def test_sorted_layout_clusters_row_groups(spark, tmp_path):
     scan = spark.read.parquet(path).filter("o_orderdate >= '1997-06-01'")
     f = audit(scan)
     assert any("o_orderdate" in p for p in f.pushed_filters)
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE: matched rows take update values (including explicit
+    NULLs in non-key columns), unmatched targets survive, unmatched
+    updates insert."""
+    from axolotls_spark.io.sinks import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id BIGINT, name STRING, v DOUBLE",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)],
+        "id BIGINT, name STRING, v DOUBLE",
+    )
+    got = {
+        r.id: (r.name, r.v)
+        for r in merge_upsert(target, updates, ["id"]).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("B", 200.0),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }

