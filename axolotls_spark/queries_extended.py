@@ -777,3 +777,111 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+@register(
+    "impute_group_stats",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               NULLIF(l_discount, 0.0) AS disc
+        FROM lineitem
+    ),
+    grp AS (
+        SELECT l_returnflag, AVG(disc) AS grp_mean
+        FROM base GROUP BY 1
+    ),
+    gstats AS (SELECT MEDIAN(disc) AS glob_median FROM base)
+    SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+           (b.disc IS NULL) AS was_missing,
+           COALESCE(b.disc, g.grp_mean)    AS disc_mean_imputed,
+           COALESCE(b.disc, gl.glob_median) AS disc_median_imputed
+    FROM base b
+    JOIN grp g USING (l_returnflag)
+    CROSS JOIN gstats gl
+    """,
+    tags=("imputation", "preprocessing", "fill_null", "broadcast", "agg"),
+)
+def impute_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null imputation with DATA-DERIVED statistics — per-group mean
+    and global exact median — the ML-preprocessing upgrade of the
+    reference's constant ``fill_null`` (``numeric_column.py:56-63``:
+    torch masked assign of a literal). Zero-discounts stand in for
+    missing values, matching ref_feature_chain's convention.
+
+    Scale shape: group means are one tiny aggregate, the median one
+    1-row aggregate; both broadcast back onto the fact scan — the
+    corpus is read once and never shuffled (the per-group relation
+    has |groups| rows). Spark's ``median`` is exact (sort-based
+    partial aggregation), same semantics as DuckDB's MEDIAN for the
+    odd/even-count cases.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.nullif("l_discount", F.lit(0.0)).alias("disc"),
+    )
+    grp = base.groupBy("l_returnflag").agg(F.avg("disc").alias("grp_mean"))
+    glob = base.agg(F.median("disc").alias("glob_median"))
+    return (
+        base.join(F.broadcast(grp), "l_returnflag")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("disc").isNull().alias("was_missing"),
+            F.coalesce("disc", "grp_mean").alias("disc_mean_imputed"),
+            F.coalesce("disc", "glob_median").alias("disc_median_imputed"),
+        )
+    )
+
+
+@register(
+    "scale_standardize_features",
+    oracle="""
+    WITH stats AS (
+        SELECT AVG(l_quantity) AS q_mean, STDDEV_SAMP(l_quantity) AS q_std,
+               MIN(l_extendedprice) AS p_min, MAX(l_extendedprice) AS p_max
+        FROM lineitem
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           (l.l_quantity - s.q_mean) / s.q_std AS quantity_z,
+           (l.l_extendedprice - s.p_min) / (s.p_max - s.p_min)
+               AS price_minmax
+    FROM lineitem l CROSS JOIN stats s
+    """,
+    tags=("scaling", "preprocessing", "standardize", "broadcast"),
+)
+def scale_standardize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling — z-score and min-max — the other core
+    preprocessing op the reference's feature-chain domain implies
+    but never implements (its ops stop at +/÷/log/logit,
+    ``numeric_column.py:76-125``).
+
+    Scale shape: one 1-row stats aggregate broadcast onto the scan;
+    map-only afterwards. The alternative spelling — two window
+    functions over an empty partition — funnels the corpus through
+    ONE partition and is the canonical global-window trap this
+    engine's plan audits exist to catch.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.avg("l_quantity").alias("q_mean"),
+        F.stddev_samp("l_quantity").alias("q_std"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+    )
+    return li.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("l_quantity") - F.col("q_mean")) / F.col("q_std")).alias(
+            "quantity_z"
+        ),
+        (
+            (F.col("l_extendedprice") - F.col("p_min"))
+            / (F.col("p_max") - F.col("p_min"))
+        ).alias("price_minmax"),
+    )

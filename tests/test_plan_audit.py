@@ -437,3 +437,14 @@ def test_interpolation_windows_over_spine_not_corpus(spark):
     assert "CartesianProduct" not in f.text
     # hourly agg + grid join + window partitioning: bounded exchanges
     assert f.n_exchanges <= 5
+
+
+def test_scaling_and_imputation_broadcast_stats(spark):
+    """Both preprocessing ops must broadcast their derived stats —
+    never the global-window single-partition funnel, never a
+    corpus shuffle."""
+    for name in ("impute_group_stats", "scale_standardize_features"):
+        f = _facts(spark, name)
+        assert "Window" not in f.text, name
+        assert f.n_sort_merge_joins == 0, name
+        assert "BatchEvalPython" not in f.text, name
