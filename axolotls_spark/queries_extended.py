@@ -885,3 +885,58 @@ def scale_standardize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("p_max") - F.col("p_min"))
         ).alias("price_minmax"),
     )
+
+
+@register(
+    "map_higher_order_functions",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        l_quantity * 2.0 AS qty_doubled,
+        (CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END
+         + CASE WHEN l_extendedprice > 10 THEN 1 ELSE 0 END)
+            AS n_entries_gt10,
+        l_quantity + l_discount + l_extendedprice + l_tax
+            AS zipped_sum,
+        'PRICE,QTY' AS upper_keys_csv
+    FROM lineitem
+    """,
+    tags=("map", "higher-order", "transform_keys", "map_zip_with"),
+)
+def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP closure — transform_values / map_filter /
+    map_zip_with / transform_keys — completing the MapType surface
+    (reference declares the dtype but has no column or functions,
+    ``dtypes.py:213-235``). The oracle states the equivalent scalar
+    algebra directly: what's certified is that each map operator
+    computes exactly its elementwise meaning, in codegen, map-only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m1 = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("price"), F.col("l_extendedprice"),
+    )
+    m2 = F.create_map(
+        F.lit("qty"), F.col("l_discount"),
+        F.lit("tax"), F.col("l_tax"),
+    )
+    zipped = F.map_zip_with(
+        m1, m2,
+        lambda k, a, b: F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0)),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(
+            F.transform_values(m1, lambda k, v: v * 2), "qty"
+        ).alias("qty_doubled"),
+        F.size(F.map_filter(m1, lambda k, v: v > 10)).alias("n_entries_gt10"),
+        F.aggregate(
+            F.map_values(zipped), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("zipped_sum"),
+        F.array_join(
+            F.array_sort(F.map_keys(F.transform_keys(m1, lambda k, v: F.upper(k)))),
+            ",",
+        ).alias("upper_keys_csv"),
+    )
