@@ -940,3 +940,50 @@ def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("upper_keys_csv"),
     )
+
+
+@register(
+    "winsorize_outliers",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           (l.l_extendedprice < c.p01 OR l.l_extendedprice > c.p99)
+               AS was_clipped,
+           LEAST(GREATEST(l.l_extendedprice, c.p01), c.p99)
+               AS price_winsorized
+    FROM lineitem l CROSS JOIN cuts c
+    """,
+    tags=("winsorize", "preprocessing", "percentile", "broadcast"),
+)
+def winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip a feature to its exact [p1, p99] range —
+    the outlier-robust preprocessing step between imputation and
+    scaling. Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation) so the cut
+    points are oracle-identical.
+
+    Scale shape: one 1-row percentile aggregate broadcast onto the
+    scan, map-only clip after. Exact global percentiles cost a sort-
+    based aggregate; at 100 TB swap `percentile` for
+    `approx_percentile` (t-digest, fixed state) — same query shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    return li.crossJoin(F.broadcast(cuts)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            (F.col("l_extendedprice") < F.col("p01"))
+            | (F.col("l_extendedprice") > F.col("p99"))
+        ).alias("was_clipped"),
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+        ).alias("price_winsorized"),
+    )
