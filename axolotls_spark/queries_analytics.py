@@ -619,3 +619,80 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("lag_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout: deterministic hash split + Welch's t
+
+
+@register(
+    "ab_test_welch",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                         % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT arm, COUNT(*)::DOUBLE AS n, AVG(value) AS mean,
+               VAR_SAMP(value) AS var
+        FROM assigned GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+           (a.mean - b.mean)
+           / SQRT(a.var / a.n + b.var / b.n) AS t_stat
+    FROM (SELECT * FROM s WHERE arm = 'A') a
+    CROSS JOIN (SELECT * FROM s WHERE arm = 'B') b
+    """,
+    tags=("ab-test", "experiment", "statistics", "hash-split", "agg"),
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: deterministic content-hash user split
+    into arms A/B (reproducible on every engine/run — the same
+    property the sampling family relies on), then Welch's
+    t-statistic on purchase value between arms.
+
+    Scale shape: assignment is a map-side hash expression (no
+    randomness, no shuffle); the whole readout is ONE grouped
+    aggregate producing two rows, pivoted by a self-cross of 1-row
+    relations. At 100 TB this is a single corpus pass — the
+    experiment-analysis primitive metric pipelines run daily.
+    """
+    from axolotls_spark.operators.dedup import token_hash
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    assigned = e.select(
+        F.when(
+            token_hash(F.col("user_id").cast("string")) % 2 == 0, "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "value",
+    )
+    s = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+        ).alias("t_stat"),
+    )
