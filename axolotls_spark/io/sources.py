@@ -58,6 +58,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin the session timezone on whatever session the caller hands
+    # us (the driver harness builds its own): every timestamp-
+    # rendering query (date_format, unix_timestamp over TIMESTAMP)
+    # assumes UTC to match the oracle's naive-timestamp reading.
+    # Runtime-settable and idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
