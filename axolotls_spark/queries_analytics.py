@@ -696,3 +696,74 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
         ).alias("t_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / rolling 7-day active users (distinct over sliding windows)
+
+
+@register(
+    "dau_wau_rolling",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+               user_id
+        FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+    cover AS (
+        SELECT DISTINCT
+               CAST(UNNEST(generate_series(du.day, du.day + 6,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS day,
+               du.user_id
+        FROM du
+    ),
+    wau AS (
+        SELECT c.day, COUNT(*) AS wau
+        FROM cover c, bounds b
+        WHERE c.day <= b.d1
+        GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w USING (day)
+    """,
+    tags=("dau-wau", "rolling-distinct", "product-metrics", "explode"),
+)
+def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + trailing-7-day active users per day —
+    the DAU/WAU product metric, which needs DISTINCT over a sliding
+    window (not a sum, so no window-frame aggregate applies).
+
+    Scale shape: the corpus collapses to distinct (day, user) pairs
+    first (one shuffle over corpus-sized data); each pair then
+    CONTRIBUTES itself to the 7 cover days via sequence+explode —
+    constant 7× replication of the already-small pair relation,
+    followed by distinct + count. This is the standard scalable
+    rewrite of rolling COUNT(DISTINCT); the naive per-day self-join
+    re-scans the pair relation once per window day.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    du = e.distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d1 = du.agg(F.max("day").alias("d1"))
+    cover = (
+        du.select(
+            F.explode(
+                F.sequence("day", F.date_add("day", 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = (
+        cover.crossJoin(F.broadcast(d1))
+        .filter(F.col("day") <= F.col("d1"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return dau.join(wau, "day")
