@@ -767,3 +767,69 @@ def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wau"))
     )
     return dau.join(wau, "day")
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov over per-user sequences)
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*)::DOUBLE AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT from_type, SUM(n) AS tot FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n_transitions,
+           p.n / t.tot AS prob
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+    tags=("markov", "sequence-analytics", "window", "lead"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), with tie-stable
+    ordering (ts, event_id) so both engines pair identically.
+
+    Scale shape: one window shuffle on user_id (the sequence
+    partitioning the data already demands), then two tiny aggregates
+    — the transition relation is |types|² rows no matter the corpus.
+    The journey-mining primitive behind next-action prediction and
+    anomalous-flow detection.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            (F.col("n") / F.col("tot")).alias("prob"),
+        )
+    )

@@ -735,3 +735,57 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("query_id", "doc_id", "score")
     )
+
+
+@register(
+    "token_entropy_by_lang",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT lang, term, COUNT(*)::DOUBLE AS n FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, SUM(n) AS tot FROM tf GROUP BY 1)
+    SELECT t.lang,
+           CAST(o.tot AS BIGINT)   AS n_tokens,
+           COUNT(*)                AS vocab_size,
+           -SUM((t.n / o.tot) * LN(t.n / o.tot)) AS token_entropy
+    FROM tf t JOIN tot o USING (lang)
+    GROUP BY t.lang, o.tot
+    """,
+    tags=("entropy", "text-analysis", "diversity", "information-theory"),
+)
+def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per language —
+    the data-diversity measurement LLM corpus reports carry
+    (low entropy = repetitive/templated text; entropy vs vocab size
+    separates breadth from balance).
+
+    Scale shape: one (lang, term) aggregate over the corpus, per-lang
+    totals broadcast back, one tiny final aggregate. The -Σ p ln p
+    sum runs over the term-frequency relation, never the raw corpus.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "lang", F.explode(T.tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = tf.groupBy("lang").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        tf.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            (-F.sum(p * F.log(p))).alias("token_entropy"),
+        )
+        .select(
+            "lang",
+            F.col("tot").cast("long").alias("n_tokens"),
+            "vocab_size",
+            "token_entropy",
+        )
+    )
