@@ -987,3 +987,48 @@ def winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
         ).alias("price_winsorized"),
     )
+
+
+@register(
+    "array_set_operations",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+')[1:5]  AS a,
+               string_split_regex(trim(text), '\s+')[-5:]  AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_distinct(list_filter(a, x -> list_contains(b, x))))
+               AS n_common,
+           len(list_distinct(list_concat(a, b))) AS n_union,
+           array_to_string(
+               list_sort(list_distinct(
+                   list_filter(a, x -> NOT list_contains(b, x)))), ',')
+               AS only_a_csv,
+           COALESCE(list_position(a, b[1]), 0) AS pos_of_first_b
+    FROM t
+    """,
+    tags=("array", "set-ops", "intersect", "union", "except"),
+)
+def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation closure — array_intersect / array_union /
+    array_except / array_position — over each document's first and
+    last 5 tokens. Cardinalities and sorted renderings are compared
+    (both engines dedup set results but order them differently);
+    Spark's 0-for-absent array_position convention is matched with a
+    COALESCE on the oracle side. All map-only, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    a = F.slice(toks, 1, 5)
+    b = F.slice(toks, -5, 5)
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(a, b)).alias("n_common"),
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias(
+            "only_a_csv"
+        ),
+        F.array_position(a, F.element_at(b, 1)).alias("pos_of_first_b"),
+    )
