@@ -833,3 +833,122 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") / F.col("tot")).alias("prob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket brand affinity (bounded per-basket pair explosion)
+
+
+@register(
+    "basket_brand_affinity",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS support
+        FROM ob a JOIN ob b
+            ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, support
+    FROM pairs
+    ORDER BY support DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+    tags=("market-basket", "affinity", "self-join", "topk"),
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 brand pairs co-purchased in the same order — the
+    market-basket affinity primitive behind recommendations.
+
+    Scale shape: the self-join is keyed on l_orderkey and baskets
+    are bounded (~7 lines/order), so pair fan-out is a small
+    constant × |orders| — unlike unconstrained item-item joins.
+    The part dimension broadcasts; one shuffle keys the basket
+    relation; top-k is distributed TakeOrderedAndProject with full
+    tie-breaks so both engines cut identical rows.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "brand_a", "brand_b")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Key-skew diagnostic profile
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH k AS (
+        SELECT o_custkey AS key, COUNT(*)::DOUBLE AS n
+        FROM orders GROUP BY 1
+    ),
+    s AS (SELECT SUM(n) AS tot, COUNT(*)::DOUBLE AS n_keys,
+                 MAX(n) AS max_n, AVG(n) AS mean_n
+          FROM k)
+    SELECT CAST(s.n_keys AS BIGINT)        AS n_keys,
+           s.max_n / s.mean_n              AS max_over_mean,
+           s.max_n / s.tot                 AS max_share,
+           SUM((k.n / s.tot) * (k.n / s.tot)) AS hhi
+    FROM k CROSS JOIN s
+    GROUP BY s.n_keys, s.max_n, s.mean_n, s.tot
+    """,
+    tags=("skew", "diagnostics", "profiling", "agg"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostics for orders.o_custkey:
+    max/mean ratio, the heaviest key's share, and the Herfindahl
+    index of the key distribution — the pre-flight check that says
+    whether a shuffle on this key needs salting or AQE skew
+    handling BEFORE the job runs at 100 TB.
+
+    Scale shape: one key-count aggregate (the same shuffle the
+    prospective join would do, but emitting only |keys| rows), a
+    1-row stats aggregate broadcast back, one tiny final aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    s = k.agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.avg("n").alias("mean_n"),
+    )
+    share = F.col("n") / F.col("tot")
+    return (
+        k.crossJoin(F.broadcast(s))
+        .groupBy("n_keys", "max_n", "mean_n", "tot")
+        .agg(F.sum(share * share).alias("hhi"))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            (F.col("max_n") / F.col("mean_n")).alias("max_over_mean"),
+            (F.col("max_n") / F.col("tot")).alias("max_share"),
+            "hhi",
+        )
+    )
