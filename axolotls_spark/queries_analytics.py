@@ -952,3 +952,148 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Top session paths (first-3-event journeys)
+
+
+@register(
+    "top_session_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM seq WHERE rn <= 3
+        GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    tags=("path-analysis", "sequence-analytics", "window", "topk"),
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 opening journeys: each user's first three events (tie-
+    stable order) concatenated into a path string, counted across
+    users — the path-analysis primitive behind onboarding funnels.
+
+    Scale shape: one window shuffle on user (rank + keep first 3),
+    then the path aggregate runs over ≤3 rows per user; the path
+    relation is tiny and the top-k is distributed. No per-user
+    driver loops, no Python.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the trade graph
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT ns.n_name AS u, nc.n_name AS v
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        WHERE ns.n_name <> nc.n_name
+    ),
+    und AS (
+        SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM e0
+        GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    WHERE e1.a < e1.b AND e2.a < e2.b
+    """,
+    tags=("graph", "triangle-count", "self-join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the undirected nation trade graph — the
+    clustering-coefficient numerator, and the canonical pattern for
+    multi-way self-joins on an aggregated edge relation.
+
+    Scale shape: same aggregate-then-iterate discipline as PageRank
+    — the corpus collapses to a distinct edge set ONCE (dims
+    broadcast), edges canonicalize a<b so each triangle is counted
+    exactly once via the ordered two-hop + closing-edge join; the
+    joins run on the tiny edge relation, never the facts.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                 F.col("n_name").alias("v"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("u"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = e0.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
