@@ -207,3 +207,61 @@ def merge_upsert(
         else:
             out_cols.append(target[c])
     return joined.select(*out_cols)
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    checks: "list[tuple[str, str]]",
+) -> dict:
+    """Write-Audit-Publish: stage the output next to the target, run
+    expectation checks against the STAGED files, and only then move
+    them into place — readers never observe a half-written or
+    invalid table. Returns the audit report.
+
+    ``checks``: (name, SQL boolean expression over the staged data
+    aggregated with ``bool_and``) — e.g. ("no_null_keys",
+    "l_orderkey IS NOT NULL"). Any failure leaves the target
+    untouched and the staging directory in place for inspection
+    (raises ValueError with the failing checks).
+
+    At 100 TB the same protocol runs against a table format's atomic
+    swap (Iceberg/Delta commit, Hive partition rename); the local
+    directory rename here is the same idea at filesystem
+    granularity. The audit pass reads the staged parquet once and
+    evaluates every expectation in a single aggregate.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    staging = path.rstrip("/") + ".__staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.expr(f"bool_and({expr})").alias(name)
+            for name, expr in checks
+        ],
+    ).collect()[0]
+    failed = [name for name, _ in checks if not agg[name]]
+    report = {
+        "rows": agg["__n"],
+        "passed": {name: bool(agg[name]) for name, _ in checks},
+        "published": not failed,
+    }
+    if failed:
+        raise ValueError(
+            f"write_audit_publish: checks failed {failed}; staged data kept"
+            f" at {staging} for inspection"
+        )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+    return report

@@ -274,3 +274,30 @@ def test_merge_upsert_semantics(spark):
         3: ("c", 30.0),
         4: ("d", 40.0),
     }
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    """WAP: valid data publishes atomically; failing expectations
+    leave the target untouched and keep staging for inspection."""
+    import os
+
+    import pytest as _pytest
+
+    from axolotls_spark.io.sinks import write_audit_publish
+
+    good = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id BIGINT, v DOUBLE")
+    target = str(tmp_path / "t")
+    rep = write_audit_publish(
+        good, target, [("ids_positive", "id > 0"), ("v_nonnull", "v IS NOT NULL")]
+    )
+    assert rep["published"] and rep["rows"] == 2
+    assert spark.read.parquet(target).count() == 2
+
+    bad = spark.createDataFrame([(3, None)], "id BIGINT, v DOUBLE")
+    with _pytest.raises(ValueError, match="v_nonnull"):
+        write_audit_publish(
+            bad, target, [("ids_positive", "id > 0"), ("v_nonnull", "v IS NOT NULL")]
+        )
+    # Target unchanged, staging kept.
+    assert spark.read.parquet(target).count() == 2
+    assert os.path.exists(target + ".__staging__")
