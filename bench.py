@@ -56,6 +56,10 @@ HEADLINE = [
     "bloom_prejoin_filter",
     "pagerank_trade_graph",
     "cooccurrence_pmi",
+    "bm25_search",
+    "dau_wau_rolling",
+    "interval_join_attribution",
+    "event_transition_matrix",
 ]
 
 

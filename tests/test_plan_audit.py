@@ -448,3 +448,43 @@ def test_scaling_and_imputation_broadcast_stats(spark):
         assert "Window" not in f.text, name
         assert f.n_sort_merge_joins == 0, name
         assert "BatchEvalPython" not in f.text, name
+
+
+def test_transition_matrix_single_window_shuffle(spark):
+    """Markov transitions: one window shuffle on user is the only
+    corpus-sized exchange; the remaining exchanges (pair aggregate,
+    totals) move |types|^2 rows. No Python."""
+    f = _facts(spark, "event_transition_matrix")
+    assert f.n_exchanges <= 5
+    assert "BatchEvalPython" not in f.text
+    assert f.n_sort_merge_joins == 0
+
+
+def test_dau_wau_constant_replication(spark):
+    """Rolling distinct: the corpus collapses to (day,user) pairs
+    before the 7x cover explode — no per-day self-join, no
+    cartesian."""
+    f = _facts(spark, "dau_wau_rolling")
+    assert "CartesianProduct" not in f.text
+    # Formatted explain prints each node in tree + details: count
+    # detail headers. Only the 1-row max-day crossJoin may appear.
+    assert f.text.count(") BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in f.text
+
+
+def test_triangle_count_joins_tiny_edges(spark):
+    """Triangle joins run on the aggregated edge relation: all dims
+    broadcast, no cartesian, facts shuffled once for the distinct."""
+    f = _facts(spark, "graph_triangle_count")
+    assert f.n_broadcast_hash_joins >= 4
+    assert "CartesianProduct" not in f.text
+
+
+def test_basket_affinity_broadcast_part_dim(spark):
+    """Basket pairs: part dimension broadcasts; the self-join keys
+    on l_orderkey (equi), never a nested loop."""
+    f = _facts(spark, "basket_brand_affinity")
+    assert f.n_broadcast_hash_joins >= 1
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "TakeOrderedAndProject" in f.text
