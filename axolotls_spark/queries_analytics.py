@@ -1097,3 +1097,64 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (lang x source)
+
+
+@register(
+    "chisq_lang_source",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, COUNT(*)::DOUBLE AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM obs)
+    SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_langs,
+           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_sources,
+           SUM((obs.o - rt.r * ct.c / n.n) * (obs.o - rt.r * ct.c / n.n)
+               / (rt.r * ct.c / n.n)) AS chi2
+    FROM obs
+    JOIN rt USING (lang)
+    JOIN ct USING (source)
+    CROSS JOIN n
+    """,
+    tags=("chi-square", "statistics", "independence", "contingency"),
+)
+def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of language and
+    source — the categorical counterpart of ab_test_welch: is the
+    corpus's language mix uniform across sources, or do sources
+    specialize?
+
+    Scale shape: the contingency table is ONE aggregate over the
+    corpus (|langs|x|sources| rows); marginals and the grand total
+    derive from it and broadcast back. Note the chi2 sum runs over
+    observed cells only — expected-only cells (marginal products
+    with zero observed count) are excluded, matching the oracle's
+    inner join; dof bookkeeping is the caller's concern.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    nl = rt.agg(F.count(F.lit(1)).alias("n_langs"))
+    ns = ct.agg(F.count(F.lit(1)).alias("n_sources"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp).alias("chi2")
+        )
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(ns))
+        .select("n_langs", "n_sources", "chi2")
+    )

@@ -1032,3 +1032,42 @@ def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_position(a, F.element_at(b, 1)).alias("pos_of_first_b"),
     )
+
+
+@register(
+    "string_format_closure",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s#%05d', p_brand, p_partkey) AS tagged,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0')  AS key_padded,
+           translate(p_brand, '#', '-')              AS brand_dashed,
+           array_to_string(list_transform(
+               string_split(lower(p_type), ' '),
+               w -> upper(w[1]) || w[2:]), ' ')       AS type_title,
+           repeat('*', CAST(p_size % 5 AS INT))      AS size_stars,
+           reverse(p_name)                           AS name_rev
+    FROM part
+    """,
+    tags=("string", "format", "printf", "closure"),
+)
+def string_format_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting closure — format_string/printf, lpad,
+    translate, initcap, repeat, reverse — rounding out the string
+    surface (the reference's strings support only construction,
+    slicing, and UTF-8 decode, ``string_column.py``). All map-only
+    codegen; both engines share C-style printf semantics.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s#%05d", F.col("p_brand"), F.col("p_partkey")).alias(
+            "tagged"
+        ),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.initcap("p_type").alias("type_title"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias(
+            "size_stars"
+        ),
+        F.reverse("p_name").alias("name_rev"),
+    )
