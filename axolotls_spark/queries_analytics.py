@@ -1158,3 +1158,98 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ns))
         .select("n_langs", "n_sources", "chi2")
     )
+
+
+# --------------------------------------------------------------------------
+# Closed-form multi-feature OLS (normal equations + Cramer's rule)
+
+# Shared scalar algebra over the moment sums — the SAME SQL text runs
+# as Spark F.expr and inside the DuckDB oracle, so the engines cannot
+# drift. 3x3 system: y ~ b0 + b1*x1 + b2*x2.
+_OLS_DET = (
+    "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+    " + s2*(s1*s12 - s11*s2))"
+)
+_OLS_B0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+    " + s2*(s1y*s12 - s11*s2y)) / " + _OLS_DET
+)
+_OLS_B1 = (
+    "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+    " + s2*(s1*s2y - s1y*s2)) / " + _OLS_DET
+)
+_OLS_B2 = (
+    "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+    " + sy*(s1*s12 - s11*s2)) / " + _OLS_DET
+)
+_OLS_SSE = (
+    "(syy - 2*(({b0})*sy + ({b1})*s1y + ({b2})*s2y)"
+    " + (({b0})*({b0})*n + ({b1})*({b1})*s11 + ({b2})*({b2})*s22"
+    "    + 2*({b0})*({b1})*s1 + 2*({b0})*({b2})*s2"
+    "    + 2*({b1})*({b2})*s12))"
+).format(b0=_OLS_B0, b1=_OLS_B1, b2=_OLS_B2)
+_OLS_R2 = f"1 - ({_OLS_SSE}) / (syy - sy*sy/n)"
+
+_OLS_SUMS_SQL = """
+        SELECT COUNT(*)::DOUBLE            AS n,
+               SUM(l_quantity)             AS s1,
+               SUM(l_discount)             AS s2,
+               SUM(l_quantity*l_quantity)  AS s11,
+               SUM(l_quantity*l_discount)  AS s12,
+               SUM(l_discount*l_discount)  AS s22,
+               SUM(l_extendedprice)        AS sy,
+               SUM(l_extendedprice*l_extendedprice) AS syy,
+               SUM(l_quantity*l_extendedprice)      AS s1y,
+               SUM(l_discount*l_extendedprice)      AS s2y
+        FROM lineitem
+"""
+
+
+@register(
+    "ols_normal_equations",
+    oracle=f"""
+    WITH s AS ({_OLS_SUMS_SQL})
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           {_OLS_B0} AS b0,
+           {_OLS_B1} AS b1,
+           {_OLS_B2} AS b2,
+           {_OLS_R2} AS r2
+    FROM s
+    """,
+    tags=("regression", "ols", "normal-equations", "statistics", "single-scan"),
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS (price ~ quantity + discount) in closed
+    form: ONE scan accumulates the 10 moment sums, then Cramer's
+    rule solves the 3x3 normal equations and R² derives from the
+    same sums — coefficients, fit quality, zero iterations, zero
+    Python, and an EXACT cross-engine oracle (the identical scalar
+    algebra text runs on both engines via F.expr).
+
+    Scale shape: the only distributed work is an algebraic aggregate
+    (partial sums combine map-side); everything after operates on
+    one row. This is how regression-at-100TB should look when d is
+    small; the iterative/mapInPandas machinery (kmeans, pca) is for
+    when it is not.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    sums = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(d).alias("s2"),
+        F.sum(q * q).alias("s11"),
+        F.sum(q * d).alias("s12"),
+        F.sum(d * d).alias("s22"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(q * y).alias("s1y"),
+        F.sum(d * y).alias("s2y"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_OLS_B0).alias("b0"),
+        F.expr(_OLS_B1).alias("b1"),
+        F.expr(_OLS_B2).alias("b2"),
+        F.expr(_OLS_R2).alias("r2"),
+    )
