@@ -789,3 +789,144 @@ def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy",
         )
     )
+
+
+@register(
+    "naive_bayes_lang_confusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    dt AS (
+        SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    dlen AS (SELECT doc_id, SUM(tf) AS dn FROM dt GROUP BY 1),
+    cls AS (
+        SELECT lang, term, COUNT(*)::DOUBLE AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    ctot AS (SELECT lang, SUM(c) AS tot FROM cls GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT term)::DOUBLE AS v FROM toks),
+    prior AS (
+        SELECT lang, LN(COUNT(*)::DOUBLE) AS lp
+        FROM documents GROUP BY 1
+    ),
+    seen AS (
+        SELECT d.doc_id, c.lang,
+               SUM(d.tf * LN((c.c + 1) / (t.tot + vb.v))) AS seen_lp,
+               SUM(d.tf) AS n_seen
+        FROM dt d
+        JOIN cls c  ON d.term = c.term
+        JOIN ctot t ON c.lang = t.lang
+        CROSS JOIN vocab vb
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT dl.doc_id, t.lang,
+               p.lp + COALESCE(s.seen_lp, 0)
+               + (dl.dn - COALESCE(s.n_seen, 0))
+                 * LN(1 / (t.tot + vb.v)) AS score
+        FROM dlen dl
+        CROSS JOIN ctot t
+        CROSS JOIN vocab vb
+        JOIN prior p ON p.lang = t.lang
+        LEFT JOIN seen s ON s.doc_id = dl.doc_id AND s.lang = t.lang
+    ),
+    pred AS (
+        SELECT doc_id, lang AS predicted,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY ROUND(score, 6) DESC, lang
+               ) AS rn
+        FROM scored
+    )
+    SELECT d.lang AS true_lang, p.predicted, COUNT(*) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
+    GROUP BY 1, 2
+    """,
+    tags=("naive-bayes", "classification", "relational-ml", "text-analysis"),
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Naive Bayes: train a Laplace-smoothed multinomial
+    language classifier AND score every document — entirely as
+    joins and aggregates — then report the confusion matrix
+    (true lang × predicted lang counts). Train and inference in one
+    lazy plan, no ML library, no Python.
+
+    Scale shape: the model is two aggregates over the token relation
+    (per-class term counts + totals — |langs|·|vocab| rows, the only
+    non-corpus-sized thing shuffled twice); scoring joins each doc's
+    tf vector to the model per class, with unseen-token mass handled
+    by a closed-form penalty so the LEFT JOIN never needs the full
+    doc×vocab cross. Scores round to 6dp before the argmax so both
+    engines rank identically (LN's last ulp is engine-specific);
+    ties break on language name.
+    """
+    from pyspark.sql import Window
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.tokens_col(F.col("text"))).alias("term")
+    )
+    dt = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dlen = dt.groupBy("doc_id").agg(F.sum("tf").alias("dn"))
+    cls = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ctot = cls.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = toks.agg(F.count_distinct("term").cast("double").alias("v"))
+    prior = docs.groupBy("lang").agg(
+        F.log(F.count(F.lit(1)).cast("double")).alias("lp")
+    )
+    seen = (
+        dt.join(cls.withColumnRenamed("lang", "cls_lang"), "term")
+        .join(
+            F.broadcast(ctot.withColumnRenamed("lang", "cls_lang")),
+            "cls_lang",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "cls_lang")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log((F.col("c") + 1) / (F.col("tot") + F.col("v")))
+            ).alias("seen_lp"),
+            F.sum("tf").alias("n_seen"),
+        )
+    )
+    scored = (
+        dlen.crossJoin(F.broadcast(ctot.withColumnRenamed("lang", "cls_lang")))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(prior.withColumnRenamed("lang", "cls_lang")),
+            "cls_lang",
+        )
+        .join(seen, ["doc_id", "cls_lang"], "left")
+        .select(
+            "doc_id",
+            "cls_lang",
+            (
+                F.col("lp")
+                + F.coalesce("seen_lp", F.lit(0.0))
+                + (F.col("dn") - F.coalesce("n_seen", F.lit(0.0)))
+                * F.log(F.lit(1.0) / (F.col("tot") + F.col("v")))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 6).desc(), "cls_lang"
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls_lang").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
