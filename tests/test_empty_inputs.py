@@ -55,6 +55,24 @@ FAMILIES = [
     "multimodal_decode",
     "pipeline_corpus_curation",
     "profile_table_stats",
+    "ab_test_welch",
+    "dau_wau_rolling",
+    "event_transition_matrix",
+    "basket_brand_affinity",
+    "key_skew_profile",
+    "top_session_paths",
+    "graph_triangle_count",
+    "chisq_lang_source",
+    "ols_normal_equations",
+    "naive_bayes_lang_confusion",
+    "bm25_search",
+    "token_entropy_by_lang",
+    "impute_group_stats",
+    "scale_standardize_features",
+    "winsorize_outliers",
+    "map_higher_order_functions",
+    "array_set_operations",
+    "string_format_closure",
 ]
 
 

@@ -488,3 +488,13 @@ def test_basket_affinity_broadcast_part_dim(spark):
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
     assert "TakeOrderedAndProject" in f.text
+
+
+def test_naive_bayes_model_broadcasts(spark):
+    """NB scoring: class totals, priors, and the 1-row vocab count
+    broadcast; the doc-term relation is the only corpus-sized thing
+    in the joins. No cartesian beyond 1-row crossJoins."""
+    f = _facts(spark, "naive_bayes_lang_confusion")
+    assert f.n_broadcast_hash_joins >= 3
+    assert "CartesianProduct" not in f.text
+    assert "BatchEvalPython" not in f.text
