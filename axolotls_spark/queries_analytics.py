@@ -1253,3 +1253,63 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OLS_B2).alias("b2"),
         F.expr(_OLS_R2).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Floor-at-zero running balance (non-linear sequential fold)
+
+
+@register(
+    "running_balance_floor",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN -value
+                    ELSE value END AS delta
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(
+               list_prepend(0.0, list(delta ORDER BY ts, event_id)),
+               (acc, x) -> greatest(acc + x, 0.0)
+           ) AS final_balance
+    FROM d
+    GROUP BY user_id
+    """,
+    tags=("sequential-fold", "running-balance", "higher-order", "non-linear"),
+)
+def running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running balance floored at zero (credits from every
+    event, debits from purchases; balance can never go negative) —
+    the inventory/wallet recurrence b_i = max(0, b_{i-1} + δ_i).
+
+    This recurrence is NOT a window aggregate (the max makes it
+    non-linear, so no prefix-sum trick applies); the scalable
+    spelling is the same single-shuffle sorted-array fold as the
+    funnel: groupBy user, array_sort, one sequential ``aggregate``
+    per user. Both engines fold in identical order, so the result is
+    bit-identical — no float-rounding slack needed.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("delta"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "delta"))
+        ).alias("evs"),
+    )
+    fold = F.aggregate(
+        "evs",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc + x.delta, F.lit(0.0)),
+    )
+    return per_user.select(
+        "user_id", "n_events", fold.alias("final_balance")
+    )
