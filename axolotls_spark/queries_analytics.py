@@ -1313,3 +1313,63 @@ def running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id", "n_events", fold.alias("final_balance")
     )
+
+
+@register(
+    "ols_by_group",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*)::DOUBLE            AS n,
+               SUM(l_quantity)             AS s1,
+               SUM(l_discount)             AS s2,
+               SUM(l_quantity*l_quantity)  AS s11,
+               SUM(l_quantity*l_discount)  AS s12,
+               SUM(l_discount*l_discount)  AS s22,
+               SUM(l_extendedprice)        AS sy,
+               SUM(l_extendedprice*l_extendedprice) AS syy,
+               SUM(l_quantity*l_extendedprice)      AS s1y,
+               SUM(l_discount*l_extendedprice)      AS s2y
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           {_OLS_B0} AS b0,
+           {_OLS_B1} AS b1,
+           {_OLS_B2} AS b2,
+           {_OLS_R2} AS r2
+    FROM s
+    """,
+    tags=("regression", "ols", "grouped-models", "statistics"),
+)
+def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One OLS model PER GROUP (price ~ quantity + discount, by
+    return flag) — segment-level model fitting as a single grouped
+    aggregate + closed-form solve. The grouped twin of
+    ols_normal_equations: adding thousands of groups changes only
+    the aggregate's key, not the plan shape — this is how per-
+    segment models train at 100 TB without a per-group job loop.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(d).alias("s2"),
+        F.sum(q * q).alias("s11"),
+        F.sum(q * d).alias("s12"),
+        F.sum(d * d).alias("s22"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(q * y).alias("s1y"),
+        F.sum(d * y).alias("s2y"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_OLS_B0).alias("b0"),
+        F.expr(_OLS_B1).alias("b1"),
+        F.expr(_OLS_B2).alias("b2"),
+        F.expr(_OLS_R2).alias("r2"),
+    )
