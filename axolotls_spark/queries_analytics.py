@@ -1373,3 +1373,54 @@ def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OLS_B2).alias("b2"),
         F.expr(_OLS_R2).alias("r2"),
     )
+
+
+@register(
+    "longest_daily_streak",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INT) AS anchor
+        FROM du
+    ),
+    streaks AS (
+        SELECT user_id, COUNT(*) AS len
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, MAX(len) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("streaks", "gaps-and-islands", "sequence-analytics", "window"),
+)
+def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the streak
+    metric, via the gaps-and-islands anchor trick: day minus its
+    per-user rank is constant exactly within a consecutive run.
+
+    Scale shape: distinct (user, day) collapses the corpus first;
+    the window and both aggregates run over that small relation,
+    partitioned by user — one corpus shuffle, two cheap re-uses of
+    the same partitioning.
+    """
+    from pyspark.sql import Window
+
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = du.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(F.max("len").alias("longest_streak"))

@@ -73,6 +73,9 @@ FAMILIES = [
     "map_higher_order_functions",
     "array_set_operations",
     "string_format_closure",
+    "running_balance_floor",
+    "ols_by_group",
+    "longest_daily_streak",
 ]
 
 
