@@ -1002,9 +1002,9 @@ def winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_distinct(list_filter(a, x -> list_contains(b, x))))
                AS n_common,
            len(list_distinct(list_concat(a, b))) AS n_union,
-           array_to_string(
+           COALESCE(array_to_string(
                list_sort(list_distinct(
-                   list_filter(a, x -> NOT list_contains(b, x)))), ',')
+                   list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
                AS only_a_csv,
            COALESCE(list_position(a, b[1]), 0) AS pos_of_first_b
     FROM t

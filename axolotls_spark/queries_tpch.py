@@ -171,8 +171,11 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         n.n_name                              AS nation,
         EXTRACT(YEAR FROM o.o_orderdate)::INT AS o_year,
-        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                  - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+        ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                  - CAST(0.6 AS DECIMAL(3,2))
+                      * CAST(p.p_retailprice AS DECIMAL(18,4))
+                      * CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey  = l.l_partkey
     JOIN supplier s ON s.s_suppkey  = l.l_suppkey
@@ -205,10 +208,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
+            # Exact decimal arithmetic: the profit is a large sum of
+            # near-cancelling terms, so float64 reorder noise crosses
+            # the oracle's 9-sig-digit rounding at bigger SFs; decimal
+            # sums are associative and bit-identical on both engines.
             F.round(
                 F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                    - F.lit(0.6).cast("decimal(3,2)")
+                    * F.col("p_retailprice").cast("decimal(18,4)")
+                    * F.col("l_quantity").cast("decimal(18,4)")
                 ),
                 2,
             ).alias("profit")
