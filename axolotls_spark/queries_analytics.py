@@ -1424,3 +1424,116 @@ def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("len")
     )
     return streaks.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: Population Stability Index (week 1 vs week 4)
+
+_PSI_PCTS = [i / 10 for i in range(1, 10)]  # decile cut points
+
+
+@register(
+    "distribution_drift_psi",
+    oracle=f"""
+    WITH ref AS (
+        SELECT value FROM events
+        WHERE CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-08'
+    ),
+    cur AS (
+        SELECT value FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22'
+    ),
+    cuts AS (
+        SELECT quantile_cont(value, {_PSI_PCTS}) AS c FROM ref
+    ),
+    rb AS (
+        SELECT 1 + list_sum(list_transform(cuts.c,
+                   x -> CASE WHEN ref.value > x THEN 1 ELSE 0 END)) AS b,
+               COUNT(*)::DOUBLE AS n
+        FROM ref CROSS JOIN cuts GROUP BY 1
+    ),
+    cb AS (
+        SELECT 1 + list_sum(list_transform(cuts.c,
+                   x -> CASE WHEN cur.value > x THEN 1 ELSE 0 END)) AS b,
+               COUNT(*)::DOUBLE AS n
+        FROM cur CROSS JOIN cuts GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT SUM(n) FROM rb) AS rn, (SELECT SUM(n) FROM cb) AS cn
+    ),
+    spine AS (SELECT UNNEST(range(1, 11)) AS b)
+    SELECT CAST(10 AS INT) AS n_buckets,
+           SUM(
+               ((COALESCE(rb.n, 0) + 0.5) / (tot.rn + 5)
+                - (COALESCE(cb.n, 0) + 0.5) / (tot.cn + 5))
+               * LN(((COALESCE(rb.n, 0) + 0.5) / (tot.rn + 5))
+                    / ((COALESCE(cb.n, 0) + 0.5) / (tot.cn + 5)))
+           ) AS psi
+    FROM spine
+    LEFT JOIN rb USING (b)
+    LEFT JOIN cb USING (b)
+    CROSS JOIN tot
+    """,
+    tags=("drift", "psi", "monitoring", "percentile", "broadcast"),
+)
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and last week of
+    event values — the model-monitoring drift detector: decile bins
+    derive from the REFERENCE window's exact percentiles, both
+    windows histogram against those bins, PSI = Σ (p−q)·ln(p/q)
+    (0.5-smoothed so empty buckets stay finite).
+
+    Scale shape: cut points are one exact-percentile aggregate over
+    the reference window, broadcast; each window then histograms
+    with a map-side bucket expression + tiny groupBy. Nothing but
+    the two filtered scans is corpus-sized, and the date filters
+    push down to the parquet scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ref = e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp")).select(
+        "value"
+    )
+    cur = e.filter(
+        F.col("ts") >= F.lit("2024-01-22").cast("timestamp")
+    ).select("value")
+    cuts = ref.agg(
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"c{i}")
+            for i, p in enumerate(_PSI_PCTS)
+        ]
+    )
+    bucket = (
+        F.lit(1)
+        + sum(
+            F.when(F.col("value") > F.col(f"c{i}"), 1).otherwise(0)
+            for i in range(len(_PSI_PCTS))
+        )
+    ).alias("b")
+
+    def hist(df):
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(bucket)
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        )
+
+    rb = hist(ref).withColumnRenamed("n", "rn_b")
+    cb = hist(cur).withColumnRenamed("n", "cn_b")
+    tot = (
+        ref.agg(F.count(F.lit(1)).cast("double").alias("rn"))
+        .crossJoin(cur.agg(F.count(F.lit(1)).cast("double").alias("cn")))
+    )
+    spine = (
+        e.sparkSession.range(1, 11)
+        .select(F.col("id").cast("int").alias("b"))
+    )
+    p = (F.coalesce("rn_b", F.lit(0.0)) + 0.5) / (F.col("rn") + 5)
+    q = (F.coalesce("cn_b", F.lit(0.0)) + 0.5) / (F.col("cn") + 5)
+    return (
+        spine.join(F.broadcast(rb), "b", "left")
+        .join(F.broadcast(cb), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+        .select(F.lit(10).alias("n_buckets"), "psi")
+    )
