@@ -1537,3 +1537,132 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
         .select(F.lit(10).alias("n_buckets"), "psi")
     )
+
+
+@register(
+    "funnel_latency_percentiles",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+            AND CAST(e.ts AS TIMESTAMP) > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+            AND CAST(e.ts AS TIMESTAMP) > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    lat AS (
+        SELECT DATEDIFF('second', v.t1, p.t3)::DOUBLE AS s
+        FROM v JOIN p USING (user_id)
+    )
+    SELECT COUNT(*) AS n_converting,
+           quantile_cont(s, 0.25) AS p25_s,
+           quantile_cont(s, 0.50) AS p50_s,
+           quantile_cont(s, 0.75) AS p75_s
+    FROM lat
+    """,
+    tags=("funnel", "latency", "percentile", "sequence-analytics"),
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact quartiles of the seconds
+    between a user's first view and their strict-ordered completing
+    purchase — the funnel family's 'how long', to funnel_conversion's
+    'how many'. Same single-shuffle fold computes the stage times;
+    the percentile aggregate runs over converting users only.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    null_ts = F.lit(None).cast("timestamp_ntz")
+    fold = F.aggregate(
+        "evs",
+        F.struct(
+            null_ts.alias("t1"), null_ts.alias("t2"), null_ts.alias("t3")
+        ),
+        _funnel_step,
+    )
+    lat = (
+        per_user.select(fold.alias("f"))
+        .filter(F.col("f.t3").isNotNull())
+        .select(
+            (
+                F.unix_timestamp(F.col("f.t3").cast("timestamp"))
+                - F.unix_timestamp(F.col("f.t1").cast("timestamp"))
+            ).cast("double").alias("s")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converting"),
+        F.expr("percentile(s, 0.25)").alias("p25_s"),
+        F.expr("percentile(s, 0.50)").alias("p50_s"),
+        F.expr("percentile(s, 0.75)").alias("p75_s"),
+    )
+
+
+@register(
+    "conversion_wilson_ci",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(converted)::DOUBLE AS k FROM pu
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(k AS BIGINT) AS n_converted,
+           k / n AS rate,
+           (k/n + 1.96*1.96/(2*n)
+            - 1.96 * SQRT((k/n)*(1 - k/n)/n + 1.96*1.96/(4*n*n)))
+           / (1 + 1.96*1.96/n) AS wilson_lo,
+           (k/n + 1.96*1.96/(2*n)
+            + 1.96 * SQRT((k/n)*(1 - k/n)/n + 1.96*1.96/(4*n*n)))
+           / (1 + 1.96*1.96/n) AS wilson_hi
+    FROM agg
+    """,
+    tags=("confidence-interval", "wilson", "statistics", "conversion"),
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User conversion rate with a 95% Wilson score interval — the
+    right CI for proportions (never escapes [0,1], sane at small n),
+    computed as pure column algebra over one per-user aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    agg = pu.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("k"),
+    )
+    z = 1.96
+    phat = F.col("k") / F.col("n")
+    half = z * F.sqrt(
+        phat * (1 - phat) / F.col("n")
+        + z * z / (4 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z * z / F.col("n")
+    center = phat + z * z / (2 * F.col("n"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_converted"),
+        phat.alias("rate"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
