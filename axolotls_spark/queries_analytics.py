@@ -1652,13 +1652,15 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("double").alias("k"),
     )
     z = 1.96
-    phat = F.col("k") / F.col("n")
+    # nullif-guarded divisor: ANSI mode raises DIVIDE_BY_ZERO on an
+    # empty input's n=0; NULL propagates a NULL interval instead.
+    nd = F.nullif(F.col("n"), F.lit(0.0))
+    phat = F.col("k") / nd
     half = z * F.sqrt(
-        phat * (1 - phat) / F.col("n")
-        + z * z / (4 * F.col("n") * F.col("n"))
+        phat * (1 - phat) / nd + z * z / (4 * nd * nd)
     )
-    denom = 1 + z * z / F.col("n")
-    center = phat + z * z / (2 * F.col("n"))
+    denom = 1 + z * z / nd
+    center = phat + z * z / (2 * nd)
     return agg.select(
         F.col("n").cast("long").alias("n_users"),
         F.col("k").cast("long").alias("n_converted"),

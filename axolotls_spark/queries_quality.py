@@ -353,3 +353,51 @@ def ri_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = wide.selectExpr(stack)
         out = part if out is None else out.unionAll(part)
     return out
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, COUNT(*)::DOUBLE AS n FROM d GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT obs.digit,
+           CAST(obs.n AS BIGINT) AS n_orders,
+           obs.n / tot.t AS observed_p,
+           LN(1.0 + 1.0 / obs.digit) / LN(10.0) AS benford_p
+    FROM obs CROSS JOIN tot
+    """,
+    tags=("benford", "data-forensics", "quality", "agg"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the forensic screen for fabricated or truncated
+    numeric data (synthetic uniform generators fail it loudly, which
+    is itself a useful data-provenance signal).
+
+    Scale shape: one digit-extraction aggregate (9 output rows), a
+    1-row total broadcast back. Digit extraction stays on the
+    integer part so both engines avoid float-format drift.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        (F.col("n") / F.col("t")).alias("observed_p"),
+        (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))).alias(
+            "benford_p"
+        ),
+    )

@@ -76,6 +76,10 @@ FAMILIES = [
     "running_balance_floor",
     "ols_by_group",
     "longest_daily_streak",
+    "distribution_drift_psi",
+    "funnel_latency_percentiles",
+    "conversion_wilson_ci",
+    "benford_first_digit",
 ]
 
 
