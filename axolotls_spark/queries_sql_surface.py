@@ -218,3 +218,48 @@ def string_split_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode_outer("toks").alias("tok"),
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_linenumber,
+               NULLIF(l_discount, 0.0) AS disc
+        FROM lineitem
+    ),
+    bands(disc, band) AS (
+        VALUES (0.02, 'low'), (0.05, 'mid'), (0.08, 'high'),
+               (CAST(NULL AS DOUBLE), 'none')
+    )
+    SELECT b.band, COUNT(*) AS n_lines
+    FROM l JOIN bands b ON l.disc IS NOT DISTINCT FROM b.disc
+    GROUP BY b.band
+    """,
+    tags=("join", "null-safe", "eqNullSafe", "sql-surface"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing — the semantics
+    dimension-lookup joins need when 'missing' is itself a category.
+    Zero-discount lines map to a NULL key and land in the 'none'
+    band; a plain equi-join would silently drop them.
+
+    Scale shape: the band relation broadcasts; Spark plans ``<=>``
+    as a hash join key (null-safe keys still hash), so this costs
+    the same as the ordinary equi-join.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif("l_discount", F.lit(0.0)).alias("disc"),
+    )
+    bands = spark.createDataFrame(
+        [(0.02, "low"), (0.05, "mid"), (0.08, "high"), (None, "none")],
+        "b_disc DOUBLE, band STRING",
+    )
+    return (
+        l.join(F.broadcast(bands), l.disc.eqNullSafe(bands.b_disc))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
