@@ -614,3 +614,42 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "sla_ship_within_days",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           SUM(CASE WHEN DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) <= 30
+                    THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS pct_within_30d,
+           AVG(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE))::DOUBLE) AS avg_lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("sla", "reporting", "join", "date", "agg"),
+)
+def sla_ship_within_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping SLA by order priority: share of line items shipped
+    within 30 days of order placement, plus the mean lag — the
+    operational-reporting shape (fact↔fact join on orderkey, one
+    conditional aggregate)."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(F.when(lag <= 30, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("pct_within_30d"),
+            F.avg(lag.cast("double")).alias("avg_lag_days"),
+        )
+    )

@@ -599,3 +599,29 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("val").isNull().alias("was_gap"),
         filled.alias("value_filled"),
     )
+
+
+@register(
+    "activity_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(EXTRACT(ISODOW FROM CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+           CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS INT)   AS hour,
+           COUNT(*)   AS n_events,
+           SUM(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("heatmap", "date", "reporting", "agg"),
+)
+def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (ISO dow: Monday=1) —
+    the usage-pattern grid every ops dashboard opens with; one
+    aggregate, 168 output cells regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek(F.date_sub("ts", 1)).alias("dow"),  # ISO: Mon=1
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
