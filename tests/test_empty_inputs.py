@@ -80,6 +80,9 @@ FAMILIES = [
     "funnel_latency_percentiles",
     "conversion_wilson_ci",
     "benford_first_digit",
+    "join_null_safe_eq",
+    "sla_ship_within_days",
+    "activity_heatmap_dow_hour",
 ]
 
 
