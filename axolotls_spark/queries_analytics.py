@@ -1668,3 +1668,59 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+@register(
+    "gini_customer_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, SUM(o_totalprice) AS x
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+        FROM spend
+    ),
+    agg AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(i * x) AS six
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           sx AS total_spend,
+           2.0 * six / (n * sx) - (n + 1) / n AS gini
+    FROM agg
+    """,
+    tags=("gini", "inequality", "statistics", "window"),
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    whale-vs-longtail inequality metric, from the closed form
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-ranked spend
+    (ties broken by custkey so both engines rank identically).
+
+    Scale shape: per-customer spend is one aggregate; the global
+    rank is the only total-order step and runs over |customers|
+    rows, not the fact table. For data too large even for that, the
+    same formula runs on quantile-bucketed approximations — the
+    query shape is unchanged.
+    """
+    from pyspark.sql import Window
+
+    spend = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = spend.select("x", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").alias("total_spend"),
+        (
+            2.0 * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1) / F.col("n")
+        ).alias("gini"),
+    )
