@@ -26,6 +26,25 @@ def _spark():
     return s
 
 
+def _resolve(REGISTRY: dict, rest: list[str], cmd: str):
+    """Validate `<cmd> <name>` argv; print a usage error (with
+    nearest-match suggestions) instead of a raw KeyError/IndexError."""
+    import difflib
+    import sys as _sys
+
+    if not rest:
+        print(f"usage: python -m axolotls_spark {cmd} <query> [sf_dir]",
+              file=_sys.stderr)
+        return None
+    name = rest[0]
+    if name not in REGISTRY:
+        close = difflib.get_close_matches(name, REGISTRY, n=5, cutoff=0.5)
+        hint = f"; did you mean: {', '.join(close)}" if close else ""
+        print(f"unknown query {name!r}{hint} (see `list`)", file=_sys.stderr)
+        return None
+    return name
+
+
 def main(argv: list[str]) -> int:
     from axolotls_spark.queries import REGISTRY
 
@@ -46,12 +65,16 @@ def main(argv: list[str]) -> int:
         return 0
 
     if cmd == "oracle":
-        spec = REGISTRY[rest[0]]
-        print(spec.oracle or "(rows-only: no SQL oracle)")
+        name = _resolve(REGISTRY, rest, cmd)
+        if name is None:
+            return 2
+        print(REGISTRY[name].oracle or "(rows-only: no SQL oracle)")
         return 0
 
     if cmd in {"run", "explain"}:
-        name = rest[0]
+        name = _resolve(REGISTRY, rest, cmd)
+        if name is None:
+            return 2
         sf_dir = rest[1] if len(rest) > 1 else default_sf
         df = REGISTRY[name].fn(_spark(), sf_dir)
         if cmd == "run":
@@ -61,6 +84,10 @@ def main(argv: list[str]) -> int:
         return 0
 
     if cmd == "sql":
+        if not rest:
+            print("usage: python -m axolotls_spark sql <query> [sf_dir]",
+                  file=sys.stderr)
+            return 2
         query = rest[0]
         sf_dir = rest[1] if len(rest) > 1 else default_sf
         from axolotls_spark.io.sources import register_views

@@ -175,8 +175,31 @@ class Frame:
         return self._df.count()
 
     # -- projection / mutation (struct_column.py:33-46) -------------------
-    def __getitem__(self, name: str) -> Col:
-        return Col(F.col(name))
+    def __getitem__(self, key):
+        """``frame[name]`` → column expression; ``frame[i]`` → decoded
+        row dict (reference point access: ``numeric_column.py:24-28``,
+        ``string_column.py:32-35``, ``struct_column.py:37-38`` return
+        the Python scalar / decoded value at position i, None for
+        nulls).  A distributed frame has no O(1) row address, so the
+        point read is an explicit tiny action: slice(i, i+1) under
+        the row_id total order — fine interactively, never in an
+        operator path.  Negative indices count from the end."""
+        if isinstance(key, int):
+            i = key
+            if i < 0:
+                i += len(self)
+                if i < 0:
+                    raise IndexError(key)
+            rows = self.slice(i, i + 1).collect()
+            if not rows:
+                raise IndexError(key)
+            return rows[0].asDict(recursive=True)
+        if isinstance(key, slice):
+            if key.step not in (None, 1):
+                raise ValueError("slice step is not supported")
+            stop = len(self) if key.stop is None else key.stop
+            return self.slice(key.start or 0, stop)
+        return Col(F.col(key))
 
     def __setitem__(self, name: str, value) -> None:
         if isinstance(value, Frame):

@@ -181,24 +181,29 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
+    # Literal presence marker: update-side rows are identified by a
+    # constant, not by inspecting key columns — a NULL key value in
+    # the updates would otherwise misclassify the row as an
+    # unmatched target row and silently drop its non-key values.
     u = updates.select(
-        *[F.col(c).alias(f"__u_{c}") for c in updates.columns]
+        F.lit(True).alias("__u_present"),
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns],
     )
     cond = None
     for k in keys:
         c = target[k] == u[f"__u_{k}"]
         cond = c if cond is None else cond & c
     joined = target.join(u, cond, "full_outer")
+    key_present = u["__u_present"].isNotNull()
     out_cols = []
     for c in target.columns:
         if c in keys:
-            out_cols.append(F.coalesce(u[f"__u_{c}"], target[c]).alias(c))
+            out_cols.append(
+                F.when(key_present, u[f"__u_{c}"]).otherwise(target[c]).alias(c)
+            )
         elif f"__u_{c}" in u.columns:
             # matched row -> update wins; insert -> update side;
             # unmatched target -> target side.
-            key_present = F.coalesce(
-                *[u[f"__u_{k}"].isNotNull() for k in keys[:1]]
-            )
             out_cols.append(
                 F.when(key_present, u[f"__u_{c}"])
                 .otherwise(target[c])
@@ -261,7 +266,19 @@ def write_audit_publish(
             f"write_audit_publish: checks failed {failed}; staged data kept"
             f" at {staging} for inspection"
         )
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    # Publish with the shortest possible unreadable window: rename
+    # the live table aside (one atomic rename), swap staging in (one
+    # atomic rename), then delete the old copy at leisure.  A
+    # rmtree-then-rename would leave the path missing for the whole
+    # deletion; two renames bound the gap to microseconds.  (A real
+    # table format makes this a metadata-only atomic commit.)
+    old = path.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    had_prev = os.path.exists(path)
+    if had_prev:
+        os.rename(path, old)
     os.rename(staging, path)
+    if had_prev:
+        shutil.rmtree(old)
     return report

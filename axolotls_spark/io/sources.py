@@ -58,12 +58,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # Pin the session timezone on whatever session the caller hands
-    # us (the driver harness builds its own): every timestamp-
-    # rendering query (date_format, unix_timestamp over TIMESTAMP)
-    # assumes UTC to match the oracle's naive-timestamp reading.
-    # Runtime-settable and idempotent.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # DELIBERATE session mutation (documented contract, ADVICE r1):
+    # every registered query's timestamp rendering assumes UTC to
+    # match the DuckDB oracle's naive-timestamp reading, and the
+    # correctness driver builds its own session that our factory
+    # (session.py, which pins UTC) never sees.  Guarded so a session
+    # already on UTC — ours always is — skips the conf RPC; a caller
+    # who needs a different zone must render timestamps explicitly
+    # rather than rely on session-zone formatting.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

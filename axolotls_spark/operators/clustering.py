@@ -79,14 +79,25 @@ def kmeans_update(long: DataFrame, assign: DataFrame) -> DataFrame:
 def kmeans(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` Lloyd iterations with deterministic init (the
     first k vec_ids are the seed centroids). Returns (assignment,
-    centroids) as lazy DataFrames — one unrolled Catalyst plan."""
-    long = explode_long(emb)
+    centroids) as lazy DataFrames.
+
+    Reuse discipline (same shape as ``graph.pagerank``): ``long`` is
+    the exploded corpus and feeds BOTH sides of every iteration
+    (distance join + re-average join) — persist it once so the
+    posexplode runs a single corpus pass instead of 2·iters.  Each
+    round's centroid relation (k·dim rows, tiny) is persisted too;
+    without that, the unrolled lazy plan re-derives iteration i's
+    centroids from scratch inside iteration i+1, and lineage depth —
+    hence recomputation — grows quadratically with ``iters``.
+    """
+    long = explode_long(emb).persist()
     centroids = (
         long.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval"))
     )
     assign = None
     for _ in range(iters):
+        centroids = centroids.persist()
         assign = kmeans_assign(long, centroids)
         centroids = kmeans_update(long, assign)
     return assign, centroids

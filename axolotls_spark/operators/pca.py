@@ -66,9 +66,9 @@ def gram_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
     # Exact reduce: few rows x (d + d^2) values -> positional sums.
     sums = (
-        p.select("n", F.posexplode("s").alias("pos", "v"))
+        p.select(F.posexplode("s").alias("pos", "v"))
         .groupBy("pos")
-        .agg(F.sum("v").alias("v"), F.sum("n").alias("n_part"))
+        .agg(F.sum("v").alias("v"))
     )
     grams = (
         p.select(F.posexplode("g").alias("pos", "v"))
@@ -76,10 +76,16 @@ def gram_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .agg(F.sum("v").alias("v"))
     )
     n_total = p.agg(F.sum("n").alias("n"))
-    s_arr = sums.orderBy("pos").agg(
-        F.collect_list("v").alias("s")
-    )  # collect_list over orderBy'd 64 rows — deterministic
-    g_arr = grams.orderBy("pos").agg(F.collect_list("v").alias("g"))
+    # collect_list gives NO cross-partition order guarantee, even after
+    # an orderBy (the final agg's merge can interleave) — carry pos in a
+    # struct and array_sort, then strip it.  Positional order is load-
+    # bearing here: a permutation silently scrambles the covariance.
+    _ordered = lambda c: F.transform(  # noqa: E731
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("v")))),
+        lambda s: s["v"],
+    )
+    s_arr = sums.agg(_ordered("s").alias("s"))
+    g_arr = grams.agg(_ordered("g").alias("g"))
     return n_total.crossJoin(F.broadcast(s_arr)).crossJoin(F.broadcast(g_arr))
 
 

@@ -58,9 +58,9 @@ register("q1_pricing_summary", oracle=FLAGSHIP_ORACLE, tags=("agg", "flagship"))
         l_orderkey,
         l_linenumber,
         COALESCE(NULLIF(l_discount, 0.0), -1.0)       AS disc_filled,
-        LN(l_quantity + 3.0)                          AS log_q,
-        LN((1.0 / (l_quantity + 3.0))
-           / (1.0 - (1.0 / (l_quantity + 3.0))))      AS logit_q
+        CAST(LN(l_quantity + 3.0) AS REAL)            AS log_q,
+        CAST(LN((1.0 / (l_quantity + 3.0))
+           / (1.0 - (1.0 / (l_quantity + 3.0)))) AS REAL) AS logit_q
     FROM lineitem
     """,
     tags=("scalar", "fill_null", "log", "logit", "reference-parity"),
@@ -71,14 +71,16 @@ def ref_feature_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in one codegen stage; scan reads only 4 columns."""
     li = load_table(spark, sf_dir, "lineitem")
     p = F.lit(1.0) / (F.col("l_quantity") + F.lit(3.0))
+    # LN's last ulp is libm-specific — emit float32 (which also
+    # matches the reference's torch-float32 tensors; see stable_f32).
     return li.select(
         "l_orderkey",
         "l_linenumber",
         S.fill_null(F.nullif(F.col("l_discount"), F.lit(0.0)), -1.0).alias(
             "disc_filled"
         ),
-        S.safe_log(F.col("l_quantity") + F.lit(3.0)).alias("log_q"),
-        S.logit(p).alias("logit_q"),
+        S.safe_log(F.col("l_quantity") + F.lit(3.0)).cast("float").alias("log_q"),
+        S.logit(p).cast("float").alias("logit_q"),
     )
 
 
@@ -88,9 +90,9 @@ def ref_feature_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         l_orderkey,
         l_linenumber,
-        LN(l_quantity + 3.0)      AS g_quantity,
-        LN(l_extendedprice + 3.0) AS g_extendedprice,
-        LN(l_tax + 3.0)           AS g_tax
+        CAST(LN(l_quantity + 3.0) AS REAL)      AS g_quantity,
+        CAST(LN(l_extendedprice + 3.0) AS REAL) AS g_extendedprice,
+        CAST(LN(l_tax + 3.0) AS REAL)           AS g_tax
     FROM lineitem
     """,
     tags=("struct", "broadcast-scalar", "reference-parity"),
@@ -111,9 +113,9 @@ def ref_struct_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "l_orderkey",
         "l_linenumber",
-        F.col("grp.l_quantity").alias("g_quantity"),
-        F.col("grp.l_extendedprice").alias("g_extendedprice"),
-        F.col("grp.l_tax").alias("g_tax"),
+        F.col("grp.l_quantity").cast("float").alias("g_quantity"),
+        F.col("grp.l_extendedprice").cast("float").alias("g_extendedprice"),
+        F.col("grp.l_tax").cast("float").alias("g_tax"),
     )
 
 
@@ -174,9 +176,9 @@ def ref_slice_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         l_orderkey,
         l_linenumber,
-        LN(l_quantity + 3.0)  AS f1,
-        LN((1.0 / (l_quantity + 3.0))
-           / (1.0 - (1.0 / (l_quantity + 3.0)))) AS f3
+        CAST(LN(l_quantity + 3.0) AS REAL)  AS f1,
+        CAST(LN((1.0 / (l_quantity + 3.0))
+           / (1.0 - (1.0 / (l_quantity + 3.0)))) AS REAL) AS f3
     FROM lineitem
     """,
     tags=("compat", "reference-parity", "scalar"),
@@ -196,7 +198,12 @@ def ref_compat_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df["f1"] = (df["l_quantity"] + 3.0).log()
     df["f3"] = (1.0 / (df["l_quantity"] + 3.0)).logit()
-    return df.df.select("l_orderkey", "l_linenumber", "f1", "f3")
+    return df.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("f1").cast("float").alias("f1"),
+        F.col("f3").cast("float").alias("f3"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from axolotls_spark.io.sources import load_table, spread_for_cpu
 from axolotls_spark.operators.dedup import tokens_col
-from axolotls_spark.registry import register
+from axolotls_spark.registry import register, stable_f32
 
 # --------------------------------------------------------------------------
 # Funnel: strict-ordered view -> click -> purchase
@@ -324,6 +324,10 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.join(nrm, "doc_id")
         .filter(F.col("nrm") > 0)
         .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("uw"))
+        # Feeds BOTH sides of the self-join below: without a persist
+        # the whole tokenize→tf→idf→normalize pipeline executes twice
+        # (two full corpus passes at 100 TB).  One pass, cached.
+        .persist()
     )
     a = u.alias("a")
     b = u.alias("b")
@@ -386,7 +390,7 @@ def _pr_iter_sql(i: int) -> str:
 _PR_ORACLE = (
     "WITH " + _PR_EDGES_SQL
     + "".join(_pr_iter_sql(i) for i in range(1, 6))
-    + "\n    SELECT node AS nation, rank AS pagerank FROM r5"
+    + "\n    SELECT node AS nation, CAST(rank AS REAL) AS pagerank FROM r5"
 )
 
 
@@ -438,7 +442,8 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(edges).select(
-        F.col("node").alias("nation"), F.col("rank").alias("pagerank")
+        F.col("node").alias("nation"),
+        F.col("rank").cast("float").alias("pagerank"),
     )
 
 
@@ -471,7 +476,7 @@ _PMI_MIN_PAIRS = 5
         HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
     )
     SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
-           LN(n_ab * n.n_docs / (va.df * vb.df)) AS pmi
+           CAST(LN(n_ab * n.n_docs / (va.df * vb.df)) AS REAL) AS pmi
     FROM pairs
     JOIN vocab va ON pairs.term_a = va.term
     JOIN vocab vb ON pairs.term_b = vb.term
@@ -501,7 +506,10 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("df")
     )
     vocab = freq.orderBy(F.col("df").desc(), "term").limit(_PMI_V)
-    tv = toks.join(F.broadcast(vocab.select("term")), "term")
+    # tv feeds both sides of the pair self-join — persist so the
+    # tokenize→distinct→vocab-filter pipeline runs one corpus pass,
+    # not two (and vocab itself isn't re-derived inside the filter).
+    tv = toks.join(F.broadcast(vocab.select("term")), "term").persist()
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     a = tv.alias("a")
     b = tv.alias("b")
@@ -528,7 +536,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term_a",
             "term_b",
             F.col("n_ab").cast("long").alias("n_ab"),
-            F.log(ratio).alias("pmi"),
+            F.log(ratio).cast("float").alias("pmi"),
             ratio.alias("_r"),
         )
         .orderBy(F.col("_r").desc(), "term_a", "term_b")
@@ -913,7 +921,7 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(s.n_keys AS BIGINT)        AS n_keys,
            s.max_n / s.mean_n              AS max_over_mean,
            s.max_n / s.tot                 AS max_share,
-           SUM((k.n / s.tot) * (k.n / s.tot)) AS hhi
+           CAST(SUM((k.n / s.tot) * (k.n / s.tot)) AS REAL) AS hhi
     FROM k CROSS JOIN s
     GROUP BY s.n_keys, s.max_n, s.mean_n, s.tot
     """,
@@ -949,7 +957,7 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_keys").cast("long").alias("n_keys"),
             (F.col("max_n") / F.col("mean_n")).alias("max_over_mean"),
             (F.col("max_n") / F.col("tot")).alias("max_share"),
-            "hhi",
+            F.col("hhi").cast("float").alias("hhi"),
         )
     )
 
@@ -1115,8 +1123,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT SUM(o) AS n FROM obs)
     SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_langs,
            CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_sources,
-           SUM((obs.o - rt.r * ct.c / n.n) * (obs.o - rt.r * ct.c / n.n)
-               / (rt.r * ct.c / n.n)) AS chi2
+           CAST(SUM((obs.o - rt.r * ct.c / n.n) * (obs.o - rt.r * ct.c / n.n)
+               / (rt.r * ct.c / n.n)) AS REAL) AS chi2
     FROM obs
     JOIN rt USING (lang)
     JOIN ct USING (source)
@@ -1156,7 +1164,9 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(nl))
         .crossJoin(F.broadcast(ns))
-        .select("n_langs", "n_sources", "chi2")
+        .select(
+            "n_langs", "n_sources", F.col("chi2").cast("float").alias("chi2")
+        )
     )
 
 

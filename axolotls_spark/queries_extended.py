@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table
 from axolotls_spark.operators.temporal_join import asof_join
-from axolotls_spark.registry import register
+from axolotls_spark.registry import register, stable_f32
 
 
 @register(
@@ -290,9 +290,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_extendedprice * l_discount              AS f_mul,
         CAST(l_quantity AS BIGINT) % 7            AS f_mod,
         ABS(l_discount - 0.05)                    AS f_abs,
-        SIGN(l_discount - 0.05)                   AS f_sign,
-        FLOOR(l_extendedprice)                    AS f_floor,
-        CEIL(l_extendedprice)                     AS f_ceil,
+        CAST(SIGN(l_discount - 0.05) AS DOUBLE)   AS f_sign,
+        CAST(FLOOR(l_extendedprice) AS BIGINT)    AS f_floor,
+        CAST(CEIL(l_extendedprice) AS BIGINT)     AS f_ceil,
         ROUND(l_extendedprice, 1)                 AS f_round,
         SQRT(l_quantity)                          AS f_sqrt,
         POWER(l_quantity, 2.0)                    AS f_pow,
@@ -564,10 +564,10 @@ def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_linear_regression",
     oracle="""
     SELECT l_returnflag,
-        regr_slope(l_extendedprice, l_quantity)     AS slope,
-        regr_intercept(l_extendedprice, l_quantity) AS intercept,
-        regr_r2(l_extendedprice, l_quantity)        AS r2,
-        covar_samp(l_extendedprice, l_quantity)     AS covar
+        CAST(regr_slope(l_extendedprice, l_quantity) AS REAL)     AS slope,
+        CAST(regr_intercept(l_extendedprice, l_quantity) AS REAL) AS intercept,
+        CAST(regr_r2(l_extendedprice, l_quantity) AS REAL)        AS r2,
+        CAST(covar_samp(l_extendedprice, l_quantity) AS REAL)     AS covar
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -579,12 +579,13 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose partial+final like any sum: distributed linear modeling
     with no ML-library dependency and no extra shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    out = li.groupBy("l_returnflag").agg(
         F.regr_slope("l_extendedprice", "l_quantity").alias("slope"),
         F.regr_intercept("l_extendedprice", "l_quantity").alias("intercept"),
         F.regr_r2("l_extendedprice", "l_quantity").alias("r2"),
         F.covar_samp("l_extendedprice", "l_quantity").alias("covar"),
     )
+    return stable_f32(out, "slope", "intercept", "r2", "covar")
 
 
 @register(
@@ -736,8 +737,8 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     SELECT * FROM (
     """ + "\n    UNION ALL\n    ".join(
         f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-               corr({a}, {b}) AS pearson_r,
-               covar_samp({a}, {b}) AS cov_s
+               CAST(corr({a}, {b}) AS REAL) AS pearson_r,
+               CAST(covar_samp({a}, {b}) AS REAL) AS cov_s
         FROM lineitem"""
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1:]
@@ -769,8 +770,8 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.col(f"r__{a}__{b}").alias("pearson_r"),
-                F.col(f"c__{a}__{b}").alias("cov_s"),
+                F.col(f"r__{a}__{b}").cast("float").alias("pearson_r"),
+                F.col(f"c__{a}__{b}").cast("float").alias("cov_s"),
             )
             for i, a in enumerate(_CORR_COLS)
             for b in _CORR_COLS[i + 1:]

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from axolotls_spark.io.sources import load_table
 from axolotls_spark.operators.dedup import tokens_col
-from axolotls_spark.registry import register
+from axolotls_spark.registry import register, stable_f32
 
 _SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
 
@@ -45,7 +45,8 @@ _SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
                ) AS rn
         FROM tf t JOIN dfreq d USING (term), n
     )
-    SELECT doc_id, term, tf, tfidf FROM scored WHERE rn <= 3
+    SELECT doc_id, term, tf, CAST(tfidf AS REAL) AS tfidf
+    FROM scored WHERE rn <= 3
     """,
     tags=("tfidf", "text-analysis", "sparse-retrieval", "top-k-per-group"),
 )
@@ -85,7 +86,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tf", "tfidf")
+        .select(
+            "doc_id", "term", "tf", F.col("tfidf").cast("float").alias("tfidf")
+        )
     )
 
 
@@ -164,7 +167,7 @@ _PACK_SHARDS = 64
                ) AS cum_tokens
         FROM t
     )
-    SELECT doc_id, shard, n_tokens, cum_tokens,
+    SELECT doc_id, shard, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
            CAST(FLOOR(GREATEST(cum_tokens - 1, 0) / {_PACK_BUDGET}) AS BIGINT)
                AS pack_id
     FROM c
@@ -324,7 +327,7 @@ def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks k JOIN freq f USING (term), total
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           AVG(nll) AS avg_neg_logprob
+           CAST(AVG(nll) AS REAL) AS avg_neg_logprob
     FROM scored GROUP BY doc_id
     """,
     tags=("quality-scoring", "language-model", "llm-pipeline", "two-phase-agg"),
@@ -357,7 +360,7 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg("nll").alias("avg_neg_logprob"),
+            F.avg("nll").cast("float").alias("avg_neg_logprob"),
         )
     )
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from axolotls_spark.io.sources import load_table
-from axolotls_spark.registry import register
+from axolotls_spark.registry import register, stable_f32
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -154,7 +154,8 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice / NULLIF(l_quantity - 1, 0)     AS unit_over_qm1,
-           CASE WHEN l_discount > 0 THEN LN(l_discount) END AS ln_disc,
+           CAST(CASE WHEN l_discount > 0 THEN LN(l_discount) END AS REAL)
+               AS ln_disc,
            TRY_CAST(l_returnflag AS DOUBLE)                 AS flag_num,
            CASE WHEN l_linenumber <= 2
                 THEN ['A','B'][l_linenumber] END            AS pick
@@ -181,9 +182,9 @@ def try_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             F.col("l_extendedprice"), F.col("l_quantity") - 1
         ).alias("unit_over_qm1"),
-        F.when(F.col("l_discount") > 0, F.log(F.col("l_discount"))).alias(
-            "ln_disc"
-        ),
+        F.when(F.col("l_discount") > 0, F.log(F.col("l_discount")))
+        .cast("float")
+        .alias("ln_disc"),
         F.col("l_returnflag").try_cast("double").alias("flag_num"),
         F.try_element_at(
             F.array(F.lit("A"), F.lit("B")), F.col("l_linenumber")
@@ -242,7 +243,7 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM joined GROUP BY c_mktsegment
     )
     SELECT j.o_orderkey, j.c_mktsegment, j.o_totalprice,
-           (j.o_totalprice - s.seg_avg) / s.seg_std AS zscore
+           CAST((j.o_totalprice - s.seg_avg) / s.seg_std AS REAL) AS zscore
     FROM joined j JOIN stats s USING (c_mktsegment)
     WHERE ABS((j.o_totalprice - s.seg_avg) / s.seg_std) > 1.5
     """,
@@ -277,7 +278,12 @@ def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.join(F.broadcast(stats), "c_mktsegment")
         .withColumn("zscore", z)
         .filter(F.abs(F.col("zscore")) > 1.5)
-        .select("o_orderkey", "c_mktsegment", "o_totalprice", "zscore")
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            "o_totalprice",
+            F.col("zscore").cast("float").alias("zscore"),
+        )
     )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table
-from axolotls_spark.registry import register
+from axolotls_spark.registry import register, stable_f32
 
 # ---------------------------------------------------------------------------
 # Joins
@@ -266,8 +266,8 @@ def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
         c_mktsegment,
         COUNT(*)                    AS n_customers,
         COUNT(DISTINCT c_nationkey) AS n_nations,
-        SUM(c_acctbal)              AS total_bal,
-        AVG(c_acctbal)              AS avg_bal
+        CAST(SUM(c_acctbal) AS REAL) AS total_bal,
+        CAST(AVG(c_acctbal) AS REAL) AS avg_bal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -275,12 +275,13 @@ def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def agg_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
+    out = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.sum("c_acctbal").alias("total_bal"),
         F.avg("c_acctbal").alias("avg_bal"),
     )
+    return stable_f32(out, "total_bal", "avg_bal")
 
 
 @register(
@@ -290,10 +291,10 @@ def agg_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_returnflag,
         MIN(l_extendedprice)             AS min_price,
         MAX(l_extendedprice)             AS max_price,
-        STDDEV_SAMP(l_extendedprice)     AS sd_price,
-        VAR_SAMP(l_extendedprice)        AS var_price,
+        CAST(STDDEV_SAMP(l_extendedprice) AS REAL)     AS sd_price,
+        CAST(VAR_SAMP(l_extendedprice) AS REAL)        AS var_price,
         MEDIAN(l_extendedprice)          AS med_price,
-        CORR(l_extendedprice, l_quantity) AS corr_pq
+        CAST(CORR(l_extendedprice, l_quantity) AS REAL) AS corr_pq
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -301,9 +302,11 @@ def agg_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Algebraic + order-statistic aggregates; median is exact
-    (percentile 0.5 with interpolation — identical in DuckDB)."""
+    (percentile 0.5 with interpolation — identical in DuckDB).
+    Variance-family outputs are reduction-order-sensitive in the
+    last ulps, so they are emitted float32 (see stable_f32)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    out = li.groupBy("l_returnflag").agg(
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.stddev_samp("l_extendedprice").alias("sd_price"),
@@ -311,6 +314,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_extendedprice").alias("med_price"),
         F.corr("l_extendedprice", "l_quantity").alias("corr_pq"),
     )
+    return stable_f32(out, "sd_price", "var_price", "corr_pq")
 
 
 @register(
@@ -355,7 +359,8 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN o_totalprice < 150000 THEN 'medium'
              ELSE 'large' END AS bucket,
         COUNT(*) AS n,
-        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_finished
     FROM orders
     GROUP BY 1
     """,
@@ -423,11 +428,11 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         o_custkey, o_orderkey,
-        SUM(o_totalprice) OVER (
+        CAST(SUM(o_totalprice) OVER (
             PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS running_total
+        ) AS REAL) AS running_total
     FROM orders
     """,
     tags=("window", "analytic", "rows-frame"),
@@ -439,11 +444,12 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return o.select(
+    out = o.select(
         "o_custkey",
         "o_orderkey",
         F.sum("o_totalprice").over(w).alias("running_total"),
     )
+    return stable_f32(out, "running_total")
 
 
 @register(

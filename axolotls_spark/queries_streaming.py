@@ -26,7 +26,7 @@ from axolotls_spark.registry import register
             AS window_start,
         event_type,
         COUNT(*)   AS n_events,
-        SUM(value) AS total_value
+        CAST(SUM(value) AS REAL) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -37,7 +37,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink holds exactly the final windows."""
     stream = S.read_events_stream(spark, sf_dir)
     agg = S.hourly_event_counts(stream)
-    return S.run_to_memory(agg, "stream_hourly", output_mode="complete")
+    out = S.run_to_memory(agg, "stream_hourly", output_mode="complete")
+    return out.withColumn("total_value", F.col("total_value").cast("float"))
 
 
 @register(
@@ -59,7 +60,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            COUNT(*)   AS n_events,
-           SUM(value) AS total_value
+           CAST(SUM(value) AS REAL) AS total_value
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -72,7 +73,8 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching-but-not-overlapping windows stay separate)."""
     stream = S.read_events_stream(spark, sf_dir)
     sess = S.session_windows(stream, gap="15 minutes")
-    return S.run_to_memory(sess, "stream_sessions", output_mode="complete")
+    out = S.run_to_memory(sess, "stream_sessions", output_mode="complete")
+    return out.withColumn("total_value", F.col("total_value").cast("float"))
 
 
 @register(
@@ -80,7 +82,7 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*)     AS n_events,
-           SUM(e.value) AS total_value
+           CAST(SUM(e.value) AS REAL) AS total_value
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -106,7 +108,8 @@ def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("total_value"),
         )
     )
-    return S.run_to_memory(agg, "stream_dim_join", output_mode="complete")
+    out = S.run_to_memory(agg, "stream_dim_join", output_mode="complete")
+    return out.withColumn("total_value", F.col("total_value").cast("float"))
 
 
 @register(
@@ -142,7 +145,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*)   AS n_events,
-           SUM(value) AS total_value,
+           CAST(SUM(value) AS REAL) AS total_value,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
     FROM events
     GROUP BY user_id
@@ -163,6 +166,7 @@ def streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .withColumn("total_value", F.col("total_value").cast("float"))
     )
 
 
@@ -219,7 +223,7 @@ if _has_protobuf():
     oracle="""
     SELECT user_id,
            COUNT(*)   AS n_events,
-           SUM(value) AS total_value,
+           CAST(SUM(value) AS REAL) AS total_value,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
     FROM events
     GROUP BY user_id
@@ -255,4 +259,5 @@ def streaming_user_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .withColumn("total_value", F.col("total_value").cast("float"))
     )

@@ -201,11 +201,11 @@ def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ROWS UNBOUNDED PRECEDING) AS session_seq
         FROM ordered
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT)      AS session_seq,
            COUNT(*)                                  AS n_events,
            STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S')    AS session_start,
            STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S')    AS session_end,
-           SUM(value)                                AS total_value
+           CAST(SUM(value) AS REAL)                  AS total_value
     FROM numbered
     GROUP BY user_id, session_seq
     """,
@@ -239,14 +239,16 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("new_sess", boundary)
         .withColumn(
             "session_seq",
-            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
         )
         .groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            F.sum("value").alias("total_value"),
+            F.sum("value").cast("float").alias("total_value"),
         )
     )
 

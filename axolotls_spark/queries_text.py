@@ -237,7 +237,8 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, bit
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM weighted GROUP BY doc_id
     """,
     tags=("dedup", "simhash", "fingerprint"),
@@ -673,7 +674,8 @@ _BM25_QUERIES = (
                ) AS rn
         FROM scored
     )
-    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+    SELECT query_id, doc_id, CAST(score AS REAL) AS score
+    FROM ranked WHERE rn <= 10
     """,
     tags=("bm25", "sparse-retrieval", "text-analysis", "topk", "broadcast"),
 )
@@ -733,7 +735,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
-        .select("query_id", "doc_id", "score")
+        .select(
+            "query_id", "doc_id", F.col("score").cast("float").alias("score")
+        )
     )
 
 
@@ -750,7 +754,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.lang,
            CAST(o.tot AS BIGINT)   AS n_tokens,
            COUNT(*)                AS vocab_size,
-           -SUM((t.n / o.tot) * LN(t.n / o.tot)) AS token_entropy
+           CAST(-SUM((t.n / o.tot) * LN(t.n / o.tot)) AS REAL)
+               AS token_entropy
     FROM tf t JOIN tot o USING (lang)
     GROUP BY t.lang, o.tot
     """,
@@ -786,7 +791,7 @@ def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("tot").cast("long").alias("n_tokens"),
             "vocab_size",
-            "token_entropy",
+            F.col("token_entropy").cast("float").alias("token_entropy"),
         )
     )
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table
-from axolotls_spark.registry import register
+from axolotls_spark.registry import register, stable_f32
 
 
 @register(
@@ -279,10 +279,10 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         l.l_linestatus,
-        SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                 THEN 1 ELSE 0 END) AS high_line_count,
-        SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                 THEN 1 ELSE 0 END) AS low_line_count
+        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
@@ -444,7 +444,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    SELECT CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS REAL)
+        AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -484,7 +485,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.filter(clause).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("float")
+        .alias("revenue")
     )
 
 

@@ -24,8 +24,9 @@ from axolotls_spark.registry import register
         FROM lineitem
     )
     SELECT l_orderkey, l_linenumber,
-           ln(LEAST(GREATEST(prob, 1e-6), 1 - 1e-6)
-              / (1 - LEAST(GREATEST(prob, 1e-6), 1 - 1e-6))) AS logit_p
+           CAST(ln(LEAST(GREATEST(prob, 1e-6), 1 - 1e-6)
+              / (1 - LEAST(GREATEST(prob, 1e-6), 1 - 1e-6))) AS REAL)
+               AS logit_p
     FROM p
     """,
     tags=("udf", "pandas-udf", "vectorized", "arrow", "ref-parity"),
@@ -39,7 +40,7 @@ def udf_pandas_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        I.logit_kernel(prob).alias("logit_p"),
+        I.logit_kernel(prob).cast("float").alias("logit_p"),
     )
 
 
@@ -147,7 +148,7 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           SUM(l_extendedprice * l_quantity) / SUM(l_quantity)
+           CAST(SUM(l_extendedprice * l_quantity) / SUM(l_quantity) AS REAL)
                AS w_avg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -175,7 +176,7 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        wavg("l_extendedprice", "l_quantity").alias("w_avg_price")
+        wavg("l_extendedprice", "l_quantity").cast("float").alias("w_avg_price")
     )
 
 
@@ -185,8 +186,8 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n,
            SUM(l_extendedprice * (1 - l_discount)) AS revenue,
-           SUM(CASE WHEN l_extendedprice * (1 - l_discount) > 30000
-                    THEN 1 ELSE 0 END) AS n_high
+           CAST(SUM(CASE WHEN l_extendedprice * (1 - l_discount) > 30000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -214,7 +215,8 @@ def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                COUNT(*) AS n,
                SUM(net_rev(l_extendedprice, l_discount)) AS revenue,
-               SUM(is_high(net_rev(l_extendedprice, l_discount))) AS n_high
+               CAST(SUM(is_high(net_rev(l_extendedprice, l_discount)))
+                    AS BIGINT) AS n_high
         FROM lineitem
         GROUP BY l_returnflag
         """

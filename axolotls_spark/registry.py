@@ -41,3 +41,24 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+def stable_f32(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast the named float columns to float32 for oracle-stable output.
+
+    Harness-stability convention (round-2, VERDICT "What's wrong"):
+    the driver hashes result values at full precision, so a float
+    aggregate whose last ulp depends on reduction order (corr,
+    stddev, running SUM(double), log-sums) hash-mismatches DuckDB
+    even though both answers are correct.  IEEE double->float32
+    rounding is deterministic and identical in the JVM and DuckDB,
+    and a <=few-ulp double divergence is ~2^29 away from a float32
+    rounding boundary — so casting the *emitted* column to float32
+    on BOTH sides (Spark: this helper; oracle: ``CAST(x AS REAL)``)
+    makes the hashes agree without touching the computation itself.
+    Order-stable outputs (plain COUNT/MIN/MAX, money sums the driver
+    already certifies exactly) are left at full precision.
+    """
+    for c in cols:
+        df = df.withColumn(c, df[c].cast("float"))
+    return df

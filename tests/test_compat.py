@@ -148,3 +148,30 @@ def test_demo_scripts_run(spark):
     for name in ("criteo", "string_col", "arrow_interop"):
         mod = runpy.run_path(f"demos/{name}.py")
         mod["main"]()
+
+
+def test_point_row_access(spark):
+    """frame[i] point access (reference numeric_column.py:24-28,
+    struct_column.py:37-38): decoded Python values, None for nulls,
+    negative indices, IndexError past the end."""
+    df = _criteo_frame(spark)
+    r0 = df[0]
+    assert r0["dense1"] == 1382 and r0["dense2"] is None and r0["dense3"] == 2
+    r3 = df[3]
+    assert r3["dense1"] is None and r3["dense2"] == 893
+    # negative index = from the end (torch tensor semantics)
+    assert df[-1] == df[4]
+    with pytest.raises(IndexError):
+        df[5]
+    with pytest.raises(IndexError):
+        df[-6]
+
+
+def test_slice_getitem_sugar(spark):
+    """frame[a:b] sugar over slice(a, b) keeps positional order."""
+    df = _criteo_frame(spark)
+    part = df[1:3]
+    got = [r["dense1"] for r in part.collect()]
+    assert got == [2, 2]
+    tail = df[3:]
+    assert [r["dense2"] for r in tail.collect()] == [893, -1]

@@ -30,12 +30,32 @@ def ref(spark, sf_dir):
 def test_gram_moments_match_numpy(spark, sf_dir, ref):
     ids, xc, _, _ = ref
     emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r.embedding for r in rows], dtype="float64")
     m = gram_moments(emb).collect()[0]
     assert m.n == len(ids)
     s = np.asarray(m.s)
     g = np.asarray(m.g).reshape(64, 64)
-    assert s.shape == (64,) and np.isfinite(s).all()
-    assert np.allclose(g, g.T, atol=1e-8)
+    # Exact positional match — a cross-partition collect_list
+    # permutation (the round-1 ADVICE bug) scrambles these.
+    assert np.allclose(s, x.sum(0), rtol=1e-12)
+    assert np.allclose(g, x.T @ x, rtol=1e-10)
+
+
+def test_gram_moments_order_stable_many_partitions(spark, sf_dir, ref):
+    """Regression for the collect_list ordering hazard: force the
+    positional-sum relations through many partitions so the final
+    aggregation merges out-of-order inputs, then require exact
+    positional equality with numpy."""
+    ids, xc, _, _ = ref
+    emb = load_table(spark, sf_dir, "embeddings").repartition(17)
+    rows = emb.select("embedding").collect()
+    x = np.array([r.embedding for r in rows], dtype="float64")
+    m = gram_moments(emb).collect()[0]
+    s = np.asarray(m.s)
+    g = np.asarray(m.g).reshape(64, 64)
+    assert np.allclose(s, x.sum(0), rtol=1e-12)
+    assert np.allclose(g, x.T @ x, rtol=1e-10)
 
 
 def test_pca_scores_match_numpy_reference(spark, sf_dir, ref):
