@@ -648,9 +648,10 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                VAR_SAMP(value) AS var
         FROM assigned GROUP BY arm
     )
-    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
-           (a.mean - b.mean)
-           / SQRT(a.var / a.n + b.var / b.n) AS t_stat
+    SELECT a.n AS n_a, b.n AS n_b,
+           CAST(a.mean AS REAL) AS mean_a, CAST(b.mean AS REAL) AS mean_b,
+           CAST((a.mean - b.mean)
+           / SQRT(a.var / a.n + b.var / b.n) AS REAL) AS t_stat
     FROM (SELECT * FROM s WHERE arm = 'A') a
     CROSS JOIN (SELECT * FROM s WHERE arm = 'B') b
     """,
@@ -703,7 +704,7 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mean_a") - F.col("mean_b"))
             / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
         ).alias("t_stat"),
-    )
+    ).transform(lambda df: stable_f32(df, "mean_a", "mean_b", "t_stat"))
 
 
 # --------------------------------------------------------------------------
@@ -1473,12 +1474,12 @@ _PSI_PCTS = [i / 10 for i in range(1, 10)]  # decile cut points
     ),
     spine AS (SELECT UNNEST(range(1, 11)) AS b)
     SELECT CAST(10 AS INT) AS n_buckets,
-           SUM(
+           CAST(SUM(
                ((COALESCE(rb.n, 0) + 0.5) / (tot.rn + 5)
                 - (COALESCE(cb.n, 0) + 0.5) / (tot.cn + 5))
                * LN(((COALESCE(rb.n, 0) + 0.5) / (tot.rn + 5))
                     / ((COALESCE(cb.n, 0) + 0.5) / (tot.cn + 5)))
-           ) AS psi
+           ) AS REAL) AS psi
     FROM spine
     LEFT JOIN rb USING (b)
     LEFT JOIN cb USING (b)
@@ -1546,6 +1547,7 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
         .select(F.lit(10).alias("n_buckets"), "psi")
+        .transform(lambda df: stable_f32(df, "psi"))
     )
 
 

@@ -109,7 +109,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1.n_name                         AS supp_nation,
         n2.n_name                         AS cust_nation,
         EXTRACT(YEAR FROM l.l_shipdate)::INT AS ship_year,
-        SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS REAL) AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey  = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -162,6 +162,7 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
+        .transform(lambda df: stable_f32(df, "revenue"))
     )
 
 
@@ -571,7 +572,8 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_idle_rich_customers",
     oracle="""
-    SELECT c.c_mktsegment, COUNT(*) AS numcust, SUM(c.c_acctbal) AS totacctbal
+    SELECT c.c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(c.c_acctbal) AS REAL) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (
         SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
@@ -608,6 +610,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum("c_acctbal").alias("totacctbal"),
         )
+        .transform(lambda df: stable_f32(df, "totacctbal"))
     )
 
 
@@ -688,8 +691,8 @@ def subquery_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_national_market_share",
     oracle="""
     SELECT o_year,
-           SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0.0 END)
-             / SUM(rev) AS mkt_share
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0.0 END)
+             / SUM(rev) AS REAL) AS mkt_share
     FROM (
         SELECT EXTRACT(YEAR FROM o.o_orderdate)::INT AS o_year,
                l.l_extendedprice * (1 - l.l_discount) AS rev,
@@ -763,6 +766,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(rev)
             ).alias("mkt_share")
         )
+        .transform(lambda df: stable_f32(df, "mkt_share"))
     )
 
 
@@ -907,7 +911,7 @@ def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT SUM(l.l_extendedprice) / 7.0 AS avg_yearly
+    SELECT CAST(SUM(l.l_extendedprice) / 7.0 AS REAL) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#3'
@@ -940,6 +944,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .transform(lambda df: stable_f32(df, "avg_yearly"))
     )
 
 
