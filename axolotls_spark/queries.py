@@ -223,3 +223,4 @@ from axolotls_spark import queries_quality  # noqa: E402,F401
 from axolotls_spark import queries_llm  # noqa: E402,F401
 from axolotls_spark import queries_sql_surface  # noqa: E402,F401
 from axolotls_spark import queries_analytics  # noqa: E402,F401
+from axolotls_spark import queries_curation  # noqa: E402,F401

@@ -1,0 +1,974 @@
+"""Round-2 curation & retrieval operators for LLM data pipelines.
+
+Extends §2B beyond round 1 with the published curation primitives a
+100 TB training-data pipeline actually runs:
+
+- ``cms_heavy_hitters``      — count-min sketch frequency estimation
+  (Cormode & Muthukrishnan), deterministic md5-derived hash rows so
+  the sketch itself is oracle-checkable bit-for-bit.
+- ``semdedup_prune``         — SemDeDup (Abbas et al. 2023): k-means
+  cluster the embedding space, prune near-cosine-duplicates *within*
+  clusters only — pairwise work bounded by cluster size, never N².
+- ``hybrid_search_rrf``      — reciprocal-rank fusion (Cormack et
+  al.) of two independent rankers (BM25, term-coverage) — the
+  standard hybrid-retrieval combiner.
+- ``substring_span_dedup``   — exact hashed 12-token-span overlap
+  between documents (the "Deduplicating Training Data Makes LMs
+  Better" exact-substring signal, relationalized via shingle
+  hashing).
+- ``bpe_merge_candidates``   — one BPE vocabulary-induction step:
+  most frequent adjacent character pair, weighted by token
+  frequency; work scales with the Zipf-small vocabulary, not the
+  corpus.
+- ``ccnet_perplexity_buckets`` — CCNet-style head/middle/tail
+  terciles of LM score per language (Wenzek et al. 2020).
+- ``containment_pairs``      — asymmetric shingle containment
+  |A∩B| / |A| (the "doc A is quoted inside doc B" detector that
+  symmetric Jaccard misses).
+- ``mutual_info_lang_source`` — mutual information between two
+  categorical columns (feature-dependence screening).
+- ``table_diff_checksum``    — two-level checksum reconciliation of
+  a drifted replica: bucket digests prune identical data before any
+  row-level diff.
+- ``zorder_layout_keys``     — Z-order (Morton) interleaved sort key
+  for multi-dimensional data-skipping layouts.
+
+The reference has none of these (SURVEY §2A: four column classes,
+element-wise arithmetic only — ``/root/reference/axolotls``); they
+are §2B "LLM-data-pipeline operator" mandates. Every query is pure
+Column-expression PySpark (no Python UDFs) and every one carries an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark.io.sources import load_table, spread_for_cpu
+from axolotls_spark.operators.dedup import (
+    doc_shingle_hashes,
+    token_hash,
+    tokens_col,
+)
+from axolotls_spark.registry import register, stable_f32
+
+_SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_SQL_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4   # hash rows
+_CMS_W = 64  # buckets per row
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    occ AS (
+        SELECT term, i FROM toks CROSS JOIN UNNEST(range(0, {_CMS_D})) AS u(i)
+    ),
+    sketch AS (
+        SELECT i,
+               {_SQL_HASH.format(x="i::VARCHAR || ' ' || term")} % {_CMS_W}
+                   AS bucket,
+               COUNT(*) AS cell
+        FROM occ GROUP BY 1, 2
+    ),
+    exact AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    top AS (
+        SELECT term, cnt FROM (
+            SELECT term, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rn
+            FROM exact) WHERE rn <= 20
+    ),
+    probe AS (
+        SELECT t.term, t.cnt, u.i,
+               {_SQL_HASH.format(x="u.i::VARCHAR || ' ' || t.term")}
+                   % {_CMS_W} AS bucket
+        FROM top t CROSS JOIN UNNEST(range(0, {_CMS_D})) AS u(i)
+    )
+    SELECT p.term, p.cnt AS exact_cnt,
+           MIN(s.cell) AS cms_est,
+           MIN(s.cell) - p.cnt AS overcount
+    FROM probe p JOIN sketch s ON s.i = p.i AND s.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+    tags=("sketch", "count-min", "heavy-hitters", "mergeable", "text"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows × w=64 buckets) over the corpus
+    token stream, probed at the exact top-20 tokens so the one-sided
+    overcount guarantee (est ≥ truth) is visible in the output.
+
+    Scale shape: the sketch is a fixed 256-cell aggregate regardless
+    of corpus size — map-side partial aggregation collapses each
+    task's token stream to ≤256 rows before any exchange, and cells
+    are trivially mergeable across partitions/days (the point of the
+    sketch). Hash rows use engine-independent md5-prefix hashes
+    (operators/dedup.py convention) so DuckDB reproduces every cell
+    exactly. The exact-count side exists only as the probe's ground
+    truth; a pure streaming deployment would keep the sketch alone.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    rows = toks.select(
+        "term",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i"),
+    )
+    bucket = (
+        token_hash(
+            F.concat_ws(" ", F.col("i").cast("string"), F.col("term"))
+        )
+        % _CMS_W
+    ).alias("bucket")
+    sketch = rows.select("i", bucket).groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        exact.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    probe = top.select(
+        "term",
+        "cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i"),
+    ).select("term", "cnt", "i", bucket)
+    return (
+        probe.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "term",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside k-means clusters
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle() -> str:
+    from axolotls_spark.queries_similarity import _KMEANS_CTE
+
+    return _KMEANS_CTE + f"""
+    , mem AS (
+        SELECT a2.vec_id, a2.cid, e.embedding,
+               {_SQL_NORM.format(v='e.embedding')} AS nm
+        FROM a2 JOIN embeddings e USING (vec_id)
+    )
+    SELECT b.vec_id, b.cid, MIN(a.vec_id) AS dup_of
+    FROM mem a JOIN mem b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+          / NULLIF(a.nm * b.nm, 0) >= 0.35
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "semdedup_prune",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "semantic", "semdedup", "clustering", "embedding"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+    (same deterministic k=8 / 2-iteration run the kmeans_* queries
+    certify), then inside each cluster mark every vector whose
+    cosine to a lower-id cluster-mate is ≥ 0.35 as a prune candidate
+    (keep-lowest-id convention, matching dedup_by_embedding).
+
+    Scale shape: THE point of SemDeDup — pairwise cosine runs only
+    within a cluster (equi-join on cid), so total comparisons are
+    Σ|cluster|², bounded by clustering granularity, never the N²
+    all-pairs join; raise k as the corpus grows to hold cluster
+    size — and therefore per-key join fan-out — constant. The
+    kmeans assignment itself never shuffles the N·dim fact side
+    (operators/clustering.py). Output is all-integer, so the whole
+    cluster→prune pipeline is exactly hash-checked against the
+    SQL-unrolled oracle.
+
+    Reuse discipline: the member relation (assignment ⋈ vectors,
+    with the L2 norm computed ONCE per vector) feeds both sides of
+    the pairwise self-join — persist it, or the whole kmeans lineage
+    executes twice and every pair re-derives two norms (the
+    sparse_cosine_pairs lesson from round 1; 12.4 s → ~1 s at
+    sf0.1).
+    """
+    from axolotls_spark.functions.arrays import dot, norm
+    from axolotls_spark.operators import clustering as CLU
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, _ = CLU.kmeans(emb, k=8, iters=2)
+    mem = (
+        assign.select("vec_id", "cid")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id", "cid", "embedding", norm(F.col("embedding")).alias("nm")
+        )
+        .persist()
+    )
+    a = mem.select(
+        F.col("vec_id").alias("a_id"),
+        "cid",
+        F.col("embedding").alias("a_vec"),
+        F.col("nm").alias("a_nm"),
+    )
+    b = mem.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nm").alias("b_nm"),
+    )
+    pairs = a.join(
+        b, (a.cid == b.b_cid) & (F.col("a_id") < F.col("b_id"))
+    )
+    sim = dot(F.col("a_vec"), F.col("b_vec")) / F.nullif(
+        F.col("a_nm") * F.col("b_nm"), F.lit(0.0)
+    )
+    return (
+        pairs.filter(sim >= 0.35)
+        .groupBy(F.col("b_id").alias("vec_id"), "cid")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ term-coverage via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HY_K1 = 1.2
+_HY_B = 0.75
+_HY_QUERIES = (
+    ("q0", ("data", "model")),
+    ("q1", ("learning", "training", "deep")),
+    ("q2", ("spark", "query")),
+)
+_HY_Q_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in _HY_QUERIES for t in ts
+)
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (
+        SELECT AVG(dl) AS avgdl, COUNT(*)::DOUBLE AS n_docs FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {_HY_Q_VALUES}),
+    hits AS (
+        SELECT q.query_id, t.doc_id, t.term, t.tf, d.df, dl.dl
+        FROM q
+        JOIN tf t    ON t.term = q.term
+        JOIN dfreq d ON d.term = q.term
+        JOIN dl      ON dl.doc_id = t.doc_id
+    ),
+    scored AS (
+        SELECT h.query_id, h.doc_id,
+               SUM(
+                   LN((s.n_docs - h.df + 0.5) / (h.df + 0.5) + 1)
+                   * h.tf * ({_HY_K1} + 1)
+                   / (h.tf + {_HY_K1}
+                      * (1 - {_HY_B} + {_HY_B} * h.dl / s.avgdl))
+               ) AS bm25,
+               COUNT(DISTINCT h.term) AS coverage,
+               MAX(h.dl) AS dl
+        FROM hits h CROSS JOIN stats s
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id) AS bm25_rank,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY coverage DESC, dl, doc_id)
+                   AS cov_rank
+        FROM scored
+    ),
+    fused AS (
+        SELECT query_id, doc_id, bm25_rank, cov_rank,
+               1.0 / ({_RRF_K} + bm25_rank)
+               + 1.0 / ({_RRF_K} + cov_rank) AS rrf_score
+        FROM ranked
+    )
+    SELECT query_id, doc_id, bm25_rank, cov_rank, rrf_score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, doc_id) AS rn
+        FROM fused) WHERE rn <= 10
+    """,
+    tags=("hybrid-retrieval", "rrf", "bm25", "rank-fusion", "topk"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse a BM25 ranking with a term-coverage
+    ranking (distinct query terms matched, shorter-doc tiebreak) via
+    reciprocal-rank fusion, rrf = Σ 1/(60 + rank) — the standard
+    combiner for lexical ⊕ secondary rankers (Cormack et al.;
+    production pairs BM25 with an ANN ranker, same fusion shape).
+
+    Scale shape: identical to bm25_search — the handful of query
+    terms BROADCAST-prunes the inverted (doc, term) relation before
+    any wide work, both rankers and the fusion run on the pruned
+    candidate set, and ranks come from WindowGroupLimit windows over
+    per-query candidates. RRF arithmetic on integer ranks is exact
+    in both engines, so the fused ranking hash-matches.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in _HY_QUERIES for t in ts],
+        "query_id STRING, term STRING",
+    )
+    hits = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(q.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    contrib = idf * F.col("tf") * (_HY_K1 + 1) / (
+        F.col("tf")
+        + _HY_K1 * (1 - _HY_B + _HY_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        hits.crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib).alias("bm25"),
+            F.countDistinct("term").alias("coverage"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    w_bm = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    w_cov = Window.partitionBy("query_id").orderBy(
+        F.desc("coverage"), "dl", "doc_id"
+    )
+    fused = scored.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_bm).alias("bm25_rank"),
+        F.row_number().over(w_cov).alias("cov_rank"),
+    ).withColumn(
+        "rrf_score",
+        1.0 / (_RRF_K + F.col("bm25_rank"))
+        + 1.0 / (_RRF_K + F.col("cov_rank")),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), "doc_id"
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id", "bm25_rank", "cov_rank", "rrf_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span overlap (hashed 12-token shingles)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 12
+
+
+@register(
+    "substring_span_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_HASH.format(x='g')} AS sh
+        FROM (
+            SELECT doc_id,
+                   array_to_string(toks[i:i + {_SPAN_N - 1}], ' ') AS g
+            FROM t, UNNEST(range(1, len(toks) - {_SPAN_N - 2})) AS u(i)
+            WHERE len(toks) >= {_SPAN_N}
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_spans
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "substring", "ngram", "contamination", "text"),
+)
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact long-span overlap: document pairs sharing at least one
+    verbatim 12-token span, with the count of distinct shared spans —
+    the relational form of exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    a 12-token exact match is overwhelming evidence of copying, and
+    hashing the spans turns suffix-array matching into an equi-join.
+
+    Scale shape: per-doc work is linear in token count (shingle +
+    hash, map-only); candidate pairs come ONLY from the equi-join on
+    span hash — the shared-key join the dedup module uses everywhere,
+    never an all-pairs comparison. Boilerplate spans that appear in
+    thousands of docs are the skew hazard; AQE skew-join splitting
+    plus an optional per-span doc-count cap (drop spans with df
+    above a threshold — they are boilerplate, not copying) bound the
+    fan-out at 100 TB.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = doc_shingle_hashes(docs, n=_SPAN_N)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, (a.sh == b.sh_b) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (one vocabulary-induction step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    pairs AS (
+        SELECT substr(term, i, 2) AS pair,
+               CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM vocab, UNNEST(range(1, length(term))) AS u(i)
+        WHERE length(term) >= 2
+        GROUP BY 1
+    )
+    SELECT pair, pair_count FROM (
+        SELECT pair, pair_count,
+               ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rn
+        FROM pairs) WHERE rn <= 20
+    """,
+    tags=("bpe", "tokenizer", "vocab-induction", "text", "topk"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding induction step: the 20 most frequent
+    adjacent character pairs across the corpus, weighted by word
+    frequency — the argmax a BPE trainer (Sennrich et al. 2016)
+    merges next. Iterating this query with a merge applied between
+    rounds IS tokenizer training.
+
+    Scale shape: the corpus collapses to its Zipf-small vocabulary
+    (term, count) FIRST — one corpus-sized shuffle — and the
+    character-pair explosion runs over the vocabulary only, so the
+    expensive positional work scales with distinct words, not corpus
+    tokens. That vocabulary-first trick is exactly how production
+    BPE trainers stay tractable.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        vocab.filter(F.length("term") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("term") - 1)
+            ).alias("i"),
+            "term",
+        )
+        .select(
+            F.col("term").substr(F.col("i"), F.lit(2)).alias("pair"), "cnt"
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+    return (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("pair_count"), "pair")),
+        )
+        .filter(F.col("rn") <= 20)
+        .select("pair", "pair_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity terciles per language
+# ---------------------------------------------------------------------------
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*)::DOUBLE AS c FROM toks GROUP BY 1),
+    total AS (SELECT SUM(c) AS t FROM freq),
+    doc_nll AS (
+        SELECT k.doc_id, k.lang,
+               ROUND(AVG(-LN(f.c / total.t)), 6) AS nll_r
+        FROM toks k JOIN freq f USING (term), total
+        GROUP BY 1, 2
+    ),
+    tiled AS (
+        SELECT lang, nll_r,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY nll_r, doc_id) AS tile
+        FROM doc_nll
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head'
+                     WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(AVG(nll_r) AS REAL) AS avg_nll
+    FROM tiled
+    GROUP BY 1, 2
+    """,
+    tags=("quality-scoring", "ccnet", "perplexity", "percentile", "curation"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): score
+    every document with the unigram LM (same pipeline
+    unigram_logprob_score certifies), then split each language into
+    head / middle / tail terciles of the score distribution — the
+    bucketing CCNet uses to keep the cleanest third of Common Crawl.
+
+    Terciles are RANK-based (ntile(3) with a doc_id tiebreak), not
+    interpolated-percentile cuts: an interpolated cut value differs
+    between engines in the last ulp and flips boundary documents at
+    scale (observed at sf0.1), while ntile over a totally-ordered
+    window is integer-deterministic. Per-doc scores are additionally
+    rounded to 6 decimals on both engines so a reduction-order ulp
+    in the AVG cannot reorder the window itself. The window
+    partitions by language, so the rank pass shuffles only the tiny
+    (doc, score) relation — one corpus-sized shuffle total (the
+    per-doc aggregate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = freq.agg(F.sum("c").alias("t"))
+    doc_nll = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "lang", (-F.log(F.col("c") / F.col("t"))).alias("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("nll"), 6).alias("nll_r"))
+    )
+    w = Window.partitionBy("lang").orderBy("nll_r", "doc_id")
+    tiled = doc_nll.withColumn("tile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("nll_r").alias("avg_nll"),
+        )
+        .transform(lambda df: stable_f32(df, "avg_nll"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, {_SQL_HASH.format(x='g')} AS sh
+        FROM (
+            SELECT doc_id, array_to_string(toks[i:i + 2], ' ') AS g
+            FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS host_doc,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_id, i.host_doc, s.n_sh AS n_shingles, i.n_common,
+           i.n_common / s.n_sh::DOUBLE AS containment
+    FROM inter i JOIN sizes s ON s.doc_id = i.doc_id
+    WHERE s.n_sh >= 5 AND i.n_common / s.n_sh::DOUBLE >= 0.8
+    """,
+    tags=("dedup", "containment", "ngram", "asymmetric", "text"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| over
+    3-token shingles: detects a document quoted or embedded inside a
+    larger one — a relation symmetric Jaccard dilutes to
+    insignificance when |B| ≫ |A| (Broder's containment, the other
+    half of the resemblance framework MinHash approximates).
+
+    Scale shape: same shared-shingle equi-join as the Jaccard verify
+    stage (operators/dedup.py) — candidate pairs only ever arise
+    from a common shingle hash, never all-pairs; per-doc shingle
+    sizes are a second small aggregate joined back. The ≥5-shingle
+    floor keeps trivially-short docs from producing degenerate 100%
+    containments.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = doc_shingle_hashes(docs, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("host_doc"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (a.sh == b.sh_b) & (F.col("a_id") != F.col("host_doc")))
+        .groupBy(F.col("a_id").alias("doc_id"), "host_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.col("n_sh").cast("double"),
+        )
+        .filter((F.col("n_sh") >= 5) & (F.col("containment") >= 0.8))
+        .select(
+            "doc_id",
+            "host_doc",
+            F.col("n_sh").alias("n_shingles"),
+            "n_common",
+            "containment",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mutual_info_lang_source",
+    oracle="""
+    WITH joint AS (
+        SELECT lang, source, COUNT(*)::DOUBLE AS nxy
+        FROM documents GROUP BY 1, 2
+    ),
+    px AS (SELECT lang, SUM(nxy) AS nx FROM joint GROUP BY 1),
+    py AS (SELECT source, SUM(nxy) AS ny FROM joint GROUP BY 1),
+    n AS (SELECT SUM(nxy) AS n FROM joint)
+    SELECT COUNT(*) AS n_cells,
+           CAST(MAX(n.n) AS BIGINT) AS n_docs,
+           CAST(SUM((j.nxy / n.n)
+                    * LN(j.nxy * n.n / (px.nx * py.ny))) AS REAL)
+               AS mi_nats
+    FROM joint j
+    JOIN px USING (lang)
+    JOIN py USING (source)
+    CROSS JOIN n
+    """,
+    tags=("statistics", "mutual-information", "categorical", "agg"),
+)
+def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — the
+    information-theoretic dependence screen between two categorical
+    columns (complements chisq_lang_source's significance test with
+    an effect-size measure; MI is what feature-selection pipelines
+    rank by).
+
+    Scale shape: one corpus-sized contingency aggregate; marginals
+    derive from the (tiny) joint table and broadcast back — the
+    corpus is read once and shuffled once regardless of scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("nxy")
+    )
+    px = joint.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    py = joint.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    n = joint.agg(F.sum("nxy").alias("n"))
+    return (
+        joint.join(F.broadcast(px), "lang")
+        .join(F.broadcast(py), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("n").cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("nxy") / F.col("n"))
+                * F.log(
+                    F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny"))
+                )
+            ).alias("mi_nats"),
+        )
+        .transform(lambda df: stable_f32(df, "mi_nats"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-level checksum table reconciliation
+# ---------------------------------------------------------------------------
+
+_DIFF_MOD = 997   # 1-in-997 rows dropped / perturbed in the replica
+_DIFF_BUCKETS = 512
+
+
+def _sql_row_checksum(price_expr: str) -> str:
+    return _SQL_HASH.format(
+        x=(
+            "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' "
+            "|| o_orderstatus || '|' "
+            f"|| CAST(FLOOR(({price_expr}) * 100) AS BIGINT)::VARCHAR"
+        )
+    )
+
+
+@register(
+    "table_diff_checksum",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               {_SQL_HASH.format(x='o_orderkey::VARCHAR')} % {_DIFF_MOD}
+                   AS drift,
+               o_orderkey % {_DIFF_BUCKETS} AS bucket
+        FROM orders
+    ),
+    p AS (
+        SELECT o_orderkey, bucket,
+               {_sql_row_checksum('o_totalprice')} AS cks
+        FROM keyed
+    ),
+    r AS (
+        SELECT o_orderkey, bucket,
+               {_sql_row_checksum(
+                   "o_totalprice + CASE WHEN drift = 1 THEN 1.0 ELSE 0.0 END"
+               )} AS cks
+        FROM keyed WHERE drift <> 0
+    ),
+    ps AS (SELECT bucket, COUNT(*) AS cnt, bit_xor(cks) AS dig
+           FROM p GROUP BY 1),
+    rs AS (SELECT bucket, COUNT(*) AS cnt, bit_xor(cks) AS dig
+           FROM r GROUP BY 1),
+    bad AS (
+        SELECT COALESCE(ps.bucket, rs.bucket) AS bucket
+        FROM ps FULL OUTER JOIN rs USING (bucket)
+        WHERE ps.cnt IS DISTINCT FROM rs.cnt
+           OR ps.dig IS DISTINCT FROM rs.dig
+    ),
+    pf AS (SELECT * FROM p WHERE bucket IN (SELECT bucket FROM bad)),
+    rf AS (SELECT * FROM r WHERE bucket IN (SELECT bucket FROM bad))
+    SELECT COALESCE(pf.o_orderkey, rf.o_orderkey) AS o_orderkey,
+           CASE WHEN rf.o_orderkey IS NULL THEN 'missing_in_replica'
+                ELSE 'changed' END AS diff_type
+    FROM pf FULL OUTER JOIN rf USING (o_orderkey)
+    WHERE rf.o_orderkey IS NULL OR pf.cks <> rf.cks
+    """,
+    tags=("reconciliation", "checksum", "table-diff", "data-quality"),
+)
+def table_diff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level checksum reconciliation between a table and a
+    drifted replica (here: a deterministic 1-in-997 sample of rows
+    dropped, another 1-in-997 with a perturbed price — the drift a
+    replication bug produces). Level 1 digests each of 512 key
+    buckets (row count + XOR of per-row 60-bit checksums — order-
+    independent and overflow-free); level 2 row-diffs ONLY the
+    buckets whose digests disagree.
+
+    Scale shape: this is how cross-region reconciliation works at
+    100 TB — the full-table pass produces 512 summary rows per side,
+    and the expensive row-level full-outer join touches only the
+    ~0.2%% of data living in mismatched buckets (semi-join pruned
+    before the wide join). Checksums avoid float formatting drift by
+    hashing FLOOR(price*100) cents; XOR digests merge across
+    partitions in any order.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    keyed = o.select(
+        "*",
+        (token_hash(F.col("o_orderkey").cast("string")) % _DIFF_MOD).alias(
+            "drift"
+        ),
+        (F.col("o_orderkey") % _DIFF_BUCKETS).alias("bucket"),
+    )
+
+    def checksum(price: F.Column) -> F.Column:
+        return token_hash(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.floor(price * 100).cast("long").cast("string"),
+            )
+        )
+
+    p = keyed.select(
+        "o_orderkey", "bucket", checksum(F.col("o_totalprice")).alias("cks")
+    )
+    r = keyed.filter(F.col("drift") != 0).select(
+        "o_orderkey",
+        "bucket",
+        checksum(
+            F.col("o_totalprice")
+            + F.when(F.col("drift") == 1, 1.0).otherwise(0.0)
+        ).alias("cks"),
+    )
+    ps = p.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(cks)").alias("dig")
+    )
+    rs = r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(cks)").alias("dig")
+    )
+    bad = (
+        ps.withColumnsRenamed({"cnt": "p_cnt", "dig": "p_dig"})
+        .join(
+            rs.withColumnsRenamed({"cnt": "r_cnt", "dig": "r_dig"}),
+            "bucket",
+            "full_outer",
+        )
+        .filter(
+            ~F.col("p_cnt").eqNullSafe(F.col("r_cnt"))
+            | ~F.col("p_dig").eqNullSafe(F.col("r_dig"))
+        )
+        .select("bucket")
+    )
+    pf = p.join(F.broadcast(bad), "bucket", "left_semi")
+    rf = r.join(F.broadcast(bad), "bucket", "left_semi").withColumnsRenamed(
+        {"cks": "r_cks"}
+    )
+    return (
+        pf.join(rf.select("o_orderkey", "r_cks"), "o_orderkey", "full_outer")
+        .filter(F.col("r_cks").isNull() | (F.col("cks") != F.col("r_cks")))
+        .select(
+            "o_orderkey",
+            F.when(F.col("r_cks").isNull(), "missing_in_replica")
+            .otherwise("changed")
+            .alias("diff_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _sql_zval(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_keys",
+    oracle=f"""
+    WITH dims AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS x,
+               EXTRACT(DOY FROM o_orderdate)::BIGINT % 256 AS y
+        FROM orders
+    )
+    SELECT o_orderkey, x, y,
+           {_sql_zval('x', 'y')} AS zval,
+           ({_sql_zval('x', 'y')}) >> 10 AS file_bucket
+    FROM dims
+    """,
+    tags=("layout", "zorder", "data-skipping", "clustering-write"),
+)
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleaved sort key over two dimensions
+    (customer, day-of-year): bit-interleave the 8-bit normalized
+    coordinates so rows close in EITHER dimension land in the same
+    file — the layout trick behind Delta/Iceberg Z-ordering that
+    lets parquet min/max footer stats skip files for predicates on
+    either column, where a plain sort only serves its leading column.
+
+    Deployment pairs this with
+    ``df.repartitionByRange('zval').sortWithinPartitions('zval')
+    .write`` (io/sinks.py's sorted-clustered layout); here the key
+    derivation + 64-way file bucketing (zval >> 10) is certified
+    exactly — pure map-side integer bit arithmetic, zero shuffles,
+    reproduced bit-for-bit by the SQL oracle.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    dims = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.dayofyear("o_orderdate").cast("long") % 256).alias("y"),
+    )
+    zval = None
+    for i in range(_Z_BITS):
+        xbit = F.shiftleft(
+            F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        ybit = F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = xbit + ybit
+        zval = term if zval is None else zval + term
+    return dims.select(
+        "o_orderkey",
+        "x",
+        "y",
+        zval.alias("zval"),
+        F.shiftright(zval, 10).alias("file_bucket"),
+    )

@@ -60,6 +60,10 @@ HEADLINE = [
     "dau_wau_rolling",
     "interval_join_attribution",
     "event_transition_matrix",
+    "semdedup_prune",
+    "hybrid_search_rrf",
+    "substring_span_dedup",
+    "table_diff_checksum",
 ]
 
 
