@@ -343,6 +343,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set, and ranks come from WindowGroupLimit windows over
     per-query candidates. RRF arithmetic on integer ranks is exact
     in both engines, so the fused ranking hash-matches.
+
+    Reuse discipline: the inverted (doc, term, tf) relation feeds
+    three consumers (doc lengths, document frequencies, the
+    candidate probe) — persist it so the corpus is tokenized ONCE,
+    not once per consumer.
     """
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
@@ -350,7 +355,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
-    )
+    ).persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.avg("dl").alias("avgdl"),
@@ -832,6 +837,13 @@ def table_diff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the wide join). Checksums avoid float formatting drift by
     hashing FLOOR(price*100) cents; XOR digests merge across
     partitions in any order.
+
+    Reuse discipline: both sides' checksums are computed in ONE
+    persisted pass over the table (the first plan draft scanned
+    orders six times — once per summary/diff leg); every later leg
+    is a projection of the cache. With two physically separate
+    tables each side gets its own single persisted checksum pass —
+    the join structure is unchanged.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -855,16 +867,21 @@ def table_diff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    p = keyed.select(
-        "o_orderkey", "bucket", checksum(F.col("o_totalprice")).alias("cks")
-    )
-    r = keyed.filter(F.col("drift") != 0).select(
+    chk = keyed.select(
         "o_orderkey",
         "bucket",
-        checksum(
-            F.col("o_totalprice")
-            + F.when(F.col("drift") == 1, 1.0).otherwise(0.0)
-        ).alias("cks"),
+        checksum(F.col("o_totalprice")).alias("p_cks"),
+        F.when(
+            F.col("drift") != 0,
+            checksum(
+                F.col("o_totalprice")
+                + F.when(F.col("drift") == 1, 1.0).otherwise(0.0)
+            ),
+        ).alias("r_cks"),
+    ).persist()
+    p = chk.select("o_orderkey", "bucket", F.col("p_cks").alias("cks"))
+    r = chk.filter(F.col("r_cks").isNotNull()).select(
+        "o_orderkey", "bucket", F.col("r_cks").alias("cks")
     )
     ps = p.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(cks)").alias("dig")

@@ -521,3 +521,69 @@ def test_kmeans_caches_long_corpus(spark):
     lineage (and recomputation) stops growing with iteration count."""
     f = _facts(spark, "kmeans_clusters")
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+
+
+def test_semdedup_reuses_member_relation(spark):
+    """SemDeDup: the (assignment + vector + norm) member relation
+    feeds both sides of the within-cluster self-join — it must come
+    from cache, or the whole kmeans lineage executes twice. And the
+    pairwise step must stay an equi-join on cid."""
+    f = _facts(spark, "semdedup_prune")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert "CartesianProduct" not in f.text
+
+
+def test_zorder_keys_map_only(spark):
+    """Z-value derivation is pure map-side bit arithmetic: zero
+    exchanges, single scan, 3 columns read."""
+    f = _facts(spark, "zorder_layout_keys")
+    assert f.n_exchanges == 0
+    assert len(f.read_schemas) == 1
+    assert f.read_schemas[0].count(":") <= 3
+
+
+def test_cms_sketch_joins_broadcast(spark):
+    """The 256-cell sketch and the 20-row probe must meet via
+    broadcast — nothing corpus-sized on the build side."""
+    f = _facts(spark, "cms_heavy_hitters")
+    assert f.n_broadcast_hash_joins >= 1
+    assert "CartesianProduct" not in f.text
+
+
+def test_span_dedup_equi_join_only(spark):
+    """Span-hash pair generation is an equi-join on the 60-bit span
+    hash; the a<b ordering is a residual, never a nested loop."""
+    f = _facts(spark, "substring_span_dedup")
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_containment_equi_join_only(spark):
+    f = _facts(spark, "containment_pairs")
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_table_diff_prunes_via_broadcast_semi(spark):
+    """Row-level diff runs only on bad buckets: both sides are
+    semi-join-pruned against the (tiny, broadcast) bad-bucket list
+    before the full-outer row compare."""
+    f = _facts(spark, "table_diff_checksum")
+    assert f.n_broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in f.text
+    # Both sides' checksums come from ONE persisted pass — exactly
+    # one parquet scan in the whole plan.
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") == 1
+
+
+def test_hybrid_rrf_candidates_broadcast_pruned(spark):
+    """Query terms broadcast-prune the inverted relation before any
+    wide work, as in bm25_search; only 1-row stats cross-join."""
+    f = _facts(spark, "hybrid_search_rrf")
+    assert f.n_broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in f.text
+    # The inverted tf relation is persisted; the corpus is tokenized
+    # once for all three consumers (dl, df, probe).
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") == 1
