@@ -224,3 +224,5 @@ from axolotls_spark import queries_llm  # noqa: E402,F401
 from axolotls_spark import queries_sql_surface  # noqa: E402,F401
 from axolotls_spark import queries_analytics  # noqa: E402,F401
 from axolotls_spark import queries_curation  # noqa: E402,F401
+from axolotls_spark import queries_warehouse  # noqa: E402,F401
+from axolotls_spark import queries_lm  # noqa: E402,F401

@@ -1,0 +1,387 @@
+"""Language-model curation operators: corpus LM scoring, tokenizer
+vocabulary design, and relational classifier training.
+
+The reference (`/root/reference/axolotls` — element-wise torch
+kernels over four column classes, SURVEY §2A) has no text surface;
+these extend §2B's LLM-pipeline mandate with the model-side
+primitives a training-data curation stack runs:
+
+- ``bigram_interp_logprob``  — per-document average log-probability
+  under an interpolated bigram language model estimated from the
+  corpus itself (the KenLM-style fluency score CCNet buckets on).
+- ``vocab_coverage_curve``   — corpus token coverage at candidate
+  vocabulary sizes (the tokenizer-design OOV curve).
+- ``nucleus_vocab_size``     — smallest vocabulary covering 90% of
+  corpus token mass (top-p over the global token distribution).
+- ``logreg_quality_classifier`` — logistic regression trained *in
+  the engine* by two unrolled IRLS (Newton) steps — the
+  quality-classifier stage of GPT-3/LLaMA-style curation, with every
+  step a single algebraic aggregate and an exact shared-algebra
+  DuckDB oracle (the Cramer solve reuses ols_normal_equations'
+  scalar text, since each IRLS step IS a weighted least squares).
+
+All pure Column-expression PySpark; all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark.io.sources import load_table, spread_for_cpu
+from axolotls_spark.operators.dedup import tokens_col
+from axolotls_spark.queries_analytics import _OLS_B0, _OLS_B1, _OLS_B2
+from axolotls_spark.registry import register, stable_f32
+
+_SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring
+# ---------------------------------------------------------------------------
+
+_LM_L = 0.75  # bigram weight; (1 - _LM_L) backs off to the unigram
+
+
+@register(
+    "bigram_interp_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    uni AS (
+        SELECT term, COUNT(*)::DOUBLE AS cu
+        FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cu) AS tt FROM uni),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(AVG(LN({_LM_L} * bgc.cb / u1.cu
+                       + {1.0 - _LM_L} * u2.cu / tot.tt)) AS REAL)
+               AS avg_logprob
+    FROM bg
+    JOIN bgc USING (w1, w2)
+    JOIN uni u1 ON bg.w1 = u1.term
+    JOIN uni u2 ON bg.w2 = u2.term
+    CROSS JOIN tot
+    GROUP BY 1
+    """,
+    tags=("language-model", "bigram", "perplexity", "curation", "text"),
+)
+def bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document's fluency under an interpolated bigram LM
+    estimated from the corpus: avg over the doc's bigrams of
+    ln(0.75·P(w₂|w₁) + 0.25·P(w₂)) — the relational skeleton of the
+    KenLM scoring pass CCNet-style pipelines bucket documents by
+    (ccnet_perplexity_buckets consumes exactly this kind of score).
+
+    Scale shape: unigram counts are Zipf-small and broadcast to both
+    probe sides; the one genuinely wide edge is the doc-bigram →
+    bigram-count equi-join, which shuffles on the bigram key with
+    map-side combine on the count build — the textbook LM-scoring
+    join. Scoring the training corpus on itself means every probed
+    bigram exists, so no smoothing floor is needed; held-out scoring
+    adds a COALESCE to the backoff term.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    # Tokenization feeds four consumers (unigram counts, their total,
+    # bigram-count build, bigram probe) — persist it so the
+    # scan+split pipeline runs once; downstream passes are in-memory
+    # (the round-1 sparse_cosine lesson).
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t")).persist()
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+        .persist()  # Zipf-small; read by tot and both probe sides
+    )
+    tot = uni.agg(F.sum("cu").alias("tt"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1),"
+                   " i -> struct(t[i - 1] AS w1, t[i] AS w2))")
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    F.lit(_LM_L) * F.col("cb") / F.col("cu1")
+                    + F.lit(1.0 - _LM_L) * F.col("cu2") / F.col("tt")
+                )
+            ).alias("avg_logprob"),
+        )
+    )
+    return stable_f32(scored, "avg_logprob")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary design: coverage curve + nucleus size
+# ---------------------------------------------------------------------------
+
+_VOCAB_KS = (100, 1000, 10000)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH freq AS (
+        SELECT term, COUNT(*) AS cnt
+        FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rn
+        FROM freq
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM freq),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _VOCAB_KS)}]) AS vocab_size)
+    SELECT CAST(ks.vocab_size AS BIGINT) AS vocab_size,
+           CAST(COALESCE(SUM(CASE WHEN rn <= ks.vocab_size THEN cnt END), 0)
+                AS BIGINT) AS tokens_covered,
+           CAST(CAST(COALESCE(SUM(CASE WHEN rn <= ks.vocab_size THEN cnt END),
+                              0) AS DOUBLE) / MIN(tot.t) AS REAL) AS coverage
+    FROM ks CROSS JOIN ranked CROSS JOIN tot
+    GROUP BY 1
+    """,
+    tags=("tokenizer", "vocabulary", "coverage", "zipf", "curation"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of the corpus token stream does a top-k
+    vocabulary cover, for k ∈ {100, 1k, 10k}? — the OOV/coverage
+    curve that sizes a tokenizer's vocabulary before training it.
+
+    Scale shape: the corpus collapses to the Zipf-small term
+    frequency table in one map-side-combined aggregate; the global
+    rank and the 3×|vocab| candidate cross-join act on that small
+    relation only (the unpartitioned row_number is over the vocab,
+    never the corpus). Coverage ratios are exact-integer divisions,
+    so the float32 emit is bit-stable across engines.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    # freq feeds both the ranking and the total — persist the
+    # Zipf-small relation so the corpus is tokenized exactly once.
+    freq = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).alias("rn"),
+    )
+    tot = freq.agg(F.sum("cnt").cast("double").alias("t"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("vocab_size")
+    )
+    covered = F.sum(F.when(F.col("rn") <= F.col("vocab_size"), F.col("cnt")))
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("vocab_size").cast("long").alias("vocab_size"))
+        .agg(
+            F.coalesce(covered, F.lit(0)).cast("long").alias("tokens_covered"),
+            (F.coalesce(covered, F.lit(0)).cast("double") / F.min("t"))
+            .cast("float")
+            .alias("coverage"),
+        )
+    )
+
+
+@register(
+    "nucleus_vocab_size",
+    oracle=f"""
+    WITH freq AS (
+        SELECT term, COUNT(*) AS cnt
+        FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rn,
+               SUM(cnt) OVER (ORDER BY cnt DESC, term
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM freq
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM freq)
+    SELECT CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * tot.t
+                         THEN rn END) AS BIGINT) AS nucleus_vocab_size,
+           CAST(COUNT(*) AS BIGINT) AS total_vocab
+    FROM ranked CROSS JOIN tot
+    """,
+    tags=("tokenizer", "vocabulary", "nucleus", "top-p", "curation"),
+)
+def nucleus_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p over the global token distribution: the smallest
+    frequency-ranked vocabulary whose cumulative count reaches 90% of
+    corpus token mass (plus the total distinct-token count for
+    context) — the single number the coverage curve is usually read
+    for.
+
+    Scale shape: identical to vocab_coverage_curve — corpus → term
+    frequencies in one aggregate, then rank/cumsum over the
+    Zipf-small vocab; the cumulative comparison is exact integer
+    arithmetic on both engines.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    freq = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # read by both the rank/cumsum branch and the total
+    )
+    w = Window.orderBy(F.desc("cnt"), "term")
+    ranked = freq.select(
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = freq.agg(F.sum("cnt").cast("double").alias("t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum").cast("double") >= F.lit(0.9) * F.col("t"),
+                    F.col("rn"),
+                )
+            )
+            .cast("long")
+            .alias("nucleus_vocab_size"),
+            F.count(F.lit(1)).cast("long").alias("total_vocab"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational logistic regression (IRLS) — the quality classifier
+# ---------------------------------------------------------------------------
+
+# Each IRLS step is a weighted least squares over working response z
+# with weights w = p(1-p): solve (XᵀWX)β = XᵀWz. The Cramer solve is
+# ols_normal_equations' scalar algebra verbatim (its "n" is Σw here).
+# These texts run on columns (y, x1, x2, b0, b1, b2) of the features
+# cross-joined with the current 1-row beta — identically as Spark
+# F.expr and inside the DuckDB oracle.
+_ETA = "(b0 + b1*x1 + b2*x2)"
+_P = f"(1.0 / (1.0 + EXP(-{_ETA})))"
+_W = f"GREATEST({_P} * (1.0 - {_P}), 1e-9)"
+_Z = f"({_ETA} + (y - {_P}) / ({_W}))"
+
+_IRLS_MOMENTS = {
+    "n": f"SUM({_W})",
+    "s1": f"SUM(({_W}) * x1)",
+    "s2": f"SUM(({_W}) * x2)",
+    "s11": f"SUM(({_W}) * x1 * x1)",
+    "s12": f"SUM(({_W}) * x1 * x2)",
+    "s22": f"SUM(({_W}) * x2 * x2)",
+    "sy": f"SUM(({_W}) * ({_Z}))",
+    "s1y": f"SUM(({_W}) * x1 * ({_Z}))",
+    "s2y": f"SUM(({_W}) * x2 * ({_Z}))",
+}
+_IRLS_MOMENT_SQL = ", ".join(f"{e} AS {k}" for k, e in _IRLS_MOMENTS.items())
+_IRLS_ACC = f"AVG(CASE WHEN ({_P} > 0.5) = (y > 0.5) THEN 1.0 ELSE 0.0 END)"
+
+_FEATS_SQL = f"""
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               LN(n_chars + 1.0) AS x1,
+               CAST(n_chars AS DOUBLE)
+                   / GREATEST(len({_SQL_TOKENS}), 1) AS x2
+        FROM documents
+"""
+
+
+@register(
+    "logreg_quality_classifier",
+    oracle=f"""
+    WITH feats AS ({_FEATS_SQL}),
+    seed AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN seed),
+    beta1 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m1),
+    m2 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN beta1),
+    beta2 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m2),
+    acc AS (SELECT {_IRLS_ACC} AS train_acc
+            FROM feats CROSS JOIN beta2),
+    cnt AS (SELECT COUNT(*) AS n_docs FROM feats)
+    SELECT CAST(cnt.n_docs AS BIGINT) AS n_docs,
+           CAST(b0 AS REAL) AS b0,
+           CAST(b1 AS REAL) AS b1,
+           CAST(b2 AS REAL) AS b2,
+           CAST(train_acc AS REAL) AS train_acc
+    FROM beta2 CROSS JOIN acc CROSS JOIN cnt
+    """,
+    tags=("logreg", "irls", "classifier", "curation", "shared-algebra",
+          "iterative"),
+)
+def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression document classifier INSIDE the
+    engine — two unrolled IRLS (Newton) steps fitting
+    P(lang=en | ln chars, avg token length) — the relational skeleton
+    of the quality-classifier filtering stage in GPT-3/LLaMA-style
+    curation (features and label are stand-ins; the machinery is the
+    product).
+
+    Scale shape: the feature relation is computed once and persisted;
+    each IRLS step is then ONE algebraic aggregate (9 weighted moment
+    sums, map-side combinable) followed by a closed-form 3×3 Cramer
+    solve on a single row — exactly ols_normal_equations' shape, run
+    twice with reweighting. No driver loop state, no collect();
+    adding features grows the moment count quadratically but the pass
+    count not at all. The float32 emit absorbs the cross-engine
+    last-ulp of EXP inside the weights.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.log(F.col("n_chars") + F.lit(1.0)).alias("x1"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(F.size(tokens_col(F.col("text"))), F.lit(1))
+        ).alias("x2"),
+    ).persist()
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    for _ in range(2):
+        m = feats.crossJoin(F.broadcast(beta)).agg(
+            *[F.expr(e).alias(k) for k, e in _IRLS_MOMENTS.items()]
+        )
+        beta = m.select(
+            F.expr(_OLS_B0).alias("b0"),
+            F.expr(_OLS_B1).alias("b1"),
+            F.expr(_OLS_B2).alias("b2"),
+        )
+    acc = feats.crossJoin(F.broadcast(beta)).agg(
+        F.expr(_IRLS_ACC).alias("train_acc")
+    )
+    cnt = feats.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        beta.crossJoin(F.broadcast(acc))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("b0").cast("float").alias("b0"),
+            F.col("b1").cast("float").alias("b1"),
+            F.col("b2").cast("float").alias("b2"),
+            F.col("train_acc").cast("float").alias("train_acc"),
+        )
+    )

@@ -1,0 +1,471 @@
+"""Incremental-warehouse maintenance operators.
+
+The reference (`/root/reference/axolotls` — four column classes,
+element-wise torch kernels, SURVEY §2A) has no table-maintenance
+surface; these are §2B-style extensions covering the operations a
+lakehouse actually runs to keep derived tables current:
+
+- ``scd2_priority_history``  — Slowly-Changing-Dimension Type 2:
+  collapse an ordered change stream into versioned validity
+  intervals (effective_from / effective_to / is_current).
+- ``cdc_apply_latest``       — CDC apply: latest-change-wins per key
+  with delete tombstones, in ONE hash aggregate (no window sort).
+- ``ewma_daily_revenue``     — exponentially-weighted moving average
+  over the daily revenue series (bounded 15-day kernel so the
+  weights are exact literals on both engines).
+- ``anomaly_mad_robust``     — robust outlier flagging by median
+  absolute deviation (the median-based z-score that survives the
+  very outliers a mean-based z-score is skewed by).
+- ``sample_fixed_per_group`` — deterministic k-per-group sample via
+  engine-independent hash ordering (the distributed replacement for
+  reservoir sampling: same guarantee, reproducible, one shuffle).
+- ``bfs_shortest_hops``      — bounded-depth multi-source BFS over
+  the aggregated nation trade graph (aggregate-then-iterate like
+  pagerank; the oracle is a bounded recursive CTE).
+
+Every query is pure Column-expression PySpark with an exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.registry import register, stable_f32
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 — versioned validity intervals from an ordered change stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_priority_history",
+    oracle="""
+    WITH chg AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
+                         o_orderpriority THEN 1 ELSE 0 END AS is_chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT *,
+               SUM(is_chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS version
+        FROM chg
+    ),
+    v AS (
+        SELECT o_custkey, CAST(version AS BIGINT) AS version,
+               MIN(o_orderpriority) AS priority,
+               MIN(o_orderdate) AS effective_from,
+               COUNT(*) AS n_orders
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT o_custkey, version, priority, effective_from,
+           LEAD(effective_from) OVER pw AS effective_to,
+           n_orders,
+           (LEAD(effective_from) OVER pw IS NULL) AS is_current
+    FROM v
+    WINDOW pw AS (PARTITION BY o_custkey ORDER BY version)
+    """,
+    tags=("scd2", "warehouse", "gaps-and-islands", "window", "incremental"),
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: each customer's order
+    priority over time collapsed into versioned validity intervals
+    (effective_from, effective_to=next version's start, NULL and
+    is_current on the open interval) — the standard dimension-table
+    versioning every warehouse maintains.
+
+    Scale shape: one shuffle on the dimension key drives everything —
+    the change-detect lag, the run-id prefix sum, the per-run
+    aggregate and the effective_to lead all share the o_custkey
+    partitioning, so Catalyst plans a single exchange and the
+    per-version relation (≤ |changes|) never leaves those partitions.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_chg"),
+    )
+    runs = chg.withColumn(
+        "version",
+        F.sum("is_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    v = runs.groupBy("o_custkey", "version").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    pw = Window.partitionBy("o_custkey").orderBy("version")
+    nxt = F.lead("effective_from").over(pw)
+    return v.select(
+        "o_custkey",
+        "version",
+        "priority",
+        "effective_from",
+        nxt.alias("effective_to"),
+        "n_orders",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply — latest-change-wins with delete tombstones, one aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_apply_latest",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           value      AS last_value,
+           ts         AS last_ts,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("cdc", "upsert", "warehouse", "max_by", "incremental"),
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: the events stream is a per-user change
+    feed where ``error`` is a delete tombstone; materialize the
+    current state — latest change wins by (ts, event_id), users whose
+    final change is a tombstone drop out.
+
+    Scale shape: the oracle spells it as the familiar ROW_NUMBER()=1
+    window, but that costs a per-key SORT of the full changelog. The
+    engine instead uses ``max_by`` with a (ts, event_id) struct
+    ordinal: ONE hash aggregate with map-side partial combine — each
+    task reduces its slice to one candidate per key before the
+    exchange, so 100 TB of changelog shuffles at most |keys| × tasks
+    rows and nothing is ever sorted.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ordinal = F.struct("ts", "event_id")
+    latest = e.groupBy("user_id").agg(
+        F.max_by(F.struct("event_type", "value", "ts"), ordinal).alias("s"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return latest.filter(F.col("s.event_type") != "error").select(
+        "user_id",
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").alias("last_value"),
+        F.col("s.ts").alias("last_ts"),
+        "n_changes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — bounded-kernel exponential smoothing with exact literal weights
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 15  # kernel length: (1-a)^15 ≈ 0.5% — negligible tail
+
+# The weighted sum is spelled once and run verbatim on both engines
+# (Spark F.expr and DuckDB). Weights are Python-computed literals, so
+# no pow() libm divergence can creep in.
+_EWMA_NUM = " + ".join(
+    f"COALESCE(l{k}, 0.0) * {(1.0 - _EWMA_ALPHA) ** k!r}" for k in range(_EWMA_K)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN l{k} IS NOT NULL THEN {(1.0 - _EWMA_ALPHA) ** k!r} ELSE 0.0 END)"
+    for k in range(_EWMA_K)
+)
+_EWMA_EXPR = f"({_EWMA_NUM}) / ({_EWMA_DEN})"
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, revenue,
+               {", ".join(f"LAG(revenue, {k}) OVER (ORDER BY day) AS l{k}"
+                          for k in range(_EWMA_K))}
+        FROM daily
+    )
+    SELECT day, CAST(revenue AS REAL) AS revenue,
+           CAST({_EWMA_EXPR} AS REAL) AS ewma
+    FROM lagged
+    """,
+    tags=("ewma", "timeseries", "smoothing", "window", "shared-algebra"),
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.3) of daily order
+    revenue, as a bounded 15-term kernel: the infinite recurrence's
+    tail beyond 15 days carries <0.5% weight, and truncating it turns
+    a sequential fold into a stateless window expression whose
+    weights are identical float literals on both engines.
+
+    Scale shape: the windowed relation is the DAILY aggregate —
+    calendar-bounded (~2.4k rows for 7 years) regardless of fact
+    volume, so the unpartitioned ordering is a non-issue; the only
+    corpus-sized work is the one groupBy(day) shuffle. For per-entity
+    smoothing at scale, partition the same window by the entity key.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "revenue",
+        *[F.lag("revenue", k).over(w).alias(f"l{k}") for k in range(_EWMA_K)],
+    )
+    return stable_f32(
+        lagged.select("day", "revenue", F.expr(_EWMA_EXPR).alias("ewma")),
+        "revenue",
+        "ewma",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection — median absolute deviation
+# ---------------------------------------------------------------------------
+
+_MAD_C = 1.4826  # consistency constant: MAD ≈ σ for normal data
+_MAD_CUT = 3.5
+
+
+@register(
+    "anomaly_mad_robust",
+    oracle=f"""
+    WITH e AS (SELECT event_id, event_type, value FROM events),
+    med AS (
+        SELECT event_type, median(value) AS med FROM e GROUP BY 1
+    ),
+    mad AS (
+        SELECT e.event_type, median(abs(value - med)) AS mad
+        FROM e JOIN med USING (event_type) GROUP BY 1
+    )
+    SELECT event_id, e.event_type, value,
+           CAST((value - med) / ({_MAD_C} * mad) AS REAL) AS robust_z
+    FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE abs(value - med) / ({_MAD_C} * mad) > {_MAD_CUT}
+    """,
+    tags=("anomaly", "mad", "robust-statistics", "median", "quality"),
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier flagging on the heavy-tailed
+    event values: |x − median| / (1.4826 · MAD) > 3.5 — the
+    median-based z-score whose cutoffs, unlike anomaly_zscore_orders'
+    mean/stddev, are not themselves dragged by the outliers being
+    hunted (50% breakdown point vs 0%).
+
+    Scale shape: two exact-median aggregates over the same
+    type-keyed relation (medians need a per-group sort — that is
+    the price of exactness; swap in approx_percentile for a
+    sort-free sketch at extreme scale), then the tiny per-type
+    stats broadcast back onto the facts for a map-only flag pass.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(_MAD_C) * F.col("mad"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > _MAD_CUT)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.cast("float").alias("robust_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-size per-group sample (distributed reservoir)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+
+@register(
+    "sample_fixed_per_group",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, source,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        FROM documents
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                                     ORDER BY hv, doc_id) AS rn
+        FROM h
+    )
+    SELECT lang, source, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_SAMPLE_K}
+    """,
+    tags=("sampling", "reservoir", "deterministic", "per-group", "curation"),
+)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=5 documents per (lang, source) stratum, chosen by
+    engine-independent md5 hash order — the distributed, reproducible
+    replacement for reservoir sampling: the hash order is a uniform
+    random permutation fixed at data-creation time, so "first k by
+    hash" IS a uniform k-sample, and re-running (or re-sharding) the
+    job picks the same rows.
+
+    Scale shape: one shuffle on the stratum key; rank-k selection
+    within each partition. At extreme per-stratum cardinality, cut
+    the sort cost by pre-filtering on a hash threshold (keep hv <
+    max_int * (c·k/n̂)) before ranking — the same two-phase trick
+    sample_weighted_topk uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    r = docs.select("doc_id", "lang", "source", hv.alias("hv")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang", "source").orderBy("hv", "doc_id")
+        ),
+    )
+    return r.filter(F.col("rn") <= _SAMPLE_K).select(
+        "lang", "source", "doc_id", F.col("rn").cast("long").alias("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS over the aggregated trade graph
+# ---------------------------------------------------------------------------
+
+_BFS_SEED = 0  # n_nationkey of the BFS source
+_BFS_DEPTH = 4
+_BFS_FANOUT = 3  # keep each nation's top-3 outgoing trade edges
+
+_BFS_EDGES_SQL = f"""
+        SELECT src, dst FROM (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.s_nationkey
+                       ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC,
+                                c.c_nationkey) AS rk
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer c ON o_custkey = c.c_custkey
+            JOIN supplier s ON l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2)
+        WHERE rk <= {_BFS_FANOUT}
+"""
+
+
+@register(
+    "bfs_shortest_hops",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_BFS_EDGES_SQL}),
+    bfs(node, hops) AS (
+        SELECT {_BFS_SEED}, 0
+        UNION
+        SELECT e.dst, b.hops + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.hops < {_BFS_DEPTH}
+    )
+    SELECT n_name AS nation, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM bfs JOIN nation ON node = n_nationkey
+    GROUP BY 1
+    """,
+    tags=("graph", "bfs", "iterative", "recursive-cte", "broadcast"),
+)
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop counts from nation 0 over the top-3-partner trade
+    graph (each nation keeps only its 3 highest-revenue export
+    edges), breadth-first to depth 4 — the oracle says it as a
+    bounded recursive CTE; the engine unrolls the same frontier
+    expansion into one lazy plan, pagerank-style.
+
+    Scale shape: aggregate-then-iterate (operators/graph.py): the one
+    corpus-sized pass is the edge aggregation; the ≤25·3-edge graph
+    is persisted and every expansion round is a broadcast join of the
+    ≤25-row distance vector against it, with a min-agg merge. For
+    billion-node graphs the identical plan degrades to shuffled joins
+    and the unroll bound becomes the usual BSP iteration cap.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
+    )
+    edges = (
+        rev.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= _BFS_FANOUT)
+        .select("src", "dst")
+        .repartition(1)
+        .persist()
+    )
+    dist = spark.range(1).select(
+        F.lit(_BFS_SEED).alias("node"), F.lit(0).alias("hops")
+    )
+    for _ in range(_BFS_DEPTH):
+        nxt = edges.join(F.broadcast(dist), edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = (
+            dist.union(nxt).groupBy("node").agg(F.min("hops").alias("hops"))
+        )
+    return dist.join(F.broadcast(n), dist.node == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.col("hops").cast("long").alias("hops")
+    )

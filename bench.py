@@ -64,6 +64,11 @@ HEADLINE = [
     "hybrid_search_rrf",
     "substring_span_dedup",
     "table_diff_checksum",
+    "scd2_priority_history",
+    "cdc_apply_latest",
+    "bfs_shortest_hops",
+    "bigram_interp_logprob",
+    "logreg_quality_classifier",
 ]
 
 

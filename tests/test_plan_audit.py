@@ -587,3 +587,89 @@ def test_hybrid_rrf_candidates_broadcast_pruned(spark):
     # once for all three consumers (dl, df, probe).
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
     assert f.text.count("InMemoryFileIndex") == 1
+
+
+# --------------------------------------------------------------------------
+# Round-2 warehouse + LM operators
+
+
+def test_scd2_single_exchange(spark):
+    """Change-detect lag, run-id prefix sum, per-run agg and the
+    effective_to lead all share the o_custkey partitioning — one
+    exchange drives the whole SCD2 build."""
+    f = _facts(spark, "scd2_priority_history")
+    assert f.n_exchanges == 1
+
+
+def test_cdc_apply_is_one_agg_no_sort(spark):
+    """CDC latest-wins via max_by = ONE hash aggregate with map-side
+    combine; the ROW_NUMBER()=1 spelling (per-key sort of the full
+    changelog) must not appear in the physical plan."""
+    f = _facts(spark, "cdc_apply_latest")
+    assert f.n_exchanges == 1
+    assert "Window" not in f.text
+
+
+def test_ewma_windows_daily_aggregate_only(spark):
+    """The EWMA window runs over the calendar-bounded daily relation:
+    one corpus shuffle (groupBy day), one tiny window exchange."""
+    f = _facts(spark, "ewma_daily_revenue")
+    assert f.n_exchanges <= 2
+    assert len(f.read_schemas) == 1
+    assert f.read_schemas[0].count(":") <= 2  # orderdate + totalprice
+
+
+def test_mad_anomaly_broadcasts_stats(spark):
+    """Per-type median/MAD stats come back to the fact rows via
+    broadcast — the flag pass is map-only on the fact side."""
+    f = _facts(spark, "anomaly_mad_robust")
+    assert f.n_broadcast_hash_joins >= 2
+    assert f.n_sort_merge_joins == 0
+
+
+def test_fixed_sample_single_exchange(spark):
+    """Deterministic k-per-group sample: one shuffle on the stratum
+    key, rank within partitions, nothing else."""
+    f = _facts(spark, "sample_fixed_per_group")
+    assert f.n_exchanges == 1
+    assert len(f.read_schemas) == 1
+
+
+def test_bfs_iterates_over_persisted_edges(spark):
+    """BFS expansion rounds must reuse the persisted edge relation
+    (aggregate-then-iterate) and broadcast the distance vector."""
+    f = _facts(spark, "bfs_shortest_hops")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.n_broadcast_hash_joins >= 3
+    assert "CartesianProduct" not in f.text
+
+
+def test_bigram_lm_tokenizes_once(spark):
+    """The tokenized relation feeds unigram counts, totals, and both
+    bigram sides from cache — one parquet scan in the whole plan;
+    unigram probes broadcast."""
+    f = _facts(spark, "bigram_interp_logprob")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") == 1
+    assert f.n_broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in f.text
+
+
+def test_vocab_coverage_single_scan(spark):
+    f = _facts(spark, "vocab_coverage_curve")
+    assert f.text.count("InMemoryFileIndex") == 1
+    assert "CartesianProduct" not in f.text
+
+
+def test_nucleus_vocab_single_scan(spark):
+    f = _facts(spark, "nucleus_vocab_size")
+    assert f.text.count("InMemoryFileIndex") == 1
+
+
+def test_logreg_irls_reuses_features(spark):
+    """Both IRLS moment aggregates, the accuracy pass and the count
+    read the persisted feature relation — the corpus is scanned and
+    featurized exactly once."""
+    f = _facts(spark, "logreg_quality_classifier")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") == 1
