@@ -1736,3 +1736,77 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1) / F.col("n")
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact audience overlap between event-type segments
+
+
+@register(
+    "audience_overlap_exact",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM u a JOIN u b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) AS REAL)
+               AS jaccard
+    FROM pairs
+    JOIN sz sa ON pairs.type_a = sa.event_type
+    JOIN sz sb ON pairs.type_b = sb.event_type
+    """,
+    tags=("overlap", "jaccard", "audience", "self-join", "set"),
+)
+def audience_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap between event-type segments:
+    |A∩B|, |A|, |B| and Jaccard for every type pair — the
+    ground-truth counterpart of sketch-based overlap estimation
+    (agg_approx_sketches), worth its cost whenever the segment count
+    is small.
+
+    Scale shape: the corpus collapses to the distinct (user, type)
+    relation first (one aggregate); the pair expansion is a
+    user-keyed equi-join whose per-user fan-out is bounded by
+    C(|types|, 2) = 10, never N². The distinct relation feeds both
+    join sides and the size aggregate, so it is persisted — one
+    corpus pass total (the round-1 sparse_cosine lesson).
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct().persist()
+    sz = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            )
+            .cast("float")
+            .alias("jaccard"),
+        )
+    )

@@ -989,3 +989,142 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         zval.alias("zval"),
         F.shiftright(zval, 10).alias("file_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_split_stratified",
+    oracle=f"""
+    WITH h AS (
+        SELECT lang,
+               {_SQL_HASH.format(x="'split:' || doc_id::VARCHAR")} % 100
+                   AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs
+        FROM h GROUP BY 1, 2
+    )
+    SELECT lang, split, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(CAST(n_docs AS DOUBLE)
+                / SUM(n_docs) OVER (PARTITION BY lang) AS REAL) AS frac
+    FROM s
+    """,
+    tags=("split", "train-val-test", "deterministic", "sampling", "curation"),
+)
+def dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashing the
+    document id into 100 buckets (namespaced 'split:' so it is
+    independent of every other hash-based sampler), audited per
+    language — the split recipe that survives re-sharding, re-runs
+    and late-arriving data, unlike randomSplit.
+
+    Scale shape: the assignment is a map-only expression; the audit
+    is one aggregate to |langs|×3 rows and a window over that tiny
+    relation. Fractions are exact integer ratios, so the float32
+    emit is bit-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    s = (
+        docs.select(
+            "lang",
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return s.select(
+        "lang",
+        "split",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy("lang"))
+        )
+        .cast("float")
+        .alias("frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste analysis
+# ---------------------------------------------------------------------------
+
+_LEN_BOUNDS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+_LEN_CASE = (
+    "CASE "
+    + " ".join(f"WHEN n_tok <= {b} THEN {b}" for b in _LEN_BOUNDS)
+    + f" ELSE {2 * _LEN_BOUNDS[-1]} END"
+)
+
+
+@register(
+    "bucket_by_length",
+    oracle=f"""
+    WITH d AS (
+        SELECT len({_SQL_TOKENS}) AS n_tok FROM documents
+    ),
+    b AS (SELECT n_tok, {_LEN_CASE} AS bucket FROM d)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST(1.0 - CAST(SUM(n_tok) AS DOUBLE)
+                / (COUNT(*) * bucket) AS REAL) AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+    tags=("batching", "length-bucket", "padding", "tokenizer", "curation"),
+)
+def bucket_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to its power-of-two token-length bucket
+    and measure the padding waste per bucket (1 − real/padded
+    tokens) — the batch-shape analysis that decides a training
+    pipeline's bucketed-batching boundaries. Boundaries are an
+    explicit CASE ladder (shared text on both engines), not
+    ceil(log2(n)) — float log at exact powers of two is an
+    engine-dependent coin flip.
+
+    Scale shape: tokenize → map-only bucket expression → one
+    aggregate to ≤10 rows. Waste fractions are exact integer ratios;
+    float32 emit is bit-stable.
+    """
+    from axolotls_spark.operators.dedup import tokens_col
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    b = docs.select(
+        F.size(tokens_col(F.col("text"))).alias("n_tok")
+    ).select("n_tok", F.expr(_LEN_CASE).cast("long").alias("bucket"))
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    padded = F.col("n_docs") * F.col("bucket")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        (F.lit(1.0) - F.col("total_tokens").cast("double") / padded)
+        .cast("float")
+        .alias("waste_frac"),
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table
 from axolotls_spark.registry import register
@@ -626,4 +627,138 @@ def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical time-series decomposition + changepoint detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_decompose_weekly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, rev,
+               AVG(rev)  OVER w7 AS trend,
+               COUNT(*)  OVER w7 AS win_n
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT CAST(EXTRACT(ISODOW FROM day) AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(AVG(rev / trend) AS REAL) AS seasonal_index
+    FROM t
+    WHERE win_n = 7
+    GROUP BY 1
+    """,
+    tags=("timeseries", "seasonality", "decomposition", "window", "moving-avg"),
+)
+def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative decomposition of the daily revenue
+    series: trend = centered 7-day moving average, weekly seasonal
+    index = mean(observed / trend) per ISO day-of-week — "how much
+    does a Monday run above or below trend?". Edge days without a
+    full 7-day window are excluded so the index is unbiased.
+
+    Scale shape: the only corpus-sized work is the groupBy(day)
+    aggregate; the moving-average window runs over the
+    calendar-bounded daily relation (~2.4k rows for 7 years), so the
+    unpartitioned ordering is immaterial. Per-entity decomposition
+    partitions the same windows by the entity key.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w7).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("win_n"),
+    )
+    return (
+        t.filter(F.col("win_n") == 7)
+        .groupBy(F.dayofweek(F.date_sub("day", 1)).alias("dow"))  # ISO Mon=1
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.avg(F.col("rev") / F.col("trend")).cast("float")
+            .alias("seasonal_index"),
+        )
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    mu AS (SELECT AVG(rev) AS mu, COUNT(*) AS n_days FROM daily),
+    c AS (
+        SELECT day,
+               SUM(rev - mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cusum,
+               n_days
+        FROM daily CROSS JOIN mu
+    ),
+    r AS (
+        SELECT day, cusum, n_days,
+               ROW_NUMBER() OVER (ORDER BY abs(cusum) DESC, day) AS rk
+        FROM c
+    )
+    SELECT day AS changepoint_day,
+           CAST(abs(cusum) AS REAL) AS max_abs_cusum,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rk = 1
+    """,
+    tags=("timeseries", "changepoint", "cusum", "window", "anomaly"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue: the running sum
+    of deviations from the global mean peaks (in absolute value) at
+    the most likely single level-shift point — the standard offline
+    CUSUM estimator, entirely relational.
+
+    Scale shape: one corpus aggregate to the daily series, a 1-row
+    broadcast mean, then prefix-sum + argmax over the
+    calendar-bounded relation. Nothing sequential ever touches the
+    fact table.
+    """
+    # daily feeds both the global mean and the prefix-sum window —
+    # persist the calendar-bounded relation so the corpus aggregate
+    # runs once (one parquet scan in the whole plan).
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .persist()
+    )
+    mu = daily.agg(
+        F.avg("rev").alias("mu"), F.count(F.lit(1)).alias("n_days")
+    )
+    c = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        F.sum(F.col("rev") - F.col("mu"))
+        .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cusum"),
+        "n_days",
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc(F.abs(F.col("cusum"))), "day")),
+    )
+    return r.filter(F.col("rk") == 1).select(
+        F.col("day").alias("changepoint_day"),
+        F.abs(F.col("cusum")).cast("float").alias("max_abs_cusum"),
+        F.col("n_days").cast("long").alias("n_days"),
     )

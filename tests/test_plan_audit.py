@@ -673,3 +673,49 @@ def test_logreg_irls_reuses_features(spark):
     f = _facts(spark, "logreg_quality_classifier")
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
     assert f.text.count("InMemoryFileIndex") == 1
+
+
+# --------------------------------------------------------------------------
+# Round-2 time-series + split/batching + overlap operators
+
+
+def test_seasonal_decompose_windows_daily_only(spark):
+    """Trend/seasonal windows run over the calendar-bounded daily
+    aggregate; the corpus contributes exactly one groupBy shuffle."""
+    f = _facts(spark, "seasonal_decompose_weekly")
+    assert f.n_exchanges <= 2
+    assert len(f.read_schemas) == 1
+    assert f.read_schemas[0].count(":") <= 2
+
+
+def test_cusum_prefix_sum_over_daily_aggregate(spark):
+    """The daily relation is persisted (it feeds the mean AND the
+    prefix-sum window) — one parquet scan in the whole plan."""
+    f = _facts(spark, "cusum_changepoint")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") == 1
+    assert "CartesianProduct" not in f.text
+
+
+def test_split_assignment_map_only_audit_small(spark):
+    """Split assignment is a map-side hash expression; the audit agg
+    and per-lang window act on the |langs|x3 relation."""
+    f = _facts(spark, "dataset_split_stratified")
+    assert f.n_exchanges <= 2
+    assert len(f.read_schemas) == 1
+    assert f.read_schemas[0].count(":") <= 2
+
+
+def test_length_buckets_one_agg(spark):
+    f = _facts(spark, "bucket_by_length")
+    assert f.n_exchanges <= 2  # spread_for_cpu + the bucket agg
+    assert len(f.read_schemas) == 1
+
+
+def test_audience_overlap_reuses_distinct_relation(spark):
+    """The distinct (user, type) relation feeds both join sides and
+    the size aggregate from cache; sizes broadcast back."""
+    f = _facts(spark, "audience_overlap_exact")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.n_broadcast_hash_joins >= 2
+    assert "CartesianProduct" not in f.text
