@@ -1810,3 +1810,124 @@ def audience_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Community detection: weighted label propagation on the trade graph
+
+_LP_ROUNDS = 3
+
+_LP_EDGES_SQL = """
+    e0 AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS w
+        FROM lineitem
+        JOIN orders     ON l_orderkey = o_orderkey
+        JOIN customer c ON o_custkey = c.c_custkey
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    und AS (
+        SELECT src, dst, w FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    ed AS (SELECT src, dst, SUM(w) AS w FROM und GROUP BY 1, 2),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed)
+"""
+
+
+def _lp_round_sql(r: int) -> str:
+    return f"""
+    l{r} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label, SUM(e.w) AS s,
+                   ROW_NUMBER() OVER (PARTITION BY e.dst
+                                      ORDER BY SUM(e.w) DESC, l.label) AS rk
+            FROM ed e JOIN l{r - 1} l ON e.src = l.node
+            GROUP BY e.dst, l.label) v
+        WHERE rk = 1
+    )"""
+
+
+@register(
+    "label_propagation_communities",
+    oracle="WITH "
+    + _LP_EDGES_SQL
+    + ","
+    + ",".join(_lp_round_sql(r) for r in range(1, _LP_ROUNDS + 1))
+    + f"""
+    SELECT n_name AS nation, CAST(label AS BIGINT) AS community
+    FROM l{_LP_ROUNDS} JOIN nation ON node = n_nationkey
+    """,
+    tags=("graph", "community", "label-propagation", "iterative",
+          "broadcast"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation over the undirected nation trade
+    graph: every node starts as its own community; each of 3
+    synchronous rounds re-labels a node with the community carrying
+    the largest total incident edge weight (ties to the smaller
+    label) — the classic near-linear community-detection pass,
+    deterministic by construction.
+
+    Scale shape: aggregate-then-iterate (operators/graph.py): one
+    corpus pass builds the ≤|nations|² weighted edge list, which is
+    persisted; each round is then a broadcast join of the tiny label
+    vector + a vote aggregate + an argmax window over ≤|edges| rows.
+    Edge weights are rounded to cents so the vote sums are
+    cross-engine stable. Billion-node graphs drop the broadcast hint
+    and the identical plan runs as shuffled joins keyed on src.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("w")
+        )
+    )
+    und = e0.union(e0.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), "w"))
+    ed = (
+        und.groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .repartition(1)
+        .persist()
+    )
+    labels = (
+        ed.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    rk_w = Window.partitionBy("node").orderBy(F.desc("s"), "label")
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            ed.join(F.broadcast(labels), ed.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels.join(F.broadcast(n), labels.node == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("label").cast("long").alias("community"),
+    )

@@ -1128,3 +1128,79 @@ def bucket_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("waste_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Output-shard balance report
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+
+@register(
+    "shard_balance_report",
+    oracle=f"""
+    WITH d AS (
+        SELECT {_SQL_HASH.format(x="'shard:' || doc_id::VARCHAR")}
+                   % {_N_SHARDS} AS shard,
+               len({_SQL_TOKENS}) AS n_tok
+        FROM documents
+    ),
+    s AS (
+        SELECT shard, COUNT(*) AS n_docs, SUM(n_tok) AS tks
+        FROM d GROUP BY 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tks AS BIGINT) AS total_tokens,
+           CAST(CAST(tks AS DOUBLE) / SUM(tks) OVER () AS REAL)
+               AS token_share
+    FROM s
+    """,
+    tags=("sharding", "balance", "deterministic", "curation", "qa"),
+)
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assign every document to one of 64 output shards
+    (namespaced 'shard:' hash — independent of the split and sample
+    hashes) and report each shard's document and token load — the QA
+    pass that validates a training-data export won't produce skewed
+    files before any bytes are written.
+
+    Scale shape: assignment is map-only; the load report is one
+    aggregate to 64 rows plus a window over them. Token shares are
+    exact integer ratios — bit-stable float32.
+    """
+    from axolotls_spark.operators.dedup import tokens_col
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % _N_SHARDS
+    )
+    s = (
+        docs.select(
+            shard.alias("shard"),
+            F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+    return s.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(Window.partitionBy())
+        )
+        .cast("float")
+        .alias("token_share"),
+    )

@@ -407,3 +407,66 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "benford_p"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — governance check on quasi-identifier tuples
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)
+                     AS DOUBLE) / SUM(n) AS REAL) AS risk_frac,
+           CAST(MIN(n) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+    tags=("k-anonymity", "privacy", "governance", "quality", "agg"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier tuple (market segment, nation, $1000 account
+    band): how many QI groups have fewer than k=5 members, and what
+    fraction of rows sit in them — the re-identification risk gate a
+    governance pipeline runs before any data release.
+
+    Scale shape: one hash aggregate to the QI-group relation, one
+    summary aggregate over it. The banding is a map-only expression;
+    generalizing a QI (coarser bands) to pass the gate re-runs only
+    this two-aggregate plan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    viol = F.col("n") < _KANON_K
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("n")).otherwise(0)).cast("long")
+        .alias("n_rows_at_risk"),
+        (
+            F.sum(F.when(viol, F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n")
+        )
+        .cast("float")
+        .alias("risk_frac"),
+        F.min("n").cast("long").alias("min_group_size"),
+    )
