@@ -165,7 +165,13 @@ class Frame:
 
     @property
     def dtype(self) -> StructType:
-        return self._df.schema
+        """User-facing schema — the internal row_id order column is
+        an implementation detail and stays hidden (the reference's
+        dtype is the struct of user fields, struct_column.py:15-17).
+        """
+        return StructType(
+            [f for f in self._df.schema.fields if f.name != self.ORDER]
+        )
 
     @property
     def df(self) -> DataFrame:
@@ -306,6 +312,37 @@ class Frame:
         if self.ORDER in df.columns:
             df = df.orderBy(self.ORDER).drop(self.ORDER)
         df.show(n)
+
+    _REPR_N = 10
+
+    def __repr__(self) -> str:
+        """Aligned-grid preview + dtype footer, mirroring the
+        reference's tabulate display (``column_base.py:30-40``: first
+        rows in a grid, then ``dtype: ..., length: n``). An explicit
+        tiny action (first _REPR_N rows under the row_id order) —
+        interactive sugar, never an operator path."""
+        head = [
+            r.asDict(recursive=True)
+            for r in self.slice(0, self._REPR_N).collect()
+        ]
+        names = self.columns
+        cells = [[repr(d.get(c)) for c in names] for d in head]
+        widths = [
+            max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+            for i, c in enumerate(names)
+        ]
+        sep = "  "
+        lines = [sep.join(c.ljust(w) for c, w in zip(names, widths))]
+        lines += [
+            sep.join(v.ljust(w) for v, w in zip(row, widths)) for row in cells
+        ]
+        n = len(self)
+        if n > self._REPR_N:
+            lines.append("...")
+        lines.append(f"dtype: {self.dtype}, length: {n}")
+        return "\n".join(lines)
+
+    __str__ = __repr__
 
 
 # functional.transform parity (functional/velox.py:11-18): module-level

@@ -175,3 +175,17 @@ def test_slice_getitem_sugar(spark):
     assert got == [2, 2]
     tail = df[3:]
     assert [r["dense2"] for r in tail.collect()] == [893, -1]
+
+
+def test_repr_grid_and_dtype_footer(spark):
+    """Reference display parity (column_base.py:30-40): aligned grid
+    of leading rows + dtype/length footer; the internal row_id order
+    column never leaks into the user-facing schema."""
+    from axolotls_spark import compat as ax
+
+    f = ax.Frame.from_dict(spark, {"a": [1, 2, None], "b": ["x", "y", "z"]})
+    s = repr(f)
+    assert "a" in s.splitlines()[0] and "b" in s.splitlines()[0]
+    assert "length: 3" in s
+    assert "row_id" not in repr(f.dtype)
+    assert [fld.name for fld in f.dtype.fields] == ["a", "b"]

@@ -1,0 +1,150 @@
+"""Semantic invariants for the round-2 operator batches — properties
+the DuckDB oracle comparison cannot express (cross-row consistency,
+determinism, mathematical bounds)."""
+
+from __future__ import annotations
+
+import math
+
+from axolotls_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF).collect()
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    rows = _rows(spark, "scd2_priority_history")
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, vs in by_cust.items():
+        vs.sort(key=lambda r: r.version)
+        # versions are consecutive from 1
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        # exactly one open (current) interval, and it is the last
+        assert sum(v.is_current for v in vs) == 1 and vs[-1].is_current
+        for a, b in zip(vs, vs[1:]):
+            # effective_to chains to the next version's start
+            assert a.effective_to == b.effective_from
+            # adjacent versions must actually change the attribute
+            assert a.priority != b.priority
+
+
+def test_cdc_apply_latest_drops_tombstones_only(spark):
+    rows = _rows(spark, "cdc_apply_latest")
+    assert all(r.last_event_type != "error" for r in rows)
+    assert all(r.n_changes >= 1 for r in rows)
+
+
+def test_ewma_is_a_convex_combination(spark):
+    rows = sorted(_rows(spark, "ewma_daily_revenue"), key=lambda r: r.day)
+    revs = [r.revenue for r in rows]
+    for i, r in enumerate(rows):
+        lo = min(revs[max(0, i - 14): i + 1])
+        hi = max(revs[max(0, i - 14): i + 1])
+        assert lo - 1e-2 <= r.ewma <= hi + 1e-2
+    # first day: no history, EWMA equals the observation
+    assert math.isclose(rows[0].ewma, rows[0].revenue, rel_tol=1e-6)
+
+
+def test_fixed_sample_caps_and_determinism(spark):
+    a = {(r.lang, r.source, r.doc_id) for r in _rows(spark, "sample_fixed_per_group")}
+    b = {(r.lang, r.source, r.doc_id) for r in _rows(spark, "sample_fixed_per_group")}
+    assert a == b  # reproducible under re-execution
+    per_group: dict = {}
+    for lang, src, _ in a:
+        per_group[(lang, src)] = per_group.get((lang, src), 0) + 1
+    assert all(n <= 5 for n in per_group.values())
+
+
+def test_split_fractions_sum_to_one_per_lang(spark):
+    rows = _rows(spark, "dataset_split_stratified")
+    per_lang: dict = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0.0) + r.frac
+    for lang, s in per_lang.items():
+        assert math.isclose(s, 1.0, rel_tol=1e-5), (lang, s)
+
+
+def test_length_buckets_bound_padding(spark):
+    for r in _rows(spark, "bucket_by_length"):
+        assert r.total_tokens <= r.padded_tokens
+        assert 0.0 <= r.waste_frac < 1.0
+        assert r.padded_tokens == r.n_docs * r.bucket
+
+
+def test_bfs_hops_bounded_and_seeded(spark):
+    rows = _rows(spark, "bfs_shortest_hops")
+    assert all(0 <= r.hops <= 4 for r in rows)
+    assert sum(1 for r in rows if r.hops == 0) == 1  # the seed
+
+
+def test_logreg_converges_to_finite_model(spark):
+    (r,) = _rows(spark, "logreg_quality_classifier")
+    assert all(math.isfinite(v) for v in (r.b0, r.b1, r.b2))
+    assert 0.5 <= r.train_acc <= 1.0
+    assert r.n_docs == 500
+
+
+def test_vocab_coverage_monotone_and_nucleus_consistent(spark):
+    curve = sorted(_rows(spark, "vocab_coverage_curve"),
+                   key=lambda r: r.vocab_size)
+    cov = [r.coverage for r in curve]
+    assert cov == sorted(cov)  # more vocab, never less coverage
+    assert all(0.0 < c <= 1.0 for c in cov)
+    (nuc,) = _rows(spark, "nucleus_vocab_size")
+    assert 1 <= nuc.nucleus_vocab_size <= nuc.total_vocab
+
+
+def test_audience_overlap_set_algebra(spark):
+    for r in _rows(spark, "audience_overlap_exact"):
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_k_anonymity_bounds(spark):
+    (r,) = _rows(spark, "k_anonymity_audit")
+    assert r.n_violating_groups <= r.n_groups
+    assert 0.0 <= r.risk_frac <= 1.0
+    assert r.min_group_size >= 1
+
+
+def test_label_propagation_labels_are_nodes(spark):
+    rows = _rows(spark, "label_propagation_communities")
+    assert len(rows) == 25
+    assert {r.community for r in rows} <= set(range(25))
+
+
+def test_seasonal_indices_center_on_one(spark):
+    rows = _rows(spark, "seasonal_decompose_weekly")
+    assert len(rows) == 7
+    assert all(0.5 < r.seasonal_index < 1.5 for r in rows)
+    mean = sum(r.seasonal_index for r in rows) / 7
+    assert 0.9 < mean < 1.1
+
+
+def test_cusum_single_argmax(spark):
+    (r,) = _rows(spark, "cusum_changepoint")
+    assert r.max_abs_cusum >= 0.0
+    assert r.n_days > 0
+
+
+def test_shard_shares_sum_to_one(spark):
+    rows = _rows(spark, "shard_balance_report")
+    assert all(0 <= r.shard < 64 for r in rows)
+    assert math.isclose(sum(r.token_share for r in rows), 1.0, rel_tol=1e-4)
+
+
+def test_bigram_logprob_is_negative(spark):
+    rows = _rows(spark, "bigram_interp_logprob")
+    # every probability is < 1, so every average log-prob is < 0
+    assert all(r.avg_logprob < 0.0 for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
+
+
+def test_mad_outliers_exceed_cutoff(spark):
+    rows = _rows(spark, "anomaly_mad_robust")
+    assert all(abs(r.robust_z) > 3.5 for r in rows)
