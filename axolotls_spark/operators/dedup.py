@@ -196,27 +196,12 @@ def lsh_candidate_pairs(
     )
 
 
-def near_dup_candidate_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    n: int = 3,
-    bands: int = 2,
-) -> DataFrame:
-    """Fused MinHash→LSH candidate pairs: shingle scan → ONE wide
-    signature aggregate → band keys as pure projection → equi-join.
-
-    Two shuffles end-to-end (signature agg + band self-join) vs four
-    for the long-format composition (signature agg on (doc,i), band
-    re-agg, join) — the difference between 2 and 4 full passes over
-    the signature stream at 100 TB.
-    """
-    if k % bands:
-        raise ValueError("k must divide evenly into bands")
+def lsh_banded_keys(wide: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket_key) from a wide signature — pure
+    projection (inline explode of per-band key structs), zero
+    exchanges on top of the signature aggregate."""
     rows = k // bands
-    wide = minhash_wide(docs, id_col, text_col, k, n)
-    banded = wide.select(
+    return wide.select(
         "doc_id",
         F.explode(
             F.array(
@@ -235,7 +220,33 @@ def near_dup_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket_key").alias("bucket_key"))
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket_key").alias("bucket_key"),
+    )
+
+
+def near_dup_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 3,
+    bands: int = 2,
+) -> DataFrame:
+    """Fused MinHash→LSH candidate pairs: shingle scan → ONE wide
+    signature aggregate → band keys as pure projection → equi-join.
+
+    Two shuffles end-to-end (signature agg + band self-join) vs four
+    for the long-format composition (signature agg on (doc,i), band
+    re-agg, join) — the difference between 2 and 4 full passes over
+    the signature stream at 100 TB.
+    """
+    if k % bands:
+        raise ValueError("k must divide evenly into bands")
+    wide = minhash_wide(docs, id_col, text_col, k, n)
+    banded = lsh_banded_keys(wide, k, bands)
     # Bucket-group pair expansion instead of a self-join: a self-join
     # would execute the whole shingle→minhash pipeline once PER SIDE
     # (Spark doesn't share subplans across join inputs without an

@@ -935,3 +935,89 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES},
+    near_hits AS (
+        SELECT DISTINCT a.doc_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket_key = b.bucket_key
+         AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    exact_hits AS (
+        SELECT DISTINCT n.doc_id
+        FROM documents n JOIN documents c
+          ON md5(n.text) = md5(c.text)
+         AND n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN h.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status
+    FROM documents d
+    LEFT JOIN exact_hits e ON d.doc_id = e.doc_id
+    LEFT JOIN near_hits  h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+    tags=("dedup", "incremental", "minhash", "lsh", "ingestion"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: an arriving batch (docs with
+    doc_id % 10 = 0 stand in for today's crawl) is screened against
+    the existing corpus in two tiers — exact content-hash match, then
+    MinHash/LSH bucket collision — and each new document is labeled
+    exact_dup / near_dup / unique. This is the shape a 100 TB
+    pipeline actually runs daily: the batch is small, the corpus is
+    huge, and NOTHING recomputes corpus-vs-corpus pairs.
+
+    Scale shape: the banded-signature relation is computed once over
+    batch ∪ corpus and persisted; the near tier is then an equi-join
+    of its batch slice against its corpus slice on (band, bucket_key)
+    — work proportional to bucket collisions. In a production
+    deployment the corpus side's signatures/hashes are a precomputed
+    bucketed table, so the per-batch cost is the batch's own
+    signatures plus bucket probes; the exact tier is a semi-join on a
+    60-bit digest. One corpus pass here, zero at steady state.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    is_new = (F.col("doc_id") % 10) == 0
+    wide = D.minhash_wide(docs, k=8)
+    banded = D.lsh_banded_keys(wide, k=8, bands=2).persist()
+    near_hits = (
+        banded.filter(is_new)
+        .alias("a")
+        .join(
+            banded.filter(~is_new).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    h = docs.select("doc_id", F.md5("text").alias("h")).persist()
+    exact_hits = (
+        h.filter(is_new)
+        .join(h.filter(~is_new).select("h").distinct(), "h", "left_semi")
+        .select("doc_id")
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(exact_hits.withColumn("ex", F.lit(True)), "doc_id", "left")
+        .join(near_hits.withColumn("nr", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex"), "exact_dup")
+            .when(F.col("nr"), "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+        )
+    )

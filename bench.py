@@ -69,6 +69,7 @@ HEADLINE = [
     "bfs_shortest_hops",
     "bigram_interp_logprob",
     "logreg_quality_classifier",
+    "dedup_incremental_batch",
 ]
 
 

@@ -748,3 +748,12 @@ def test_label_propagation_iterates_over_persisted_edges(spark):
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
     assert f.n_broadcast_hash_joins >= 3
     assert "CartesianProduct" not in f.text
+
+
+def test_incremental_dedup_shares_signature_pipeline(spark):
+    """The banded-signature relation feeds both sides of the
+    batch-vs-corpus probe from cache — the shingle→minhash pipeline
+    runs once, and the probe stays an equi-join on (band, key)."""
+    f = _facts(spark, "dedup_incremental_batch")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert "CartesianProduct" not in f.text

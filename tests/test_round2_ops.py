@@ -148,3 +148,13 @@ def test_bigram_logprob_is_negative(spark):
 def test_mad_outliers_exceed_cutoff(spark):
     rows = _rows(spark, "anomaly_mad_robust")
     assert all(abs(r.robust_z) > 3.5 for r in rows)
+
+
+def test_incremental_dedup_statuses(spark):
+    rows = _rows(spark, "dedup_incremental_batch")
+    assert all(r.doc_id % 10 == 0 for r in rows)
+    statuses = {r.status for r in rows}
+    assert statuses <= {"exact_dup", "near_dup", "unique"}
+    # the synthetic corpus plants near-duplicates across the split
+    assert sum(1 for r in rows if r.status == "near_dup") >= 1
+    assert sum(1 for r in rows if r.status == "unique") >= 1
