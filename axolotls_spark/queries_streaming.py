@@ -261,3 +261,47 @@ def streaming_user_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .withColumn("total_value", F.col("total_value").cast("float"))
     )
+
+
+@register(
+    "streaming_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           value      AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("streaming", "cdc", "max_by", "stateful", "upsert"),
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming spelling of cdc_apply_latest: the event stream
+    is a per-user change feed ('error' = delete tombstone); a
+    stateful max_by aggregate maintains the latest state per key as
+    micro-batches arrive — the same single-aggregate plan as the
+    batch query, which is the point: Structured Streaming runs the
+    identical declarative aggregate incrementally, state size is
+    O(|keys|), and the final streamed state equals the batch answer
+    (checked against the same oracle).
+    """
+    stream = S.read_events_stream(spark, sf_dir)
+    ordinal = F.struct("ts", "event_id")
+    latest = stream.groupBy("user_id").agg(
+        F.max_by(F.struct("event_type", "value"), ordinal).alias("s"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    out = S.run_to_memory(latest, "stream_cdc", output_mode="complete")
+    return out.filter(F.col("s.event_type") != "error").select(
+        "user_id",
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").alias("last_value"),
+        "n_changes",
+    )
