@@ -274,3 +274,40 @@ def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, g.pos, g.gram "
         "FROM docs_sample d, LATERAL poly_ngrams(d.text, 3) g"
     )
+
+
+_DIGSUM_SQL = " + ".join(
+    f"(CAST(FLOOR(o_orderkey / {10 ** i}.0) AS BIGINT) % 10)" for i in range(10)
+)
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle=f"""
+    SELECT o_orderkey, {_DIGSUM_SQL} AS digit_sum
+    FROM orders
+    """,
+    tags=("udf", "arrow-optimized", "scalar", "spark4"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-optimized scalar Python UDF (``useArrow=True``
+    — Arrow batch transfer instead of pickled rows, without the
+    pandas_udf signature change): a digit-sum kernel whose exact
+    integer arithmetic is restated in the oracle as an explicit
+    base-10 expansion, certifying the Arrow-UDF exchange path
+    value-for-value.
+
+    Scale shape: map-only — the UDF rides the scan with zero
+    shuffles. Arrow batching makes the Python hop a columnar batch
+    copy; for pure arithmetic like this the production spelling is
+    the built-in expression (see oracle), which is the repo-wide
+    rule — this query exists to certify the escape hatch, not to
+    recommend it.
+    """
+
+    @F.udf(returnType="long", useArrow=True)
+    def digit_sum(key: int) -> int:
+        return sum(int(c) for c in str(key))
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", digit_sum("o_orderkey").alias("digit_sum"))
