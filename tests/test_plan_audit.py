@@ -757,3 +757,32 @@ def test_incremental_dedup_shares_signature_pipeline(spark):
     f = _facts(spark, "dedup_incremental_batch")
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
     assert "CartesianProduct" not in f.text
+
+
+# --------------------------------------------------------------------------
+# Registry-wide plan hygiene
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Sweep EVERY registered batch query's physical plan: no
+    CartesianProduct anywhere, and row-at-a-time Python evaluation
+    (BatchEvalPython) only where Python-per-row IS the certified
+    surface (the two UDTF queries). Streaming queries are excluded —
+    invoking them materializes their memory sinks; their plan shapes
+    are pinned by the streaming tests.
+
+    This is the backstop for the per-query assertions above: a new
+    query with an accidental cross join or a pickled-row UDF fails
+    here even if nobody wrote it a dedicated audit.
+    """
+    pyrow_ok = {"udtf_bigrams", "udtf_polymorphic_ngrams"}
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith("streaming_"):
+            continue
+        f = audit(spec.fn(spark, SF_DIR))
+        if "CartesianProduct" in f.text:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in f.text and name not in pyrow_ok:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
