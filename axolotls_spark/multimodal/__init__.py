@@ -5,4 +5,5 @@ from axolotls_spark.multimodal.ops import (  # noqa: F401
     decode_media,
     frame_sample,
     resize_images,
+    tile_grid,
 )

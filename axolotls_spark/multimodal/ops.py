@@ -232,3 +232,39 @@ def frame_sample(manifest: DataFrame, every: int = 4) -> DataFrame:
         F.col("f.frame_idx").alias("frame_idx"),
         F.col("f.frame").alias("frame"),
     )
+
+
+TILE = 224  # ViT-style patch size
+
+
+def tile_grid(manifest: DataFrame, tile: int = TILE) -> DataFrame:
+    """Per-image tile/patch manifest: explode each image into its
+    ceil(w/tile) × ceil(h/tile) grid with clipped edge-tile sizes —
+    the preprocessing plan a ViT-style encoder consumes. Pure
+    JVM-side integer arithmetic on the metadata struct (the binary
+    payload column is pruned away entirely); zero shuffles.
+    """
+    w, h = F.col("meta.width"), F.col("meta.height")
+    nx = F.ceil(w / tile).cast("int")
+    ny = F.ceil(h / tile).cast("int")
+    imgs = manifest.filter(F.col("meta.media_type") == "image").select(
+        "doc_id", w.alias("width"), h.alias("height"),
+        nx.alias("nx"), ny.alias("ny"),
+    )
+    tiles = imgs.select(
+        "doc_id", "width", "height", "nx",
+        F.explode(F.sequence(F.lit(0), F.col("ny") - 1)).alias("j"),
+    ).select(
+        "doc_id", "width", "height", "nx", "j",
+        F.explode(F.sequence(F.lit(0), F.col("nx") - 1)).alias("i"),
+    )
+    x0 = F.col("i") * tile
+    y0 = F.col("j") * tile
+    return tiles.select(
+        "doc_id",
+        (F.col("j") * F.col("nx") + F.col("i")).cast("long").alias("tile_id"),
+        x0.cast("long").alias("x0"),
+        y0.cast("long").alias("y0"),
+        F.least(F.lit(tile), F.col("width") - x0).cast("long").alias("tile_w"),
+        F.least(F.lit(tile), F.col("height") - y0).cast("long").alias("tile_h"),
+    )

@@ -310,6 +310,39 @@ _FEATS_SQL = f"""
 """
 
 
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, x1, x2) classifier features, persisted — every IRLS pass,
+    scoring pass and count reads the cache; the corpus is scanned and
+    featurized once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.log(F.col("n_chars") + F.lit(1.0)).alias("x1"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(F.size(tokens_col(F.col("text"))), F.lit(1))
+        ).alias("x2"),
+    ).persist()
+
+
+def _irls_beta(spark: SparkSession, feats: DataFrame, iters: int = 2) -> DataFrame:
+    """Unrolled IRLS: each step one moment aggregate + a Cramer solve
+    on the resulting single row. Returns the 1-row (b0, b1, b2)."""
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    for _ in range(iters):
+        m = feats.crossJoin(F.broadcast(beta)).agg(
+            *[F.expr(e).alias(k) for k, e in _IRLS_MOMENTS.items()]
+        )
+        beta = m.select(
+            F.expr(_OLS_B0).alias("b0"),
+            F.expr(_OLS_B1).alias("b1"),
+            F.expr(_OLS_B2).alias("b2"),
+        )
+    return beta
+
+
 @register(
     "logreg_quality_classifier",
     oracle=f"""
@@ -349,27 +382,8 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     count not at all. The float32 emit absorbs the cross-engine
     last-ulp of EXP inside the weights.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    feats = docs.select(
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        F.log(F.col("n_chars") + F.lit(1.0)).alias("x1"),
-        (
-            F.col("n_chars").cast("double")
-            / F.greatest(F.size(tokens_col(F.col("text"))), F.lit(1))
-        ).alias("x2"),
-    ).persist()
-    beta = spark.range(1).select(
-        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
-    )
-    for _ in range(2):
-        m = feats.crossJoin(F.broadcast(beta)).agg(
-            *[F.expr(e).alias(k) for k, e in _IRLS_MOMENTS.items()]
-        )
-        beta = m.select(
-            F.expr(_OLS_B0).alias("b0"),
-            F.expr(_OLS_B1).alias("b1"),
-            F.expr(_OLS_B2).alias("b2"),
-        )
+    feats = _logreg_features(spark, sf_dir)
+    beta = _irls_beta(spark, feats, iters=2)
     acc = feats.crossJoin(F.broadcast(beta)).agg(
         F.expr(_IRLS_ACC).alias("train_acc")
     )
@@ -383,5 +397,67 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b1").cast("float").alias("b1"),
             F.col("b2").cast("float").alias("b2"),
             F.col("train_acc").cast("float").alias("train_acc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration — reliability diagram bins
+# ---------------------------------------------------------------------------
+
+_CAL_P = _P.replace("b0", "beta2.b0").replace("b1", "beta2.b1").replace(
+    "b2", "beta2.b2"
+)
+
+
+@register(
+    "logreg_calibration_bins",
+    oracle=f"""
+    WITH feats AS ({_FEATS_SQL}),
+    seed AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN seed),
+    beta1 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m1),
+    m2 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN beta1),
+    beta2 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m2),
+    scored AS (
+        SELECT y, {_CAL_P} AS p FROM feats CROSS JOIN beta2
+    )
+    SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(AVG(p) AS REAL) AS avg_pred,
+           CAST(AVG(y) AS REAL) AS frac_positive
+    FROM scored
+    GROUP BY 1
+    """,
+    tags=("logreg", "calibration", "reliability", "ml-eval",
+          "shared-algebra"),
+)
+def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the IRLS classifier: fixed-width
+    deciles of predicted probability vs the observed positive rate in
+    each bin — the calibration check that decides whether a quality
+    classifier's scores can be thresholded directly or need Platt/
+    isotonic recalibration. Fixed 0.1-wide bins, not ntile: quantile
+    bins put boundary documents on engine-dependent sides.
+
+    Scale shape: shares _logreg_features/_irls_beta with the
+    classifier query — the persisted feature relation feeds both
+    IRLS aggregates and the scoring pass; binning is one more
+    map-side expression + a ≤10-row aggregate.
+    """
+    feats = _logreg_features(spark, sf_dir)
+    beta = _irls_beta(spark, feats, iters=2)
+    scored = feats.crossJoin(F.broadcast(beta)).select(
+        "y", F.expr(_P).alias("p")
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("p").cast("float").alias("avg_pred"),
+            F.avg("y").cast("float").alias("frac_positive"),
         )
     )

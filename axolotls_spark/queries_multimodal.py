@@ -98,3 +98,45 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = M.byte_histogram_features(M.attach_payload(docs), bins=16)
     return feats.select("doc_id", "feat_norm", F.col("features"))
+
+
+@register(
+    "multimodal_tile_grid",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               (64 + octet_length(encode(text)) % 512) AS width,
+               (64 + (octet_length(encode(text)) * 7) % 512) AS height
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    g AS (
+        SELECT doc_id, width, height,
+               CAST(ceil(width / 224.0) AS INT) AS nx,
+               CAST(ceil(height / 224.0) AS INT) AS ny
+        FROM img
+    )
+    SELECT doc_id,
+           CAST(j * nx + i AS BIGINT) AS tile_id,
+           CAST(i * 224 AS BIGINT) AS x0,
+           CAST(j * 224 AS BIGINT) AS y0,
+           CAST(LEAST(224, width - i * 224) AS BIGINT) AS tile_w,
+           CAST(LEAST(224, height - j * 224) AS BIGINT) AS tile_h
+    FROM g
+    CROSS JOIN UNNEST(range(0, ny)) AS tj(j)
+    CROSS JOIN UNNEST(range(0, nx)) AS ti(i)
+    """,
+    tags=("multimodal", "tiles", "vit", "map-only", "explode"),
+)
+def multimodal_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch manifest: every image exploded into its
+    224×224 tile grid with clipped edge tiles — the coordinate plan
+    a vision encoder's crop/resize stage consumes, derived entirely
+    from the typed metadata struct.
+
+    Scale shape: map-only (filter → two bounded explodes → integer
+    arithmetic); the binary payload column is pruned out of the scan
+    because only metadata is referenced — the central promise of the
+    payload+metadata model at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return M.tile_grid(M.attach_payload(docs))
