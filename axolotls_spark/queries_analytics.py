@@ -1931,3 +1931,73 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_name").alias("nation"),
         F.col("label").cast("long").alias("community"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto (80/20) contribution analysis by brand
+
+
+@register(
+    "pareto_brand_revenue",
+    oracle="""
+    WITH b AS (
+        SELECT p_brand, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    ),
+    t AS (SELECT SUM(revenue) AS total FROM b),
+    r AS (
+        SELECT p_brand, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, p_brand
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b
+    )
+    SELECT p_brand,
+           CAST(revenue AS REAL) AS revenue,
+           CAST(revenue / t.total AS REAL) AS share,
+           CAST(cum / t.total AS REAL) AS cum_share,
+           (cum / t.total <= 0.8) AS in_pareto_head
+    FROM r CROSS JOIN t
+    """,
+    tags=("pareto", "contribution", "bi", "window", "agg"),
+)
+def pareto_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/contribution analysis: each brand's revenue share and
+    cumulative share in descending-revenue order, flagging the head
+    that covers 80% of revenue — the 80/20 readout every BI review
+    starts from.
+
+    Scale shape: one corpus aggregate to the |brands| relation (part
+    dimension broadcast onto the fact scan); ranking, cumulation and
+    the total all act on those ≤25 rows. Brand revenues are far
+    apart, so the desc ordering is stable across engines; shares are
+    emitted float32.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .persist()  # feeds the total and the ranked window
+    )
+    t = b.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "p_brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = b.select("p_brand", "revenue", F.sum("revenue").over(w).alias("cum"))
+    return r.crossJoin(F.broadcast(t)).select(
+        "p_brand",
+        F.col("revenue").cast("float").alias("revenue"),
+        (F.col("revenue") / F.col("total")).cast("float").alias("share"),
+        (F.col("cum") / F.col("total")).cast("float").alias("cum_share"),
+        (F.col("cum") / F.col("total") <= 0.8).alias("in_pareto_head"),
+    )

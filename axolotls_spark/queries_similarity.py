@@ -344,3 +344,66 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 8)
         .select("vec_id", "cid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (deterministic sign matrix)
+# ---------------------------------------------------------------------------
+
+_JL_D = 64  # input dim
+_JL_K = 8   # output dim
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """±1 from md5("jl:i:j") — reproducible on any engine/run."""
+    import hashlib
+
+    h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+_JL_SIGNS = [[_jl_sign(i, j) for i in range(_JL_D)] for j in range(_JL_K)]
+_JL_SCALE = 1.0 / (_JL_K ** 0.5)
+
+
+def _jl_oracle() -> str:
+    cols = []
+    for j in range(_JL_K):
+        lits = ", ".join(f"{s}.0" for s in _JL_SIGNS[j])
+        cols.append(
+            f"CAST({_SQL_DOT.format(a='embedding', b=f'[{lits}]')}"
+            f" * {_JL_SCALE!r} AS REAL) AS y{j}"
+        )
+    return (
+        "SELECT vec_id, label, " + ", ".join(cols) + " FROM embeddings"
+    )
+
+
+@register(
+    "jl_project_embeddings",
+    oracle=_jl_oracle(),
+    tags=("embedding", "random-projection", "jl", "map-only",
+          "dimensionality-reduction"),
+)
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sketch: project 64-dim embeddings to 8
+    dims through a fixed ±1/√k sign matrix — the cheap distance-
+    preserving compression that fronts ANN indexes and dedup sweeps.
+    The matrix entries are md5-derived literals baked into the plan,
+    so Spark, DuckDB, and any future run agree bit-for-bit on the
+    matrix itself.
+
+    Scale shape: map-only — eight zip_with/aggregate folds riding
+    the scan, zero shuffles, zero joins; the 512-literal matrix
+    lives in the codegen'd expression, not in a relation. The f32
+    emit absorbs fold-order ulps.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for j in range(_JL_K):
+        signs = F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]])
+        outs.append(
+            (dot(F.col("embedding"), signs) * _JL_SCALE)
+            .cast("float")
+            .alias(f"y{j}")
+        )
+    return e.select("vec_id", "label", *outs)

@@ -158,3 +158,26 @@ def test_incremental_dedup_statuses(spark):
     # the synthetic corpus plants near-duplicates across the split
     assert sum(1 for r in rows if r.status == "near_dup") >= 1
     assert sum(1 for r in rows if r.status == "unique") >= 1
+
+
+def test_jl_projection_preserves_norms_on_average(spark):
+    """E[||y||²] = ||x||² for a ±1/√k JL matrix; the corpus
+    embeddings are unit-norm, so the mean projected squared norm
+    must sit near 1 even at k=8."""
+    rows = REGISTRY["jl_project_embeddings"].fn(spark, SF).collect()
+    y2s = [sum(getattr(r, f"y{j}") ** 2 for j in range(8)) for r in rows]
+    mean = sum(y2s) / len(y2s)
+    assert 0.7 < mean < 1.3, mean
+
+
+def test_pareto_cumulative_share_is_monotone_to_one(spark):
+    import math
+
+    rows = sorted(
+        REGISTRY["pareto_brand_revenue"].fn(spark, SF).collect(),
+        key=lambda r: -r.revenue,
+    )
+    cums = [r.cum_share for r in rows]
+    assert all(a <= b + 1e-6 for a, b in zip(cums, cums[1:]))
+    assert math.isclose(cums[-1], 1.0, rel_tol=1e-5)
+    assert 0 < sum(r.in_pareto_head for r in rows) < len(rows)
