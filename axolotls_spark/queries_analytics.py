@@ -2001,3 +2001,91 @@ def pareto_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum") / F.col("total")).cast("float").alias("cum_share"),
         (F.col("cum") / F.col("total") <= 0.8).alias("in_pareto_head"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (rank-based terciles)
+
+
+@register(
+    "rfm_segment_counts",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                        (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(o_totalprice) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(3) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+               NTILE(3) OVER (ORDER BY frequency, o_custkey)         AS f_score,
+               NTILE(3) OVER (ORDER BY monetary, o_custkey)          AS m_score,
+               monetary
+        FROM cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(AVG(monetary) AS REAL) AS avg_monetary
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+    tags=("rfm", "segmentation", "ntile", "bi", "window"),
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: tercile scores for Recency (days since last
+    order, higher recency_days = worse = lower score), Frequency and
+    Monetary per customer, reported as the 27-cell segment grid with
+    counts and average spend — the classic lifecycle-marketing cut.
+
+    Terciles are rank-based NTILE(3) with a customer-id tiebreak, not
+    interpolated percentile cuts — the ccnet_perplexity_buckets
+    lesson: interpolation boundaries differ across engines in the
+    last ulp and flip boundary customers; ranks cannot.
+
+    Scale shape: one corpus aggregate to the customer relation; the
+    three ntile windows sort that dimension-sized relation (fine for
+    dimension cardinality; at extreme scale swap in approx-quantile
+    band thresholds and give up exact tercile sizes).
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    last = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(last))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "lastd").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(3).over(
+            Window.orderBy(F.desc("recency_days"), "o_custkey")
+        ).alias("r_score"),
+        F.ntile(3).over(Window.orderBy("frequency", "o_custkey")).alias(
+            "f_score"
+        ),
+        F.ntile(3).over(Window.orderBy("monetary", "o_custkey")).alias(
+            "m_score"
+        ),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.avg("monetary").cast("float").alias("avg_monetary"),
+    )

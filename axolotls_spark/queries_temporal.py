@@ -762,3 +762,93 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("cusum")).cast("float").alias("max_abs_cusum"),
         F.col("n_days").cast("long").alias("n_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-OLS linear forecast
+# ---------------------------------------------------------------------------
+
+_FC_WIN = 28  # fit window (days)
+_FC_H = 7     # forecast horizon (days)
+
+# Closed-form simple regression over the last _FC_WIN points — the
+# same scalar text runs as Spark F.expr and in the DuckDB oracle.
+_FC_B = "((n*sty - st*sy) / (n*stt - st*st))"
+_FC_A = f"((sy - {_FC_B}*st) / n)"
+
+
+@register(
+    "forecast_linear_28d",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, rev,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               COUNT(*) OVER () AS nd,
+               MAX(day) OVER () AS last_day
+        FROM daily
+    ),
+    fit AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(t::DOUBLE) AS st, SUM(t::DOUBLE * t::DOUBLE) AS stt,
+               SUM(rev) AS sy, SUM(t::DOUBLE * rev) AS sty,
+               MIN(nd) AS nd, MIN(last_day) AS last_day
+        FROM idx WHERE t > nd - {_FC_WIN}
+    )
+    SELECT CAST(h.h AS BIGINT) AS horizon,
+           last_day + CAST(h.h AS INT) AS forecast_day,
+           CAST({_FC_A} + {_FC_B} * (nd + h.h) AS REAL) AS forecast_rev
+    FROM fit CROSS JOIN UNNEST(range(1, {_FC_H} + 1)) AS h(h)
+    """,
+    tags=("forecast", "timeseries", "ols", "shared-algebra", "window"),
+)
+def forecast_linear_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window linear forecast: fit revenue ~ a + b·t by
+    closed-form OLS over the last 28 days, extrapolate 7 days out —
+    the capacity-planning baseline forecast, with the same Cramer
+    scalar text on both engines (ols_normal_equations' 1-D sibling).
+
+    Scale shape: one corpus aggregate to the calendar-bounded daily
+    relation; the index window, the 28-day fit sums and the 7-row
+    horizon expansion all act on that tiny relation. The persisted
+    daily aggregate feeds both the window and nothing else recomputes
+    the corpus.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        "day",
+        "rev",
+        F.row_number().over(w).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+        F.max("day").over(wall).alias("last_day"),
+    )
+    t = F.col("t").cast("double")
+    fit = idx.filter(F.col("t") > F.col("nd") - _FC_WIN).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(t * t).alias("stt"),
+        F.sum("rev").alias("sy"),
+        F.sum(t * F.col("rev")).alias("sty"),
+        F.min("nd").alias("nd"),
+        F.min("last_day").alias("last_day"),
+    )
+    hs = F.explode(F.sequence(F.lit(1), F.lit(_FC_H))).alias("h")
+    return fit.select("*", hs).select(
+        F.col("h").cast("long").alias("horizon"),
+        F.date_add(F.col("last_day"), F.col("h")).alias("forecast_day"),
+        (
+            F.expr(_FC_A) + F.expr(_FC_B) * (F.col("nd") + F.col("h"))
+        ).cast("float").alias("forecast_rev"),
+    )

@@ -181,3 +181,25 @@ def test_pareto_cumulative_share_is_monotone_to_one(spark):
     assert all(a <= b + 1e-6 for a, b in zip(cums, cums[1:]))
     assert math.isclose(cums[-1], 1.0, rel_tol=1e-5)
     assert 0 < sum(r.in_pareto_head for r in rows) < len(rows)
+
+
+def test_forecast_seven_rows_after_last_day(spark):
+    rows = sorted(REGISTRY["forecast_linear_28d"].fn(spark, SF).collect(),
+                  key=lambda r: r.horizon)
+    assert [r.horizon for r in rows] == list(range(1, 8))
+    days = [r.forecast_day for r in rows]
+    assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+    assert all(math.isfinite(r.forecast_rev) for r in rows)
+
+
+def test_rfm_terciles_balanced(spark):
+    rows = REGISTRY["rfm_segment_counts"].fn(spark, SF).collect()
+    total = sum(r.n_customers for r in rows)
+    for dim in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[getattr(r, dim)] = per.get(getattr(r, dim), 0) + r.n_customers
+        assert set(per) == {1, 2, 3}
+        # ntile keeps tercile sizes within 1 of each other
+        assert max(per.values()) - min(per.values()) <= 1, (dim, per)
+    assert total == 150  # sf0.001 customers with orders
