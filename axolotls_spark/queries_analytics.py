@@ -2089,3 +2089,98 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.avg("monetary").cast("float").alias("avg_monetary"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier retention curve (right-censored survival)
+
+_KM_CHURN_DAYS = 90  # no order in the trailing window => churn event
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle=f"""
+    WITH g AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS gmax FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               DATEDIFF('day', CAST(MIN(o_orderdate) AS DATE),
+                        CAST(MAX(o_orderdate) AS DATE)) AS duration,
+               CASE WHEN DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                                  (SELECT gmax FROM g)) > {_KM_CHURN_DAYS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM orders GROUP BY 1
+    ),
+    tbl AS (
+        SELECT duration, SUM(churned) AS d, COUNT(*) AS c
+        FROM cust GROUP BY 1
+    ),
+    risk AS (
+        SELECT duration, d, c,
+               SUM(c) OVER (ORDER BY duration DESC
+                            ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM tbl
+    )
+    SELECT duration AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(EXP(SUM(LN(GREATEST(1.0 - CAST(d AS DOUBLE) / n_risk,
+                                    1e-12)))
+                    OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING))
+                AS REAL) AS survival
+    FROM risk
+    """,
+    tags=("survival", "kaplan-meier", "retention", "censoring", "window"),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of customer lifetime (first order → last
+    order), right-censored: customers still ordering within the
+    trailing 90 days are censored, everyone else's last-order day is
+    a churn event. S(t) = Π_{s≤t} (1 − d_s/n_s), computed as
+    exp(Σ ln·) so the running product is a window aggregate; the
+    at-risk count n_s is a reversed cumulative sum — both windows run
+    over the distinct-duration relation, never the corpus.
+
+    Scale shape: one corpus aggregate to per-customer (duration,
+    churned), one more to the ≤|distinct durations| life table; the
+    KM product and at-risk windows act on that tiny ordered relation.
+    The 1e-12 guard keeps ln() defined when the final time step
+    exhausts the risk set (S hits 0) identically on both engines.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    g = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("firstd"),
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.datediff("lastd", "firstd").alias("duration"),
+            F.when(
+                F.datediff("gmax", "lastd") > _KM_CHURN_DAYS, 1
+            ).otherwise(0).alias("churned"),
+        )
+    )
+    tbl = cust.groupBy("duration").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_desc = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tbl.withColumn("n_risk", F.sum("c").over(w_desc))
+    frac = F.greatest(
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+        F.lit(1e-12),
+    )
+    return risk.select(
+        F.col("duration").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.exp(F.sum(F.log(frac)).over(w_asc)).cast("float").alias("survival"),
+    )

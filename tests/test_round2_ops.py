@@ -203,3 +203,13 @@ def test_rfm_terciles_balanced(spark):
         # ntile keeps tercile sizes within 1 of each other
         assert max(per.values()) - min(per.values()) <= 1, (dim, per)
     assert total == 150  # sf0.001 customers with orders
+
+
+def test_kaplan_meier_survival_is_monotone_from_one(spark):
+    rows = sorted(_rows(spark, "kaplan_meier_retention"),
+                  key=lambda r: r.duration_days)
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 + 1e-6 for s in surv)
+    assert all(a >= b - 1e-6 for a, b in zip(surv, surv[1:]))  # non-increasing
+    # at-risk counts shrink as duration grows; the first row covers everyone
+    assert rows[0].n_risk == max(r.n_risk for r in rows)
