@@ -2184,3 +2184,119 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("d_events"),
         F.exp(F.sum(F.log(frac)).over(w_asc)).cast("float").alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# TextRank keywords: PageRank composed over the word co-occurrence graph
+
+_TR_V = 100       # vocabulary cap (top-df terms)
+_TR_MIN_CO = 2    # min doc co-occurrence for an edge
+_TR_ITERS = 3
+_TR_TOPK = 20
+
+_TR_EDGES_SQL = f"""
+    toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM toks GROUP BY term),
+    vocab AS (
+        SELECT term FROM freq ORDER BY df DESC, term LIMIT {_TR_V}
+    ),
+    tv AS (SELECT t.doc_id, t.term FROM toks t JOIN vocab USING (term)),
+    co AS (
+        SELECT a.term AS ta, b.term AS tb, COUNT(*)::DOUBLE AS w
+        FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_TR_MIN_CO}
+    ),
+    edges AS (
+        SELECT ta AS src, tb AS dst, w FROM co
+        UNION ALL
+        SELECT tb AS src, ta AS dst, w FROM co
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    ncnt AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    t AS (SELECT e.src, e.dst, e.w / ow.ow AS wn
+          FROM edges e JOIN ow USING (src)),
+    r0 AS (SELECT node, 1.0 / ncnt.n AS rank FROM nodes CROSS JOIN ncnt)
+"""
+
+
+@register(
+    "textrank_keywords",
+    oracle=(
+        "WITH " + _TR_EDGES_SQL
+        + "".join(_pr_iter_sql(i) for i in range(1, _TR_ITERS + 1))
+        + f""",
+    ranked AS (
+        SELECT node AS term, rank,
+               ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rk
+        FROM r{_TR_ITERS}
+    )
+    SELECT term, CAST(rank AS REAL) AS textrank, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_TR_TOPK}
+    """
+    ),
+    tags=("textrank", "keywords", "graph", "pagerank", "text", "iterative"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over
+    the document-co-occurrence word graph — top-100-df vocabulary,
+    edges weighted by co-document counts, 3 damped power iterations,
+    top-20 terms. A composition showcase: the SAME pagerank operator
+    (operators/graph.py) and even the same unrolled-iteration oracle
+    SQL (_pr_iter_sql) run here over a text-derived graph instead of
+    the trade graph.
+
+    Scale shape: identical to cooccurrence_pmi up front (vocab cap
+    bounds pair fan-out at V², tv persisted so the tokenize pipeline
+    runs once per side-pair build), then aggregate-then-iterate on
+    the ≤V-node graph.
+    """
+    from pyspark.sql import Window
+
+    from axolotls_spark.io.sources import spread_for_cpu
+    from axolotls_spark.operators.dedup import tokens_col
+    from axolotls_spark.operators.graph import pagerank
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).distinct()
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    vocab = (
+        freq.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("df"), "term"))
+        )
+        .filter(F.col("rk") <= _TR_V)
+        .select("term")
+    )
+    tv = toks.join(F.broadcast(vocab), "term").persist()
+    a = tv.select("doc_id", F.col("term").alias("ta"))
+    b = tv.select("doc_id", F.col("term").alias("tb"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .filter(F.col("w") >= _TR_MIN_CO)
+    )
+    edges = co.select(
+        F.col("ta").alias("src"), F.col("tb").alias("dst"), "w"
+    ).union(co.select(F.col("tb").alias("src"), F.col("ta").alias("dst"), "w"))
+    ranks = pagerank(edges, iters=_TR_ITERS)
+    ranked = ranks.select(
+        F.col("node").alias("term"),
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("rank"), "node")).alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= _TR_TOPK).select(
+        "term",
+        F.col("rank").cast("float").alias("textrank"),
+        F.col("rk").cast("long").alias("rk"),
+    )
