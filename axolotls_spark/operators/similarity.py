@@ -130,21 +130,54 @@ def rp_signature(df: DataFrame, dim: int, n_planes: int = 8,
     )
 
 
+def _sig_expr(vec_col: str, dim: int, n_planes: int, seed: int):
+    """Signature of one table as a single column expression."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda v, h: v.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
 def _multi_table_signatures(
     df: DataFrame, dim: int, n_planes: int, n_tables: int,
     id_col: str, vec_col: str,
 ) -> DataFrame:
     """(sig_id, table, sig): one signature per LSH table (each table
-    uses an independent hyperplane set via a distinct seed)."""
-    parts = [
-        rp_signature(df, dim, n_planes, id_col, vec_col, seed=1000 + t)
-        .withColumn("table", F.lit(t))
-        for t in range(n_tables)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    uses an independent hyperplane set via a distinct seed).
+
+    All L tables' signatures are computed in ONE pass as an inline
+    explode of (table, sig) structs — a union of per-table
+    derivations would re-run the corpus scan (and every upstream
+    stage) L times, which is exactly the multi-pass trap the 100 TB
+    rules forbid.
+    """
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _sig_expr(vec_col, dim, n_planes, seed=1000 + t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("sig_id"), F.explode(per_table).alias("ts")
+    ).select("sig_id", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
 
 
 def assign_cells(

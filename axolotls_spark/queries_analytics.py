@@ -1092,9 +1092,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    und = e0.select(
-        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-    ).distinct()
+    # The canonical edge relation feeds all three legs of the
+    # triangle join — persist it, or the whole fact-table lineage
+    # (6 scans) executes once PER LEG (18 scans total).
+    und = (
+        e0.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
     e1 = und.alias("e1")
     e2 = und.alias("e2")
     e3 = und.alias("e3")
@@ -1147,9 +1154,12 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner join; dof bookkeeping is the caller's concern.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # The tiny contingency table feeds four consumers (marginals,
+    # total, the chi2 sum) — persist it so the corpus aggregate runs
+    # once instead of once per derivation.
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("double").alias("o")
-    )
+    ).persist()
     rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
     ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
     n = obs.agg(F.sum("o").alias("n"))

@@ -871,12 +871,15 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    # toks feeds the doc-term counts, the class model AND the vocab
+    # size; dt feeds doc lengths and the scoring join — persist both
+    # so the tokenize pipeline runs once, not once per derivation.
     toks = docs.select(
         "doc_id", "lang", F.explode(T.tokens_col(F.col("text"))).alias("term")
-    )
+    ).persist()
     dt = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
-    )
+    ).persist()
     dlen = dt.groupBy("doc_id").agg(F.sum("tf").alias("dn"))
     cls = toks.groupBy("lang", "term").agg(
         F.count(F.lit(1)).cast("double").alias("c")

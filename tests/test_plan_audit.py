@@ -786,3 +786,31 @@ def test_registry_wide_plan_hygiene(spark):
         if "BatchEvalPython" in f.text and name not in pyrow_ok:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_triangle_count_persists_edge_relation(spark):
+    """All three legs of the triangle join read the persisted edge
+    relation — the fact-table lineage must execute once, not once
+    per leg."""
+    f = _facts(spark, "graph_triangle_count")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+
+
+def test_multi_table_lsh_single_pass(spark):
+    """L LSH tables' signatures come from ONE inline explode, not a
+    union of L per-table scans: at most 4 scans total (queries and
+    corpus, signature + vector sides)."""
+    f = _facts(spark, "ann_lsh_topk")
+    assert f.text.count("InMemoryFileIndex") <= 4
+
+
+def test_naive_bayes_tokenizes_once(spark):
+    f = _facts(spark, "naive_bayes_lang_confusion")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") <= 3
+
+
+def test_chisq_contingency_single_scan(spark):
+    f = _facts(spark, "chisq_lang_source")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") <= 1
