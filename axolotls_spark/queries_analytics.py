@@ -1539,11 +1539,13 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("double").alias("n"))
         )
 
-    rb = hist(ref).withColumnRenamed("n", "rn_b")
-    cb = hist(cur).withColumnRenamed("n", "cn_b")
+    rb = hist(ref).withColumnRenamed("n", "rn_b").persist()
+    cb = hist(cur).withColumnRenamed("n", "cn_b").persist()
+    # Window totals are the histograms' own sums — deriving them from
+    # the ≤10-row aggregates saves two more corpus passes.
     tot = (
-        ref.agg(F.count(F.lit(1)).cast("double").alias("rn"))
-        .crossJoin(cur.agg(F.count(F.lit(1)).cast("double").alias("cn")))
+        rb.agg(F.sum("rn_b").alias("rn"))
+        .crossJoin(cb.agg(F.sum("cn_b").alias("cn")))
     )
     spine = (
         e.sparkSession.range(1, 11)

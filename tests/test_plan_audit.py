@@ -814,3 +814,11 @@ def test_chisq_contingency_single_scan(spark):
     f = _facts(spark, "chisq_lang_source")
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
     assert f.text.count("InMemoryFileIndex") <= 1
+
+
+def test_psi_totals_derive_from_histograms(spark):
+    """PSI window totals come from the ≤10-row histograms' own sums,
+    not extra corpus counts: at most 4 scans (cut percentiles + two
+    window histograms + spine-free logic)."""
+    f = _facts(spark, "distribution_drift_psi")
+    assert f.text.count("InMemoryFileIndex") <= 4
