@@ -88,39 +88,25 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, so Catalyst plans a single exchange and the
     per-version relation (≤ |changes|) never leaves those partitions.
     """
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    chg = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        "o_orderpriority",
-        F.when(
-            F.lag("o_orderpriority").over(w).isNull()
-            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_chg"),
+    from axolotls_spark.operators.warehouse import scd2_history
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    runs = chg.withColumn(
-        "version",
-        F.sum("is_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    v = runs.groupBy("o_custkey", "version").agg(
-        F.min("o_orderpriority").alias("priority"),
-        F.min("o_orderdate").alias("effective_from"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-    pw = Window.partitionBy("o_custkey").orderBy("version")
-    nxt = F.lead("effective_from").over(pw)
-    return v.select(
+    return scd2_history(
+        o,
+        key="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        attr="o_orderpriority",
+        eff_col="o_orderdate",
+    ).select(
         "o_custkey",
         "version",
-        "priority",
+        F.col("o_orderpriority").alias("priority"),
         "effective_from",
-        nxt.alias("effective_to"),
-        "n_orders",
-        nxt.isNull().alias("is_current"),
+        "effective_to",
+        F.col("n_rows").alias("n_orders"),
+        "is_current",
     )
 
 
@@ -163,17 +149,20 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so 100 TB of changelog shuffles at most |keys| × tasks
     rows and nothing is ever sorted.
     """
+    from axolotls_spark.operators.warehouse import cdc_latest
+
     e = load_table(spark, sf_dir, "events")
-    ordinal = F.struct("ts", "event_id")
-    latest = e.groupBy("user_id").agg(
-        F.max_by(F.struct("event_type", "value", "ts"), ordinal).alias("s"),
-        F.count(F.lit(1)).alias("n_changes"),
-    )
-    return latest.filter(F.col("s.event_type") != "error").select(
+    return cdc_latest(
+        e,
+        key="user_id",
+        ordinal=["ts", "event_id"],
+        payload=["event_type", "value", "ts"],
+        tombstone=F.col("event_type") == "error",
+    ).select(
         "user_id",
-        F.col("s.event_type").alias("last_event_type"),
-        F.col("s.value").alias("last_value"),
-        F.col("s.ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
         "n_changes",
     )
 

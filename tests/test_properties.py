@@ -319,3 +319,105 @@ def test_bloom_bitset_never_false_negative(spark, members, probes):
     )
     kept_keys = {r.k for r in kept}
     assert set(members) <= kept_keys
+
+
+# --------------------------------------------------------------------------
+# Warehouse operator cores vs in-memory references
+
+
+@st.composite
+def change_stream(draw):
+    """Random per-key attribute change stream: (key, seq, attr)."""
+    n_keys = draw(st.integers(1, 3))
+    rows = []
+    seq = 0
+    for k in range(n_keys):
+        for _ in range(draw(st.integers(1, 6))):
+            rows.append((k, seq, draw(st.sampled_from("ABC"))))
+            seq += 1
+    return rows
+
+
+def _scd2_reference(rows):
+    """Python SCD2: collapse runs per key in seq order."""
+    out = {}
+    by_key = {}
+    for k, s, a in sorted(rows):
+        by_key.setdefault(k, []).append((s, a))
+    for k, evs in by_key.items():
+        versions = []
+        for s, a in evs:
+            if not versions or versions[-1]["attr"] != a:
+                versions.append({"attr": a, "eff": s, "n": 1})
+            else:
+                versions[-1]["n"] += 1
+        out[k] = versions
+    return out
+
+
+@given(change_stream())
+@settings(**_SETTINGS)
+def test_scd2_core_matches_reference(spark, rows):
+    from axolotls_spark.operators.warehouse import scd2_history
+
+    df = spark.createDataFrame(rows, "k long, seq long, attr string")
+    got = scd2_history(
+        df, key="k", order_cols=["seq"], attr="attr", eff_col="seq"
+    ).collect()
+    ref = _scd2_reference(rows)
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == set(ref)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r.version)
+        exp = ref[k]
+        assert [v.attr for v in vs] == [e["attr"] for e in exp]
+        assert [v.effective_from for v in vs] == [e["eff"] for e in exp]
+        assert [v.n_rows for v in vs] == [e["n"] for e in exp]
+        assert [v.version for v in vs] == list(range(1, len(exp) + 1))
+        assert vs[-1].is_current and vs[-1].effective_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.effective_to == b.effective_from
+
+
+@st.composite
+def cdc_stream(draw):
+    n_keys = draw(st.integers(1, 4))
+    rows = []
+    seq = 0
+    for k in range(n_keys):
+        for _ in range(draw(st.integers(1, 5))):
+            rows.append((k, seq, draw(st.sampled_from(["set", "del"])),
+                         draw(st.integers(0, 99))))
+            seq += 1
+    return rows
+
+
+@given(cdc_stream())
+@settings(**_SETTINGS)
+def test_cdc_core_matches_reference(spark, rows):
+    from axolotls_spark.operators.warehouse import cdc_latest
+
+    df = spark.createDataFrame(rows, "k long, seq long, op string, val long")
+    got = {
+        r.k: (r.op, r.val, r.n_changes)
+        for r in cdc_latest(
+            df,
+            key="k",
+            ordinal=["seq"],
+            payload=["op", "val"],
+            tombstone=F.col("op") == "del",
+        ).collect()
+    }
+    ref = {}
+    counts = {}
+    for k, s, op, val in sorted(rows, key=lambda r: r[1]):
+        ref[k] = (op, val)
+        counts[k] = counts.get(k, 0) + 1
+    expected = {
+        k: (op, val, counts[k])
+        for k, (op, val) in ref.items()
+        if op != "del"
+    }
+    assert got == expected
