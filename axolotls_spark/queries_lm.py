@@ -461,3 +461,74 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("y").cast("float").alias("frac_positive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of a document is unique to it?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    db AS (
+        SELECT DISTINCT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    bdf AS (SELECT w1, w2, COUNT(*) AS ndocs FROM db GROUP BY 1, 2)
+    SELECT db.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(SUM(CASE WHEN bdf.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(CAST(SUM(CASE WHEN bdf.ndocs = 1 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*) AS REAL) AS novel_frac
+    FROM db JOIN bdf USING (w1, w2)
+    GROUP BY 1
+    """,
+    tags=("novelty", "ngram", "memorization", "curation", "text"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: the fraction of a document's
+    distinct bigrams that appear in NO other document — high novelty
+    marks original content worth keeping; low novelty marks
+    boilerplate/template text (the cheap relational cousin of the
+    memorization screens run before training).
+
+    Scale shape: one tokenize pass builds the distinct (doc, bigram)
+    relation, persisted because it feeds both the document-frequency
+    aggregate and the probe side; the probe is an equi-join on the
+    bigram key. Novelty fractions are exact integer ratios — the
+    float32 emit is bit-stable.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    db = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1),"
+                       " i -> struct(t[i - 1] AS w1, t[i] AS w2))")
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .distinct()
+        .persist()
+    )
+    bdf = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("ndocs"))
+    novel = F.sum(F.when(F.col("ndocs") == 1, 1).otherwise(0))
+    return (
+        db.join(bdf, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+            novel.cast("long").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1)))
+            .cast("float")
+            .alias("novel_frac"),
+        )
+    )
