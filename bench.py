@@ -70,6 +70,8 @@ HEADLINE = [
     "bigram_interp_logprob",
     "logreg_quality_classifier",
     "dedup_incremental_batch",
+    "textrank_keywords",
+    "kaplan_meier_retention",
 ]
 
 
