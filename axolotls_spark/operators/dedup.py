@@ -247,14 +247,21 @@ def near_dup_candidate_pairs(
         raise ValueError("k must divide evenly into bands")
     wide = minhash_wide(docs, id_col, text_col, k, n)
     banded = lsh_banded_keys(wide, k, bands)
-    # Bucket-group pair expansion instead of a self-join: a self-join
-    # would execute the whole shingle→minhash pipeline once PER SIDE
-    # (Spark doesn't share subplans across join inputs without an
-    # explicit cache). Grouping by bucket computes signatures once;
-    # per-bucket combinations are generated by a nested array
-    # transform. Bucket populations are small by construction (a big
-    # bucket means the corpus is mostly duplicates); the quadratic
-    # expansion is per-bucket and distributed.
+    return bucket_group_pairs(banded)
+
+
+def bucket_group_pairs(banded: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs from a banded-key
+    relation, via bucket-group expansion instead of a self-join: a
+    self-join would execute the whole shingle→minhash pipeline once
+    PER SIDE (Spark doesn't share subplans across join inputs
+    without an explicit cache). Grouping by bucket computes
+    signatures once; per-bucket combinations are generated by a
+    nested array transform. Bucket populations are small by
+    construction (a big bucket means the corpus is mostly
+    duplicates); the quadratic expansion is per-bucket and
+    distributed.
+    """
     buckets = (
         banded.groupBy("band", "bucket_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))

@@ -2312,3 +2312,109 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("float").alias("textrank"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV grid: cumulative revenue per user by cohort-week x age-week
+
+
+@register(
+    "cohort_ltv_grid",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(DATE_TRUNC('week', MIN(o_orderdate)) AS DATE) AS cohort_week
+        FROM orders GROUP BY 1
+    ),
+    sized AS (
+        SELECT cohort_week, COUNT(*) AS n_users FROM firsts GROUP BY 1
+    ),
+    facts AS (
+        SELECT f.cohort_week,
+               CAST(DATEDIFF('day', f.cohort_week,
+                    CAST(DATE_TRUNC('week', o.o_orderdate) AS DATE)) / 7
+                    AS BIGINT) AS age_week,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT facts.cohort_week,
+           age_week,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS rev,
+           CAST(SUM(rev_cents) OVER (PARTITION BY facts.cohort_week
+                                     ORDER BY age_week
+                                     ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / 100.0 / n_users AS cum_ltv_per_user
+    FROM facts JOIN sized ON facts.cohort_week = sized.cohort_week
+    """,
+    tags=("cohort", "ltv", "product-analytics", "window", "agg"),
+)
+def cohort_ltv_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value grid: customers cohorted by the week of
+    their first order; each (cohort-week, age-week) cell reports the
+    cohort's revenue that week and the cumulative revenue PER USER —
+    the LTV curves a growth team projects payback from (the revenue
+    sibling of retention_cohorts' activity counts).
+
+    Scale shape: first-order cohorts are one aggregate; the fact
+    pass joins the (persisted) cohort relation and aggregates to the
+    |cohorts|×|age| grid, on which the cumulative window runs. The
+    per-user division uses the exact cohort size, so the curve is
+    comparable across cohorts of different sizes.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    firsts = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.to_date(F.date_trunc("week", F.min("o_orderdate"))).alias(
+                "cohort_week"
+            )
+        )
+        .persist()  # feeds cohort sizes AND the fact join
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    # Money sums in exact integer cents: a SUM(double) this large
+    # lands within one float32 ulp of a rounding midpoint often
+    # enough that the usual f32 emit flips between engines; integer
+    # cents make the sums (and the cumulative window) exact, so the
+    # derived doubles are bit-identical and emit at full precision.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    facts = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", "o_orderdate")),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        facts.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            F.col("n_users").cast("long").alias("n_users"),
+            (F.col("rev_cents").cast("double") / 100.0).alias("rev"),
+            (
+                F.sum("rev_cents").over(w).cast("double")
+                / 100.0
+                / F.col("n_users")
+            ).alias("cum_ltv_per_user"),
+        )
+    )

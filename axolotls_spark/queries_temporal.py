@@ -852,3 +852,66 @@ def forecast_linear_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_FC_A) + F.expr(_FC_B) * (F.col("nd") + F.col("h"))
         ).cast("float").alias("forecast_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson burst detection on hourly event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "burst_detection_hourly",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                    AS VARCHAR) AS hour_start,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, AVG(CAST(n AS DOUBLE)) AS mu FROM h GROUP BY 1
+    )
+    SELECT h.event_type, hour_start, CAST(n AS BIGINT) AS n,
+           CAST(mu AS REAL) AS expected,
+           CAST((n - mu) / sqrt(mu) AS REAL) AS surprise
+    FROM h JOIN base USING (event_type)
+    WHERE n > mu + 3 * sqrt(mu)
+    """,
+    tags=("burst", "anomaly", "poisson", "time-bucket", "monitoring"),
+)
+def burst_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection on hourly event counts: under a Poisson
+    baseline (variance = mean), an hour is a burst when its count
+    exceeds μ + 3√μ — the count-data complement of the value-based
+    z-score/MAD detectors. Baseline μ is each type's mean over its
+    OBSERVED hours (a dense spine would shrink μ toward zero for
+    sparse types; choose per deployment).
+
+    Scale shape: corpus → hourly count relation in one
+    map-side-combined aggregate; the per-type baseline is a tiny
+    second aggregate broadcast back; flagging is map-only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n")).persist()
+    base = h.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("mu")
+    )
+    return (
+        h.join(F.broadcast(base), "event_type")
+        .filter(F.col("n") > F.col("mu") + 3 * F.sqrt("mu"))
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("n").cast("long").alias("n"),
+            F.col("mu").cast("float").alias("expected"),
+            ((F.col("n") - F.col("mu")) / F.sqrt("mu"))
+            .cast("float")
+            .alias("surprise"),
+        )
+    )

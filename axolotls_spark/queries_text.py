@@ -1024,3 +1024,111 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration: estimated vs exact Jaccard per pair
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES},
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / 8.0
+                   AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shash = a.shash
+        GROUP BY 1, 2
+    )
+    SELECT est.doc_a, est.doc_b,
+           est_jaccard,
+           CAST(COALESCE(n_shared, 0) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - COALESCE(n_shared, 0))
+               AS exact_jaccard,
+           ABS(est_jaccard
+               - CAST(COALESCE(n_shared, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(n_shared, 0))) AS abs_err
+    FROM est
+    LEFT JOIN shared ON est.doc_a = shared.doc_a AND est.doc_b = shared.doc_b
+    JOIN sizes sa ON est.doc_a = sa.doc_id
+    JOIN sizes sb ON est.doc_b = sb.doc_id
+    """,
+    tags=("minhash", "jaccard", "estimator-calibration", "dedup", "sketch"),
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality readout: for every LSH candidate pair, the
+    MinHash estimate of Jaccard similarity (fraction of matching
+    signature rows) next to the EXACT shingle Jaccard and the
+    absolute error — the calibration evidence for choosing k (more
+    rows → tighter estimates; E[est] = J, Var = J(1−J)/k).
+
+    Scale shape: the wide signature relation is computed once and
+    persisted — it feeds the band keys, the bucket-group pair
+    expansion AND both estimate probes; the exact side reuses the
+    persisted shingle relation for sizes and the shared-shingle
+    equi-join, restricted to candidate pairs only (never all pairs).
+    Every emitted number is a ratio of exact integers, so full-
+    precision doubles match across engines.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    wide = D.minhash_wide(docs, k=8).persist()
+    pairs = D.bucket_group_pairs(D.lsh_banded_keys(wide, k=8, bands=2))
+    sh = D.doc_shingle_hashes(docs).distinct().persist()
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"minh_{i}").alias(f"a{i}") for i in range(8)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"minh_{i}").alias(f"b{i}") for i in range(8)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    est = (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(8.0)).alias("est_jaccard"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    shared = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("b_id") == F.col("doc_b"))
+            & (F.col("sh_b") == F.col("sh_a")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    nsh = F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+    exact = nsh / (F.col("na") + F.col("nb") - nsh)
+    return (
+        est.join(shared, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+    )
