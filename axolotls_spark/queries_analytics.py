@@ -2418,3 +2418,118 @@ def cohort_ltv_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (bounded peel) of the trade graph
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+# MATERIALIZED hints are load-bearing: alive{i} is referenced twice
+# per round, so inlined CTEs would re-expand the 6-way corpus join
+# 2^rounds times — DuckDB runs minutes instead of seconds at sf0.1.
+_KCORE_EDGES_SQL = """
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
+        FROM lineitem
+        JOIN orders     ON l_orderkey = o_orderkey
+        JOIN customer c ON o_custkey = c.c_custkey
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+    ),
+    alive0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)
+"""
+
+
+def _kcore_round_sql(i: int) -> str:
+    return f""",
+    deg{i} AS MATERIALIZED (
+        SELECT e.u AS node, COUNT(*) AS d
+        FROM und e
+        JOIN alive{i - 1} a ON e.u = a.node
+        JOIN alive{i - 1} b ON e.v = b.node
+        GROUP BY 1
+    ),
+    alive{i} AS MATERIALIZED (
+        SELECT node FROM deg{i} WHERE d >= {_KCORE_K})"""
+
+
+@register(
+    "kcore_trade_graph",
+    oracle="WITH "
+    + _KCORE_EDGES_SQL
+    + "".join(_kcore_round_sql(i) for i in range(1, _KCORE_ROUNDS + 1))
+    + f"""
+    SELECT n_name AS nation, CAST(d AS BIGINT) AS core_degree
+    FROM deg{_KCORE_ROUNDS}
+    JOIN alive{_KCORE_ROUNDS} USING (node)
+    JOIN nation ON node = n_nationkey
+    """,
+    tags=("graph", "k-core", "iterative", "peel", "broadcast"),
+)
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=4) of the undirected nation trade
+    graph by iterative peeling: each round recomputes degrees within
+    the surviving set and drops nodes below k, four unrolled rounds —
+    the cohesive-subgraph extractor (who trades with enough partners
+    who themselves trade enough?) completing the graph suite next to
+    PageRank, BFS, triangles and label propagation.
+
+    Scale shape: aggregate-then-iterate — one corpus pass to the
+    distinct undirected edge list, persisted; every peel round is a
+    degree aggregate over that ≤|nations|² relation joined to the
+    broadcast alive set. Peeling converges in ≤ diameter-ish rounds
+    on small cores; production k-core on huge graphs runs the same
+    rounds with shuffled joins.
+    """
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .distinct()
+    )
+    und = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition(1)
+        .persist()
+    )
+    alive = und.select(F.col("u").alias("node")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        # alive feeds BOTH endpoint joins of the next degree count —
+        # persist it per round, or the lineage doubles every peel
+        # (same cut-the-lineage move as graph.py / kmeans).
+        alive = alive.persist()
+        a = alive.select(F.col("node").alias("au"))
+        b = alive.select(F.col("node").alias("av"))
+        deg = (
+            und.join(F.broadcast(a), und.u == F.col("au"))
+            .join(F.broadcast(b), und.v == F.col("av"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= _KCORE_K).select("node")
+    return (
+        deg.join(alive, "node")
+        .join(F.broadcast(n), F.col("node") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("d").cast("long").alias("core_degree"),
+        )
+    )
