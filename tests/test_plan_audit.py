@@ -822,3 +822,35 @@ def test_psi_totals_derive_from_histograms(spark):
     window histograms + spine-free logic)."""
     f = _facts(spark, "distribution_drift_psi")
     assert f.text.count("InMemoryFileIndex") <= 4
+
+
+def test_textrank_reuses_vocab_tokens(spark):
+    f = _facts(spark, "textrank_keywords")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert "CartesianProduct" not in f.text
+
+
+def test_kcore_iterates_over_persisted_edges(spark):
+    f = _facts(spark, "kcore_trade_graph")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.n_broadcast_hash_joins >= 3
+
+
+def test_minhash_estimate_single_signature_pipeline(spark):
+    """Wide signatures and shingles persist; band keys, pair
+    expansion and both probes read the caches."""
+    f = _facts(spark, "minhash_jaccard_estimate")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert "CartesianProduct" not in f.text
+
+
+def test_cohort_ltv_reuses_first_orders(spark):
+    f = _facts(spark, "cohort_ltv_grid")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") <= 2
+
+
+def test_burst_detection_single_scan(spark):
+    f = _facts(spark, "burst_detection_hourly")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") <= 1

@@ -213,3 +213,53 @@ def test_kaplan_meier_survival_is_monotone_from_one(spark):
     assert all(a >= b - 1e-6 for a, b in zip(surv, surv[1:]))  # non-increasing
     # at-risk counts shrink as duration grows; the first row covers everyone
     assert rows[0].n_risk == max(r.n_risk for r in rows)
+
+
+def test_burst_flags_exceed_poisson_bound(spark):
+    rows = _rows(spark, "burst_detection_hourly")
+    for r in rows:
+        assert r.n > r.expected  # flagged hours sit above baseline
+        assert r.surprise > 0
+
+
+def test_cohort_ltv_cumulative_monotone(spark):
+    rows = _rows(spark, "cohort_ltv_grid")
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for vs in by_cohort.values():
+        vs.sort(key=lambda r: r.age_week)
+        ltv = [v.cum_ltv_per_user for v in vs]
+        assert all(a <= b + 1e-9 for a, b in zip(ltv, ltv[1:]))
+        assert len({v.n_users for v in vs}) == 1  # one size per cohort
+
+
+def test_minhash_estimate_within_sketch_bounds(spark):
+    rows = _rows(spark, "minhash_jaccard_estimate")
+    assert rows, "LSH should surface candidate pairs at sf0.001"
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-9
+        # est is k·J̄ rounded to eighths by construction
+        assert abs(r.est_jaccard * 8 - round(r.est_jaccard * 8)) < 1e-9
+
+
+def test_kcore_survivors_meet_degree_bound(spark):
+    rows = _rows(spark, "kcore_trade_graph")
+    assert all(r.core_degree >= 4 for r in rows)
+    assert len(rows) <= 25
+
+
+def test_novelty_fractions_bounded(spark):
+    rows = _rows(spark, "ngram_novelty_score")
+    for r in rows:
+        assert 0.0 <= r.novel_frac <= 1.0
+        assert r.n_novel <= r.n_distinct_bigrams
+
+
+def test_textrank_is_ranked_topk(spark):
+    rows = sorted(_rows(spark, "textrank_keywords"), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.textrank for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
