@@ -1710,8 +1710,8 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
-           sx AS total_spend,
-           2.0 * six / (n * sx) - (n + 1) / n AS gini
+           CAST(sx AS REAL) AS total_spend,
+           CAST(2.0 * six / (n * sx) - (n + 1) / n AS REAL) AS gini
     FROM agg
     """,
     tags=("gini", "inequality", "statistics", "window"),
@@ -1742,11 +1742,13 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
-        F.col("sx").alias("total_spend"),
+        F.col("sx").cast("float").alias("total_spend"),
         (
             2.0 * F.col("six") / (F.col("n") * F.col("sx"))
             - (F.col("n") + 1) / F.col("n")
-        ).alias("gini"),
+        )
+        .cast("float")
+        .alias("gini"),
     )
 
 

@@ -849,9 +849,9 @@ def impute_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT l.l_orderkey, l.l_linenumber,
-           (l.l_quantity - s.q_mean) / s.q_std AS quantity_z,
-           (l.l_extendedprice - s.p_min) / (s.p_max - s.p_min)
-               AS price_minmax
+           CAST((l.l_quantity - s.q_mean) / s.q_std AS REAL) AS quantity_z,
+           CAST((l.l_extendedprice - s.p_min) / (s.p_max - s.p_min)
+               AS REAL) AS price_minmax
     FROM lineitem l CROSS JOIN stats s
     """,
     tags=("scaling", "preprocessing", "standardize", "broadcast"),
@@ -878,13 +878,15 @@ def scale_standardize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.crossJoin(F.broadcast(stats)).select(
         "l_orderkey",
         "l_linenumber",
-        ((F.col("l_quantity") - F.col("q_mean")) / F.col("q_std")).alias(
-            "quantity_z"
-        ),
+        ((F.col("l_quantity") - F.col("q_mean")) / F.col("q_std"))
+        .cast("float")
+        .alias("quantity_z"),
         (
             (F.col("l_extendedprice") - F.col("p_min"))
             / (F.col("p_max") - F.col("p_min"))
-        ).alias("price_minmax"),
+        )
+        .cast("float")
+        .alias("price_minmax"),
     )
 
 

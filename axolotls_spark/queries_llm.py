@@ -492,10 +492,10 @@ def discretize_equal_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS keep_rate
         FROM sc CROSS JOIN tot
     )
-    SELECT d.doc_id, d.source, d.lang, r.keep_rate
+    SELECT d.doc_id, d.source, d.lang, CAST(r.keep_rate AS REAL) AS keep_rate
     FROM documents d JOIN rates r USING (source)
     WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
-          < r.keep_rate * 1000000
+          < CAST(ROUND(r.keep_rate * 1000000) AS BIGINT)
     """,
     tags=("sampling", "mixture", "temperature", "llm-pipeline", "broadcast"),
 )
@@ -533,13 +533,20 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_s"),
         ).alias("keep_rate"),
     )
+    # The membership threshold is rounded to an exact integer on
+    # BOTH engines: keep_rate carries reduction-order ulps (it
+    # derives from SUM(SQRT(n))), and a raw float threshold would
+    # flip any doc whose hash lands exactly on the boundary.
     return (
         docs.join(F.broadcast(rates), "source")
         .filter(
             token_hash(F.col("doc_id").cast("string")) % 1000000
-            < F.col("keep_rate") * 1000000
+            < F.round(F.col("keep_rate") * 1000000).cast("long")
         )
-        .select("doc_id", "source", "lang", "keep_rate")
+        .select(
+            "doc_id", "source", "lang",
+            F.col("keep_rate").cast("float").alias("keep_rate"),
+        )
     )
 
 

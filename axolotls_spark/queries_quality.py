@@ -36,8 +36,8 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
            COUNT(DISTINCT {c})      AS n_distinct,
            MIN({c})::DOUBLE         AS min_v,
            MAX({c})::DOUBLE         AS max_v,
-           AVG({c})                 AS avg_v,
-           STDDEV_SAMP({c})         AS std_v
+           CAST(AVG({c}) AS REAL)          AS avg_v,
+           CAST(STDDEV_SAMP({c}) AS REAL)  AS std_v
     FROM base"""
         for c in _PROFILE_COLS
     )
@@ -71,8 +71,8 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).alias(f"{c}__n_distinct"),
             F.min(c).cast("double").alias(f"{c}__min_v"),
             F.max(c).cast("double").alias(f"{c}__max_v"),
-            F.avg(c).alias(f"{c}__avg_v"),
-            F.stddev_samp(c).alias(f"{c}__std_v"),
+            F.avg(c).cast("float").alias(f"{c}__avg_v"),
+            F.stddev_samp(c).cast("float").alias(f"{c}__std_v"),
         ]
     wide = li.agg(*aggs)
     metrics = (
