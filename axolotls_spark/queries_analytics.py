@@ -1917,8 +1917,21 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("w")
         )
     )
-    und = e0.union(e0.select(F.col("dst").alias("src"),
-                             F.col("src").alias("dst"), "w"))
+    # Undirect via a single-pass explode of both orientations — a
+    # union of e0 with its swap executes the corpus aggregation
+    # lineage once PER SIDE (the union-of-derivations trap).
+    und = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("w")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     ed = (
         und.groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
@@ -2505,8 +2518,18 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Single-pass undirection (explode of both orientations) — a
+    # union with the swap would run the corpus lineage twice.
     und = (
-        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .repartition(1)
         .persist()

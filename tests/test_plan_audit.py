@@ -854,3 +854,12 @@ def test_burst_detection_single_scan(spark):
     f = _facts(spark, "burst_detection_hourly")
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
     assert f.text.count("InMemoryFileIndex") <= 1
+
+
+def test_graph_undirection_is_single_pass(spark):
+    """Undirected edge lists come from ONE explode of both
+    orientations, not a union with the swapped projection — the edge
+    aggregation lineage must appear once (5 table scans, not 9/10)."""
+    for name in ("label_propagation_communities", "kcore_trade_graph"):
+        f = _facts(spark, name)
+        assert f.text.count("InMemoryFileIndex") <= 5, name
