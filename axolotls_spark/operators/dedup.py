@@ -295,12 +295,17 @@ def connected_dedup_groups(
 
     Iterative min-label propagation: each round every node adopts
     the smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup clusters are shallow).
+    O(component diameter) rounds (near-dup clusters are usually
+    shallow — for diameter-heavy graphs use
+    ``connected_components_star``, whose round count is O(log^2 n)).
     Each round is one distributed join+aggregate; the driver only
     checks a one-row convergence probe (``limit(1)``), never the
-    data — the standard Pregel-style loop shape. Intermediates are
-    cached and unpersisted round-over-round so the lineage doesn't
-    grow unboundedly.
+    data — the standard Pregel-style loop shape. Each round's labels
+    end in an eager ``localCheckpoint``: a cache alone does NOT
+    truncate the logical plan, and with labels referenced twice per
+    round (propagation join + convergence probe) the plan tree grows
+    2^rounds — a 12-deep duplicate chain OOMed the driver purely on
+    plan serialization before this was checkpointed.
     """
     # Cache the edge list: it is re-joined every round, and without
     # the cache each round would re-execute the whole upstream
@@ -325,7 +330,7 @@ def connected_dedup_groups(
                     F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
                 ).alias("rep"),
             )
-            .cache()
+            .localCheckpoint()  # eager: truncates the 2x/round lineage
         )
         changed = (
             new_labels.alias("n")
@@ -413,5 +418,117 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     " ELSE CAST(0 AS BIGINT) END"
                 )
             ).alias("simhash")
+        )
+    )
+
+
+def connected_components_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """(doc_id, group_rep) via the alternating large-star/small-star
+    algorithm — the O(log^2 n)-round connected-components method of
+    Kiveris et al. ("Connected Components in MapReduce and Beyond",
+    SoCC'14), the scale alternative to min-label propagation
+    (``connected_dedup_groups``), whose round count is the component
+    DIAMETER. Near-dup clusters in crawl corpora routinely chain
+    hundreds of docs deep (A~B~C~... under a pairwise threshold);
+    at 100 TB the diameter-bound loop is the bottleneck and the
+    star-contraction bound is not.
+
+    One round = two one-shuffle passes over the current edge set:
+
+    - large-star: every node's LARGER neighbors re-attach to the
+      minimum of its closed neighborhood (emit (v, m) for v > u,
+      m = min(N(u) ∪ {u})).
+    - small-star: with edges oriented larger→smaller, every smaller
+      neighbor and the node itself attach to that minimum.
+
+    Both orientations of an edge are produced by a single explode
+    (never edges.union(swap), which re-runs the upstream candidate
+    lineage per side — SCALE.md "union-of-derivations"). Each round
+    ends in an eager ``localCheckpoint`` — NOT a bare persist: one
+    star round references its input four times (two per star step),
+    so the logical plan would grow ~4^rounds and the driver dies
+    serializing plan trees long before any executor breaks a sweat
+    (found by the deep-chain unit test). Checkpointing truncates
+    lineage to the materialized blocks, making round plans O(1);
+    swap in ``DataFrame.checkpoint`` (reliable, HDFS-backed) when
+    executor loss must be survivable mid-algorithm.
+
+    Output matches ``connected_dedup_groups``: every document keyed
+    by the minimum doc id of its duplicate cluster; isolated docs
+    represent themselves.
+    """
+    edges = (
+        pairs.select(
+            F.col("doc_a").cast("long").alias("u"),
+            F.col("doc_b").cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    for _ in range(max_rounds):
+        # ---- large-star: undirect in one pass, group by node ----
+        und = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        lmin = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            und.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        # ---- small-star: edges now all point larger→smaller ----
+        smin = large.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        new_edges = (
+            large.join(smin, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # eager: truncates the 4x/round lineage
+        )
+        # Convergence probe: the directed edge set is a fixpoint.
+        # Two limit(1) anti-probes on checkpointed, already-small
+        # relations — the driver never sees data rows.
+        grew = new_edges.subtract(edges).limit(1).count()
+        shrank = edges.subtract(new_edges).limit(1).count()
+        edges.unpersist()
+        large.unpersist()
+        edges = new_edges
+        if grew == 0 and shrank == 0:
+            break
+    reps = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("rep")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(reps, F.col(id_col) == F.col("id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("rep"), F.col(id_col)).alias("group_rep"),
         )
     )

@@ -964,6 +964,56 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Salted two-phase aggregation (skew mitigation, semantics-preserving)
+
+
+@register(
+    "skew_salted_aggregate",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT)        AS n_rows,
+           MAX(l_extendedprice)            AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("skew", "salting", "agg", "two-phase"),
+)
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation over lineitem.l_returnflag —
+    three giant groups, the worst-case hot-key aggregation shape.
+    Phase 1 groups by (key, salt) so each hot key spreads over 16
+    reducers; phase 2 merges the ≤ 3·16 partials by key
+    (operators/skew.py salted_aggregate, salt derived from row
+    hashes, not rand(), so speculative retries are deterministic).
+
+    The oracle is the PLAIN single-phase GROUP BY — certifying that
+    salting is invisible to results. Emitted aggregates are chosen
+    order-stable (integer-valued SUM, COUNT, MAX), so partial/merge
+    regrouping cannot move a floating-point ulp.
+    """
+    from axolotls_spark.operators import skew
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_quantity", "l_extendedprice"
+    )
+    out = skew.salted_aggregate(
+        l,
+        keys=["flag"],
+        partial_aggs={
+            "p_qty": F.sum("l_quantity"),
+            "p_n": F.count(F.lit(1)),
+            "p_max": F.max("l_extendedprice"),
+        },
+        merge_aggs={
+            "sum_qty": F.sum("p_qty").cast("long"),
+            "n_rows": F.sum("p_n").alias("n_rows"),
+            "max_price": F.max("p_max"),
+        },
+    )
+    return out.select("flag", "sum_qty", "n_rows", "max_price")
+
+
+# --------------------------------------------------------------------------
 # Top session paths (first-3-event journeys)
 
 

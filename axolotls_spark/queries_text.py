@@ -190,6 +190,42 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_groups_altstar",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CAND_CTES},
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+    ),
+    rep AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CASE WHEN rep.mn IS NULL OR rep.mn > d.doc_id
+                THEN d.doc_id ELSE rep.mn END AS group_rep
+    FROM documents d LEFT JOIN rep ON d.doc_id = rep.u
+    """,
+    tags=("dedup", "connected-components", "large-star", "small-star"),
+)
+def dedup_groups_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment via the alternating large-star/
+    small-star algorithm (operators/dedup.py
+    connected_components_star) — same output contract as
+    ``dedup_groups`` but O(log^2 n) rounds instead of
+    O(component diameter), the shape that survives deep duplicate
+    chains at 100 TB. Oracle: the same recursive transitive closure
+    that certifies the label-propagation variant, so both
+    algorithms are pinned to one ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_candidate_pairs(docs, k=8, bands=2)
+    return D.connected_components_star(docs, pairs)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS (

@@ -90,3 +90,44 @@ def test_connected_dedup_groups_chain(spark):
         for r in connected_dedup_groups(docs, pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_star_components_deep_chain_and_agreement(spark):
+    # A 12-deep chain (the diameter case the alternating algorithm
+    # exists for), a separate triangle, and two isolated nodes; the
+    # star labeling must agree with min-label propagation exactly.
+    from axolotls_spark.operators.dedup import (
+        connected_components_star,
+        connected_dedup_groups,
+    )
+
+    ids = list(range(1, 18))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    chain = [(i, i + 1) for i in range(1, 12)]          # 1..12 chain
+    tri = [(13, 14), (14, 15), (13, 15)]                # triangle
+    pairs = spark.createDataFrame(
+        chain + tri, "doc_a long, doc_b long"
+    )
+    star = {
+        r.doc_id: r.group_rep
+        for r in connected_components_star(docs, pairs).collect()
+    }
+    prop = {
+        r.doc_id: r.group_rep
+        for r in connected_dedup_groups(docs, pairs).collect()
+    }
+    assert star == prop
+    assert star[12] == 1 and star[15] == 13
+    assert star[16] == 16 and star[17] == 17
+
+
+def test_star_components_empty_pairs(spark):
+    from axolotls_spark.operators.dedup import connected_components_star
+
+    docs = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.group_rep
+        for r in connected_components_star(docs, pairs).collect()
+    }
+    assert got == {7: 7, 9: 9}
