@@ -343,6 +343,16 @@ def connected_dedup_groups(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would hand back labels that look
+        # valid but split real duplicate clusters — fail loudly and
+        # name the diameter-proof alternative.
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iters} "
+            "rounds (component diameter exceeds the cap); use "
+            "connected_components_star, whose round count is "
+            "O(log^2 n) regardless of diameter"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("rep").alias("group_rep")
     )
@@ -521,6 +531,14 @@ def connected_components_star(
         edges = new_edges
         if grew == 0 and shrank == 0:
             break
+    else:
+        raise RuntimeError(
+            f"alternating star did not reach a fixpoint in "
+            f"{max_rounds} rounds — raise max_rounds (the bound is "
+            "O(log^2 n) in the node count, ~15 covers any realistic "
+            "corpus; non-convergence here usually means the pair "
+            "relation is non-deterministic between passes)"
+        )
     reps = edges.select(
         F.col("u").alias("id"), F.col("v").alias("rep")
     )

@@ -131,3 +131,36 @@ def test_star_components_empty_pairs(spark):
         for r in connected_components_star(docs, pairs).collect()
     }
     assert got == {7: 7, 9: 9}
+
+
+def test_star_components_64_deep_chain(spark):
+    # Diameter 63 — far beyond label propagation's 20-round cap; the
+    # star algorithm must label the whole chain in <= 15 rounds.
+    from axolotls_spark.operators.dedup import connected_components_star
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 65)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.group_rep
+        for r in connected_components_star(docs, pairs).collect()
+    }
+    assert got == {i: 1 for i in range(1, 65)}
+
+
+def test_label_propagation_raises_on_nonconvergence(spark):
+    # A chain deeper than max_iters must fail loudly, not hand back
+    # labels that silently split the cluster.
+    import pytest
+
+    from axolotls_spark.operators.dedup import connected_dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_dedup_groups(docs, pairs, max_iters=3)
