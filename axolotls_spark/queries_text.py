@@ -226,6 +226,81 @@ def dedup_groups_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_free",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CAND_CTES},
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+    ),
+    rep AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u),
+    g AS (
+        SELECT d.doc_id,
+               CASE WHEN rep.mn IS NULL OR rep.mn > d.doc_id
+                    THEN d.doc_id ELSE rep.mn END AS group_rep
+        FROM documents d LEFT JOIN rep ON d.doc_id = rep.u
+    )
+    SELECT doc_id, group_rep,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, group_rep,
+               ('0x' || substr(md5('split:' || group_rep::VARCHAR),
+                               1, 15))::BIGINT % 100 AS b
+        FROM g
+    )
+    """,
+    tags=("split", "dedup", "leakage", "train-val-test", "curation"),
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test split: the 90/5/5
+    bucket is hashed from the near-dup GROUP representative, not the
+    document id, so two near-duplicates can never straddle the
+    train/test boundary — the leakage mode a doc-id split
+    (dataset_split_stratified) cannot prevent, because eval contains
+    paraphrases of training docs whenever a dup cluster is cut.
+
+    Scale shape: the LSH candidate pipeline + alternating-star
+    components (both already single-pass / O(log^2) rounds), then a
+    map-only namespaced-md5 bucket on the group key. Same 'split:'
+    hash namespace and engine-reproducible md5-prefix arithmetic as
+    every other sampler, so the DuckDB oracle replays the split
+    bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_candidate_pairs(docs, k=8, bands=2)
+    groups = D.connected_components_star(docs, pairs)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"), F.col("group_rep").cast("string")
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return groups.select(
+        "doc_id",
+        "group_rep",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS (

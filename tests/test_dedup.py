@@ -164,3 +164,20 @@ def test_label_propagation_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_dedup_groups(docs, pairs, max_iters=3)
+
+
+def test_split_leakage_free_invariant(spark):
+    # Structural guarantee: every member of a dup cluster lands in
+    # the SAME split, and all three splits are actually populated.
+    from axolotls_spark.queries_text import split_leakage_free
+
+    out = split_leakage_free(spark, "/root/testdata/sf0.001")
+    n_violations = (
+        out.groupBy("group_rep")
+        .agg({"split": "approx_count_distinct"})
+        .filter("`approx_count_distinct(split)` > 1")
+        .count()
+    )
+    assert n_violations == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
