@@ -301,6 +301,71 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES},
+    s AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR),
+                                         1, 15))::BIGINT % 100 < 90
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_split
+    FROM cand
+    JOIN s a ON cand.doc_a = a.doc_id
+    JOIN s b ON cand.doc_b = b.doc_id
+    """,
+    tags=("split", "dedup", "leakage", "audit", "diagnostics"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much eval contamination does a naive per-document split
+    cause? Counts near-dup candidate pairs whose endpoints land on
+    opposite sides of the train/eval boundary under the doc-id hash
+    split — each such pair is a paraphrase of a training document
+    sitting in the eval set. The group-aware split
+    (``split_leakage_free``) drives this number to zero by
+    construction; this query is the audit that justifies it.
+
+    Scale shape: the LSH pair pipeline plus a map-only hash-bucket
+    projection on each endpoint (two broadcast-able joins against
+    the slim (doc_id, split) relation), one 2-column final
+    aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_candidate_pairs(docs, k=8, bands=2)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    s = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+    )
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)
+            ).cast("long").alias("n_cross_split"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS (
