@@ -863,3 +863,20 @@ def test_graph_undirection_is_single_pass(spark):
     for name in ("label_propagation_communities", "kcore_trade_graph"):
         f = _facts(spark, name)
         assert f.text.count("InMemoryFileIndex") <= 5, name
+
+
+def test_salted_aggregate_is_two_phase(spark):
+    """Salting must add exactly one extra exchange (key+salt, then
+    key) over a plain one-shuffle aggregate, and nothing else."""
+    f = _facts(spark, "skew_salted_aggregate")
+    assert f.n_exchanges == 2
+    assert "CartesianProduct" not in f.text
+
+
+def test_split_leakage_audit_no_cartesian_single_lineage(spark):
+    """Endpoint-split joins are equi-joins on doc_id; the LSH
+    candidate pipeline must appear once (documents scanned for the
+    pair stream + two slim split projections, never re-derived)."""
+    f = _facts(spark, "split_leakage_audit")
+    assert "CartesianProduct" not in f.text
+    assert f.text.count("InMemoryFileIndex") <= 3
