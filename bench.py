@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "textrank_keywords",
     "kaplan_meier_retention",
+    "split_leakage_free",
 ]
 
 
