@@ -69,10 +69,20 @@ def main() -> None:
     survivors = survivors.join(mixed, "doc_id")
     n5 = survivors.count()
 
-    # 6. Chunk surviving docs and pack into training sequences.
+    # 6. Leakage-free split: bucket by dup-cluster representative so
+    # no paraphrase of a training doc can land in eval.
+    split = REGISTRY["split_leakage_free"].fn(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    train = survivors.join(
+        split.filter(F.col("split") == "train"), "doc_id"
+    )
+    n6 = train.count()
+
+    # 7. Chunk surviving train docs and pack into training sequences.
     chunks = (
         REGISTRY["chunk_documents"].fn(spark, sf_dir)
-        .join(survivors, "doc_id")
+        .join(train, "doc_id")
     )
     n_chunks = chunks.count()
     packed = REGISTRY["pack_sequences_contiguous"].fn(spark, sf_dir)
@@ -84,6 +94,7 @@ def main() -> None:
     print(f"after near-dup drop  {n3:>8}")
     print(f"after decontam       {n4:>8}")
     print(f"after temp mixing    {n5:>8}")
+    print(f"train split (no-leak){n6:>8}")
     print(f"training chunks      {n_chunks:>8}")
     print(f"packed sequences     {n_seqs:>8}  (corpus-wide)")
 
