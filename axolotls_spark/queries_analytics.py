@@ -1013,6 +1013,47 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("flag", "sum_qty", "n_rows", "max_price")
 
 
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("skew", "salting", "join", "broadcast"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe probe join: orders (the skewed probe side — hot
+    customers concentrate o_custkey) joins customer through
+    ``salted_broadcast_join``, which scatters each probe row over 8
+    salt shards and replicates the broadcast build side per shard,
+    so a hot key's rows land on 8 executors instead of one.
+
+    The oracle is the PLAIN equi-join — certifying the salted plan
+    returns byte-identical results. Revenue is summed in exact
+    integer cents (SCALE.md money rule) so the emit is order-stable
+    under the extra regrouping.
+    """
+    from axolotls_spark.operators import skew
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = skew.salted_broadcast_join(o, c, ["o_custkey"], n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Top session paths (first-3-event journeys)
 

@@ -880,3 +880,13 @@ def test_split_leakage_audit_no_cartesian_single_lineage(spark):
     f = _facts(spark, "split_leakage_audit")
     assert "CartesianProduct" not in f.text
     assert f.text.count("InMemoryFileIndex") <= 3
+
+
+def test_salted_join_stays_broadcast(spark):
+    """Salting the probe side must not demote the build side to a
+    sort-merge join: the replicated build still broadcasts, and the
+    only exchange is the final aggregate."""
+    f = _facts(spark, "skew_salted_join")
+    assert f.n_broadcast_hash_joins >= 1
+    assert f.n_sort_merge_joins == 0
+    assert f.n_exchanges <= 2
