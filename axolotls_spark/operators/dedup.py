@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from axolotls_spark.io.sources import spread_for_cpu
+from axolotls_spark.plans.audit import record_loop_plan
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
@@ -283,6 +284,31 @@ def bucket_group_pairs(banded: DataFrame) -> DataFrame:
     )
 
 
+def _relation_fingerprint(df: DataFrame, cols) -> tuple:
+    """1-row (count, xxhash64-sum) fingerprint of a materialized
+    relation — the cheap convergence probe for the iterative loops
+    below. Comparing fingerprints of consecutive rounds costs one
+    map-side partial aggregate per relation (no shuffle join, no
+    ``subtract``): at 100 TB the old per-round ``subtract`` probes
+    doubled the cost of every star round. Hash-sum equality is
+    order-independent and, on a distinct relation, equality of
+    (count, sum) is a near-certain set-equality witness; callers
+    confirm with one exact probe before terminating, so a 1-in-2^64
+    collision can only cost one extra confirmation pass, never a
+    wrong result.
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0): summing int64 hashes overflows BIGINT under
+        # ANSI mode; 38 digits absorbs 2^63-magnitude addends for any
+        # realistic row count.
+        F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")).alias(
+            "h"
+        ),
+    ).first()
+    return (row["n"], row["h"])
+
+
 def connected_dedup_groups(
     docs: DataFrame,
     pairs: DataFrame,
@@ -316,31 +342,44 @@ def connected_dedup_groups(
     ).cache()
     labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep"))
     labels = labels.cache()
+    fp = _relation_fingerprint(labels, ("id", "rep"))
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
-                ).alias("rep"),
+        new_labels = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+            ).alias("rep"),
+        )
+        # Expose the still-lazy round plan to the plan tooling — the
+        # checkpoint below truncates lineage, which otherwise blinds
+        # PLANS.md to the per-round shuffles (no-op outside capture).
+        record_loop_plan("labelprop_round", new_labels)
+        # eager: truncates the 2x/round lineage
+        new_labels = new_labels.localCheckpoint()
+        # Fingerprint probe (see _relation_fingerprint): one cheap
+        # map-side agg instead of a label-sized shuffle join per
+        # round; the exact join probe runs ONCE, only to confirm a
+        # fingerprint match, so collisions cannot end the loop early.
+        new_fp = _relation_fingerprint(new_labels, ("id", "rep"))
+        changed = 1
+        if new_fp == fp:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.rep") != F.col("o.rep"))
+                .limit(1)
+                .count()
             )
-            .localCheckpoint()  # eager: truncates the 2x/round lineage
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
         labels.unpersist()
         labels = new_labels
+        fp = new_fp
         if changed == 0:
             break
     else:
@@ -481,6 +520,7 @@ def connected_components_star(
         .distinct()
         .persist()
     )
+    fp = _relation_fingerprint(edges, ("u", "v"))
     for _ in range(max_rounds):
         # ---- large-star: undirect in one pass, group by node ----
         und = edges.select(
@@ -519,17 +559,30 @@ def connected_components_star(
             .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()  # eager: truncates the 4x/round lineage
         )
+        # Lazy round plan to the plan tooling before the checkpoint
+        # truncates it (no-op outside capture — see plans/audit.py).
+        record_loop_plan("altstar_round", new_edges)
+        # eager: truncates the 4x/round lineage
+        new_edges = new_edges.localCheckpoint()
         # Convergence probe: the directed edge set is a fixpoint.
-        # Two limit(1) anti-probes on checkpointed, already-small
-        # relations — the driver never sees data rows.
-        grew = new_edges.subtract(edges).limit(1).count()
-        shrank = edges.subtract(new_edges).limit(1).count()
+        # Compare 1-row hash fingerprints of the two checkpointed
+        # relations (one cheap map-side agg each — no per-round
+        # subtract shuffles, which at 100 TB doubled round cost);
+        # only on fingerprint equality confirm once with the exact
+        # subtract probes, so a hash collision can never terminate
+        # the loop early.
+        new_fp = _relation_fingerprint(new_edges, ("u", "v"))
+        converged = False
+        if new_fp == fp:
+            grew = new_edges.subtract(edges).limit(1).count()
+            shrank = edges.subtract(new_edges).limit(1).count()
+            converged = grew == 0 and shrank == 0
         edges.unpersist()
         large.unpersist()
         edges = new_edges
-        if grew == 0 and shrank == 0:
+        fp = new_fp
+        if converged:
             break
     else:
         raise RuntimeError(

@@ -24,6 +24,44 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 
+# ---------------------------------------------------------------------------
+# Loop-plan capture.  Convergence loops (connected components, label
+# propagation) end every round in an eager ``localCheckpoint`` that
+# TRUNCATES lineage — auditing only the returned DataFrame therefore
+# reports "0 exchanges / 1 scan" for the most expensive queries in
+# the repo (PLANS.md round-2 blind spot).  Loop bodies call
+# ``record_loop_plan(label, df)`` on the still-lazy per-round plan
+# just before checkpointing; when capture is enabled (plan tooling
+# and tests only) the formatted explain is stashed, otherwise the
+# call is a no-op boolean check on the hot path.
+# ---------------------------------------------------------------------------
+_capture_buf: list | None = None
+
+
+def record_loop_plan(label: str, df: DataFrame) -> None:
+    if _capture_buf is not None:
+        _capture_buf.append((label, explain_formatted(df)))
+
+
+class capture_loop_plans:
+    """Context manager: collect (label, formatted-explain) pairs from
+    every ``record_loop_plan`` call made while active."""
+
+    def __enter__(self) -> list:
+        global _capture_buf
+        _capture_buf = []
+        return _capture_buf
+
+    def __exit__(self, *exc) -> None:
+        global _capture_buf
+        _capture_buf = None
+
+
+def facts_from_text(text: str) -> "PlanFacts":
+    """PlanFacts parsed from already-captured formatted explain."""
+    return _parse_facts(text)
+
+
 def explain_formatted(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "formatted"
@@ -63,7 +101,10 @@ def audit(df: DataFrame, execute: bool = False) -> PlanFacts:
         # write sink builds a separate QE and the original plan would
         # stay isFinalPlan=false. collect() is audit-only (small SF).
         df.collect()
-    text = explain_formatted(df)
+    return _parse_facts(explain_formatted(df))
+
+
+def _parse_facts(text: str) -> PlanFacts:
     # Formatted mode lists one "(n) NodeName" detail block per node.
     def count(node_re: str) -> int:
         return len(re.findall(rf"\(\d+\) {node_re}", text))

@@ -2404,9 +2404,27 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .filter(F.col("w") >= _TR_MIN_CO)
     )
+    # Undirect in ONE pass over co — never co.union(co-swapped), which
+    # references the unpersisted pair join twice and re-executes the
+    # heaviest stage (per-doc V^2 fan-out) per side (SCALE.md
+    # "union-of-derivations"; same explode shape as
+    # operators/dedup.py connected_components_star).
     edges = co.select(
-        F.col("ta").alias("src"), F.col("tb").alias("dst"), "w"
-    ).union(co.select(F.col("tb").alias("src"), F.col("ta").alias("dst"), "w"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ta").alias("src"),
+                    F.col("tb").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("tb").alias("src"),
+                    F.col("ta").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     ranks = pagerank(edges, iters=_TR_ITERS)
     ranked = ranks.select(
         F.col("node").alias("term"),

@@ -73,6 +73,8 @@ HEADLINE = [
     "textrank_keywords",
     "kaplan_meier_retention",
     "split_leakage_free",
+    "dedup_groups_altstar",
+    "pca_project_embeddings",
 ]
 
 
