@@ -206,6 +206,169 @@ def ref_compat_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ref_point_access",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders
+    ),
+    sliced AS (SELECT * FROM base WHERE rid < 10),
+    req AS (
+        SELECT * FROM (VALUES (-10, 0), (-1, 9), (0, 0), (4, 4), (9, 9))
+        AS t(idx, pos)
+    )
+    SELECT CAST(req.idx AS BIGINT) AS idx,
+           s.o_orderkey,
+           s.o_totalprice
+    FROM req JOIN sliced s ON s.rid = req.pos
+    """,
+    tags=("compat", "point-access", "reference-parity"),
+)
+def ref_point_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point row access ``col[i]`` incl. negative indices (reference
+    ``numeric_column.py:24-28``, ``string_column.py:32-35``,
+    ``struct_column.py:37-38``): each read is an explicit tiny
+    action (slice(i, i+1) under the row_id total order) returning
+    the decoded Python row — the veneer's eager interactive surface,
+    never an operator path. The query probes 5 positions (two
+    negative) of the 10 lowest-orderkey rows and re-lifts the read
+    scalars into a DataFrame so the driver can oracle-check them."""
+    from pyspark.sql import Window
+
+    from axolotls_spark import compat as ax
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+    fr = ax.Frame(
+        base.withColumn(
+            ax.Frame.ORDER,
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1).cast(
+                "long"
+            ),
+        )
+    )
+    rows = []
+    for idx in (-10, -1, 0, 4, 9):
+        d = fr[idx]
+        rows.append(
+            {
+                "idx": idx,
+                "o_orderkey": d["o_orderkey"],
+                "o_totalprice": d["o_totalprice"],
+            }
+        )
+    return spark.createDataFrame(
+        rows, schema="idx long, o_orderkey long, o_totalprice double"
+    )
+
+
+@register(
+    "ref_arrow_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders ORDER BY o_orderkey LIMIT 50
+    )
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(LN(o_totalprice / 1000.0) AS REAL) AS price_k_log,
+           CAST(o_totalprice * 0.5 + o_totalprice * 2.0 AS DOUBLE)
+               AS arr_sum,
+           o_orderkey AS st_key
+    FROM base
+    """,
+    tags=("arrow", "interop", "reference-parity"),
+)
+def ref_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow egress + ingress round trip (reference ``from_arrow`` /
+    ``to_arrow``, ``string_column.py:89-102``,
+    ``numeric_column.py:138-159``, list/struct variants): 50
+    deterministic orders rows — numeric, string, list and struct
+    columns — leave Spark as a pyarrow Table (``DataFrame.toArrow``),
+    re-enter through ``Frame.from_arrow`` (which attaches the
+    positional order key), take a veneer computation, and exit again
+    through ``Frame.to_arrow`` before being re-lifted for the oracle
+    compare. List/struct payloads are folded to scalars at the end
+    only so the driver's hasher sees flat columns; the nested types
+    themselves make both Arrow hops."""
+    import pyarrow as pa
+
+    from axolotls_spark import compat as ax
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.array(
+                F.col("o_totalprice") * 0.5, F.col("o_totalprice") * 2.0
+            ).alias("arr"),
+            F.struct("o_orderkey", "o_totalprice").alias("st"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+    tbl = base.toArrow()  # egress: JVM -> pyarrow (ops 6-9)
+    assert isinstance(tbl, pa.Table) and tbl.num_rows == 50
+    fr = ax.Frame.from_arrow(spark, tbl)  # ingress (op 5)
+    fr["price_k_log"] = (fr["o_totalprice"] / 1000.0).log()
+    out = ax.Frame.from_arrow(spark, fr.to_arrow())  # egress+ingress again
+    return out.df.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("price_k_log").cast("float").alias("price_k_log"),
+        F.aggregate(
+            F.col("arr"), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("arr_sum"),
+        F.col("st.o_orderkey").alias("st_key"),
+    )
+
+
+@register(
+    "ref_len_count",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+           (SELECT COUNT(*)
+            FROM (SELECT * FROM orders LIMIT 20 OFFSET 5) t) AS n_slice
+    """,
+    tags=("compat", "len", "reference-parity"),
+)
+def ref_len_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``__len__`` (reference ``column_base.py``/``numeric_column.py``
+    length surface): len(frame) is an eager distributed count; a
+    sliced frame reports the slice length. Both scalars are re-lifted
+    into a 1-row DataFrame for the oracle compare."""
+    from pyspark.sql import Window
+
+    from axolotls_spark import compat as ax
+
+    n_lineitem = len(
+        ax.Frame(load_table(spark, sf_dir, "lineitem").select("l_orderkey"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .withColumn(
+            ax.Frame.ORDER,
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1).cast(
+                "long"
+            ),
+        )
+    )
+    n_slice = len(ax.Frame(o).slice(5, 25))
+    return spark.createDataFrame(
+        [{"n_lineitem": n_lineitem, "n_slice": n_slice}],
+        schema="n_lineitem long, n_slice long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Operator-family modules — importing registers their queries.
 # ---------------------------------------------------------------------------
