@@ -103,25 +103,56 @@ DECODED_SCHEMA = StructType(
 )
 
 
+def _pil_decode(payload: bytes) -> dict:
+    """Real image decode via Pillow — same signature and output
+    schema as ``_fake_decode`` so the two backends are drop-in
+    interchangeable. Only reachable when PIL imports (the plan-time
+    gate in ``decode_media`` fails fast otherwise)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        w, h = im.size
+    return {
+        "dec_width": int(w),
+        "dec_height": int(h),
+        "checksum": sum(payload[:64]) % 997,
+    }
+
+
 def decode_media(manifest: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode payloads via Arrow-batched mapInPandas.
 
     ``backend="fake"`` → deterministic pseudo-decode (tests/oracle);
-    anything else raises at *plan* time: the real codec is a
-    deployment concern, not an engine one.
+    ``backend="pil"`` → real Pillow image decode, gated on PIL being
+    importable at *plan* time (so a missing codec fails the driver
+    before any executor work, not per-task); anything else raises:
+    further codecs (PyAV for video/audio) plug in here.
     """
-    if backend != "fake":
+    if backend == "fake":
+        dec = _fake_decode
+    elif backend == "pil":
+        try:
+            import PIL  # noqa: F401 — plan-time gate only
+        except ImportError as exc:
+            raise NotImplementedError(
+                "backend='pil' needs Pillow, which is not installed in "
+                "this environment; the fake backend exercises the same "
+                "plumbing deterministically"
+            ) from exc
+        dec = _pil_decode
+    else:
         raise NotImplementedError(
-            f"media codec backend {backend!r} requires image/audio libraries "
-            "not present in this environment; plug in PIL/PyAV here"
+            f"media codec backend {backend!r} is not implemented; "
+            "plug in PyAV/librosa here"
         )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            dec = [_fake_decode(bytes(p)) for p in pdf["payload"]]
-            out = pd.DataFrame(dec)
+            out = pd.DataFrame([dec(bytes(p)) for p in pdf["payload"]])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
@@ -181,9 +212,47 @@ def resize_images(
 ) -> DataFrame:
     """'Resize' images to fit max_side (fake backend: scales the
     metadata dims and truncates the payload proportionally — the
-    plumbing, batching, and schema of a real PIL resize)."""
+    plumbing, batching, and schema of a real PIL resize).
+    ``backend="pil"`` runs a real ``Image.thumbnail`` and re-encodes
+    PNG, gated on Pillow importing at plan time."""
+    if backend == "pil":
+        try:
+            import PIL  # noqa: F401 — plan-time gate only
+        except ImportError as exc:
+            raise NotImplementedError(
+                "backend='pil' needs Pillow, which is not installed in "
+                "this environment; the fake backend exercises the same "
+                "plumbing deterministically"
+            ) from exc
+
+        def run(batches: Iterator) -> Iterator:
+            from io import BytesIO
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in batches:
+                rows = []
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                    with Image.open(BytesIO(bytes(p))) as im:
+                        im.thumbnail((max_side, max_side))
+                        buf = BytesIO()
+                        im.save(buf, format="PNG")
+                        rows.append(
+                            (doc_id, im.width, im.height, buf.getvalue())
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "width", "height", "payload"]
+                )
+
+        imgs = manifest.filter(F.col("meta.media_type") == "image")
+        return imgs.select("doc_id", "payload", "meta").mapInPandas(
+            run, RESIZED_SCHEMA
+        )
     if backend != "fake":
-        raise NotImplementedError("real resize needs PIL; fake backend only")
+        raise NotImplementedError(
+            f"resize backend {backend!r} is not implemented"
+        )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

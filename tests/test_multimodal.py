@@ -36,8 +36,51 @@ def test_decode_matches_fake_codec(spark):
 
 
 def test_decode_real_backend_is_gated(spark):
-    with pytest.raises(NotImplementedError):
+    """backend='pil' either works (PIL installed) or fails at PLAN
+    time with the documented seam error — never per-task."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            M.decode_media(_manifest(spark), backend="pil")
+    else:
+        # With Pillow present the gate must NOT raise; decoding the
+        # text payloads still fails per-image, so just build the plan.
         M.decode_media(_manifest(spark), backend="pil")
+    with pytest.raises(NotImplementedError):
+        M.decode_media(_manifest(spark), backend="av")
+
+
+def test_decode_pil_backend_real_png(spark):
+    """Gated real-codec path: generate a PNG with Pillow, decode it
+    through the SAME mapInPandas plumbing as the fake backend, and
+    check the real dimensions come back. Skips where Pillow is
+    absent (this container) — the seam test above covers that."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    m = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    rows = M.decode_media(m, backend="pil").collect()
+    assert rows[0].dec_width == 37 and rows[0].dec_height == 21
+    assert rows[0].checksum == sum(png[:64]) % 997
+    resized = M.resize_images(
+        spark.createDataFrame(
+            [(1, bytearray(png), ("image", len(png), 37, 21, 1))],
+            "doc_id long, payload binary, "
+            "meta struct<media_type:string,byte_len:bigint,width:int,"
+            "height:int,n_frames:int>",
+        ),
+        max_side=16,
+        backend="pil",
+    ).collect()
+    assert max(resized[0].width, resized[0].height) <= 16
 
 
 def test_byte_histogram_features(spark):
