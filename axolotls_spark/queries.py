@@ -389,3 +389,4 @@ from axolotls_spark import queries_analytics  # noqa: E402,F401
 from axolotls_spark import queries_curation  # noqa: E402,F401
 from axolotls_spark import queries_warehouse  # noqa: E402,F401
 from axolotls_spark import queries_lm  # noqa: E402,F401
+from axolotls_spark import queries_entity  # noqa: E402,F401

@@ -1,0 +1,228 @@
+"""Entity-resolution queries — blocking, best-match, recall, clusters.
+
+Registry entries for operators/entity.py (see that module's
+docstring for the scale argument). The dirty side is synthesized
+deterministically from ``customer``, so every stage — including
+blocking recall against known ground truth — is exactly
+DuckDB-oracle-checkable at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.operators import entity as E
+from axolotls_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Shared oracle CTEs: dirty synthesis → single-pass multi-key blocking
+# → candidate pairs → scored pairs. Mirrors operators/entity.py
+# stage for stage (same key families, same weights, same levenshtein).
+# --------------------------------------------------------------------------
+
+_ER_CTES = """
+    dirty AS (
+        SELECT c_custkey + 10000000 AS rec_id,
+               substr(c_name, 1, CAST(9 + c_custkey % 8 AS INT))
+                 || substr(c_name, CAST(11 + c_custkey % 8 AS INT)) AS name,
+               CAST(CASE WHEN c_custkey % 5 = 0
+                         THEN (c_nationkey + 1) % 25
+                         ELSE c_nationkey END AS INTEGER) AS nationkey,
+               c_acctbal AS acctbal,
+               c_mktsegment AS mktsegment
+        FROM customer
+    ),
+    clean AS (
+        SELECT c_custkey AS key, c_name AS name, c_nationkey AS nationkey,
+               c_acctbal AS acctbal, c_mktsegment AS mktsegment
+        FROM customer
+    ),
+    kd AS (
+        SELECT rec_id AS id, name, nationkey, acctbal, mktsegment,
+               'sfx' AS kt, substr(name, length(name) - 3) AS kv
+        FROM dirty
+        UNION ALL
+        SELECT rec_id, name, nationkey, acctbal, mktsegment,
+               'nba',
+               CAST(nationkey AS VARCHAR) || '|'
+                 || CAST(CAST(ROUND(acctbal * 100) AS BIGINT) AS VARCHAR)
+        FROM dirty
+    ),
+    kc AS (
+        SELECT key AS id, name, nationkey, acctbal, mktsegment,
+               'sfx' AS kt, substr(name, length(name) - 3) AS kv
+        FROM clean
+        UNION ALL
+        SELECT key, name, nationkey, acctbal, mktsegment,
+               'nba',
+               CAST(nationkey AS VARCHAR) || '|'
+                 || CAST(CAST(ROUND(acctbal * 100) AS BIGINT) AS VARCHAR)
+        FROM clean
+    ),
+    cand AS (
+        SELECT DISTINCT
+               d.id AS rec_id, c.id AS key,
+               d.name AS d_name, c.name AS c_name,
+               d.nationkey AS d_nat, c.nationkey AS c_nat,
+               d.acctbal AS d_acct, c.acctbal AS c_acct,
+               d.mktsegment AS d_seg, c.mktsegment AS c_seg
+        FROM kd d JOIN kc c ON d.kt = c.kt AND d.kv = c.kv
+    ),
+    scored AS (
+        SELECT rec_id, key,
+               0.5 * (1.0 - levenshtein(d_name, c_name) / 18.0)
+             + 0.2 * (CASE WHEN d_acct = c_acct THEN 1.0 ELSE 0.0 END)
+             + 0.15 * (CASE WHEN d_nat = c_nat THEN 1.0 ELSE 0.0 END)
+             + 0.15 * (CASE WHEN d_seg = c_seg THEN 1.0 ELSE 0.0 END)
+               AS score
+        FROM cand
+    )
+"""
+
+
+@register(
+    "er_best_match",
+    oracle=f"""
+    WITH {_ER_CTES}
+    SELECT rec_id,
+           key AS matched_key,
+           CAST(score AS REAL) AS score,
+           (key = rec_id - 10000000) AS is_true_match
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY rec_id
+                               ORDER BY score DESC, key) = 1
+    """,
+    tags=("entity-resolution", "record-linkage", "blocking", "levenshtein"),
+)
+def er_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: each dirty record's best clean match by the
+    weighted agreement score (ties broken by key). Blocking is one
+    shuffle for both key families; scoring and ranking add one
+    window shuffle on rec_id — O(candidates), never O(N²)."""
+    cust = load_table(spark, sf_dir, "customer")
+    scored = E.score_pairs(
+        E.blocked_candidates(E.synthesize_dirty_customers(cust), _clean(cust))
+    )
+    w = Window.partitionBy("rec_id").orderBy(F.desc("score"), "key")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "rec_id",
+            F.col("key").alias("matched_key"),
+            F.col("score").cast("float").alias("score"),
+            (F.col("key") == F.col("rec_id") - E.DIRTY_OFFSET).alias(
+                "is_true_match"
+            ),
+        )
+    )
+
+
+def _clean(cust: DataFrame) -> DataFrame:
+    return cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+@register(
+    "er_blocking_recall",
+    oracle=f"""
+    WITH {_ER_CTES}
+    SELECT CAST((SELECT COUNT(*) FROM dirty) AS BIGINT) AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN key = rec_id - 10000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_blocked,
+           CAST(SUM(CASE WHEN key = rec_id - 10000000 THEN 1 ELSE 0 END)
+                / (SELECT COUNT(*) FROM dirty) AS REAL) AS recall,
+           CAST(COUNT(*) / (SELECT COUNT(*) FROM dirty) AS REAL)
+               AS cands_per_record
+    FROM cand
+    """,
+    tags=("entity-resolution", "blocking", "recall", "diagnostics"),
+)
+def er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality preflight: pair completeness (recall of true
+    matches surviving blocking — measurable here because ground
+    truth is synthesized) and candidate fan-out per record, the two
+    numbers that decide whether a blocking scheme is usable at
+    100 TB BEFORE the O(candidates) scoring job runs. 1-row output:
+    the candidate relation aggregates once; the dirty count rides as
+    a broadcast scalar."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = E.synthesize_dirty_customers(cust)
+    cand = E.blocked_candidates(dirty, _clean(cust))
+    n_dirty = dirty.agg(F.count(F.lit(1)).alias("n_records"))
+    hit = F.when(
+        F.col("key") == F.col("rec_id") - E.DIRTY_OFFSET, 1
+    ).otherwise(0)
+    stats = cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(hit).alias("n_true_blocked"),
+    )
+    return stats.crossJoin(F.broadcast(n_dirty)).select(
+        "n_records",
+        "n_candidates",
+        "n_true_blocked",
+        (F.col("n_true_blocked") / F.col("n_records"))
+        .cast("float")
+        .alias("recall"),
+        (F.col("n_candidates") / F.col("n_records"))
+        .cast("float")
+        .alias("cands_per_record"),
+    )
+
+
+@register(
+    "er_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_ER_CTES},
+    links AS (SELECT rec_id, key FROM scored WHERE score >= 0.9),
+    e AS (
+        SELECT rec_id AS u, key AS v FROM links
+        UNION
+        SELECT key, rec_id FROM links
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+    ),
+    rep AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u),
+    nodes AS (
+        SELECT key AS node_id FROM clean
+        UNION ALL
+        SELECT rec_id FROM dirty
+    )
+    SELECT n.node_id,
+           CASE WHEN rep.mn IS NULL OR rep.mn > n.node_id
+                THEN n.node_id ELSE rep.mn END AS cluster_rep
+    FROM nodes n LEFT JOIN rep ON n.node_id = rep.u
+    """,
+    tags=("entity-resolution", "connected-components", "clustering"),
+)
+def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clusters: connected components (alternating-star,
+    O(log²n) rounds) over above-threshold links — every clean and
+    dirty record labeled with the minimum id of its entity. The same
+    CC operator that clusters near-dup documents resolves entities;
+    the oracle pins both to one recursive-closure ground truth."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = E.synthesize_dirty_customers(cust)
+    scored = E.score_pairs(E.blocked_candidates(dirty, _clean(cust)))
+    links = scored.filter(F.col("score") >= 0.9).select(
+        F.col("rec_id").alias("doc_a"), F.col("key").alias("doc_b")
+    )
+    nodes = _clean(cust).select(F.col("key").alias("node_id")).unionAll(
+        dirty.select(F.col("rec_id").alias("node_id"))
+    )
+    from axolotls_spark.operators.dedup import connected_components_star
+
+    return connected_components_star(
+        nodes, links, id_col="node_id"
+    ).select("node_id", F.col("group_rep").alias("cluster_rep"))

@@ -1,0 +1,109 @@
+"""Entity-resolution unit behavior: ground-truth recovery, blocking
+recall bounds, and cluster shapes on the synthesized dirty side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.operators import entity as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _clean(cust):
+    return cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+def test_dirty_synthesis_is_one_deletion(spark):
+    # Every dirty name is exactly one deletion from its source.
+    cust = load_table(spark, SF_DIR, "customer")
+    dirty = E.synthesize_dirty_customers(cust).withColumnRenamed(
+        "name", "d_name"
+    )
+    pairs = dirty.withColumn("key", F.col("rec_id") - E.DIRTY_OFFSET).join(
+        _clean(cust), "key"
+    )
+    dists = pairs.select(
+        F.levenshtein("d_name", "name").alias("d"),
+        (F.length("d_name") - F.length("name")).alias("dl"),
+    ).collect()
+    assert all(r.d == 1 and r.dl == -1 for r in dists)
+
+
+def test_blocking_recall_matches_construction(spark):
+    """Misses are exactly the records whose deletion hits the last 4
+    name chars (suffix block broken) AND whose nation was bumped
+    (nation+acctbal block broken)."""
+    cust = load_table(spark, SF_DIR, "customer")
+    dirty = E.synthesize_dirty_customers(cust)
+    cand = E.blocked_candidates(dirty, _clean(cust))
+    blocked_true = {
+        r.rec_id
+        for r in cand.filter(
+            F.col("key") == F.col("rec_id") - E.DIRTY_OFFSET
+        ).collect()
+    }
+    def dirty_name(name: str, k: int) -> str:
+        pos = 10 + k % 8  # 1-indexed deletion position
+        return name[: pos - 1] + name[pos:]
+
+    # Exact Python mirror of the construction: a true pair survives
+    # blocking iff the last-4 name suffix is unchanged by the
+    # deletion (digit collisions often keep it intact even for late
+    # positions) OR the nation+acctbal key holds (nation not bumped).
+    expected_miss = {
+        r.c_custkey + E.DIRTY_OFFSET
+        for r in cust.collect()
+        if dirty_name(r.c_name, r.c_custkey)[-4:] != r.c_name[-4:]
+        and r.c_custkey % 5 == 0
+    }
+    all_ids = {r.rec_id for r in dirty.collect()}
+    assert all_ids - blocked_true == expected_miss
+
+
+def test_true_match_wins_best_match(spark):
+    """Every blocked true pair must rank first for its record: the
+    one-deletion name plus exact acctbal/segment beats any false
+    candidate."""
+    from axolotls_spark.queries import REGISTRY
+
+    rows = REGISTRY["er_best_match"].fn(spark, SF_DIR).collect()
+    blocked = {
+        r.rec_id: r for r in rows
+    }
+    cust = load_table(spark, SF_DIR, "customer")
+    for r in cust.collect():
+        rec_id = r.c_custkey + E.DIRTY_OFFSET
+        if rec_id in blocked and blocked[rec_id].is_true_match:
+            assert blocked[rec_id].matched_key == r.c_custkey
+
+
+def test_clusters_pair_true_matches(spark):
+    """Above-threshold links cluster each dirty record with its
+    source (when nation agrees); bumped-nation records stay
+    singletons at the 0.9 threshold."""
+    from axolotls_spark.queries import REGISTRY
+
+    reps = {
+        r.node_id: r.cluster_rep
+        for r in REGISTRY["er_clusters"].fn(spark, SF_DIR).collect()
+    }
+    cust = load_table(spark, SF_DIR, "customer")
+    for r in cust.collect():
+        k, rec = r.c_custkey, r.c_custkey + E.DIRTY_OFFSET
+        if k % 5 != 0:
+            # nba block holds (nation not bumped) → candidate exists
+            # with score 0.5*(17/18)+0.2+0.15+0.15 ≈ 0.972 ≥ 0.9 →
+            # dirty record clusters with its source.
+            assert reps[rec] == reps[k] == k
+        else:
+            # nation bumped: even a surviving suffix-block candidate
+            # scores 0.822 < 0.9 → both stay singletons.
+            assert reps[rec] == rec and reps[k] == k

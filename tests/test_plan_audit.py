@@ -835,7 +835,10 @@ def test_textrank_single_edge_derivation(spark):
     aggregate — never co.union(co-swapped), which re-executes the
     heaviest stage (the per-doc V^2 pair join) once per orientation
     (round-2 verdict finding). One pair join, two file scans,
-    exchanges bounded."""
+    exchanges bounded. Cache cleared first: leftover persisted
+    relations from earlier tests substitute into this plan and shift
+    its size stats (and hence join strategy / exchange counts)."""
+    spark.catalog.clearCache()
     f = _facts(spark, "textrank_keywords")
     assert f.text.count("InMemoryFileIndex") <= 2
     assert f.n_sort_merge_joins <= 4
@@ -932,3 +935,18 @@ def test_loop_plan_capture_sees_through_checkpoints(spark):
     with capture_loop_plans() as cap2:
         pass
     assert cap2 == []
+
+
+def test_er_blocking_single_join_no_cartesian(spark):
+    """Multi-key blocking must be ONE equi-join on the exploded
+    (key_type, key_value) relation — never a cartesian, never one
+    join per key family — and scoring must add no Python."""
+    spark.catalog.clearCache()  # plan counts pinned cache-free
+    for name in ("er_best_match", "er_clusters"):
+        f = _facts(spark, name)
+        assert "CartesianProduct" not in f.text, name
+        assert "BatchEvalPython" not in f.text, name
+    f = _facts(spark, "er_best_match")
+    # dirty + clean sides = two scans of customer, nothing re-derived.
+    assert f.text.count("InMemoryFileIndex") <= 2
+    assert f.n_exchanges <= 3
