@@ -226,3 +226,51 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(
         nodes, links, id_col="node_id"
     ).select("node_id", F.col("group_rep").alias("cluster_rep"))
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string join (edit distance ≤ 1) over document title strings.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_join_doc_titles",
+    oracle="""
+    WITH titles AS (
+        SELECT doc_id, substr(text, 1, 40) AS s FROM documents
+    ),
+    probes AS (
+        SELECT doc_id + 10000000 AS probe_id,
+               substr(s, 1, CAST(doc_id % 39 AS INT))
+                 || substr(s, CAST(doc_id % 39 AS INT) + 2) AS s
+        FROM titles WHERE doc_id % 10 = 0
+    )
+    SELECT p.probe_id, t.doc_id AS match_id,
+           CAST(levenshtein(p.s, t.s) AS INT) AS dist
+    FROM probes p JOIN titles t
+      ON abs(length(p.s) - length(t.s)) <= 1
+    WHERE levenshtein(p.s, t.s) <= 1
+    """,
+    tags=("fuzzy-join", "edit-distance", "pigeonhole", "blocking"),
+)
+def fuzzy_join_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 join (operators/fuzzy.py): every 10th
+    document's 40-char title, corrupted by one key-derived character
+    deletion, matched against ALL titles via pigeonhole prefix/
+    suffix blocking — one equi-join, constant keys per string, exact
+    levenshtein verify; never all-pairs. The oracle IS all-pairs
+    (with a length band): blocking completeness means the two must
+    agree exactly, which is the whole point of certifying a
+    candidate scheme."""
+    from axolotls_spark.operators.fuzzy import edit1_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select("doc_id", F.substring("text", 1, 40).alias("s"))
+    probes = titles.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("probe_id"),
+        F.expr(
+            "substr(s, 1, CAST(doc_id % 39 AS INT)) || "
+            "substr(s, CAST(doc_id % 39 AS INT) + 2)"
+        ).alias("s"),
+    )
+    return edit1_join(probes, titles, "probe_id", "s", "doc_id", "s")

@@ -107,3 +107,46 @@ def test_clusters_pair_true_matches(spark):
             # nation bumped: even a surviving suffix-block candidate
             # scores 0.822 < 0.9 → both stay singletons.
             assert reps[rec] == rec and reps[k] == k
+
+
+def test_edit1_join_blocking_is_complete(spark):
+    """Pigeonhole candidates must be COMPLETE: compare against an
+    in-Spark brute-force cross join (length-banded) at sf0.001 —
+    every levenshtein ≤ 1 pair must survive blocking."""
+    from axolotls_spark.operators.fuzzy import edit1_join
+
+    docs = load_table(spark, SF_DIR, "documents")
+    titles = docs.select("doc_id", F.substring("text", 1, 40).alias("s"))
+    probes = titles.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("probe_id"),
+        F.expr(
+            "substr(s, 1, CAST(doc_id % 39 AS INT)) || "
+            "substr(s, CAST(doc_id % 39 AS INT) + 2)"
+        ).alias("s"),
+    )
+    got = {
+        (r.probe_id, r.match_id, r.dist)
+        for r in edit1_join(
+            probes, titles, "probe_id", "s", "doc_id", "s"
+        ).collect()
+    }
+    brute = {
+        (r.probe_id, r.doc_id, r.dist)
+        for r in probes.alias("p")
+        .crossJoin(titles.alias("t"))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.levenshtein(F.col("p.s"), F.col("t.s")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .collect()
+    }
+    assert got == brute
+    # Every probe finds its source at distance ≤ 1.
+    sources = {p - 10_000_000 for p, _, _ in got}
+    probe_ids = {r.probe_id - 10_000_000 for r in probes.collect()}
+    matched_self = {
+        p - 10_000_000 for p, m, _ in got if m == p - 10_000_000
+    }
+    assert matched_self == probe_ids, probe_ids - sources

@@ -950,3 +950,14 @@ def test_er_blocking_single_join_no_cartesian(spark):
     # dirty + clean sides = two scans of customer, nothing re-derived.
     assert f.text.count("InMemoryFileIndex") <= 2
     assert f.n_exchanges <= 3
+
+
+def test_fuzzy_join_single_equi_join_no_python(spark):
+    """The edit-distance join must be one equi-join on the exploded
+    pigeonhole keys + map-only levenshtein verify — no cartesian, no
+    Python, bounded scans (probe + index sides of one table)."""
+    spark.catalog.clearCache()
+    f = _facts(spark, "fuzzy_join_doc_titles")
+    assert "CartesianProduct" not in f.text
+    assert "BatchEvalPython" not in f.text
+    assert f.text.count("InMemoryFileIndex") <= 2
