@@ -101,3 +101,81 @@ def kmeans(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
         assign = kmeans_assign(long, centroids)
         centroids = kmeans_update(long, assign)
     return assign, centroids
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — per-subspace k-means, the ANN compression
+# primitive (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI'11): split each vector into m contiguous subvectors,
+# learn a tiny codebook per subspace, store each vector as m small
+# codes. At 100 TB this turns a 64-float embedding into m bytes while
+# keeping distance computation ADC-table-driven.
+# ---------------------------------------------------------------------------
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, sub, code, qerr): per-subspace nearest-codebook
+    assignment after ``iters`` Lloyd refinements of a deterministic
+    init (the first k vectors' subvectors seed each subspace's
+    codebook).
+
+    Same scale posture as ``kmeans``: vectors stay in long form, the
+    m·k·(dim/m) = k·dim codebook rows broadcast into the distance
+    join (pos determines the subspace, so joining on pos alone
+    already scopes every centroid row to its own subspace), and the
+    only wide exchanges are the per-(vec, sub) argmin and the
+    codebook re-average. The corpus is exploded ONCE (persisted) for
+    all iterations.
+    """
+    d_sub = dim // m
+    long = (
+        explode_long(emb)
+        .withColumn(
+            "sub", ((F.col("pos") - 1) / F.lit(d_sub)).cast("int")
+        )
+        .persist()
+    )
+    cents = long.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "sub", "pos",
+        F.col("val").alias("cval"),
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d2 = (
+            long.join(F.broadcast(c.drop("sub")), "pos")
+            .groupBy("vec_id", "sub", "cid")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+        return (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "cid", "d2")
+        )
+
+    for _ in range(iters):
+        cents = cents.persist()
+        a = assign(cents)
+        cents = (
+            long.join(a.select("vec_id", "sub", "cid"), ["vec_id", "sub"])
+            .groupBy("cid", "sub", "pos")
+            .agg(F.avg("val").alias("cval"))
+        )
+    final = assign(cents.persist())
+    return final.select(
+        "vec_id",
+        F.col("sub").cast("int").alias("sub"),
+        F.col("cid").cast("long").alias("code"),
+        F.round("d2", 6).alias("qerr"),
+    )

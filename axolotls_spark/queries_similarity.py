@@ -407,3 +407,218 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"y{j}")
         )
     return e.select("vec_id", "label", *outs)
+
+
+_PQ_CTE = """
+    WITH long0 AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    long AS (
+        SELECT vec_id, pos, CAST((pos - 1) // 16 AS INT) AS sub, val
+        FROM long0
+    ),
+    pc0 AS (
+        SELECT vec_id AS cid, sub, pos, val AS cval
+        FROM long WHERE vec_id < 4
+    ),
+    pd1 AS (
+        SELECT l.vec_id, l.sub, c.cid,
+               SUM((l.val - c.cval) * (l.val - c.cval)) AS d2
+        FROM long l JOIN pc0 c USING (pos)
+        GROUP BY l.vec_id, l.sub, c.cid
+    ),
+    pa1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM pd1) WHERE rn = 1
+    ),
+    pc1 AS (
+        SELECT a.cid, l.sub, l.pos, AVG(l.val) AS cval
+        FROM long l JOIN pa1 a
+          ON l.vec_id = a.vec_id AND l.sub = a.sub
+        GROUP BY a.cid, l.sub, l.pos
+    ),
+    pd2 AS (
+        SELECT l.vec_id, l.sub, c.cid,
+               SUM((l.val - c.cval) * (l.val - c.cval)) AS d2
+        FROM long l JOIN pc1 c USING (pos)
+        GROUP BY l.vec_id, l.sub, c.cid
+    ),
+    pa2 AS (
+        SELECT vec_id, sub, cid, d2 FROM (
+            SELECT vec_id, sub, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM pd2) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "pq_encode_embeddings",
+    oracle=_PQ_CTE + """
+    SELECT vec_id, CAST(sub AS INT) AS sub,
+           CAST(cid AS BIGINT) AS code, ROUND(d2, 6) AS qerr
+    FROM pa2
+    """,
+    tags=("product-quantization", "ann", "compression", "embedding"),
+)
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/clustering.pq_encode): 64-dim
+    embeddings → 4 subspaces × 16 dims, 4-entry codebook per
+    subspace (1 Lloyd refinement of the deterministic first-4 init),
+    emitting each vector's per-subspace code and quantization error.
+    The vector corpus compresses to m small codes per row — the
+    storage/IO shape IVF-PQ indexes need at 100 TB — while the
+    codebooks (k·dim rows) stay broadcast-sized. Oracle unrolls the
+    identical per-subspace Lloyd algebra."""
+    from axolotls_spark.operators import clustering as CLU
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return CLU.pq_encode(emb, m=4, k=4, iters=1, dim=64)
+
+
+def _mmr_step_sql(i: int) -> str:
+    return f""",
+    ms{i} AS (
+        SELECT p.a AS vec_id, MAX(p.sim) AS msim
+        FROM pairs p WHERE p.b IN (SELECT vec_id FROM sel{i - 1})
+        GROUP BY p.a
+    ),
+    pick{i} AS (
+        SELECT c.vec_id, 0.7 * c.rel - 0.3 * m.msim AS mmr,
+               {i} AS sel_rank
+        FROM cand c JOIN ms{i} m USING (vec_id)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        ORDER BY mmr DESC, c.vec_id
+        LIMIT 1
+    ),
+    sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})
+"""
+
+
+_MMR_K = 5
+
+_MMR_ORACLE = (
+    f"""
+    WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id,
+               embedding,
+               {_SQL_DOT.format(a='embedding', b='q_vec')}
+               / NULLIF({_SQL_NORM.format(v='embedding')}
+                        * {_SQL_NORM.format(v='q_vec')}, 0) AS rel
+        FROM embeddings, q
+        WHERE vec_id > 0
+        ORDER BY rel DESC, vec_id
+        LIMIT 20
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+               / NULLIF({_SQL_NORM.format(v='a.embedding')}
+                        * {_SQL_NORM.format(v='b.embedding')}, 0) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+        SELECT vec_id, rel AS mmr, 1 AS sel_rank
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )
+"""
+    + "".join(_mmr_step_sql(i) for i in range(2, _MMR_K + 1))
+    + f"""
+    SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id,
+           CAST(mmr AS REAL) AS mmr
+    FROM sel{_MMR_K}
+"""
+)
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=_MMR_ORACLE,
+    tags=("mmr", "diversity", "rerank", "similarity", "iterative"),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick 5 of the top-20 cosine candidates,
+    each step maximizing 0.7·relevance − 0.3·max-similarity-to-
+    already-selected — the standard diversity-aware retrieval head
+    for RAG/curation (don't return 5 near-copies of the best hit).
+
+    Scale shape: the corpus-sized work is exactly ONE broadcast-
+    query scoring pass + top-20 truncation (identical to
+    cosine_topk); the greedy loop then runs entirely on the tiny
+    persisted candidate set (20 rows) and its 20×20 pairwise-sim
+    relation — 5 fixed unrolled steps over broadcast-sized data,
+    no corpus re-scan, no Python. The oracle unrolls the identical
+    greedy selection."""
+    from axolotls_spark.functions.arrays import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("q_vec")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(20)
+        .persist()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("pa"),
+            F.col("b.vec_id").alias("pb"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+        .persist()
+    )
+    selected = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id", F.col("rel").alias("mmr"), F.lit(1).alias("sel_rank")
+        )
+        .persist()
+    )
+    for i in range(2, _MMR_K + 1):
+        sel_ids = selected.select("vec_id")
+        msim = (
+            pairs.join(
+                sel_ids.withColumnRenamed("vec_id", "pb"), "pb"
+            )
+            .groupBy("pa")
+            .agg(F.max("sim").alias("msim"))
+        )
+        pick = (
+            cand.join(sel_ids, "vec_id", "left_anti")
+            .join(msim, cand.vec_id == msim.pa)
+            .select(
+                "vec_id",
+                (
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("msim")
+                ).alias("mmr"),
+                F.lit(i).alias("sel_rank"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionAll(pick).persist()
+    return selected.select(
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "vec_id",
+        F.col("mmr").cast("float").alias("mmr"),
+    )

@@ -961,3 +961,37 @@ def test_fuzzy_join_single_equi_join_no_python(spark):
     assert "CartesianProduct" not in f.text
     assert "BatchEvalPython" not in f.text
     assert f.text.count("InMemoryFileIndex") <= 2
+
+
+def test_pq_encode_single_corpus_explode(spark):
+    """PQ must explode the corpus once (persisted long form feeds
+    init, update, and both assignment joins) and broadcast the
+    codebooks — no SMJ on the vector side, no Python."""
+    spark.catalog.clearCache()
+    f = _facts(spark, "pq_encode_embeddings")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert "BatchEvalPython" not in f.text
+    assert f.text.count("InMemoryFileIndex") <= 1
+
+
+def test_mv_refresh_cost_is_two_aggregates(spark):
+    """Incremental MV refresh = base-state agg + delta agg + a
+    group-cardinality merge join: bounded exchanges, split predicate
+    pushed to both scans."""
+    spark.catalog.clearCache()
+    f = _facts(spark, "mv_incremental_refresh")
+    assert f.n_exchanges <= 4
+    assert any("o_orderdate" in p for p in f.pushed_filters)
+    assert "CartesianProduct" not in f.text
+
+
+def test_mmr_corpus_scored_once(spark):
+    """The greedy MMR loop must run on the persisted 20-row
+    candidate set: one corpus scan feeds relevance scoring (plus the
+    pruned 1-row query-vector scan); the 5 unrolled steps only touch
+    cached relations."""
+    spark.catalog.clearCache()
+    f = _facts(spark, "mmr_diverse_topk")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    assert f.text.count("InMemoryFileIndex") <= 2
+    assert "BatchEvalPython" not in f.text
