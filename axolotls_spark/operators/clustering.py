@@ -113,17 +113,21 @@ def kmeans(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
 # ---------------------------------------------------------------------------
 
 
-def pq_encode(
+def pq_train(
     emb: DataFrame,
     m: int = 4,
     k: int = 4,
     iters: int = 1,
     dim: int = 64,
-) -> DataFrame:
-    """(vec_id, sub, code, qerr): per-subspace nearest-codebook
-    assignment after ``iters`` Lloyd refinements of a deterministic
-    init (the first k vectors' subvectors seed each subspace's
-    codebook).
+) -> tuple[DataFrame, DataFrame]:
+    """Train product-quantization codebooks and encode the corpus.
+
+    Returns (codes, codebook): codes = (vec_id, sub, cid, d2) —
+    per-subspace nearest-codebook assignment after ``iters`` Lloyd
+    refinements of a deterministic init (the first k vectors'
+    subvectors seed each subspace's codebook); codebook =
+    (cid, sub, pos, cval), the k·dim-row relation ADC distance
+    tables are built from.
 
     Same scale posture as ``kmeans``: vectors stay in long form, the
     m·k·(dim/m) = k·dim codebook rows broadcast into the distance
@@ -172,7 +176,19 @@ def pq_encode(
             .groupBy("cid", "sub", "pos")
             .agg(F.avg("val").alias("cval"))
         )
-    final = assign(cents.persist())
+    cents = cents.persist()
+    return assign(cents), cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, sub, code, qerr) — see ``pq_train``."""
+    final, _ = pq_train(emb, m=m, k=k, iters=iters, dim=dim)
     return final.select(
         "vec_id",
         F.col("sub").cast("int").alias("sub"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from axolotls_spark.functions.arrays import cosine, dot, norm
 from axolotls_spark.io.sources import load_table
@@ -409,7 +410,12 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", *outs)
 
 
-_PQ_CTE = """
+def _pq_cte(d_sub: int, k: int) -> str:
+    """The per-subspace Lloyd CTE block, parameterized by subvector
+    width and codebook size (sub = (pos-1) // d_sub; init = first k
+    vectors' subvectors; 1 refinement; pa2 = final codes, pc1 = the
+    codebook they were assigned against)."""
+    return f"""
     WITH long0 AS (
         SELECT vec_id,
                generate_subscripts(embedding, 1) AS pos,
@@ -417,12 +423,12 @@ _PQ_CTE = """
         FROM embeddings
     ),
     long AS (
-        SELECT vec_id, pos, CAST((pos - 1) // 16 AS INT) AS sub, val
+        SELECT vec_id, pos, CAST((pos - 1) // {d_sub} AS INT) AS sub, val
         FROM long0
     ),
     pc0 AS (
         SELECT vec_id AS cid, sub, pos, val AS cval
-        FROM long WHERE vec_id < 4
+        FROM long WHERE vec_id < {k}
     ),
     pd1 AS (
         SELECT l.vec_id, l.sub, c.cid,
@@ -461,7 +467,7 @@ _PQ_CTE = """
 
 @register(
     "pq_encode_embeddings",
-    oracle=_PQ_CTE + """
+    oracle=_pq_cte(16, 4) + """
     SELECT vec_id, CAST(sub AS INT) AS sub,
            CAST(cid AS BIGINT) AS code, ROUND(d2, 6) AS qerr
     FROM pa2
@@ -621,4 +627,74 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sel_rank").cast("int").alias("sel_rank"),
         "vec_id",
         F.col("mmr").cast("float").alias("mmr"),
+    )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_pq_cte(8, 16) + """,
+    qv AS (SELECT pos, val FROM long WHERE vec_id = 0),
+    dt AS (
+        SELECT c.cid, c.sub,
+               SUM((q.val - c.cval) * (q.val - c.cval)) AS pd2
+        FROM pc1 c JOIN qv q USING (pos)
+        GROUP BY c.cid, c.sub
+    ),
+    adc AS (
+        SELECT p.vec_id, SUM(t.pd2) AS adc_d2
+        FROM pa2 p JOIN dt t ON t.sub = p.sub AND t.cid = p.cid
+        WHERE p.vec_id <> 0
+        GROUP BY p.vec_id
+    )
+    SELECT vec_id, ROUND(adc_d2, 6) AS adc_d2, rn FROM (
+        SELECT vec_id, adc_d2,
+               ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= 10
+    """,
+    tags=("product-quantization", "adc", "ann", "topk", "embedding"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over the PQ codes (Jégou et
+    al., TPAMI'11): the query builds an m·k-entry distance table
+    against the trained codebooks (one tiny aggregate), then every
+    corpus vector's approximate distance is a TABLE LOOKUP SUM over
+    its m codes — the corpus's float payload is never touched at
+    query time. This is the 100 TB ANN query shape: per-query work
+    is O(k·dim) table build + O(N·m) lookups over the compressed
+    code relation (broadcast join on (sub, code)), with the exact
+    re-rank reserved for the returned short-list. m=8 subspaces ×
+    16 codes: on this synthetic (near-isotropic — the hard case for
+    PQ) corpus, the exact top-10 sits entirely inside the ADC
+    top-20% shortlist (pinned in tests/test_similarity.py), which is
+    precisely how ADC is used: shortlist builder, not final ranker.
+    Top-10 by ADC distance; oracle replicates table and lookups
+    exactly."""
+    from axolotls_spark.operators import clustering as CLU
+    from axolotls_spark.operators.clustering import explode_long
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes, cents = CLU.pq_train(emb, m=8, k=16, iters=1, dim=64)
+    qlong = explode_long(emb.filter(F.col("vec_id") == 0)).select("pos", "val")
+    dt = (
+        cents.join(F.broadcast(qlong), "pos")
+        .groupBy("cid", "sub")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("pd2")
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dt), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").alias("adc_d2"))
+    )
+    w = Window.orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
     )

@@ -80,3 +80,60 @@ def test_rp_signature_deterministic(spark, sf_dir):
     s2 = {r.sig_id: r.sig for r in SIM.rp_signature(emb, 64, 8).collect()}
     assert s1 == s2
     assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in s1.values())
+
+
+def test_pq_adc_shortlist_recall(spark, sf_dir):
+    """ADC is a shortlist builder: on this near-isotropic synthetic
+    corpus (the hard case for PQ — distance concentration), the
+    exact euclidean top-10 must land inside the ADC top-20%
+    shortlist with recall ≥ 0.7, and ADC distances must correlate
+    positively with true distances."""
+    from axolotls_spark.operators import clustering as CLU
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    codes, cents = CLU.pq_train(emb, m=8, k=16, iters=1, dim=64)
+    qlong = CLU.explode_long(emb.filter(F.col("vec_id") == 0)).select(
+        "pos", "val"
+    )
+    dt = (
+        cents.join(F.broadcast(qlong), "pos")
+        .groupBy("cid", "sub")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("pd2")
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dt), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").alias("adc_d2"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sq = lambda a, b: (a.cast("double") - b.cast("double")) * (
+        a.cast("double") - b.cast("double")
+    )
+    exact = emb.filter(F.col("vec_id") != 0).crossJoin(
+        F.broadcast(qv)
+    ).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("embedding", "qv", sq),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    exact10 = {r.vec_id for r in exact.orderBy("d2", "vec_id").limit(10).collect()}
+    shortlist = {
+        r.vec_id
+        for r in adc.orderBy("adc_d2", "vec_id").limit(n // 5).collect()
+    }
+    assert len(shortlist & exact10) / 10 >= 0.7
+    assert adc.join(exact, "vec_id").stat.corr("adc_d2", "d2") > 0.4
