@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table
 from axolotls_spark.operators.temporal_join import asof_join
-from axolotls_spark.registry import register, stable_f32
+from axolotls_spark.registry import REGISTRY, register, stable_f32
 
 
 @register(
@@ -1073,4 +1073,158 @@ def string_format_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_stars"
         ),
         F.reverse("p_name").alias("name_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with EXACT register-level oracle parity.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al., HLL'07)
+
+# Engine-independent 60-bit hash (operators/dedup.token_hash) split
+# into 6 register bits + 54 rho bits; rho = index of the lowest set
+# bit of the rho field (+1), found EXACTLY via a 64-row powers-of-two
+# lookup — no float log2, no engine-specific bit intrinsics.
+_HLL_POW_SQL = "(SELECT * FROM (VALUES " + ", ".join(
+    f"(CAST({1 << i} AS BIGINT), {i + 1})" for i in range(55)
+) + ") AS t(pv, rho))"
+
+_HLL_REG_CTE = f"""
+    hashed AS (
+        SELECT o_orderpriority AS priority,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM orders
+    ),
+    split AS (
+        SELECT priority, h % {_HLL_M} AS reg, h // {_HLL_M} AS rest
+        FROM hashed
+    ),
+    rhod AS (
+        SELECT s.priority, s.reg,
+               COALESCE(p.rho, 55) AS rho
+        FROM split s
+        LEFT JOIN {_HLL_POW_SQL} p ON (s.rest & -s.rest) = p.pv
+    ),
+    regs AS (
+        SELECT priority, CAST(reg AS INT) AS reg,
+               CAST(MAX(rho) AS INT) AS max_rho
+        FROM rhod GROUP BY priority, reg
+    )
+"""
+
+
+@register(
+    "hll_registers",
+    oracle="WITH " + _HLL_REG_CTE + """
+    SELECT priority, reg, max_rho FROM regs
+    """,
+    tags=("sketch", "hll", "approx-distinct", "mergeable", "exact-oracle"),
+)
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog REGISTER state per group — the mergeable sketch
+    itself, as exact integers (unlike ``agg_approx_sketches``, whose
+    engine-native sketches are only rows-checkable). 64 registers,
+    6 register bits + 54 rho bits of the engine-independent md5
+    hash; rho (lowest-set-bit index) is resolved by a broadcast
+    55-row powers-of-two lookup, never float log2. Merging two
+    corpora's sketches = MAX per (group, reg) — the property that
+    lets 100 TB of per-partition partial sketches reduce in one
+    tree aggregation. One shuffle; state is |groups|·64 rows."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    pow_rows = [(1 << i, i + 1) for i in range(55)]
+    powers = spark.createDataFrame(pow_rows, "pv long, rho int")
+    h = token_hash(F.col("o_custkey").cast("string"))
+    split = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        (h % _HLL_M).alias("reg"),
+        # shiftright, NOT h/64: double division rounds away the low
+        # bits of a 60-bit hash (53-bit mantissa) and corrupts rho.
+        F.shiftright(h, 6).alias("rest"),
+    )
+    rhod = split.join(
+        F.broadcast(powers),
+        split.rest.bitwiseAND(-split.rest) == powers.pv,
+        "left",
+    ).select(
+        "priority", "reg", F.coalesce(F.col("rho"), F.lit(55)).alias("rho")
+    )
+    return rhod.groupBy("priority", F.col("reg").cast("int").alias("reg")).agg(
+        F.max("rho").cast("int").alias("max_rho")
+    )
+
+
+@register(
+    "hll_distinct_by_priority",
+    oracle="WITH " + _HLL_REG_CTE + f""",
+    dense AS (
+        SELECT g.priority, gs.reg,
+               COALESCE(r.max_rho, 0) AS max_rho
+        FROM (SELECT DISTINCT priority FROM regs) g
+        CROSS JOIN (SELECT unnest(range({_HLL_M})) AS reg) gs
+        LEFT JOIN regs r ON r.priority = g.priority AND r.reg = gs.reg
+    ),
+    est AS (
+        SELECT priority,
+               SUM(POWER(2.0, -max_rho)) AS z,
+               SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS zeros
+        FROM dense GROUP BY priority
+    ),
+    ex AS (
+        SELECT o_orderpriority AS priority,
+               COUNT(DISTINCT o_custkey) AS n_exact
+        FROM orders GROUP BY 1
+    )
+    SELECT e.priority,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.z
+                           <= 2.5 * {_HLL_M}
+                      AND e.zeros > 0
+                      THEN {_HLL_M} * LN({_HLL_M} / e.zeros)
+                      ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.z
+                 END, 4) AS n_est
+    FROM est e JOIN ex x USING (priority)
+    """,
+    tags=("sketch", "hll", "approx-distinct", "estimate"),
+)
+def hll_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate vs exact distinct per group: the
+    harmonic-mean estimator over the dense 64-register state, with
+    the standard linear-counting small-range correction — identical
+    algebra both engines, so even the ESTIMATE is hash-checked, not
+    just 'close'. The exact distinct rides along to make the
+    accuracy auditable in the result itself."""
+    from axolotls_spark.operators.dedup import token_hash  # noqa: F401
+
+    regs = REGISTRY["hll_registers"].fn(spark, sf_dir)
+    spine = spark.range(_HLL_M).select(F.col("id").cast("int").alias("reg"))
+    groups = regs.select("priority").distinct()
+    dense = (
+        groups.crossJoin(F.broadcast(spine))
+        .join(regs, ["priority", "reg"], "left")
+        .select(
+            "priority", F.coalesce(F.col("max_rho"), F.lit(0)).alias("max_rho")
+        )
+    )
+    est = dense.groupBy("priority").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z"),
+        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return est.join(exact, "priority").select(
+        "priority",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(corrected, 4).alias("n_est"),
     )

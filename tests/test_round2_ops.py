@@ -263,3 +263,61 @@ def test_textrank_is_ranked_topk(spark):
     assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
     scores = [r.textrank for r in rows]
     assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
+
+
+def test_hll_estimate_within_theory_bounds(spark):
+    """HLL m=64 → standard error 1.04/sqrt(64) ≈ 13%; assert every
+    group's estimate is within 4 sigma (~52%) of exact — loose
+    enough to never flake, tight enough to catch algorithmic bugs
+    (a wrong rho or register split lands orders of magnitude off)."""
+    for r in _rows(spark, "hll_distinct_by_priority"):
+        assert abs(r.n_est - r.n_exact) / r.n_exact < 0.52, r
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Mergeability — THE property that makes a sketch distributed:
+    registers computed on two disjoint halves of orders, merged by
+    per-register MAX, must equal the registers of the whole table."""
+    from pyspark.sql import functions as F
+
+    from axolotls_spark.io.sources import load_table
+    from axolotls_spark.operators.dedup import token_hash
+
+    o = load_table(spark, SF, "orders")
+
+    def regs(df):
+        h = token_hash(F.col("o_custkey").cast("string"))
+        powers = spark.createDataFrame(
+            [(1 << i, i + 1) for i in range(55)], "pv long, rho int"
+        )
+        split = df.select(
+            F.col("o_orderpriority").alias("priority"),
+            (h % 64).alias("reg"),
+            F.shiftright(h, 6).alias("rest"),
+        )
+        rhod = split.join(
+            F.broadcast(powers),
+            split.rest.bitwiseAND(-split.rest) == powers.pv,
+            "left",
+        ).select(
+            "priority", "reg",
+            F.coalesce(F.col("rho"), F.lit(55)).alias("rho"),
+        )
+        return rhod.groupBy("priority", "reg").agg(
+            F.max("rho").alias("max_rho")
+        )
+
+    whole = {
+        (r.priority, r.reg): r.max_rho for r in regs(o).collect()
+    }
+    lo = regs(o.filter(F.col("o_orderkey") % 2 == 0))
+    hi = regs(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged_df = (
+        lo.unionAll(hi)
+        .groupBy("priority", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    merged = {
+        (r.priority, r.reg): r.max_rho for r in merged_df.collect()
+    }
+    assert merged == whole
