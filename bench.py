@@ -75,6 +75,12 @@ HEADLINE = [
     "split_leakage_free",
     "dedup_groups_altstar",
     "pca_project_embeddings",
+    "er_best_match",
+    "fuzzy_join_doc_titles",
+    "pq_adc_topk",
+    "mmr_diverse_topk",
+    "mv_incremental_refresh",
+    "hll_distinct_by_priority",
 ]
 
 
