@@ -305,3 +305,73 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.value").alias("last_value"),
         "n_changes",
     )
+
+
+@register(
+    "streaming_hll_registers",
+    oracle="""
+    WITH hashed AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events
+    ),
+    split AS (
+        SELECT event_type, h % 64 AS reg, h // 64 AS rest FROM hashed
+    ),
+    rhod AS (
+        SELECT s.event_type, s.reg, COALESCE(p.rho, 55) AS rho
+        FROM split s
+        LEFT JOIN (SELECT * FROM (VALUES """
+    + ", ".join(f"(CAST({1 << i} AS BIGINT), {i + 1})" for i in range(55))
+    + """) AS t(pv, rho)) p ON (s.rest & -s.rest) = p.pv
+    )
+    SELECT event_type, CAST(reg AS INT) AS reg,
+           CAST(MAX(rho) AS INT) AS max_rho
+    FROM rhod GROUP BY event_type, reg
+    """,
+    tags=("streaming", "sketch", "hll", "mergeable", "update-mode"),
+)
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch maintained BY THE STREAM: per-(event_type,
+    register) MAX-rho as an update-mode streaming aggregate over a
+    stream-static join with the broadcast powers-of-two table. The
+    final state must equal the batch sketch over the same events —
+    the incremental-vs-batch equivalence (same contract as
+    streaming_user_state), which holds exactly BECAUSE the register
+    merge is MAX: the one sketch property that makes distinct-count
+    maintainable under streaming retries and out-of-order arrival.
+    Memory sink keeps the last update per key."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    stream = S.read_events_stream(spark, sf_dir)
+    powers = spark.createDataFrame(
+        [(1 << i, i + 1) for i in range(55)], "pv long, rho int"
+    )
+    h = token_hash(F.col("user_id").cast("string"))
+    split = stream.select(
+        "event_type",
+        (h % 64).alias("reg"),
+        F.shiftright(h, 6).alias("rest"),
+    )
+    rhod = split.join(
+        F.broadcast(powers),
+        split.rest.bitwiseAND(-split.rest) == powers.pv,
+        "left",
+    ).select(
+        "event_type", "reg", F.coalesce(F.col("rho"), F.lit(55)).alias("rho")
+    )
+    agg = rhod.groupBy("event_type", "reg").agg(
+        F.max("rho").alias("max_rho")
+    )
+    out = S.run_to_memory(agg, "stream_hll_regs", output_mode="update")
+    w = Window.partitionBy("event_type", "reg").orderBy(F.desc("max_rho"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("reg").cast("int").alias("reg"),
+            F.col("max_rho").cast("int").alias("max_rho"),
+        )
+    )
