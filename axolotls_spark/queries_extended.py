@@ -1200,7 +1200,10 @@ def hll_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy auditable in the result itself."""
     from axolotls_spark.operators.dedup import token_hash  # noqa: F401
 
-    regs = REGISTRY["hll_registers"].fn(spark, sf_dir)
+    # regs feeds BOTH the group spine and the dense join — persist,
+    # or the corpus aggregate runs twice (SCALE.md
+    # "union-of-derivations is a hidden multi-pass").
+    regs = REGISTRY["hll_registers"].fn(spark, sf_dir).persist()
     spine = spark.range(_HLL_M).select(F.col("id").cast("int").alias("reg"))
     groups = regs.select("priority").distinct()
     dense = (

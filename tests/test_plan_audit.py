@@ -995,3 +995,14 @@ def test_mmr_corpus_scored_once(spark):
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
     assert f.text.count("InMemoryFileIndex") <= 2
     assert "BatchEvalPython" not in f.text
+
+
+def test_hll_estimate_reuses_register_relation(spark):
+    """The register aggregate feeds both the group spine and the
+    dense join — it must be persisted (one corpus pass, not two)."""
+    spark.catalog.clearCache()
+    f = _facts(spark, "hll_distinct_by_priority")
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    # orders scanned once for registers (cached) + once for the exact
+    # distinct that rides along for auditability.
+    assert f.text.count("InMemoryFileIndex") <= 2
