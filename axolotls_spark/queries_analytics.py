@@ -2667,3 +2667,57 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("long").alias("core_degree"),
         )
     )
+
+
+@register(
+    "frequent_event_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    tri AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT trigram, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS BIGINT) AS rk
+    FROM tri
+    QUALIFY rk <= 20
+    """,
+    tags=("sequence-mining", "trigram", "product-analytics", "window"),
+)
+def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining, PrefixSpan's workhorse special case: the
+    top-20 most frequent length-3 event-type subsequences
+    (contiguous) across per-user timelines. Two LEADs over one
+    tie-stable user window turn sequence extraction into a single
+    window shuffle — no per-user array materialization, no explode
+    fan-out — then a 125-row-max aggregate and a tiny ranking. At
+    100 TB the only corpus-sized exchange is the user window, which
+    any per-user sequence feature shares anyway."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("trigram")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = Window.orderBy(F.desc("n"), "trigram")
+    return (
+        tri.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("trigram", "n", "rk")
+    )
