@@ -218,8 +218,15 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = scored.filter(F.col("score") >= 0.9).select(
         F.col("rec_id").alias("doc_a"), F.col("key").alias("doc_b")
     )
-    nodes = _clean(cust).select(F.col("key").alias("node_id")).unionAll(
-        dirty.select(F.col("rec_id").alias("node_id"))
+    # Node set = {custkey} ∪ {custkey + OFFSET}: ONE scan + explode,
+    # not a union of two customer projections (single-pass rule).
+    nodes = cust.select(
+        F.explode(
+            F.array(
+                F.col("c_custkey"),
+                F.col("c_custkey") + F.lit(E.DIRTY_OFFSET),
+            )
+        ).alias("node_id")
     )
     from axolotls_spark.operators.dedup import connected_components_star
 
