@@ -698,39 +698,3 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), (o_orderpriority), ())
         """
     )
-
-
-@register(
-    "window_rank_distributions",
-    oracle="""
-    SELECT o_orderkey,
-           o_orderpriority AS priority,
-           CAST(NTILE(4) OVER w AS INT) AS quartile,
-           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
-           CAST(CUME_DIST() OVER w AS DOUBLE) AS cume
-    FROM orders
-    WHERE o_orderkey % 37 = 0
-    WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey)
-    """,
-    tags=("window", "ntile", "percent-rank", "cume-dist", "ranking"),
-)
-def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distribution-ranking window trio — ntile quartiles,
-    percent_rank, cume_dist — per priority partition (deterministic
-    total order via the orderkey tiebreak; both functions are exact
-    rationals of rank/count, so doubles hash-match across engines).
-    One window shuffle on the filtered slice."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 37 == 0
-    )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    return o.select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.percent_rank().over(w).cast("double").alias("pct_rank"),
-        F.cume_dist().over(w).cast("double").alias("cume"),
-    )
