@@ -281,3 +281,87 @@ def fuzzy_join_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     return edit1_join(probes, titles, "probe_id", "s", "doc_id", "s")
+
+
+@register(
+    "er_golden_records",
+    oracle=f"""
+    WITH RECURSIVE {_ER_CTES},
+    links AS (SELECT rec_id, key FROM scored WHERE score >= 0.9),
+    e AS (
+        SELECT rec_id AS u, key AS v FROM links
+        UNION
+        SELECT key, rec_id FROM links
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+    ),
+    rep AS (SELECT u, MIN(v) AS mn FROM reach GROUP BY u),
+    members AS (
+        SELECT n.node_id,
+               CASE WHEN rep.mn IS NULL OR rep.mn > n.node_id
+                    THEN n.node_id ELSE rep.mn END AS cluster_rep,
+               n.name, n.nationkey, n.acctbal, n.mktsegment
+        FROM (
+            SELECT key AS node_id, name, nationkey, acctbal, mktsegment
+            FROM clean
+            UNION ALL
+            SELECT rec_id, name, nationkey, acctbal, mktsegment
+            FROM dirty
+        ) n LEFT JOIN rep ON n.node_id = rep.u
+    )
+    SELECT cluster_rep,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           MIN(name) AS name,
+           CAST(MIN(nationkey) AS INT) AS nationkey,
+           MAX(acctbal) AS acctbal,
+           MIN(mktsegment) AS mktsegment
+    FROM members
+    GROUP BY cluster_rep
+    """,
+    tags=("entity-resolution", "survivorship", "golden-record", "merge"),
+)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the step after clustering that makes ER useful:
+    one canonical ('golden') record per entity cluster, fields merged
+    by deterministic rules (min name — the lexicographically-first,
+    which for this corpus is always the clean full-length spelling;
+    min nation, max balance, min segment; source count for lineage).
+    One extra aggregate over the (records ⋈ cluster_rep) relation —
+    survivorship costs a single shuffle on top of the clustering,
+    and the rules are pure aggregates, so they merge associatively
+    at any scale."""
+    from axolotls_spark.operators.dedup import connected_components_star
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = E.synthesize_dirty_customers(cust)
+    clean = _clean(cust)
+    scored = E.score_pairs(E.blocked_candidates(dirty, clean))
+    links = scored.filter(F.col("score") >= 0.9).select(
+        F.col("rec_id").alias("doc_a"), F.col("key").alias("doc_b")
+    )
+    members = clean.select(
+        F.col("key").alias("node_id"), "name", "nationkey", "acctbal",
+        "mktsegment",
+    ).unionAll(
+        dirty.select(
+            F.col("rec_id").alias("node_id"), "name", "nationkey",
+            "acctbal", "mktsegment",
+        )
+    )
+    reps = connected_components_star(
+        members.select("node_id"), links, id_col="node_id"
+    )
+    return (
+        members.join(reps, "node_id")
+        .groupBy(F.col("group_rep").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.min("name").alias("name"),
+            F.min("nationkey").cast("int").alias("nationkey"),
+            F.max("acctbal").alias("acctbal"),
+            F.min("mktsegment").alias("mktsegment"),
+        )
+    )
