@@ -2721,3 +2721,101 @@ def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("trigram", "n", "rk")
     )
+
+
+@register(
+    "multitouch_attribution",
+    oracle="""
+    WITH touches AS (
+        SELECT p.event_id AS conv_id,
+               c.event_id AS touch_id,
+               c.event_type AS channel,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY CAST(c.ts AS TIMESTAMP),
+                                           c.event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type IN ('click', 'view', 'signup')
+         AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+         AND CAST(c.ts AS TIMESTAMP)
+             >= CAST(p.ts AS TIMESTAMP) - INTERVAL 7 DAY
+        WHERE p.event_type = 'purchase'
+    ),
+    credited AS (
+        SELECT channel,
+               1.0 / n AS linear_credit,
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN pos = 1 OR pos = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END AS ushape_credit
+        FROM touches
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(linear_credit), 6) AS linear_credit,
+           ROUND(SUM(ushape_credit), 6) AS ushape_credit
+    FROM credited
+    GROUP BY channel
+    """,
+    tags=("attribution", "multi-touch", "marketing", "interval-join"),
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase credits its 7-day
+    touchpoint path under two standard models — linear (1/n per
+    touch) and U-shaped (40% first, 40% last, 20% split across the
+    middle; degenerate paths collapse to 100% / 50-50). Distinct
+    from interval_join_attribution (which emits the raw click→
+    purchase pair stream): this allocates CREDIT over the full
+    ordered path.
+
+    Scale shape: the touch join is user-equi (range is a residual,
+    never a cartesian); path position and length are one window over
+    the conversion-partitioned touches; credit rules are map-only
+    arithmetic; the channel rollup is a 5-row aggregate. Sums are
+    rounded (6dp) because cross-engine summation order differs at
+    the last ulp."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    c = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("conv_id").orderBy("c_ts", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    pos, n = F.row_number().over(w), F.count(F.lit(1)).over(wn)
+    credited = touches.select(
+        "channel",
+        pos.alias("pos"),
+        n.alias("n"),
+    ).select(
+        "channel",
+        (F.lit(1.0) / F.col("n")).alias("linear_credit"),
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+        .alias("ushape_credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("linear_credit"), 6).alias("linear_credit"),
+        F.round(F.sum("ushape_credit"), 6).alias("ushape_credit"),
+    )
