@@ -301,3 +301,28 @@ def test_write_audit_publish_gates_bad_data(spark, tmp_path):
     # Target unchanged, staging kept.
     assert spark.read.parquet(target).count() == 2
     assert os.path.exists(target + ".__staging__")
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on read: two parquet batches with different
+    column sets union under mergeSchema=true (missing columns null),
+    and the widened scan still prunes to requested columns."""
+    from axolotls_spark.plans.audit import audit
+
+    p1 = load_table(spark, SF_DIR, "part").select("p_partkey", "p_name")
+    p2 = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    out = str(tmp_path / "evolving")
+    p1.write.mode("overwrite").parquet(out + "/batch=1")
+    p2.write.mode("overwrite").parquet(out + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) >= {"p_partkey", "p_name", "p_retailprice"}
+    n = p1.count()
+    assert back.count() == 2 * n
+    # batch-1 rows have null retailprice, batch-2 rows null name.
+    assert back.filter(F.col("p_retailprice").isNull()).count() == n
+    assert back.filter(F.col("p_name").isNull()).count() == n
+    # Column pruning still works on the merged schema.
+    txt = audit(back.select("p_partkey")).text
+    assert "p_name" not in txt.split("ReadSchema")[1][:120]
