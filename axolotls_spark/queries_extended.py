@@ -1198,8 +1198,6 @@ def hll_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra both engines, so even the ESTIMATE is hash-checked, not
     just 'close'. The exact distinct rides along to make the
     accuracy auditable in the result itself."""
-    from axolotls_spark.operators.dedup import token_hash  # noqa: F401
-
     # regs feeds BOTH the group spine and the dense join — persist,
     # or the corpus aggregate runs twice (SCALE.md
     # "union-of-derivations is a hidden multi-pass").
