@@ -39,31 +39,61 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _tiny_key(s, max_len: int):
+    """Degenerate-length bucket. The 2-segment pigeonhole needs both
+    halves of the INDEXED string non-empty, which fails for length-≤1
+    index strings: their back half is empty, so an edit in the front
+    half leaves no discriminating key and pairs like ("a", "b"),
+    ("", "a"), or ("ab" probe, "b" index) miss every normal key. Any
+    distance-1 partner of a length-≤1 string has length ≤ 2, so:
+    index strings of length ≤ 1 and probe strings of length ≤ 2 share
+    one constant bucket — fan-out bounded by |alphabet|+1 index rows,
+    and exact verification prunes the few false candidates."""
+    return F.when(
+        F.length(s) <= max_len,
+        F.struct(
+            F.lit("t").alias("kind"),
+            F.lit(0).alias("klen"),
+            F.lit("").alias("key"),
+        ),
+    )
+
+
 def _index_keys(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     """(id, s, kind, klen, key): the 2 pigeonhole keys of the indexed
-    side — front half as prefix key, back half as suffix key."""
+    side — front half as prefix key, back half as suffix key — plus
+    the degenerate-length bucket."""
     s = F.col(str_col)
     ln = F.length(s)
     h_pre = F.ceil(ln / 2).cast("int")
     h_suf = (ln / 2).cast("int")  # floor
-    return df.select(
-        F.col(id_col).alias("id"),
-        s.alias("s"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("p").alias("kind"),
-                    h_pre.alias("klen"),
-                    F.substring(s, F.lit(1), h_pre).alias("key"),
-                ),
-                F.struct(
-                    F.lit("s").alias("kind"),
-                    h_suf.alias("klen"),
-                    F.substring(s, ln - h_suf + 1, h_suf).alias("key"),
-                ),
-            )
-        ).alias("k"),
-    ).select("id", "s", "k.kind", "k.klen", "k.key")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            s.alias("s"),
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.struct(
+                            F.lit("p").alias("kind"),
+                            h_pre.alias("klen"),
+                            F.substring(s, F.lit(1), h_pre).alias("key"),
+                        ),
+                        F.struct(
+                            F.lit("s").alias("kind"),
+                            h_suf.alias("klen"),
+                            F.substring(s, ln - h_suf + 1, h_suf).alias(
+                                "key"
+                            ),
+                        ),
+                        _tiny_key(s, 1),
+                    )
+                )
+            ).alias("k"),
+        )
+        .filter((F.col("k.kind") == "t") | (F.col("k.klen") >= 1))
+        .select("id", "s", "k.kind", "k.klen", "k.key")
+    )
 
 
 def _probe_keys(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
@@ -94,9 +124,17 @@ def _probe_keys(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         df.select(
             F.col(id_col).alias("id"),
             s.alias("s"),
-            F.explode(F.array_distinct(F.array(*keys))).alias("k"),
+            F.explode(
+                F.array_compact(F.array_distinct(F.array(*keys, _tiny_key(s, 2))))
+            ).alias("k"),
         )
-        .filter((F.col("k.klen") >= 1) & (F.col("k.klen") <= F.length("s")))
+        .filter(
+            (F.col("k.kind") == "t")
+            | (
+                (F.col("k.klen") >= 1)
+                & (F.col("k.klen") <= F.length("s"))
+            )
+        )
         .select("id", "s", "k.kind", "k.klen", "k.key")
     )
 

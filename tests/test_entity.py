@@ -150,3 +150,46 @@ def test_edit1_join_blocking_is_complete(spark):
         p - 10_000_000 for p, m, _ in got if m == p - 10_000_000
     }
     assert matched_self == probe_ids, probe_ids - sources
+
+
+def test_edit1_join_complete_on_degenerate_strings(spark):
+    """Exhaustive completeness on the hard shapes the title corpus
+    never exercises: EVERY string of length 0..4 over {a, b} as both
+    probe and index. Blocking must not miss a single levenshtein ≤ 1
+    pair — including the empty string and the length-1 substitutions
+    that carry no usable half-key (the degenerate-length bucket
+    exists exactly for those)."""
+    import itertools
+
+    from axolotls_spark.operators.fuzzy import edit1_join
+
+    strs = [
+        "".join(t)
+        for n in range(5)
+        for t in itertools.product("ab", repeat=n)
+    ]
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    expected = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.product(
+            enumerate(strs), enumerate(strs)
+        )
+        if lev(a, b) <= 1
+    }
+    df = spark.createDataFrame(list(enumerate(strs)), "id long, s string")
+    probes = df.select(F.col("id").alias("pid"), "s")
+    got = {
+        (r.probe_id, r.match_id, r.dist)
+        for r in edit1_join(probes, df, "pid", "s", "id", "s").collect()
+    }
+    assert got == expected
