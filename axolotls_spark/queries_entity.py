@@ -165,14 +165,17 @@ def er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_candidates"),
         F.sum(hit).alias("n_true_blocked"),
     )
+    # try_divide: an empty dirty side (fresh partition, all-filtered
+    # backfill) must yield NULL rates, not an ANSI DIVIDE_BY_ZERO —
+    # caught by the empty-input matrix (tests/test_empty_inputs.py).
     return stats.crossJoin(F.broadcast(n_dirty)).select(
         "n_records",
         "n_candidates",
         "n_true_blocked",
-        (F.col("n_true_blocked") / F.col("n_records"))
+        F.try_divide(F.col("n_true_blocked"), F.col("n_records"))
         .cast("float")
         .alias("recall"),
-        (F.col("n_candidates") / F.col("n_records"))
+        F.try_divide(F.col("n_candidates"), F.col("n_records"))
         .cast("float")
         .alias("cands_per_record"),
     )

@@ -83,6 +83,21 @@ FAMILIES = [
     "join_null_safe_eq",
     "sla_ship_within_days",
     "activity_heatmap_dow_hour",
+    # round-3 operator families
+    "er_best_match",
+    "er_blocking_recall",
+    "er_clusters",
+    "er_golden_records",
+    "fuzzy_join_doc_titles",
+    "pq_encode_embeddings",
+    "pq_adc_topk",
+    "mmr_diverse_topk",
+    "mv_incremental_refresh",
+    "hll_registers",
+    "hll_distinct_by_priority",
+    "grouping_sets_sales",
+    "frequent_event_trigrams",
+    "multitouch_attribution",
 ]
 
 
