@@ -678,11 +678,14 @@ def sla_ship_within_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("grouping-sets", "agg", "olap", "reshape"),
 )
 def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form rollup/cube are sugar
-    for) with grouping_id disambiguation — one scan, one Expand-based
-    aggregate; every grouping combination comes out of a single
-    shuffle rather than one job per set. Exact integer-cent sums keep
-    the hash comparable."""
+    """GROUPING SETS with grouping_id() disambiguation — the surface
+    ``grouping_sets_sql`` does NOT cover: COALESCE('ALL') alone
+    cannot distinguish a NULL that came from the data from a NULL the
+    rollup produced; grouping_id is the only correct discriminator,
+    and BI tools key on it. Includes the full (a,b) combination plus
+    both margins and the grand total in ONE Expand-based aggregate
+    (one scan, one shuffle — never a job per set); exact integer-cent
+    sums keep the hash comparable."""
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("_gs_orders")
     return spark.sql(
