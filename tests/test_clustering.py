@@ -50,3 +50,50 @@ def test_empty_cluster_drops_out(spark):
     assign, cents = CLU.kmeans(emb, k=2, iters=2)
     cids = {r.cid for r in assign.collect()}
     assert cids <= {0, 1} and len(cids) >= 1
+
+
+def test_pq_encode_matches_numpy_mirror(spark):
+    """Independent certification of product quantization: a pure
+    NumPy mirror of the same algorithm (first-k init, one Lloyd
+    refinement per subspace, min-distance/lowest-cid assignment) must
+    produce identical codes on a deterministic corpus — this catches
+    shared-misconception bugs the same-algebra DuckDB oracle cannot
+    (both SQL sides would repeat them)."""
+    import numpy as np
+
+    n, dim, m, k = 40, 16, 4, 4
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(n, dim)).astype("float64")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_id, r.sub): r.code
+        for r in CLU.pq_encode(emb, m=m, k=k, iters=1, dim=dim).collect()
+    }
+
+    d_sub = dim // m
+    expected = {}
+    for s in range(m):
+        sub = X[:, s * d_sub : (s + 1) * d_sub]
+        cents = sub[:k].copy()  # first-k init
+
+        def assign(c):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # lowest-cid tiebreak == argmin's first-match semantics
+            return d2.argmin(axis=1)
+
+        a1 = assign(cents)
+        cents1 = np.stack(
+            [
+                sub[a1 == c].mean(axis=0) if (a1 == c).any() else None
+                for c in sorted(set(a1))
+            ]
+        )
+        cid_map = sorted(set(a1))  # surviving codebook ids
+        a2_d2 = ((sub[:, None, :] - cents1[None, :, :]) ** 2).sum(axis=2)
+        a2 = a2_d2.argmin(axis=1)
+        for i in range(n):
+            expected[(i, s)] = cid_map[a2[i]]
+    assert got == expected

@@ -137,3 +137,47 @@ def test_pq_adc_shortlist_recall(spark, sf_dir):
     }
     assert len(shortlist & exact10) / 10 >= 0.7
     assert adc.join(exact, "vec_id").stat.corr("adc_d2", "d2") > 0.4
+
+
+def test_mmr_matches_python_greedy_mirror(spark, sf_dir):
+    """Independent certification of the MMR query: a pure-Python
+    greedy over the same top-20 candidate set (0.7·rel −
+    0.3·max-sim-to-selected, ties by vec_id) must select the same
+    ids in the same order — independent of both Spark algebra and
+    the DuckDB oracle."""
+    import math
+
+    from axolotls_spark.queries import REGISTRY
+
+    rows = REGISTRY["mmr_diverse_topk"].fn(spark, sf_dir).collect()
+    got = [r.vec_id for r in sorted(rows, key=lambda r: r.sel_rank)]
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return dot / (na * nb) if na * nb else None
+
+    q = emb[0]
+    rel = {i: cos(v, q) for i, v in emb.items() if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+    selected = [min(cand, key=lambda i: (-rel[i], i))]
+    while len(selected) < 5:
+        best = None
+        for i in cand:
+            if i in selected:
+                continue
+            msim = max(cos(emb[i], emb[j]) for j in selected)
+            score = 0.7 * rel[i] - 0.3 * msim
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        selected.append(best[1])
+    assert got == selected
