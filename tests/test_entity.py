@@ -193,3 +193,26 @@ def test_edit1_join_complete_on_degenerate_strings(spark):
         for r in edit1_join(probes, df, "pid", "s", "id", "s").collect()
     }
     assert got == expected
+
+
+def test_entity_resolution_demo_runs(spark, capsys):
+    """demos/entity_resolution.py end-to-end: preflight recall and
+    linkage precision both high on the synthesized feed, and
+    survivorship consolidates (fewer golden records than sources)."""
+    import re
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["entity_resolution.py", SF_DIR]
+    try:
+        # The demo builds its own session via get_spark (same JVM).
+        runpy.run_path("demos/entity_resolution.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    recall = float(re.search(r"recall (\d+\.\d+)", out).group(1))
+    prec = float(re.search(r"\((\d+\.\d+) precision", out).group(1))
+    m = re.search(r"(\d+) source rows -> (\d+) golden records", out)
+    assert recall > 0.9 and prec > 0.9
+    assert int(m.group(2)) < int(m.group(1))
