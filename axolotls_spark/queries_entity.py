@@ -368,3 +368,69 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mktsegment").alias("mktsegment"),
         )
     )
+
+
+@register(
+    "er_linkage_quality",
+    oracle=f"""
+    WITH {_ER_CTES},
+    flags AS (
+        SELECT score,
+               CASE WHEN key = rec_id - 10000000 THEN 1 ELSE 0 END AS tp,
+               (SELECT COUNT(*) FROM dirty) AS n_true
+        FROM scored
+    )
+    SELECT CAST(t.thr AS DOUBLE) AS thr,
+           CAST(SUM(CASE WHEN f.score >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_links,
+           CAST(SUM(CASE WHEN f.score >= t.thr THEN f.tp ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN f.score >= t.thr THEN f.tp ELSE 0 END)
+                / NULLIF(SUM(CASE WHEN f.score >= t.thr
+                             THEN 1 ELSE 0 END), 0) AS REAL) AS precision,
+           CAST(SUM(CASE WHEN f.score >= t.thr THEN f.tp ELSE 0 END)
+                / MAX(f.n_true) AS REAL) AS recall
+    FROM flags f
+    CROSS JOIN (SELECT * FROM (VALUES (0.70), (0.80), (0.90), (0.95))
+                AS v(thr)) t
+    GROUP BY t.thr
+    """,
+    tags=("entity-resolution", "precision-recall", "threshold-sweep"),
+)
+def er_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage precision/recall at four decision thresholds in ONE
+    pass over the scored candidates — the curve that picks the
+    match threshold, computable here because ground truth is
+    synthesized. Scale shape: the scored relation is crossed with a
+    4-row literal threshold spine (constant-factor replication, the
+    same trick as dau_wau_rolling's cover-day explode) and folded in
+    a single aggregate; no per-threshold jobs, no second scoring
+    pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = E.synthesize_dirty_customers(cust)
+    scored = E.score_pairs(E.blocked_candidates(dirty, _clean(cust)))
+    n_true = dirty.agg(F.count(F.lit(1)).alias("n_true"))
+    thr = spark.createDataFrame(
+        [(0.70,), (0.80,), (0.90,), (0.95,)], "thr double"
+    )
+    flags = scored.select(
+        "score",
+        F.when(F.col("key") == F.col("rec_id") - E.DIRTY_OFFSET, 1)
+        .otherwise(0)
+        .alias("tp"),
+    ).crossJoin(F.broadcast(n_true))
+    hit = F.when(F.col("score") >= F.col("thr"), 1).otherwise(0)
+    return (
+        flags.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(hit).alias("n_links"),
+            F.sum(hit * F.col("tp")).alias("n_correct"),
+            F.try_divide(F.sum(hit * F.col("tp")), F.sum(hit))
+            .cast("float")
+            .alias("precision"),
+            (F.sum(hit * F.col("tp")) / F.max("n_true"))
+            .cast("float")
+            .alias("recall"),
+        )
+    )
