@@ -98,6 +98,7 @@ FAMILIES = [
     "grouping_sets_sales",
     "frequent_event_trigrams",
     "multitouch_attribution",
+    "er_linkage_quality",
 ]
 
 
