@@ -1006,3 +1006,14 @@ def test_hll_estimate_reuses_register_relation(spark):
     # orders scanned once for registers (cached) + once for the exact
     # distinct that rides along for auditability.
     assert f.text.count("InMemoryFileIndex") <= 2
+
+
+def test_span_dedup_self_join_reuses_exchange(spark):
+    """The span-hash self-join's two sides are IDENTICAL subtrees;
+    AQE must collapse them to one executed exchange (ReusedExchange
+    in the final plan) so the shingle+hash pipeline runs once. An
+    'optimization' that makes the two sides structurally different
+    would silently double the corpus pass — this pins the reuse."""
+    spark.catalog.clearCache()
+    f = _facts(spark, "substring_span_dedup", execute=True)
+    assert f.text.count("ReusedExchange") >= 1
