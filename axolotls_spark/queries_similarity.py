@@ -698,3 +698,71 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
     )
+
+
+@register(
+    "embedding_mean_shift",
+    oracle="""
+    WITH long AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    mu AS (
+        SELECT label, pos, AVG(val) AS m, COUNT(*) AS n
+        FROM long GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(MAX(a.n) AS BIGINT) AS n_a,
+           CAST(MAX(b.n) AS BIGINT) AS n_b,
+           ROUND(SUM((a.m - b.m) * (a.m - b.m)), 6) AS mean_shift_sq
+    FROM mu a JOIN mu b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+    tags=("drift", "embedding", "monitoring", "mmd"),
+)
+def embedding_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between groups: squared distance between
+    per-group mean vectors (linear-kernel MMD — the first-moment
+    drift statistic for monitoring an embedding model across data
+    slices or snapshots; distribution_drift_psi is its scalar-column
+    sibling). Scale shape: ONE long-form aggregate shrinks N·dim
+    corpus rows to |labels|·dim means; the pairwise compare runs on
+    that broadcast-sized relation — the corpus is never self-joined.
+    Sum rounded (6dp) for cross-engine summation order."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    long = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("val"),
+    )
+    mu = long.groupBy("label", "pos").agg(
+        F.avg("val").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    a, b = mu.alias("a"), mu.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.max("a.n").cast("long").alias("n_a"),
+            F.max("b.n").cast("long").alias("n_b"),
+            F.round(
+                F.sum(
+                    (F.col("a.m") - F.col("b.m"))
+                    * (F.col("a.m") - F.col("b.m"))
+                ),
+                6,
+            ).alias("mean_shift_sq"),
+        )
+    )

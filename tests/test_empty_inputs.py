@@ -99,6 +99,7 @@ FAMILIES = [
     "frequent_event_trigrams",
     "multitouch_attribution",
     "er_linkage_quality",
+    "embedding_mean_shift",
 ]
 
 
