@@ -526,3 +526,71 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_cents"),
         )
     )
+
+
+@register(
+    "mv_refresh_with_deletes",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    WHERE NOT (o_orderkey % 97 = 0 AND o_orderdate < DATE '1997-01-01')
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 0
+    """,
+    tags=("materialized-view", "incremental", "retraction", "delete"),
+)
+def mv_refresh_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance WITH retractions — the general CDC
+    shape: the stored state (pre-1997 aggregate) absorbs an insert
+    batch (post-1997 orders) AND a delete batch (every 97th pre-1997
+    order, the GDPR-erasure/correction case) by ADDING insert
+    partials and SUBTRACTING delete partials per group; groups whose
+    count retracts to zero drop out. The oracle certifies the
+    invariant: incremental apply ≡ full recompute over
+    (base ∖ deletes) ∪ inserts. Count/sum are self-maintainable
+    under deletes with no history replay; min/max would need the
+    per-group recompute fallback.
+
+    Scale shape: O(inserts) + O(deletes) + O(|groups|) — the base is
+    never rescanned (its aggregate stands in for the stored MV)."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+
+    base = o.filter(F.col("o_orderdate") < split)
+    mv_state = agg(base)
+    inserts = agg(o.filter(F.col("o_orderdate") >= split))
+    deletes = agg(base.filter(F.col("o_orderkey") % 97 == 0))
+    s, i, d = mv_state.alias("s"), inserts.alias("i"), deletes.alias("d")
+    n = (
+        F.coalesce(F.col("s.n_orders"), F.lit(0))
+        + F.coalesce(F.col("i.n_orders"), F.lit(0))
+        - F.coalesce(F.col("d.n_orders"), F.lit(0))
+    )
+    rev = (
+        F.coalesce(F.col("s.rev_cents"), F.lit(0))
+        + F.coalesce(F.col("i.rev_cents"), F.lit(0))
+        - F.coalesce(F.col("d.rev_cents"), F.lit(0))
+    )
+    return (
+        s.join(i, ["priority", "month"], "full_outer")
+        .join(d, ["priority", "month"], "full_outer")
+        .select(
+            "priority", "month", n.alias("n_orders"), rev.alias("rev_cents")
+        )
+        .filter(F.col("n_orders") > 0)
+    )

@@ -100,6 +100,7 @@ FAMILIES = [
     "multitouch_attribution",
     "er_linkage_quality",
     "embedding_mean_shift",
+    "mv_refresh_with_deletes",
 ]
 
 
