@@ -1229,3 +1229,121 @@ def hll_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         F.round(corrected, 4).alias("n_est"),
     )
+
+
+@register(
+    "hll_rolling_wau",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT CAST(ts AS DATE) AS d,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events
+    ),
+    split AS (
+        SELECT d, h % {_HLL_M} AS reg, h // {_HLL_M} AS rest FROM hashed
+    ),
+    rhod AS (
+        SELECT s.d, s.reg, COALESCE(p.rho, 55) AS rho
+        FROM split s
+        LEFT JOIN {_HLL_POW_SQL} p ON (s.rest & -s.rest) = p.pv
+    ),
+    cover AS (
+        SELECT CAST(d + CAST(u.i AS INT) AS DATE) AS wday, reg, rho
+        FROM rhod, UNNEST(range(0, 7)) AS u(i)
+    ),
+    regs AS (
+        SELECT wday, reg, MAX(rho) AS max_rho FROM cover GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT wday,
+               SUM(POWER(2.0, -max_rho)) + ({_HLL_M} - COUNT(*)) AS z,
+               {_HLL_M} - COUNT(*) AS zeros
+        FROM regs GROUP BY wday
+    ),
+    exact AS (
+        SELECT CAST(d + CAST(u.i AS INT) AS DATE) AS wday,
+               COUNT(DISTINCT user_id) AS n_exact
+        FROM (SELECT CAST(ts AS DATE) AS d, user_id FROM events) e,
+             UNNEST(range(0, 7)) AS u(i)
+        GROUP BY 1
+    )
+    SELECT strftime(e.wday, '%Y-%m-%d') AS wday,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.z
+                           <= 2.5 * {_HLL_M}
+                      AND e.zeros > 0
+                      THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / e.zeros)
+                      ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.z
+                 END, 4) AS n_est
+    FROM est e JOIN exact x USING (wday)
+    """,
+    tags=("sketch", "hll", "rolling-window", "wau", "mergeable"),
+)
+def hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per window-end day via HLL
+    registers — the scale path ``dau_wau_rolling`` (exact) cannot
+    take at 100 TB, where per-window exact distinct state explodes:
+    each event's register contribution is replicated to the 7
+    windows it belongs to (constant-factor cover-day explode, the
+    dau_wau trick), then MAX-merged per (day, register) — state is
+    64 small ints per day regardless of cardinality, and windows
+    merge associatively. Absent registers enter the estimator as
+    2^-0 terms arithmetically (64 − observed), so no dense spine
+    join is needed. The exact rolling distinct rides along, making
+    the sketch's accuracy auditable row by row."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    powers = spark.createDataFrame(
+        [(1 << i, i + 1) for i in range(55)], "pv long, rho int"
+    )
+    h = token_hash(F.col("user_id").cast("string"))
+    base = ev.select(
+        F.col("ts").cast("date").alias("d"),
+        F.col("user_id"),
+        (h % _HLL_M).alias("reg"),
+        F.shiftright(h, 6).alias("rest"),
+    )
+    rhod = base.join(
+        F.broadcast(powers),
+        base.rest.bitwiseAND(-base.rest) == powers.pv,
+        "left",
+    ).select(
+        "d", "user_id", "reg",
+        F.coalesce(F.col("rho"), F.lit(55)).alias("rho"),
+    )
+    cover = rhod.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d", "user_id", "reg", "rho",
+    ).select(
+        F.date_add("d", F.col("i")).alias("wday"), "user_id", "reg", "rho"
+    )
+    # cover feeds BOTH the register agg and the exact distinct —
+    # persist (single-pass rule).
+    cover = cover.persist()
+    est = (
+        cover.groupBy("wday", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+        .groupBy("wday")
+        .agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            ).alias("z"),
+            (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
+        )
+    )
+    exact = cover.groupBy("wday").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return est.join(exact, "wday").select(
+        F.date_format("wday", "yyyy-MM-dd").alias("wday"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(corrected, 4).alias("n_est"),
+    )

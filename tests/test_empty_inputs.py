@@ -101,6 +101,7 @@ FAMILIES = [
     "er_linkage_quality",
     "embedding_mean_shift",
     "mv_refresh_with_deletes",
+    "hll_rolling_wau",
 ]
 
 
