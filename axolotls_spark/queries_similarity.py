@@ -766,3 +766,138 @@ def embedding_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_shift_sq"),
         )
     )
+
+
+_SQL_EUC2 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+@register(
+    "ann_ivf_adc_topk",
+    oracle=_pq_cte(8, 16) + f""",
+    cents AS (
+        SELECT vec_id AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    corpus_cells AS (
+        SELECT cand_id, cell FROM (
+            SELECT e.vec_id AS cand_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_SQL_EUC2.format(a='e.embedding',
+                                                  b='c.cvec')}, c.cell
+                   ) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT cell FROM (
+            SELECT c.cell,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_SQL_EUC2.format(a='q.embedding',
+                                                  b='c.cvec')}, c.cell
+                   ) AS rn
+            FROM embeddings q, cents c
+            WHERE q.vec_id = 0
+        ) WHERE rn <= 4
+    ),
+    qv AS (SELECT pos, val FROM long WHERE vec_id = 0),
+    dt AS (
+        SELECT c.cid, c.sub,
+               SUM((q.val - c.cval) * (q.val - c.cval)) AS pd2
+        FROM pc1 c JOIN qv q USING (pos)
+        GROUP BY c.cid, c.sub
+    ),
+    adc AS (
+        SELECT p.vec_id, SUM(t.pd2) AS adc_d2
+        FROM pa2 p
+        JOIN corpus_cells cc ON cc.cand_id = p.vec_id
+        JOIN probed pr ON pr.cell = cc.cell
+        JOIN dt t ON t.sub = p.sub AND t.cid = p.cid
+        WHERE p.vec_id <> 0
+        GROUP BY p.vec_id
+    )
+    SELECT vec_id, ROUND(adc_d2, 6) AS adc_d2, rn FROM (
+        SELECT vec_id, adc_d2,
+               ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= 10
+    """,
+    tags=("ann", "ivf", "product-quantization", "adc", "composition"),
+)
+def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC — the composition real vector indexes ship (FAISS
+    IVF-PQ minus the residual trick): a coarse inverted file prunes
+    the corpus to nprobe=4 euclidean-nearest cells, then ranking
+    inside the probed cells is pure code-lookup ADC over the trained
+    PQ codebooks. Query-time cost = 16 cell distances + an m·k
+    distance table + O(candidates·m) lookups; neither the corpus
+    floats nor the unprobed cells are touched. Both stages are the
+    already-certified operators (ivf cells, pq_train) composed in
+    one lazy plan; the oracle composes the same two CTE blocks."""
+    from axolotls_spark.operators import clustering as CLU
+    from axolotls_spark.operators.clustering import explode_long
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes, pq_cents = CLU.pq_train(emb, m=8, k=16, iters=1, dim=64)
+
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    euc2 = lambda a, b: F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_cell = Window.partitionBy("cand_id").orderBy("d2c", "cell")
+    corpus_cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            "cell",
+            euc2(F.col("embedding"), F.col("cvec")).alias("d2c"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("cand_id", "cell")
+    )
+    probed = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .select("cell", euc2(F.col("embedding"), F.col("cvec")).alias("d2c"))
+        .orderBy("d2c", "cell")
+        .limit(4)
+        .select("cell")
+    )
+    qlong = explode_long(emb.filter(F.col("vec_id") == 0)).select("pos", "val")
+    dt = (
+        pq_cents.join(F.broadcast(qlong), "pos")
+        .groupBy("cid", "sub")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("pd2")
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(corpus_cells, codes.vec_id == corpus_cells.cand_id)
+        .join(F.broadcast(probed), "cell")
+        .join(F.broadcast(dt), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").alias("adc_d2"))
+    )
+    w = Window.orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
+    )

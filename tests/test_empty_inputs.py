@@ -102,6 +102,7 @@ FAMILIES = [
     "embedding_mean_shift",
     "mv_refresh_with_deletes",
     "hll_rolling_wau",
+    "ann_ivf_adc_topk",
 ]
 
 
