@@ -181,3 +181,104 @@ def test_mmr_matches_python_greedy_mirror(spark, sf_dir):
                 best = (key, i)
         selected.append(best[1])
     assert got == selected
+
+
+def test_ivf_adc_containment_and_within_cell_shortlist(spark, sf_dir):
+    """IVF-ADC contract on the isotropic hard case: (1) every
+    returned id lies in the nprobe=4 probed cells (structural
+    containment); (2) within those cells ADC is a good SHORTLIST —
+    the exact euclidean top-10 restricted to the probed candidates
+    sits in the ADC top-20% with recall ≥ 0.6 (absolute recall vs
+    the whole corpus is a property of the data's cell structure,
+    not of this operator)."""
+    from pyspark.sql.window import Window
+
+    from axolotls_spark.operators import clustering as CLU
+    from axolotls_spark.operators.clustering import explode_long
+    from axolotls_spark.queries import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    euc2 = lambda a, b: F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    w = Window.partitionBy("cand_id").orderBy("d2c", "cell")
+    cc = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            "cell",
+            euc2(F.col("embedding"), F.col("cvec")).alias("d2c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cand_id", "cell")
+    )
+    probed = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .select("cell", euc2(F.col("embedding"), F.col("cvec")).alias("d2c"))
+        .orderBy("d2c", "cell")
+        .limit(4)
+        .select("cell")
+    )
+    in_cells = (
+        emb.join(cc, emb.vec_id == cc.cand_id)
+        .join(probed, "cell")
+        .filter(F.col("vec_id") != 0)
+    )
+    cand_ids = {r.cand_id for r in in_cells.select("cand_id").collect()}
+    got = {
+        r.vec_id
+        for r in REGISTRY["ann_ivf_adc_topk"].fn(spark, sf_dir).collect()
+    }
+    assert got <= cand_ids  # (1) containment
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    exact_in = {
+        r.vec_id
+        for r in in_cells.crossJoin(F.broadcast(qv))
+        .select("vec_id", euc2(F.col("embedding"), F.col("qv")).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    codes, pq_cents = CLU.pq_train(emb, m=8, k=16, iters=1, dim=64)
+    qlong = CLU.explode_long(emb.filter(F.col("vec_id") == 0)).select(
+        "pos", "val"
+    )
+    dt = (
+        pq_cents.join(F.broadcast(qlong), "pos")
+        .groupBy("cid", "sub")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("pd2")
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(cc, codes.vec_id == cc.cand_id)
+        .join(F.broadcast(probed), "cell")
+        .join(F.broadcast(dt), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").alias("d"))
+    )
+    sl = max(1, len(cand_ids) // 5)
+    short = {
+        r.vec_id for r in adc.orderBy("d", "vec_id").limit(sl).collect()
+    }
+    assert len(short & exact_in) / 10 >= 0.6  # (2) shortlist recall
