@@ -901,3 +901,125 @@ def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
     )
+
+
+@register(
+    "retrieval_ndcg",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, q.q_label, c.vec_id AS cand_id, c.label,
+               {_SQL_DOT.format(a='q.q_vec', b='c.embedding')}
+               / NULLIF({_SQL_NORM.format(v='q.q_vec')}
+                        * {_SQL_NORM.format(v='c.embedding')}, 0) AS sim
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, q_label, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id) AS rnk
+        FROM scored
+        QUALIFY rnk <= 10
+    ),
+    dcg AS (
+        SELECT query_id,
+               SUM(CASE WHEN label = q_label
+                        THEN 1.0 / LOG2(rnk + 1) ELSE 0.0 END) AS dcg
+        FROM topk GROUP BY query_id
+    ),
+    nrel AS (
+        SELECT q.query_id, COUNT(*) AS n_rel
+        FROM q JOIN embeddings c
+          ON c.label = q.q_label AND c.vec_id <> q.query_id
+        GROUP BY q.query_id
+    ),
+    idcg AS (
+        SELECT n.query_id,
+               SUM(1.0 / LOG2(u.i + 1)) AS idcg
+        FROM nrel n, UNNEST(range(1, 11)) AS u(i)
+        WHERE u.i <= LEAST(n.n_rel, 10)
+        GROUP BY n.query_id
+    )
+    SELECT d.query_id,
+           CAST(n.n_rel AS BIGINT) AS n_rel,
+           CAST(d.dcg AS REAL) AS dcg,
+           CAST(i.idcg AS REAL) AS idcg,
+           CAST(d.dcg / i.idcg AS REAL) AS ndcg
+    FROM dcg d JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
+    """,
+    tags=("evaluation", "ndcg", "retrieval", "ranking", "metric"),
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the cosine retrieval ranking, with binary label
+    relevance — the evaluation head that closes the retrieval loop
+    (build: cosine/IVF/ADC; measure: THIS). DCG folds over the
+    ranked top-10, IDCG over the ideal prefix min(n_rel, 10); both
+    are tiny aggregates over the already-truncated ranking — the
+    corpus cost is exactly one scoring pass (same plan as
+    cosine_topk), and n_rel is a label-blocked count, not a second
+    scoring pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    topk = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "label",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_vec")).alias("sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("sim"), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+    dcg = topk.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("label") == F.col("q_label"),
+                F.lit(1.0) / F.log2(F.col("rnk") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg")
+    )
+    nrel = (
+        q.alias("q")
+        .join(
+            emb.alias("c"),
+            (F.col("c.label") == F.col("q.q_label"))
+            & (F.col("c.vec_id") != F.col("q.query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    ranks = spark.range(1, 11).select(F.col("id").alias("i"))
+    idcg = (
+        nrel.crossJoin(F.broadcast(ranks))
+        .filter(F.col("i") <= F.least(F.col("n_rel"), F.lit(10)))
+        .groupBy("query_id")
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("i") + 1)).alias("idcg"))
+    )
+    return (
+        dcg.join(nrel, "query_id")
+        .join(idcg, "query_id")
+        .select(
+            "query_id",
+            F.col("n_rel").cast("long").alias("n_rel"),
+            F.col("dcg").cast("float").alias("dcg"),
+            F.col("idcg").cast("float").alias("idcg"),
+            (F.col("dcg") / F.col("idcg")).cast("float").alias("ndcg"),
+        )
+    )

@@ -103,6 +103,7 @@ FAMILIES = [
     "mv_refresh_with_deletes",
     "hll_rolling_wau",
     "ann_ivf_adc_topk",
+    "retrieval_ndcg",
 ]
 
 
