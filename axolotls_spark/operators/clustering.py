@@ -145,8 +145,30 @@ def pq_train(
         )
         .persist()
     )
-    cents = long.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), "sub", "pos",
+    return pq_train_long(long, k=k, iters=iters)
+
+
+def pq_train_long(
+    long: DataFrame, k: int = 4, iters: int = 1, init_offset: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """``pq_train`` on an already-long-form (vec_id, pos, sub, val)
+    relation — the reuse point residual IVF-PQ needs: the residual
+    pipeline subtracts cell centroids in long form, then trains the
+    SAME per-subspace Lloyd on the residual relation. ``long`` should
+    be persisted by the caller (it feeds init, every distance join,
+    and every re-average).
+
+    ``init_offset`` shifts the deterministic seed window to vectors
+    [offset, offset+k). Residual training MUST offset past the cell
+    centroids: the centroid vectors' own residuals are exactly zero,
+    an all-zero init makes every assignment distance a tie, and ties
+    then break on engine-specific summation-order noise — the
+    assignment stops being a pure function of the data."""
+    cents = long.filter(
+        (F.col("vec_id") >= init_offset)
+        & (F.col("vec_id") < init_offset + k)
+    ).select(
+        (F.col("vec_id") - init_offset).alias("cid"), "sub", "pos",
         F.col("val").alias("cval"),
     )
 

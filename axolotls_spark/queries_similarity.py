@@ -1023,3 +1023,229 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dcg") / F.col("idcg")).cast("float").alias("ndcg"),
         )
     )
+
+
+def _residual_pq_ctes(d_sub: int, k: int, n_cells: int, nprobe: int) -> str:
+    """Oracle CTE block for residual IVF-PQ: long-form explode →
+    euclidean cell assignment → residual relation → the per-subspace
+    Lloyd CTE retargeted at residuals → per-probed-cell query
+    residual distance tables."""
+    return f"""
+    WITH long0 AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    long AS (
+        SELECT vec_id, pos, CAST((pos - 1) // {d_sub} AS INT) AS sub, val
+        FROM long0
+    ),
+    cent AS (
+        SELECT vec_id AS cell, pos, val AS cval
+        FROM long WHERE vec_id < {n_cells}
+    ),
+    cd AS (
+        SELECT l.vec_id, c.cell,
+               SUM((l.val - c.cval) * (l.val - c.cval)) AS d2
+        FROM long l JOIN cent c USING (pos)
+        GROUP BY l.vec_id, c.cell
+    ),
+    cc AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM cd) WHERE rn = 1
+    ),
+    rlong AS (
+        SELECT l.vec_id, l.pos, l.sub, l.val - c.cval AS val
+        FROM long l
+        JOIN cc ON l.vec_id = cc.vec_id
+        JOIN cent c ON c.cell = cc.cell AND c.pos = l.pos
+    ),
+    pc0 AS (
+        -- seed from vectors PAST the cell centroids: the centroids'
+        -- own residuals are exactly zero, and an all-zero init turns
+        -- every assignment into an engine-noise tie.
+        SELECT vec_id - {n_cells} AS cid, sub, pos, val AS cval
+        FROM rlong
+        WHERE vec_id >= {n_cells} AND vec_id < {n_cells} + {k}
+    ),
+    pd1 AS (
+        SELECT r.vec_id, r.sub, c.cid,
+               SUM((r.val - c.cval) * (r.val - c.cval)) AS d2
+        FROM rlong r JOIN pc0 c USING (pos)
+        GROUP BY r.vec_id, r.sub, c.cid
+    ),
+    pa1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM pd1) WHERE rn = 1
+    ),
+    pc1 AS (
+        SELECT a.cid, r.sub, r.pos, AVG(r.val) AS cval
+        FROM rlong r JOIN pa1 a
+          ON r.vec_id = a.vec_id AND r.sub = a.sub
+        GROUP BY a.cid, r.sub, r.pos
+    ),
+    pd2 AS (
+        SELECT r.vec_id, r.sub, c.cid,
+               SUM((r.val - c.cval) * (r.val - c.cval)) AS d2
+        FROM rlong r JOIN pc1 c USING (pos)
+        GROUP BY r.vec_id, r.sub, c.cid
+    ),
+    pa2 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM pd2) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT c.cell, SUM((q.val - c.cval) * (q.val - c.cval)) AS d2
+        FROM long q JOIN cent c USING (pos)
+        WHERE q.vec_id = 0
+        GROUP BY c.cell
+    ),
+    probed AS (
+        SELECT cell FROM (
+            SELECT cell, ROW_NUMBER() OVER (ORDER BY d2, cell) AS rn
+            FROM qd) WHERE rn <= {nprobe}
+    ),
+    qres AS (
+        SELECT c.cell, q.pos, q.sub, q.val - c.cval AS val
+        FROM long q
+        JOIN cent c USING (pos)
+        JOIN probed p ON p.cell = c.cell
+        WHERE q.vec_id = 0
+    ),
+    dt AS (
+        SELECT r.cell, b.cid, b.sub,
+               SUM((r.val - b.cval) * (r.val - b.cval)) AS pd2
+        FROM qres r JOIN pc1 b ON b.pos = r.pos
+        GROUP BY r.cell, b.cid, b.sub
+    )
+"""
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    oracle=_residual_pq_ctes(8, 16, 16, 4) + """,
+    adc AS (
+        SELECT p.vec_id, SUM(t.pd2) AS adc_d2
+        FROM pa2 p
+        JOIN cc ON cc.vec_id = p.vec_id
+        JOIN dt t ON t.cell = cc.cell AND t.sub = p.sub AND t.cid = p.cid
+        WHERE p.vec_id <> 0
+        GROUP BY p.vec_id
+    )
+    SELECT vec_id, ROUND(adc_d2, 6) AS adc_d2, rn FROM (
+        SELECT vec_id, adc_d2,
+               ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= 10
+    """,
+    tags=("ann", "ivf-pq", "residual", "adc", "composition"),
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the full FAISS form: PQ codebooks are
+    trained on RESIDUALS (vector − assigned cell centroid), which
+    on clustered real-world embeddings carry far less variance than
+    raw vectors, so the same code budget quantizes much finer (on
+    this deliberately isotropic synthetic corpus the residuals are
+    as hard as the raw vectors, so recall matches plain IVF-ADC —
+    the structural win appears exactly when the data has cell
+    structure); at query time each probed cell gets
+    its own distance table from the cell-specific query residual.
+    Everything stays long-form relational: residuals are one join
+    (val − cval), training reuses pq_train_long verbatim, and the
+    nprobe·m·k table rows broadcast. The oracle re-derives the whole
+    pipeline — cell assignment, residuals, Lloyd, per-cell tables —
+    in SQL."""
+    from axolotls_spark.operators.clustering import (
+        explode_long,
+        pq_train_long,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d_sub, k, n_cells, nprobe = 8, 16, 16, 4
+    long = (
+        explode_long(emb)
+        .withColumn("sub", ((F.col("pos") - 1) / F.lit(d_sub)).cast("int"))
+        .persist()
+    )
+    cent = long.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), "pos", F.col("val").alias("cval")
+    )
+    cd = (
+        long.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    cc = (
+        cd.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    rlong = (
+        long.join(cc, "vec_id")
+        .join(F.broadcast(cent), ["cell", "pos"])
+        .select(
+            "vec_id", "pos", "sub",
+            (F.col("val") - F.col("cval")).alias("val"),
+        )
+        .persist()
+    )
+    codes, pc1 = pq_train_long(rlong, k=k, iters=1, init_offset=n_cells)
+    qd = (
+        long.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cent), "pos")
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    probed = qd.orderBy("d2", "cell").limit(nprobe).select("cell")
+    qres = (
+        long.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cent.join(probed, "cell")), "pos")
+        .select("cell", "pos", "sub", (F.col("val") - F.col("cval")).alias("qv"))
+    )
+    dt = (
+        qres.join(
+            F.broadcast(pc1.select("cid", "pos", F.col("cval").alias("bval"))),
+            "pos",
+        )
+        .groupBy("cell", "cid", "sub")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("bval"))
+                * (F.col("qv") - F.col("bval"))
+            ).alias("pd2")
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(cc.withColumnRenamed("vec_id", "vid"), codes.vec_id == F.col("vid"))
+        .join(F.broadcast(dt), ["cell", "sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").alias("adc_d2"))
+    )
+    w = Window.orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
+    )

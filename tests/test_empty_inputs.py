@@ -104,6 +104,7 @@ FAMILIES = [
     "hll_rolling_wau",
     "ann_ivf_adc_topk",
     "retrieval_ndcg",
+    "ann_ivfpq_residual_topk",
 ]
 
 
