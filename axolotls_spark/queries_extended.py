@@ -1347,3 +1347,76 @@ def hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         F.round(corrected, 4).alias("n_est"),
     )
+
+
+@register(
+    "hll_rollup_priorities",
+    oracle="WITH " + _HLL_REG_CTE + f""",
+    lvls AS (
+        SELECT priority, reg, max_rho FROM regs
+        UNION ALL
+        SELECT 'ALL', reg, MAX(max_rho) FROM regs GROUP BY reg
+    ),
+    est AS (
+        SELECT priority,
+               SUM(POWER(2.0, -max_rho)) + ({_HLL_M} - COUNT(*)) AS z,
+               {_HLL_M} - COUNT(*) AS zeros
+        FROM lvls GROUP BY priority
+    ),
+    ex AS (
+        SELECT o_orderpriority AS priority,
+               COUNT(DISTINCT o_custkey) AS n_exact
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders
+    )
+    SELECT e.priority,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.z
+                           <= 2.5 * {_HLL_M}
+                      AND e.zeros > 0
+                      THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / e.zeros)
+                      ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.z
+                 END, 4) AS n_est
+    FROM est e JOIN ex x USING (priority)
+    """,
+    tags=("sketch", "hll", "rollup", "merge", "algebra"),
+)
+def hll_rollup_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA in one query: the grand-total distinct estimate
+    is computed by MERGING the per-priority register states (MAX per
+    register) — never by re-scanning the corpus. This is the property
+    that makes sketch-backed rollup/cube hierarchies free at 100 TB:
+    every ancestor level of a rollup derives from its children's
+    64-int states. Exact distincts ride along at both levels; absent
+    registers enter the estimator arithmetically (64 − observed)."""
+    regs = REGISTRY["hll_registers"].fn(spark, sf_dir).persist()
+    merged = regs.groupBy("reg").agg(
+        F.max("max_rho").alias("max_rho")
+    ).select(F.lit("ALL").alias("priority"), "reg", "max_rho")
+    both = regs.unionByName(merged)
+    est = both.groupBy("priority").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+        ).alias("z"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    ).unionByName(
+        o.agg(F.countDistinct("o_custkey").alias("n_exact")).select(
+            F.lit("ALL").alias("priority"), "n_exact"
+        )
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return est.join(exact, "priority").select(
+        "priority",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(corrected, 4).alias("n_est"),
+    )

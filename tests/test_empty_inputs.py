@@ -105,6 +105,7 @@ FAMILIES = [
     "ann_ivf_adc_topk",
     "retrieval_ndcg",
     "ann_ivfpq_residual_topk",
+    "hll_rollup_priorities",
 ]
 
 
