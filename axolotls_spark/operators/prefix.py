@@ -1,0 +1,86 @@
+"""Distributed global rank / running sum (prefix aggregation).
+
+An unpartitioned ``Window.orderBy`` funnels the whole relation through
+one task — the classic Spark scale-killer for global cumulative sums.
+This module implements the canonical two-level alternative:
+
+1. ``repartitionByRange`` on the ordering columns gives range-ordered
+   partitions (RangePartitioner assigns ascending key ranges to
+   ascending partition ids).
+2. A per-partition ``(count, sum)`` aggregate — one tiny row per
+   partition — is turned into *exclusive* prefix offsets by a window
+   over that ≤n_parts-row relation (the only unpartitioned window, and
+   it is bounded by the partition count, never the data).
+3. The offsets are broadcast back and added to within-partition
+   ``row_number``/running-sum windows, which run fully partitioned.
+
+Correctness requires the ordering columns to form a TOTAL order
+(include a unique tie-break column): then every row's global rank and
+prefix sum are independent of where the sampled range boundaries fall,
+so the sampling nondeterminism inside RangePartitioner cannot change
+the result.
+
+Reference parity: the reference engine has no distributed runtime —
+its cumulative ops are single-process torch folds; this is the
+Spark-native re-expression of the same semantics at cluster scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["ranked_cumsum"]
+
+_PART = "__rcs_part"
+_LRN = "__rcs_local_rn"
+_LCUM = "__rcs_local_cum"
+_OFF_N = "__rcs_off_n"
+_OFF_S = "__rcs_off_s"
+
+
+def ranked_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: str,
+    rank_name: str = "rn",
+    cum_name: str = "cum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Attach a global ``row_number`` (``rank_name``) and running sum of
+    ``value_col`` (``cum_name``) ordered by ``order_cols``, without any
+    unpartitioned window over the data.
+
+    ``order_cols`` are Column sort expressions (e.g. ``[F.desc("cnt"),
+    F.asc("term")]``) and MUST define a total order over the rows.
+    """
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        _PART, F.spark_partition_id()
+    )
+    # One row per partition; the exclusive-prefix window below is over
+    # this ≤n_parts-row relation only.
+    per_part = ranged.groupBy(_PART).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_s")
+    )
+    woff = (
+        Window.orderBy(_PART)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_part.select(
+        _PART,
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias(_OFF_N),
+        F.coalesce(F.sum("_s").over(woff), F.lit(0)).alias(_OFF_S),
+    )
+    wloc = Window.partitionBy(_PART).orderBy(*order_cols)
+    wcum = wloc.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranged.join(F.broadcast(offsets), _PART)
+        .withColumn(_LRN, F.row_number().over(wloc))
+        .withColumn(_LCUM, F.sum(value_col).over(wcum))
+        .withColumn(rank_name, F.col(_OFF_N) + F.col(_LRN))
+        .withColumn(cum_name, F.col(_OFF_S) + F.col(_LCUM))
+        .drop(_PART, _LRN, _LCUM, _OFF_N, _OFF_S)
+    )

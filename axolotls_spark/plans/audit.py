@@ -68,6 +68,52 @@ def explain_formatted(df: DataFrame) -> str:
     )
 
 
+def single_partition_windows(text: str) -> tuple[str, ...]:
+    """Node ids of ``Window`` operators fed (through Sorts) by an
+    ``Exchange SinglePartition`` — the global-window funnel that moves
+    the WHOLE input relation through one task.
+
+    This is the plan-level signature of an unpartitioned
+    ``Window.orderBy`` over an unbounded relation: Spark inserts
+    ``Exchange SinglePartition, ENSURE_REQUIREMENTS`` + ``Sort`` below
+    it. The two acceptable global-rank shapes do NOT match: a window
+    above ``orderBy(...).limit(k)`` sits on ``TakeOrderedAndProject``
+    (already single-partition, no exchange), and a partitioned window's
+    exchange is ``hashpartitioning``. Queries that deliberately rank a
+    small aggregate-bounded relation (a 7-day spine, per-month totals)
+    still match and must be allowlisted with a justification — that is
+    the point: every new global window gets reviewed.
+    """
+    tree: list[tuple[int, str, str]] = []
+    for line in text.splitlines():
+        m = re.match(r"^([ :+\-*]*)([A-Za-z]\w*) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), m.group(3)))
+    details: dict[str, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) (\w+)[^\n]*\n(.*?)(?=^\(\d+\) |\Z)", text, re.M | re.S
+    ):
+        details[m.group(1)] = m.group(3)
+    hits: list[str] = []
+    for i, (ind, name, nid) in enumerate(tree):
+        if name not in ("Window", "WindowGroupLimit"):
+            continue
+        depth, j = ind, i + 1
+        while j < len(tree):
+            cind, cname, cid = tree[j]
+            if cind <= depth:
+                break
+            if cname in ("Sort", "WindowGroupLimit", "Project"):
+                depth, j = cind, j + 1
+                continue
+            if cname == "Exchange" and "SinglePartition" in details.get(
+                cid, ""
+            ):
+                hits.append(nid)
+            break
+    return tuple(hits)
+
+
 @dataclass(frozen=True)
 class PlanFacts:
     text: str
@@ -78,6 +124,10 @@ class PlanFacts:
     n_codegen_stages: int
     pushed_filters: tuple[str, ...]   # one entry per scan
     read_schemas: tuple[str, ...]     # one entry per scan
+
+    @property
+    def n_single_partition_windows(self) -> int:
+        return len(single_partition_windows(self.text))
 
     def scans_reading_all_columns(self, full_schema_cols: int) -> int:
         """Scans whose ReadSchema has >= full_schema_cols fields —

@@ -2387,13 +2387,10 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
     ).distinct()
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    vocab = (
-        freq.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("df"), "term"))
-        )
-        .filter(F.col("rk") <= _TR_V)
-        .select("term")
-    )
+    # Vocab cap via distributed top-k (TakeOrderedAndProject): the
+    # document-frequency relation grows with the corpus's distinct
+    # vocabulary, so an unpartitioned Window rank would bottleneck.
+    vocab = freq.orderBy(F.desc("df"), "term").limit(_TR_V).select("term")
     tv = toks.join(F.broadcast(vocab), "term").persist()
     a = tv.select("doc_id", F.col("term").alias("ta"))
     b = tv.select("doc_id", F.col("term").alias("tb"))
@@ -2715,11 +2712,14 @@ def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = seq.groupBy(
         F.concat_ws(">", "e1", "e2", "e3").alias("trigram")
     ).agg(F.count(F.lit(1)).alias("n"))
+    # Distinct trigram count grows with the corpus: take the top-20 via
+    # orderBy+limit (TakeOrderedAndProject), then assign the rank over
+    # the 20-row result so no unpartitioned Window sees the full
+    # relation.
+    top = tri.orderBy(F.desc("n"), "trigram").limit(20)
     rk = Window.orderBy(F.desc("n"), "trigram")
-    return (
-        tri.withColumn("rk", F.row_number().over(rk).cast("long"))
-        .filter(F.col("rk") <= 20)
-        .select("trigram", "n", "rk")
+    return top.select(
+        "trigram", "n", F.row_number().over(rk).cast("long").alias("rk")
     )
 
 

@@ -140,13 +140,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cell")
     )
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    top = (
-        exact.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))
-        )
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # Distributed top-k (TakeOrderedAndProject) — the term-frequency
+    # relation grows with the corpus's distinct vocabulary, so an
+    # unpartitioned Window rank here would funnel it through one task.
+    top = exact.orderBy(F.desc("cnt"), "term").limit(20)
     probe = top.select(
         "term",
         "cnt",
@@ -529,12 +526,12 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("cnt").alias("pair_count"))
     )
+    # Distributed top-k: the pair relation is vocabulary-sized (grows
+    # with the corpus), so rank via orderBy+limit
+    # (TakeOrderedAndProject), never an unpartitioned Window.
     return (
-        pairs.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.desc("pair_count"), "pair")),
-        )
-        .filter(F.col("rn") <= 20)
+        pairs.orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
         .select("pair", "pair_count")
     )
 

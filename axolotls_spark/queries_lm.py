@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table, spread_for_cpu
 from axolotls_spark.operators.dedup import tokens_col
+from axolotls_spark.operators.prefix import ranked_cumsum
 from axolotls_spark.queries_analytics import _OLS_B0, _OLS_B1, _OLS_B2
 from axolotls_spark.registry import register, stable_f32
 
@@ -185,7 +186,13 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
-    ranked = freq.select(
+    # Only the top-max(ks) terms can ever contribute to a coverage
+    # bucket, so truncate FIRST with orderBy+limit
+    # (TakeOrderedAndProject — distributed per-partition top-k) and
+    # rank the bounded k-row result; the unpartitioned row_number
+    # never sees the full, corpus-growing vocabulary.
+    top = freq.orderBy(F.desc("cnt"), "term").limit(max(_VOCAB_KS))
+    ranked = top.select(
         "cnt",
         F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).alias("rn"),
     )
@@ -249,12 +256,19 @@ def nucleus_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()  # read by both the rank/cumsum branch and the total
     )
-    w = Window.orderBy(F.desc("cnt"), "term")
-    ranked = freq.select(
-        F.row_number().over(w).alias("rn"),
-        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-    )
+    # Global rank + running sum over the full (corpus-growing) vocab —
+    # the one cumulative query a top-k limit can't truncate. Computed
+    # via the two-level distributed prefix sum (operators/prefix.py):
+    # range-partition on the order, per-partition offsets broadcast
+    # back, windows run partitioned; no unpartitioned window ever sees
+    # the vocabulary.
+    ranked = ranked_cumsum(
+        freq,
+        [F.desc("cnt"), F.asc("term")],
+        "cnt",
+        rank_name="rn",
+        cum_name="cum",
+    ).select("rn", "cum")
     tot = freq.agg(F.sum("cnt").cast("double").alias("t"))
     return (
         ranked.crossJoin(F.broadcast(tot))

@@ -27,6 +27,25 @@ _SQL_NORM = (
 )
 
 
+def _adc_topk_tail(adc: DataFrame, k: int = 10) -> DataFrame:
+    """Distributed top-k tail shared by the ADC family.
+
+    ``orderBy(...).limit(k)`` is planned as TakeOrderedAndProject —
+    each partition keeps its local top-k and only k rows per partition
+    reach the single merge task — instead of the unpartitioned
+    ``Window.orderBy`` rank, which funnels the WHOLE distance relation
+    through one task at 100 TB. The ``rn`` column is then assigned by a
+    window over the already-k-row result, so the global window only
+    ever sees k rows. Output and oracle are unchanged.
+    """
+    top = adc.orderBy("adc_d2", "vec_id").limit(k)
+    w = Window.orderBy("adc_d2", "vec_id")
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
+    )
+
+
 @register(
     "embedding_norms",
     oracle=f"""
@@ -692,12 +711,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("pd2").alias("adc_d2"))
     )
-    w = Window.orderBy("adc_d2", "vec_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
-    )
+    return _adc_topk_tail(adc, k=10)
 
 
 @register(
@@ -895,12 +909,7 @@ def ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("pd2").alias("adc_d2"))
     )
-    w = Window.orderBy("adc_d2", "vec_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
-    )
+    return _adc_topk_tail(adc, k=10)
 
 
 @register(
@@ -1243,9 +1252,4 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("pd2").alias("adc_d2"))
     )
-    w = Window.orderBy("adc_d2", "vec_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"), "rn")
-    )
+    return _adc_topk_tail(adc, k=10)

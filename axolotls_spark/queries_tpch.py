@@ -384,8 +384,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    w = Window.orderBy(F.desc("total_revenue"), F.asc("l_suppkey"))
-    top = rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= 5)
+    # The tiebreak on l_suppkey makes the order total, so RANK() <= 5
+    # is exactly the first 5 rows — take them via orderBy+limit
+    # (TakeOrderedAndProject, distributed per-partition top-k) instead
+    # of an unpartitioned window over the supplier-sized aggregate.
+    top = rev.orderBy(F.desc("total_revenue"), F.asc("l_suppkey")).limit(5)
     return (
         F.broadcast(top)
         .join(s, top.l_suppkey == s.s_suppkey)

@@ -776,6 +776,28 @@ def test_registry_wide_plan_hygiene(spark):
     here even if nobody wrote it a dedicated audit.
     """
     pyrow_ok = {"udtf_bigrams", "udtf_polymorphic_ngrams"}
+    # Queries allowed to keep a Window fed by Exchange SinglePartition
+    # (the global-window funnel, plans/audit.single_partition_windows).
+    # Every entry must rank/cumulate a relation BOUNDED independent of
+    # corpus size; anything new fails CI until reviewed here.
+    global_window_ok = {
+        "cusum_changepoint",        # per-day aggregate (date spine)
+        "ewma_daily_revenue",       # per-day aggregate
+        "forecast_linear_28d",      # per-day aggregate
+        "gini_customer_spend",      # per-customer agg; documented
+                                    # quantile-bucket degrade path
+        "kaplan_meier_retention",   # distinct-duration life table
+        "mom_revenue_growth",       # per-month aggregate
+        "nucleus_vocab_size",       # ranked_cumsum offsets window:
+                                    # <= n_parts rows by construction
+        "pareto_brand_revenue",     # <=25 brand rows
+        "rfm_segment_counts",       # per-customer ntile; documented
+                                    # degrade path
+        "seasonal_decompose_weekly",  # 7-row day-of-week relation
+        "shard_balance_report",     # fixed shard-count relation
+        "window_range_frame",       # deliberate RANGE-frame API demo;
+                                    # docstring warns it is single-node
+    }
     offenders = []
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith("streaming_"):
@@ -785,6 +807,11 @@ def test_registry_wide_plan_hygiene(spark):
             offenders.append((name, "CartesianProduct"))
         if "BatchEvalPython" in f.text and name not in pyrow_ok:
             offenders.append((name, "BatchEvalPython"))
+        if (
+            f.n_single_partition_windows > 0
+            and name not in global_window_ok
+        ):
+            offenders.append((name, "single-partition Window funnel"))
     assert not offenders, offenders
 
 
@@ -1017,3 +1044,42 @@ def test_span_dedup_self_join_reuses_exchange(spark):
     spark.catalog.clearCache()
     f = _facts(spark, "substring_span_dedup", execute=True)
     assert f.text.count("ReusedExchange") >= 1
+
+
+def test_adc_family_topk_is_distributed(spark):
+    """The ADC-family top-10 must plan TakeOrderedAndProject
+    (per-partition top-k, k rows per partition to the merge task) —
+    never an unpartitioned Window over the corpus-sized distance
+    relation, which funnels the whole thing through ONE task at
+    100 TB (round-3 verdict's last scale-killer). The only Window
+    allowed is the rank over the already-10-row limit result, which
+    sits on TakeOrderedAndProject, not on Exchange SinglePartition."""
+    from axolotls_spark.plans.audit import single_partition_windows
+
+    for name in ("pq_adc_topk", "ann_ivf_adc_topk", "ann_ivfpq_residual_topk"):
+        spark.catalog.clearCache()
+        f = _facts(spark, name)
+        assert "TakeOrderedAndProject" in f.text, name
+        assert single_partition_windows(f.text) == (), name
+
+
+def test_vocab_topk_sweep_no_global_window(spark):
+    """Round-3 verdict sweep targets: every top-k over a
+    corpus-growing relation (distinct terms, char pairs, trigrams,
+    supplier revenues) ranks via orderBy+limit, and
+    nucleus_vocab_size's full-vocab cumsum runs through the
+    distributed prefix sum whose only unpartitioned window is the
+    <=n_parts-row offsets relation."""
+    from axolotls_spark.plans.audit import single_partition_windows
+
+    for name in (
+        "cms_heavy_hitters",
+        "bpe_merge_candidates",
+        "textrank_keywords",
+        "frequent_event_trigrams",
+        "vocab_coverage_curve",
+        "q15_top_supplier",
+    ):
+        spark.catalog.clearCache()
+        f = _facts(spark, name)
+        assert single_partition_windows(f.text) == (), name

