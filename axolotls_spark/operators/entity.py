@@ -72,7 +72,10 @@ def synthesize_dirty_customers(cust: DataFrame) -> DataFrame:
 
 
 def _block_keys(df: DataFrame, id_col: str) -> DataFrame:
-    """(id, key_type, key_value) — one exploded row per key family:
+    """Slim ``(id, key_type, key_value)`` relation — one exploded row
+    per key family, NO payload columns (round-3 verdict: the blocking
+    join and the pair-distinct must shuffle ids and keys only; the
+    wide comparison fields re-attach afterwards via narrow id joins):
 
     - ``sfx``: last 4 name chars (deletion-position-robust for edits
       in the front/middle of the digit region),
@@ -85,10 +88,6 @@ def _block_keys(df: DataFrame, id_col: str) -> DataFrame:
     cents = F.round(F.col("acctbal") * 100).cast("long").cast("string")
     return df.select(
         F.col(id_col).alias("id"),
-        F.col("name"),
-        F.col("nationkey"),
-        F.col("acctbal"),
-        F.col("mktsegment"),
         F.explode(
             F.array(
                 F.struct(
@@ -103,34 +102,85 @@ def _block_keys(df: DataFrame, id_col: str) -> DataFrame:
                 ),
             )
         ).alias("bk"),
-    ).select(
-        "id", "name", "nationkey", "acctbal", "mktsegment",
-        F.col("bk.kt").alias("kt"), F.col("bk.kv").alias("kv"),
+    ).select("id", F.col("bk.kt").alias("kt"), F.col("bk.kv").alias("kv"))
+
+
+def hot_blocks(
+    kd: DataFrame, kc: DataFrame, max_block_pairs: int
+) -> DataFrame:
+    """Blocking keys whose candidate fan-out ``|dirty block| × |clean
+    block|`` exceeds ``max_block_pairs``. Real-world blocking keys are
+    Zipf-hot (common name suffixes): ONE hot key at 100 TB is a
+    quadratic task, so standard practice is to count block sizes and
+    drop (or split) the runaways, accepting the recall cost that
+    ``er_blocking_recall`` / ``er_blocking_skew`` make measurable.
+    Two count aggregates over the slim key relations + a key-sized
+    equi-join; the result is tiny (only the runaways) and is meant to
+    be broadcast into an anti-join."""
+    nd = kd.groupBy("kt", "kv").agg(F.count(F.lit(1)).alias("n_d"))
+    nc = kc.groupBy("kt", "kv").agg(F.count(F.lit(1)).alias("n_c"))
+    return (
+        nd.join(nc, ["kt", "kv"])
+        .filter(F.col("n_d") * F.col("n_c") > max_block_pairs)
+        .select("kt", "kv", "n_d", "n_c")
     )
 
 
-def blocked_candidates(dirty: DataFrame, clean: DataFrame) -> DataFrame:
-    """Candidate (dirty, clean) pairs sharing ≥1 blocking key —
-    one equi-join shuffle for ALL key families, then pair-distinct.
-    Carries both sides' comparison fields so scoring is map-only."""
+def blocked_candidates(
+    dirty: DataFrame,
+    clean: DataFrame,
+    max_block_pairs: int | None = None,
+) -> DataFrame:
+    """Candidate (dirty, clean) pairs sharing ≥1 blocking key — one
+    equi-join shuffle for ALL key families over the slim (id, kt, kv)
+    relations, pair-distinct on the TWO id columns only, then both
+    sides' comparison fields re-attached via narrow id joins so
+    scoring stays map-only.
+
+    The wide-row shapes this deliberately avoids (round-3 verdict):
+    the blocking join and the distinct used to shuffle every
+    comparison field per candidate row; at 100 TB the distinct's
+    shuffle width dominates ER cost, and the payload is functionally
+    dependent on the ids anyway.
+
+    ``max_block_pairs`` enables the hot-block cap: keys whose
+    fan-out exceeds it are dropped from BOTH sides via a broadcast
+    anti-join before the blocking join (see ``hot_blocks``); recall
+    cost is measurable via er_blocking_recall / er_blocking_skew.
+    """
     kd = _block_keys(dirty, "rec_id")
     kc = _block_keys(clean, "key")
-    return (
-        kd.alias("d")
-        .join(kc.alias("c"), ["kt", "kv"])
-        .select(
-            F.col("d.id").alias("rec_id"),
-            F.col("c.id").alias("key"),
-            F.col("d.name").alias("d_name"),
-            F.col("c.name").alias("c_name"),
-            F.col("d.nationkey").alias("d_nat"),
-            F.col("c.nationkey").alias("c_nat"),
-            F.col("d.acctbal").alias("d_acct"),
-            F.col("c.acctbal").alias("c_acct"),
-            F.col("d.mktsegment").alias("d_seg"),
-            F.col("c.mktsegment").alias("c_seg"),
-        )
+    if max_block_pairs is not None:
+        hot = hot_blocks(kd, kc, max_block_pairs).select("kt", "kv")
+        kd = kd.join(F.broadcast(hot), ["kt", "kv"], "left_anti")
+        kc = kc.join(F.broadcast(hot), ["kt", "kv"], "left_anti")
+    pairs = (
+        kd.select("kt", "kv", F.col("id").alias("rec_id"))
+        .join(kc.select("kt", "kv", F.col("id").alias("key")), ["kt", "kv"])
+        .select("rec_id", "key")
         .distinct()
+    )
+    d_fields = dirty.select(
+        F.col("rec_id"),
+        F.col("name").alias("d_name"),
+        F.col("nationkey").alias("d_nat"),
+        F.col("acctbal").alias("d_acct"),
+        F.col("mktsegment").alias("d_seg"),
+    )
+    c_fields = clean.select(
+        F.col("key"),
+        F.col("name").alias("c_name"),
+        F.col("nationkey").alias("c_nat"),
+        F.col("acctbal").alias("c_acct"),
+        F.col("mktsegment").alias("c_seg"),
+    )
+    return (
+        pairs.join(d_fields, "rec_id")
+        .join(c_fields, "key")
+        .select(
+            "rec_id", "key", "d_name", "c_name", "d_nat", "c_nat",
+            "d_acct", "c_acct", "d_seg", "c_seg",
+        )
     )
 
 

@@ -370,6 +370,130 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hot-block thresholds: the skew report uses a tight cap so the
+#: reporting path is exercised at every SF; the capped best-match uses
+#: a loose cap (invisible on this synthetic data) — both are mirrored
+#: exactly in the oracles, so parity certifies the cap logic itself.
+_SKEW_CAP = 2
+_MATCH_CAP = 64
+
+_ER_SIZES_CTE = """
+    sizes AS (
+        SELECT d.kt, d.kv, d.n_d * c.n_c AS pairs
+        FROM (SELECT kt, kv, COUNT(*) AS n_d FROM kd GROUP BY 1, 2) d
+        JOIN (SELECT kt, kv, COUNT(*) AS n_c FROM kc GROUP BY 1, 2) c
+          ON d.kt = c.kt AND d.kv = c.kv
+    )
+"""
+
+
+@register(
+    "er_blocking_skew",
+    oracle=f"""
+    WITH {_ER_CTES},
+    {_ER_SIZES_CTE}
+    SELECT kt AS key_family,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(MAX(pairs) AS BIGINT) AS max_block_pairs,
+           CAST(SUM(CASE WHEN pairs > {_SKEW_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_blocks,
+           CAST(SUM(CASE WHEN pairs > {_SKEW_CAP} THEN pairs ELSE 0 END)
+                AS BIGINT) AS dropped_pairs
+    FROM sizes
+    GROUP BY kt
+    """,
+    tags=("entity-resolution", "blocking", "skew", "diagnostics"),
+)
+def er_blocking_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size skew profile per key family: how many blocks, the
+    worst fan-out, and how many candidate pairs the hot-block cap
+    would drop — the preflight that decides whether a blocking
+    scheme needs capping BEFORE the candidate join runs. Real-world
+    keys are Zipf-hot; ONE runaway block at 100 TB is a quadratic
+    task. Cost: two count aggregates over the slim (id, kt, kv)
+    relations and a key-sized join — never the candidate join
+    itself."""
+    cust = load_table(spark, sf_dir, "customer")
+    kd = E._block_keys(E.synthesize_dirty_customers(cust), "rec_id")
+    kc = E._block_keys(_clean(cust), "key")
+    nd = kd.groupBy("kt", "kv").agg(F.count(F.lit(1)).alias("n_d"))
+    nc = kc.groupBy("kt", "kv").agg(F.count(F.lit(1)).alias("n_c"))
+    sizes = nd.join(nc, ["kt", "kv"]).select(
+        "kt", (F.col("n_d") * F.col("n_c")).alias("pairs")
+    )
+    hot = F.when(F.col("pairs") > _SKEW_CAP, 1).otherwise(0)
+    return sizes.groupBy(F.col("kt").alias("key_family")).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("pairs").alias("max_block_pairs"),
+        F.sum(hot).alias("n_hot_blocks"),
+        F.sum(hot * F.col("pairs")).alias("dropped_pairs"),
+    )
+
+
+@register(
+    "er_best_match_capped",
+    oracle=f"""
+    WITH {_ER_CTES},
+    {_ER_SIZES_CTE},
+    hot AS (SELECT kt, kv FROM sizes WHERE pairs > {_MATCH_CAP}),
+    pairs2 AS (
+        SELECT DISTINCT d.id AS rec_id, c.id AS key
+        FROM kd d JOIN kc c ON d.kt = c.kt AND d.kv = c.kv
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+                          WHERE h.kt = d.kt AND h.kv = d.kv)
+    ),
+    scored2 AS (
+        SELECT p.rec_id, p.key,
+               0.5 * (1.0 - levenshtein(d.name, c.name) / 18.0)
+             + 0.2 * (CASE WHEN d.acctbal = c.acctbal THEN 1.0 ELSE 0.0 END)
+             + 0.15 * (CASE WHEN d.nationkey = c.nationkey
+                       THEN 1.0 ELSE 0.0 END)
+             + 0.15 * (CASE WHEN d.mktsegment = c.mktsegment
+                       THEN 1.0 ELSE 0.0 END) AS score
+        FROM pairs2 p
+        JOIN dirty d ON d.rec_id = p.rec_id
+        JOIN clean c ON c.key = p.key
+    )
+    SELECT rec_id,
+           key AS matched_key,
+           CAST(score AS REAL) AS score
+    FROM scored2
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY rec_id
+                               ORDER BY score DESC, key) = 1
+    """,
+    tags=("entity-resolution", "blocking", "skew-cap", "record-linkage"),
+)
+def er_best_match_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-match linkage through the hot-block-capped blocking path
+    (``blocked_candidates(max_block_pairs=...)``): keys whose fan-out
+    exceeds the cap are dropped from both sides via a broadcast
+    anti-join BEFORE the candidate join, bounding the largest block's
+    quadratic cost. The oracle mirrors the cap exactly (sizes → hot →
+    NOT EXISTS), so parity certifies the capped path — not just its
+    agreement with the uncapped one on easy data. On this synthetic
+    corpus the cap is loose enough to be invisible (asserted in
+    tests/test_entity.py), which is precisely the production
+    contract: cap the runaways, leave the healthy blocks alone."""
+    cust = load_table(spark, sf_dir, "customer")
+    scored = E.score_pairs(
+        E.blocked_candidates(
+            E.synthesize_dirty_customers(cust),
+            _clean(cust),
+            max_block_pairs=_MATCH_CAP,
+        )
+    )
+    w = Window.partitionBy("rec_id").orderBy(F.desc("score"), "key")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "rec_id",
+            F.col("key").alias("matched_key"),
+            F.col("score").cast("float").alias("score"),
+        )
+    )
+
+
 @register(
     "er_linkage_quality",
     oracle=f"""

@@ -216,3 +216,104 @@ def test_entity_resolution_demo_runs(spark, capsys):
     m = re.search(r"(\d+) source rows -> (\d+) golden records", out)
     assert recall > 0.9 and prec > 0.9
     assert int(m.group(2)) < int(m.group(1))
+
+
+def test_capped_blocking_invisible_on_synthetic(spark):
+    """The registry cap (_MATCH_CAP) must be loose enough that the
+    capped candidate set IS the uncapped one on the synthetic corpus
+    — the production contract: cap the runaways, leave healthy
+    blocks alone."""
+    from axolotls_spark.queries_entity import _MATCH_CAP
+
+    cust = load_table(spark, SF_DIR, "customer")
+    dirty = E.synthesize_dirty_customers(cust)
+    plain = {
+        (r.rec_id, r.key)
+        for r in E.blocked_candidates(dirty, _clean(cust)).collect()
+    }
+    capped = {
+        (r.rec_id, r.key)
+        for r in E.blocked_candidates(
+            dirty, _clean(cust), max_block_pairs=_MATCH_CAP
+        ).collect()
+    }
+    assert capped == plain
+
+
+def _er_hot_sides(spark, n=800, hot=400):
+    """Synthetic Zipf-hot blocking scenario: ``hot`` records share ONE
+    name (one runaway sfx block, fan-out hot^2); every record keeps a
+    unique nation|cents key, so identity pairs survive even when the
+    hot block is dropped — the realistic multi-key-redundancy case."""
+    base = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") < hot, F.lit("Customer#000HOTHOT"))
+        .otherwise(
+            F.concat(F.lit("Customer#"), F.format_string("%09d", F.col("id")))
+        )
+        .alias("name"),
+        (F.col("id") % 25).cast("int").alias("nationkey"),
+        (F.col("id").cast("double") / 100.0).alias("acctbal"),
+        F.lit("AUTOMOBILE").alias("mktsegment"),
+    )
+    dirty = base.select(
+        (F.col("id") + E.DIRTY_OFFSET).alias("rec_id"),
+        "name", "nationkey", "acctbal", "mktsegment",
+    )
+    clean = base.select(
+        F.col("id").alias("key"),
+        "name", "nationkey", "acctbal", "mktsegment",
+    )
+    return dirty, clean
+
+
+def test_hot_block_cap_bounds_candidates(spark):
+    """Stress-certify the cap's PERF claim: one hot key owning half
+    the records makes the uncapped candidate set quadratic
+    (hot^2 + identity pairs); the capped path must (1) detect exactly
+    that block, (2) bound every surviving block's fan-out at the cap,
+    and (3) keep ALL identity pairs — recall preserved by the second
+    key family."""
+    n, hot, cap = 800, 400, 1000
+    dirty, clean = _er_hot_sides(spark, n, hot)
+
+    uncapped = E.blocked_candidates(dirty, clean)
+    # sfx hot block: hot^2 pairs (contains the hot identity pairs);
+    # unique-suffix sfx + nba blocks only re-add identity pairs.
+    assert uncapped.count() == hot * hot + (n - hot)
+
+    hot_rows = E.hot_blocks(
+        E._block_keys(dirty, "rec_id"), E._block_keys(clean, "key"), cap
+    ).collect()
+    assert len(hot_rows) == 1
+    assert hot_rows[0].kt == "sfx"
+    assert hot_rows[0].n_d == hot and hot_rows[0].n_c == hot
+
+    capped = E.blocked_candidates(dirty, clean, max_block_pairs=cap)
+    got = {(r.rec_id - E.DIRTY_OFFSET, r.key) for r in capped.collect()}
+    # Exactly the identity pairs survive: quadratic mass gone, recall
+    # intact via the nation|cents key family.
+    assert got == {(i, i) for i in range(n)}
+
+    # Surviving blocks all respect the cap (per-block fan-out bound —
+    # the max-task guarantee the cap exists for).
+    kd = E._block_keys(dirty, "rec_id")
+    kc = E._block_keys(clean, "key")
+    hotk = E.hot_blocks(kd, kc, cap).select("kt", "kv")
+    sizes = (
+        kd.join(F.broadcast(hotk), ["kt", "kv"], "left_anti")
+        .groupBy("kt", "kv")
+        .count()
+        .withColumnRenamed("count", "n_d")
+        .join(
+            kc.join(F.broadcast(hotk), ["kt", "kv"], "left_anti")
+            .groupBy("kt", "kv")
+            .count()
+            .withColumnRenamed("count", "n_c"),
+            ["kt", "kv"],
+        )
+        .select((F.col("n_d") * F.col("n_c")).alias("pairs"))
+        .agg(F.max("pairs").alias("mx"))
+        .collect()
+    )
+    assert sizes[0].mx <= cap

@@ -969,14 +969,21 @@ def test_er_blocking_single_join_no_cartesian(spark):
     (key_type, key_value) relation — never a cartesian, never one
     join per key family — and scoring must add no Python."""
     spark.catalog.clearCache()  # plan counts pinned cache-free
-    for name in ("er_best_match", "er_clusters"):
+    for name in ("er_best_match", "er_clusters", "er_best_match_capped"):
         f = _facts(spark, name)
         assert "CartesianProduct" not in f.text, name
         assert "BatchEvalPython" not in f.text, name
     f = _facts(spark, "er_best_match")
-    # dirty + clean sides = two scans of customer, nothing re-derived.
-    assert f.text.count("InMemoryFileIndex") <= 2
-    assert f.n_exchanges <= 3
+    # Slim-key blocking (round-3 verdict #4): the pair-distinct must
+    # aggregate over exactly the TWO id columns — a wide-row distinct
+    # (ids + all comparison fields) would re-widen the dominant ER
+    # shuffle at 100 TB.
+    import re
+
+    assert re.search(r"Keys \[2\]: \[rec_id#\d+L?, key#\d+L?\]", f.text)
+    # 2 slim-key scans + 2 narrow payload re-attach scans of customer.
+    assert f.text.count("InMemoryFileIndex") <= 4
+    assert f.n_exchanges <= 8
 
 
 def test_fuzzy_join_single_equi_join_no_python(spark):
