@@ -81,6 +81,26 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _payload_checksum(payload: bytes) -> int:
+    """Content checksum shared by BOTH decode backends (fake and PIL)
+    — one definition so the formula cannot drift between them."""
+    return sum(payload[:64]) % 997
+
+
+def _require_pil(feature: str) -> None:
+    """Plan-time codec gate: a missing Pillow must fail the DRIVER
+    before any executor work, not per-task, with one shared message
+    for every PIL-backed op."""
+    try:
+        import PIL  # noqa: F401 — plan-time gate only
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"{feature} needs Pillow, which is not installed in this "
+            "environment; the fake backend exercises the same plumbing "
+            "deterministically"
+        ) from exc
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for a real codec: 'decodes' dimensions
     and a checksum from the raw bytes. Replace with PIL/PyAV in a
@@ -89,7 +109,7 @@ def _fake_decode(payload: bytes) -> dict:
     return {
         "dec_width": 64 + (n % 512),
         "dec_height": 64 + ((n * 7) % 512),
-        "checksum": sum(payload[:64]) % 997,
+        "checksum": _payload_checksum(payload),
     }
 
 
@@ -117,7 +137,7 @@ def _pil_decode(payload: bytes) -> dict:
     return {
         "dec_width": int(w),
         "dec_height": int(h),
-        "checksum": sum(payload[:64]) % 997,
+        "checksum": _payload_checksum(payload),
     }
 
 
@@ -133,14 +153,7 @@ def decode_media(manifest: DataFrame, backend: str = "fake") -> DataFrame:
     if backend == "fake":
         dec = _fake_decode
     elif backend == "pil":
-        try:
-            import PIL  # noqa: F401 — plan-time gate only
-        except ImportError as exc:
-            raise NotImplementedError(
-                "backend='pil' needs Pillow, which is not installed in "
-                "this environment; the fake backend exercises the same "
-                "plumbing deterministically"
-            ) from exc
+        _require_pil("backend='pil'")
         dec = _pil_decode
     else:
         raise NotImplementedError(
@@ -216,14 +229,7 @@ def resize_images(
     ``backend="pil"`` runs a real ``Image.thumbnail`` and re-encodes
     PNG, gated on Pillow importing at plan time."""
     if backend == "pil":
-        try:
-            import PIL  # noqa: F401 — plan-time gate only
-        except ImportError as exc:
-            raise NotImplementedError(
-                "backend='pil' needs Pillow, which is not installed in "
-                "this environment; the fake backend exercises the same "
-                "plumbing deterministically"
-            ) from exc
+        _require_pil("backend='pil'")
 
         def run(batches: Iterator) -> Iterator:
             from io import BytesIO

@@ -25,6 +25,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# ---------------------------------------------------------------------------
+# Caller-owned cache contract.  The Lloyd loops persist the exploded
+# corpus and every iteration's codebook; those relations MUST stay
+# cached until the caller materializes the returned (lazy) DataFrames
+# — unpersisting inside the trainer would silently re-explode the
+# corpus per iteration.  So persists are *tracked* here, and owners of
+# the session (bench harness, parity runner, tests) release them via
+# ``release_caches()`` (or a blanket ``spark.catalog.clearCache()``)
+# once results are materialized, instead of cached relations
+# accumulating for the life of the session.
+# ---------------------------------------------------------------------------
+_CACHED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every relation this module persisted. Call after the
+    returned DataFrames have been materialized (results collected or
+    written); returns the number of handles released."""
+    n = 0
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def explode_long(emb: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
@@ -90,14 +123,14 @@ def kmeans(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     centroids from scratch inside iteration i+1, and lineage depth —
     hence recomputation — grows quadratically with ``iters``.
     """
-    long = explode_long(emb).persist()
+    long = _track(explode_long(emb).persist())
     centroids = (
         long.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval"))
     )
     assign = None
     for _ in range(iters):
-        centroids = centroids.persist()
+        centroids = _track(centroids.persist())
         assign = kmeans_assign(long, centroids)
         centroids = kmeans_update(long, assign)
     return assign, centroids
@@ -145,6 +178,7 @@ def pq_train(
         )
         .persist()
     )
+    long = _track(long)
     return pq_train_long(long, k=k, iters=iters)
 
 
@@ -191,14 +225,14 @@ def pq_train_long(
         )
 
     for _ in range(iters):
-        cents = cents.persist()
+        cents = _track(cents.persist())
         a = assign(cents)
         cents = (
             long.join(a.select("vec_id", "sub", "cid"), ["vec_id", "sub"])
             .groupBy("cid", "sub", "pos")
             .agg(F.avg("val").alias("cval"))
         )
-    cents = cents.persist()
+    cents = _track(cents.persist())
     return assign(cents), cents
 
 

@@ -1197,7 +1197,11 @@ def hll_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard linear-counting small-range correction — identical
     algebra both engines, so even the ESTIMATE is hash-checked, not
     just 'close'. The exact distinct rides along to make the
-    accuracy auditable in the result itself."""
+    accuracy auditable in the result itself — note that this audit
+    column is a DELIBERATE second corpus pass (count_distinct cannot
+    fold into the register aggregate): it exists so the estimator is
+    oracle-checkable; a production sketch rollup would drop it and
+    keep the single register pass."""
     # regs feeds BOTH the group spine and the dense join — persist,
     # or the corpus aggregate runs twice (SCALE.md
     # "union-of-derivations is a hidden multi-pass").
@@ -1389,7 +1393,10 @@ def hll_rollup_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes sketch-backed rollup/cube hierarchies free at 100 TB:
     every ancestor level of a rollup derives from its children's
     64-int states. Exact distincts ride along at both levels; absent
-    registers enter the estimator arithmetically (64 − observed)."""
+    registers enter the estimator arithmetically (64 − observed).
+    The exact audit columns are a DELIBERATE extra corpus pass for
+    oracle-checkability — a production rollup keeps only the register
+    merge, which never touches the corpus again."""
     regs = REGISTRY["hll_registers"].fn(spark, sf_dir).persist()
     merged = regs.groupBy("reg").agg(
         F.max("max_rho").alias("max_rho")

@@ -81,6 +81,10 @@ HEADLINE = [
     "mmr_diverse_topk",
     "mv_incremental_refresh",
     "hll_distinct_by_priority",
+    "ann_ivfpq_residual_topk",
+    "hll_rollup_priorities",
+    "er_linkage_quality",
+    "nucleus_vocab_size",
 ]
 
 

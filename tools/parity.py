@@ -206,6 +206,11 @@ def main():
         print(f"[{status}] {name}: {msg}", flush=True)
         if not ok:
             failed.append(name)
+        # Release per-query persisted relations (Lloyd corpora, LSH
+        # signatures, ...) so a 250+-query sweep doesn't accumulate
+        # cached blocks for the life of the session — the operators'
+        # caller-owned-cache contract (operators/clustering.py).
+        spark.catalog.clearCache()
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     sys.exit(1 if failed else 0)
 
