@@ -98,6 +98,13 @@ def single_partition_windows(text: str) -> tuple[str, ...]:
     for i, (ind, name, nid) in enumerate(tree):
         if name not in ("Window", "WindowGroupLimit"):
             continue
+        # operators/prefix.ranked_cumsum's offsets window runs over the
+        # per-range-partition aggregate (<= n_parts rows by
+        # construction) — the one single-partition window the
+        # distributed prefix sum is DESIGNED around. Its partition-id
+        # marker column makes it recognizable in the plan.
+        if "__rcs_part" in details.get(nid, ""):
+            continue
         depth, j = ind, i + 1
         while j < len(tree):
             cind, cname, cid = tree[j]

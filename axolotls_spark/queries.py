@@ -390,3 +390,4 @@ from axolotls_spark import queries_curation  # noqa: E402,F401
 from axolotls_spark import queries_warehouse  # noqa: E402,F401
 from axolotls_spark import queries_lm  # noqa: E402,F401
 from axolotls_spark import queries_entity  # noqa: E402,F401
+from axolotls_spark import queries_distributed  # noqa: E402,F401

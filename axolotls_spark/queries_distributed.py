@@ -1,0 +1,561 @@
+"""Distributed-algorithm lab: KMV sketch algebra, exact distributed
+quantiles, weighted sampling, Z-order layout, sweep-line concurrency.
+
+Five operator families a 100 TB curation/analytics stack needs that
+round 3 didn't yet cover, each built on the scale primitives this repo
+already certifies:
+
+- **KMV (k-minimum-values) distinct sketches** — the mergeable
+  distinct-count sketch that, unlike HLL, also supports SET ALGEBRA
+  (union via sketch merge, intersection via the Jaccard fraction of
+  the union sketch — Beyer et al., SIGMOD'07). Engine-independent
+  md5-prefix hashes (operators/dedup.token_hash convention) make
+  every sketch row, threshold and estimate exactly reproducible in
+  DuckDB, so even the ESTIMATES are hash-checked.
+- **Exact quantiles via distributed prefix rank**
+  (operators/prefix.ranked_cumsum) — percentile_disc without a
+  single-partition sort: global ranks come from range partitions +
+  broadcast offsets; the target ranks are pure-integer permille
+  arithmetic so no float ceil() ambiguity can split engines.
+- **Weighted sampling without replacement** (Efraimidis–Spirakis
+  A-Res): key = ln(u)/w with u a deterministic hash uniform; the
+  top-k keys are taken via orderBy+limit (TakeOrderedAndProject),
+  never a global window.
+- **Z-order (Morton) layout** — bit-interleaved multi-dimensional
+  clustering, the data-layout primitive behind file-skipping on two
+  correlated predicates; the quality report compares per-bucket
+  min/max spans (what a format's zone maps would store) against a
+  linear layout in ONE corpus pass.
+- **Sweep-line interval concurrency** — max concurrent 5-minute
+  event windows via +1/−1 boundary deltas and a distributed prefix
+  sum; the classic "peak concurrency" query that naive SQL writes as
+  an unpartitioned running total.
+
+Reference parity: the reference engine (axolotls/*.py, ~30 eager
+tensor ops) has none of these; they are §2B/LLM-pipeline extensions
+mandated by SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.operators.dedup import token_hash
+from axolotls_spark.operators.prefix import ranked_cumsum
+from axolotls_spark.registry import register
+
+#: KMV sketch size and the 60-bit hash-space modulus (token_hash).
+#: k=256 puts the estimator's relative standard error at 1/sqrt(k-2)
+#: ≈ 6.3%; the fixed md5 hash draw over this synthetic key domain
+#: sits within ~1.7σ at every SF (k=64's draw was a 2.4σ outlier —
+#: sketch sizing matters and the tests pin it).
+_KMV_K = 256
+_H_MOD = float(1 << 60)
+
+#: SQL mirror of operators/dedup.token_hash for custkey columns.
+_SQL_H = "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "kmv_distinct_by_priority",
+    oracle=f"""
+    WITH mem AS (
+        SELECT DISTINCT o_orderpriority AS seg, o_custkey FROM orders
+    ),
+    h AS (
+        SELECT seg, o_custkey, {_SQL_H.format(x='o_custkey')} AS h FROM mem
+    ),
+    ranked AS (
+        SELECT seg, h,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY h, o_custkey) AS rn
+        FROM h
+    ),
+    agg AS (
+        SELECT seg, COUNT(*) AS n_exact,
+               MAX(CASE WHEN rn <= {_KMV_K} THEN h END) AS kth
+        FROM ranked GROUP BY seg
+    )
+    SELECT seg,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN n_exact < {_KMV_K}
+                      THEN CAST(n_exact AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_H_MOD} / kth
+                 END, 4) AS kmv_est
+    FROM agg
+    """,
+    tags=("sketch", "kmv", "approx-distinct", "mergeable"),
+)
+def kmv_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per order priority: keep the k=64
+    smallest 60-bit hashes of the member set; the k-th smallest
+    (normalized) is an unbiased threshold θ with estimator (k−1)/θ,
+    falling back to the exact count when fewer than k distinct
+    members exist (small segments take the exact branch at sf0.001,
+    the estimator branch at sf0.01+ — both certified).
+
+    Scale shape: one distinct shuffle to the (seg, custkey) member
+    relation, a PARTITIONED rank window (per segment, never global),
+    and a per-segment aggregate. Sketches merge by unioning hash sets
+    and re-truncating to k — the same algebra the set-operation query
+    exercises. The exact count rides along as the audit column
+    (deliberate second aggregate; production keeps the sketch only).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mem = (
+        orders.select(F.col("o_orderpriority").alias("seg"), "o_custkey")
+        .distinct()
+    )
+    hm = mem.select(
+        "seg", "o_custkey",
+        token_hash(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("seg").orderBy("h", "o_custkey")
+    ranked = hm.select("seg", "h", F.row_number().over(w).alias("rn"))
+    agg = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") <= _KMV_K, F.col("h"))).alias("kth"),
+    )
+    est = F.when(
+        F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(_H_MOD) / F.col("kth"))
+    return agg.select(
+        "seg",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 4).alias("kmv_est"),
+    )
+
+
+_KMV_A, _KMV_B = "1-URGENT", "2-HIGH"
+
+
+@register(
+    "kmv_set_algebra",
+    oracle=f"""
+    WITH mem AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_orderpriority = '{_KMV_A}' THEN 1 ELSE 0 END)
+                   AS in_a,
+               MAX(CASE WHEN o_orderpriority = '{_KMV_B}' THEN 1 ELSE 0 END)
+                   AS in_b,
+               {_SQL_H.format(x='o_custkey')} AS h
+        FROM orders
+        WHERE o_orderpriority IN ('{_KMV_A}', '{_KMV_B}')
+        GROUP BY o_custkey
+    ),
+    sk AS (SELECT * FROM mem ORDER BY h, o_custkey LIMIT {_KMV_K}),
+    sk_agg AS (
+        SELECT COUNT(*) AS n_sk, MAX(h) AS theta,
+               SUM(in_a * in_b) AS both_sk
+        FROM sk
+    ),
+    tot AS (
+        SELECT COUNT(*) AS u_exact, SUM(in_a * in_b) AS i_exact FROM mem
+    )
+    SELECT CAST(tot.u_exact AS BIGINT) AS u_exact,
+           ROUND(CASE WHEN n_sk < {_KMV_K}
+                      THEN CAST(tot.u_exact AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_H_MOD} / theta
+                 END, 4) AS u_est,
+           CAST(tot.i_exact AS BIGINT) AS i_exact,
+           ROUND(CASE WHEN n_sk < {_KMV_K}
+                      THEN CAST(tot.i_exact AS DOUBLE)
+                      ELSE (CAST(both_sk AS DOUBLE) / {_KMV_K})
+                           * (({_KMV_K} - 1) * {_H_MOD} / theta)
+                 END, 4) AS i_est
+    FROM sk_agg CROSS JOIN tot
+    """,
+    tags=("sketch", "kmv", "set-algebra", "union", "intersection"),
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra ON SKETCHES — the capability KMV has and HLL
+    lacks: the union estimate comes from merging the two segments'
+    hash sets and re-truncating to the k smallest; the intersection
+    estimate is the Jaccard fraction of the union sketch (how many of
+    its k members belong to both sides) times the union estimate
+    (Beyer et al., SIGMOD'07). Exact union/intersection audits ride
+    along. 1-row output.
+
+    Scale shape: one membership aggregate over the filtered fact scan
+    (priority filter pushed down), the union sketch via orderBy+limit
+    (TakeOrderedAndProject — never a global window), and two tiny
+    aggregates crossed by broadcast. At 100 TB per-segment sketches
+    would be k-row states merged WITHOUT rescanning members; the
+    membership relation here exists to make the exact audits
+    computable."""
+    orders = load_table(spark, sf_dir, "orders")
+    mem = (
+        orders.filter(F.col("o_orderpriority").isin(_KMV_A, _KMV_B))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == _KMV_A, 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_orderpriority") == _KMV_B, 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .withColumn("h", token_hash(F.col("o_custkey").cast("string")))
+        .persist()  # feeds the sketch AND the exact audit totals
+    )
+    sk = mem.orderBy("h", "o_custkey").limit(_KMV_K)
+    sk_agg = sk.agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both_sk"),
+    )
+    tot = mem.agg(
+        F.count(F.lit(1)).alias("u_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("i_exact"),
+    )
+    u_est = F.when(
+        F.col("n_sk") < _KMV_K, F.col("u_exact").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(_H_MOD) / F.col("theta"))
+    i_est = F.when(
+        F.col("n_sk") < _KMV_K, F.col("i_exact").cast("double")
+    ).otherwise(
+        (F.col("both_sk").cast("double") / F.lit(float(_KMV_K))) * u_est
+    )
+    return sk_agg.crossJoin(F.broadcast(tot)).select(
+        F.col("u_exact").cast("long").alias("u_exact"),
+        F.round(u_est, 4).alias("u_est"),
+        F.col("i_exact").cast("long").alias("i_exact"),
+        F.round(i_est, 4).alias("i_est"),
+    )
+
+
+#: Quantiles as integer permille — target rank is exact integer
+#: arithmetic ceil(q·N) = (q_pm·N + 999) div 1000, so no float-ceil
+#: representation gap (0.9·N is NOT 13500.0 in binary) can split
+#: engines.
+_Q_PERMILLE = (250, 500, 750, 900, 990)
+
+
+@register(
+    "exact_quantiles_totalprice",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_totalprice AS v,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS c FROM orders),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _Q_PERMILLE)}]) AS q_pm)
+    SELECT CAST(qs.q_pm AS DOUBLE) / 1000 AS q,
+           r.v AS value
+    FROM qs CROSS JOIN n
+    JOIN r ON r.rn = (qs.q_pm * n.c + 999) // 1000
+    """,
+    tags=("quantiles", "percentile", "distributed-rank", "prefix-sum"),
+)
+def exact_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_disc at p25/p50/p75/p90/p99 over order
+    totals, computed distributively: global ranks come from
+    operators/prefix.ranked_cumsum (range partitions + broadcast
+    offsets — no single-partition sort, the thing that makes exact
+    quantiles 'impossible' at scale), and each quantile is the row
+    whose rank equals ceil(q·N) in pure integer permille arithmetic.
+
+    Scale shape: one range-shuffle of (value, key) pairs + one
+    broadcast of the 5-row target-rank spine; contrast with
+    percentile_approx (no exactness) or a global sort (one task).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = ranked_cumsum(
+        orders.withColumn("one", F.lit(1)),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        "one",
+        rank_name="rn",
+        cum_name="_cum",
+    ).select(F.col("o_totalprice").alias("v"), "rn")
+    n = orders.agg(F.count(F.lit(1)).alias("c"))
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in _Q_PERMILLE])
+        ).alias("q_pm")
+    )
+    targets = (
+        qs.crossJoin(F.broadcast(n))
+        .select(
+            "q_pm",
+            F.expr("(q_pm * c + 999) div 1000").alias("target_rn"),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), ranked.rn == targets.target_rn
+        )
+        .select(
+            (F.col("q_pm").cast("double") / 1000).alias("q"),
+            F.col("v").alias("value"),
+        )
+    )
+
+
+_WS_K = 20
+
+
+@register(
+    "weighted_sample_orders",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               LN((CAST({_SQL_H.format(x='o_orderkey')} AS DOUBLE) + 1)
+                  / ({_H_MOD} + 1)) / o_totalprice AS skey
+        FROM orders
+    ),
+    top AS (
+        SELECT * FROM keyed ORDER BY skey DESC, o_orderkey LIMIT {_WS_K}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, o_orderkey)
+                AS BIGINT) AS rank,
+           o_orderkey, o_totalprice,
+           ROUND(skey, 6) + 0 AS skey  -- + 0 folds IEEE -0.0 to 0.0
+    FROM top
+    """,
+    tags=("sampling", "weighted", "reservoir", "efraimidis-spirakis"),
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): each row draws a deterministic hash uniform u ∈ (0, 1]
+    and competes with key ln(u)/w (monotone in u^(1/w), w =
+    o_totalprice > 0); the k largest keys are an exact weighted
+    sample — the curation primitive behind quality-weighted corpus
+    subsampling.
+
+    Scale shape: the key is a map-only expression; the top-k is
+    orderBy+limit (TakeOrderedAndProject — per-partition top-k,
+    never a global window); the rank is assigned over the k-row
+    result. Deterministic end to end: u comes from the md5-prefix
+    hash convention, so both engines draw the same 'randomness'."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    u = (
+        token_hash(F.col("o_orderkey").cast("string")).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_H_MOD + 1)
+    keyed = orders.withColumn("skey", F.log(u) / F.col("o_totalprice"))
+    top = keyed.orderBy(F.desc("skey"), "o_orderkey").limit(_WS_K)
+    w = Window.orderBy(F.desc("skey"), "o_orderkey")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "o_orderkey",
+        "o_totalprice",
+        # + 0 folds IEEE -0.0 (tiny negative keys rounding to zero)
+        # to +0.0 identically on both engines.
+        (F.round("skey", 6) + F.lit(0.0)).alias("skey"),
+    )
+
+
+_Z_BITS = 8          # 8 bits per dimension → 16-bit Morton code
+_Z_BUCKET_BITS = 4   # top 4 bits of the code → 16 layout buckets
+
+
+def _interleave_sql(xc: str, yc: str) -> str:
+    """SQL for the Morton interleave of two `_Z_BITS`-bit ints —
+    identical text runs in Spark SQL and DuckDB (both support
+    `>>`/`<<`/`&` with the same semantics, verified in tests)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xc} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({yc} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_quality",
+    oracle=f"""
+    WITH ext AS (
+        SELECT MIN(o_custkey) AS kmin, MAX(o_custkey) AS kmax,
+               MIN(CAST(o_orderdate AS DATE)) AS dmin,
+               MAX(CAST(o_orderdate AS DATE)) AS dmax
+        FROM orders
+    ),
+    q AS (
+        SELECT ((o_custkey - kmin) * {1 << _Z_BITS})
+                   // (kmax - kmin + 1) AS xq,
+               ((CAST(o_orderdate AS DATE) - dmin) * {1 << _Z_BITS})
+                   // (dmax - dmin + 1) AS yq
+        FROM orders CROSS JOIN ext
+    ),
+    z AS (
+        SELECT xq, yq, {_interleave_sql('xq', 'yq')} AS zval FROM q
+    ),
+    buckets AS (
+        SELECT 'zorder' AS layout,
+               zval >> {2 * _Z_BITS - _Z_BUCKET_BITS} AS bucket, xq, yq
+        FROM z
+        UNION ALL
+        SELECT 'linear', xq >> {_Z_BITS - _Z_BUCKET_BITS}, xq, yq FROM z
+    ),
+    spans AS (
+        SELECT layout, bucket,
+               MAX(xq) - MIN(xq) AS x_span,
+               MAX(yq) - MIN(yq) AS y_span
+        FROM buckets GROUP BY layout, bucket
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(AVG(x_span), 4) AS avg_x_span,
+           ROUND(AVG(y_span), 4) AS avg_y_span
+    FROM spans GROUP BY layout
+    """,
+    tags=("data-layout", "zorder", "morton", "file-skipping", "pruning"),
+)
+def zorder_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout vs linear layout, measured by the
+    zone-map spans a format would store per file: quantize
+    (o_custkey, o_orderdate) to 8 bits each, interleave the bits into
+    a 16-bit Morton code, bucket rows by the code's top 4 bits (16
+    'files'), and report each layout's average per-bucket min/max
+    span in BOTH dimensions. Z-order keeps both spans ~1/4 of the
+    domain (both predicates prune); linear keeps x tight but y at
+    full width (date predicates prune nothing) — the measured
+    argument for Z-ordering 100 TB tables clustered on two query
+    dimensions.
+
+    Scale shape: extents via one tiny broadcast aggregate; the
+    quantize + interleave is map-only integer arithmetic (identical
+    SQL text runs in both engines); both layouts are measured in ONE
+    corpus pass (a 2× explode, constant factor); the span report
+    aggregates 32 bucket rows. Bucketing uses code prefixes, not
+    repartitionByRange, so results carry no sampling nondeterminism.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    ext = orders.agg(
+        F.min("o_custkey").alias("kmin"),
+        F.max("o_custkey").alias("kmax"),
+        F.min("od").alias("dmin"),
+        F.max("od").alias("dmax"),
+    )
+    side = 1 << _Z_BITS
+    q = orders.crossJoin(F.broadcast(ext)).select(
+        F.expr(
+            f"(o_custkey - kmin) * {side} div (kmax - kmin + 1)"
+        ).alias("xq"),
+        F.expr(
+            f"datediff(od, dmin) * {side} div (datediff(dmax, dmin) + 1)"
+        ).alias("yq"),
+    )
+    z = q.select("xq", "yq", F.expr(_interleave_sql("xq", "yq")).alias("zval"))
+    buckets = z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(
+                        f"zval >> {2 * _Z_BITS - _Z_BUCKET_BITS}"
+                    ).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"xq >> {_Z_BITS - _Z_BUCKET_BITS}").alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("lb"),
+        "xq",
+        "yq",
+    ).select("lb.layout", "lb.bucket", "xq", "yq")
+    spans = buckets.groupBy("layout", "bucket").agg(
+        (F.max("xq") - F.min("xq")).alias("x_span"),
+        (F.max("yq") - F.min("yq")).alias("y_span"),
+    )
+    return spans.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.avg("x_span"), 4).alias("avg_x_span"),
+        F.round(F.avg("y_span"), 4).alias("avg_y_span"),
+    )
+
+
+_SWEEP_SECS = 300
+
+
+@register(
+    "max_concurrent_events",
+    oracle=f"""
+    WITH b AS (
+        SELECT ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT ts + INTERVAL {_SWEEP_SECS} SECOND, -1, event_id FROM events
+    ),
+    c AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b
+    ),
+    mx AS (SELECT MAX(cum) AS max_concurrent FROM c)
+    SELECT CAST(mx.max_concurrent AS BIGINT) AS max_concurrent,
+           strftime(MIN(c.t), '%Y-%m-%d %H:%M:%S') AS first_at
+    FROM c JOIN mx ON c.cum = mx.max_concurrent
+    GROUP BY mx.max_concurrent
+    """,
+    tags=("sweep-line", "intervals", "concurrency", "prefix-sum"),
+)
+def max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency of 5-minute event windows (sweep line): every
+    interval contributes a +1 boundary at its start and a −1 at its
+    end; the running sum over boundaries ordered by (time, delta,
+    event_id) — closes before opens at the same instant, so intervals
+    are half-open — is the live concurrency, and its max (with the
+    first time it is reached) is the answer. The naive SQL running
+    total is an unpartitioned window over 2·N boundary rows; here the
+    prefix sum is distributed (operators/prefix.ranked_cumsum), so
+    the sweep scales with partitions, not one task.
+
+    Scale shape: boundary explode is map-only (2× constant factor);
+    one range shuffle for the prefix sum; the max/argmin fold is two
+    aggregates over the persisted concurrency relation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    b = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.lit(1).alias("delta"),
+                    F.col("event_id"),
+                ),
+                F.struct(
+                    (
+                        F.col("ts")
+                        + F.expr(f"INTERVAL {_SWEEP_SECS} SECONDS")
+                    ).alias("t"),
+                    F.lit(-1).alias("delta"),
+                    F.col("event_id"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.t", "e.delta", "e.event_id")
+    cum = ranked_cumsum(
+        b,
+        [F.asc("t"), F.asc("delta"), F.asc("event_id")],
+        "delta",
+        rank_name="_rn",
+        cum_name="cum",
+    ).select("t", "cum").persist()  # feeds the max AND the argmin fold
+    mx = cum.agg(F.max("cum").alias("max_concurrent"))
+    return (
+        cum.join(F.broadcast(mx), cum.cum == mx.max_concurrent)
+        .groupBy("max_concurrent")
+        .agg(
+            F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_at"
+            )
+        )
+        .select(
+            F.col("max_concurrent").cast("long").alias("max_concurrent"),
+            "first_at",
+        )
+    )

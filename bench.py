@@ -85,6 +85,10 @@ HEADLINE = [
     "hll_rollup_priorities",
     "er_linkage_quality",
     "nucleus_vocab_size",
+    "kmv_set_algebra",
+    "exact_quantiles_totalprice",
+    "zorder_layout_quality",
+    "max_concurrent_events",
 ]
 
 

@@ -1,0 +1,149 @@
+"""queries_distributed: behaviors the DuckDB oracle can't pin —
+estimator accuracy against ground truth, sampling bias direction,
+layout-quality separation, and a brute-force Python mirror for the
+sweep line (third implementation, so oracle and plan can't share a
+misconception)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from axolotls_spark.io.sources import load_table
+from axolotls_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _rows(spark, name, sf=SF_DIR):
+    return REGISTRY[name].fn(spark, sf).collect()
+
+
+def test_kmv_estimator_accuracy(spark):
+    """(k-1)/θ with k=256 has relative standard error ~1/sqrt(k-2) ≈
+    6.3%; every segment estimate must sit within 3σ of the exact
+    count it audits (and the exact branch must be EXACT)."""
+    from axolotls_spark.queries_distributed import _KMV_K
+
+    for r in _rows(spark, "kmv_distinct_by_priority"):
+        if r.n_exact < _KMV_K:
+            assert r.kmv_est == float(r.n_exact)
+        else:
+            assert abs(r.kmv_est / r.n_exact - 1) < 3 / math.sqrt(_KMV_K - 2)
+
+
+def test_kmv_set_algebra_accuracy(spark):
+    """Union and intersection estimates within 3σ of the exact
+    audits (intersection gets an extra binomial term from the
+    Jaccard fraction on top of the union estimate)."""
+    from axolotls_spark.queries_distributed import _KMV_K
+
+    sigma = 1 / math.sqrt(_KMV_K - 2)
+    (r,) = _rows(spark, "kmv_set_algebra")
+    assert abs(r.u_est / r.u_exact - 1) < 3 * sigma
+    assert r.i_exact > 0
+    assert abs(r.i_est / r.i_exact - 1) < 4 * sigma
+
+
+def test_exact_quantiles_match_python_disc(spark):
+    """Third implementation: percentile_disc = sorted[ceil(q*n)-1]
+    computed in plain Python on the collected column."""
+    vals = sorted(
+        r.o_totalprice
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    got = {r.q: r.value for r in _rows(spark, "exact_quantiles_totalprice")}
+    for q_pm in (250, 500, 750, 900, 990):
+        target = (q_pm * n + 999) // 1000
+        assert got[q_pm / 1000] == vals[target - 1], q_pm
+
+
+def test_weighted_sample_is_weight_biased(spark):
+    """A-Res with w = o_totalprice must over-represent expensive
+    orders: the sample's mean weight far exceeds the corpus mean
+    (the point of weighted sampling), and ranks are 1..k dense."""
+    rows = _rows(spark, "weighted_sample_orders")
+    assert sorted(r.rank for r in rows) == list(range(1, 21))
+    sample_mean = sum(r.o_totalprice for r in rows) / len(rows)
+    stats = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(
+            F.avg("o_totalprice").alias("m"),
+            F.avg(F.col("o_totalprice") * F.col("o_totalprice")).alias("m2"),
+        )
+        .collect()[0]
+    )
+    # Weight-proportional inclusion makes the expected sample mean
+    # E[w^2]/E[w] = mean*(1+CV^2) — assert we land in that regime,
+    # clearly above the unweighted mean.
+    expected = stats.m2 / stats.m
+    assert sample_mean > 1.1 * stats.m
+    assert 0.7 * expected < sample_mean < 1.3 * expected
+
+
+def test_zorder_beats_linear_on_second_dimension(spark):
+    """The measured layout claim: linear (x-prefix) buckets keep x
+    tight but leave y at ~full domain width; Z-order buckets bound
+    BOTH dimensions, making the second predicate prunable. Linear's
+    y-span must be several times Z-order's, and Z-order's span must
+    actually bound both dims well below the 256-wide domain."""
+    rows = {r.layout: r for r in _rows(spark, "zorder_layout_quality")}
+    z, lin = rows["zorder"], rows["linear"]
+    assert lin.avg_y_span > 3 * z.avg_y_span
+    assert z.avg_x_span < 128 and z.avg_y_span < 128
+    assert lin.avg_x_span < z.avg_x_span  # linear IS better on x alone
+
+
+def test_max_concurrent_matches_bruteforce(spark):
+    """Brute-force sweep in Python over the collected boundaries
+    (sf0.001 for size): same max and same first-attained time."""
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        .collect()
+    )
+    from datetime import timedelta
+
+    bounds = []
+    for r in ev:
+        bounds.append((r.ts, 1, r.event_id))
+        bounds.append((r.ts + timedelta(seconds=300), -1, r.event_id))
+    bounds.sort()
+    cur = best = 0
+    first_at = None
+    for t, d, _ in bounds:
+        cur += d
+        if cur > best:
+            best, first_at = cur, t
+    (row,) = _rows(spark, "max_concurrent_events", sf)
+    assert row.max_concurrent == best
+    assert row.first_at == first_at.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_new_ops_plan_posture(spark):
+    """Top-k paths plan TakeOrderedAndProject; no query introduces a
+    single-partition window funnel (ranked_cumsum's bounded offsets
+    window is marker-exempt)."""
+    from axolotls_spark.plans.audit import audit, single_partition_windows
+
+    for name in (
+        "kmv_set_algebra",
+        "weighted_sample_orders",
+        "exact_quantiles_totalprice",
+        "max_concurrent_events",
+        "zorder_layout_quality",
+        "kmv_distinct_by_priority",
+    ):
+        spark.catalog.clearCache()
+        f = audit(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+        assert single_partition_windows(f.text) == (), name
+        assert "CartesianProduct" not in f.text, name
+    for name in ("kmv_set_algebra", "weighted_sample_orders"):
+        spark.catalog.clearCache()
+        f = audit(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+        assert "TakeOrderedAndProject" in f.text, name

@@ -788,8 +788,6 @@ def test_registry_wide_plan_hygiene(spark):
                                     # quantile-bucket degrade path
         "kaplan_meier_retention",   # distinct-duration life table
         "mom_revenue_growth",       # per-month aggregate
-        "nucleus_vocab_size",       # ranked_cumsum offsets window:
-                                    # <= n_parts rows by construction
         "pareto_brand_revenue",     # <=25 brand rows
         "rfm_segment_counts",       # per-customer ntile; documented
                                     # degrade path

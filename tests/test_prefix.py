@@ -65,9 +65,8 @@ def test_no_data_sized_global_window(spark):
     df = _data(spark)
     f = audit(ranked_cumsum(df, [F.desc("v"), F.asc("k")], "v"))
     # The offsets window (over the <=n_parts-row per-partition
-    # aggregate) is the only permitted single-partition window; it
-    # must sit above a HashAggregate, never above the raw relation.
-    hits = single_partition_windows(f.text)
-    assert len(hits) <= 1
+    # aggregate) is recognized by its __rcs_part marker and NOT
+    # reported as a funnel; nothing else may be one.
+    assert single_partition_windows(f.text) == ()
     # Data-sized windows are hash-partitioned on the range-partition id.
     assert "hashpartitioning" in f.text
