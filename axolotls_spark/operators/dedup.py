@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import spread_for_cpu
 from axolotls_spark.plans.audit import record_loop_plan
@@ -433,6 +434,87 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard join with PREFIX FILTERING (SSJoin /
+    PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    candidates come from joining only each document's prefix — its
+    ``|s| − ceil(τ·|s|) + 1`` globally-RAREST shingles under the
+    (document-frequency, hash) total order — instead of all shared
+    shingles. Any pair with J ≥ τ must intersect within those
+    prefixes, so the filter is lossless; hot shingles (common-word
+    trigrams), which blow ``jaccard_pairs``' candidate stream up
+    quadratically in their document frequency, contribute candidates
+    only for documents where they fall in the rare prefix.
+
+    τ is the integer ratio ``tau_num/tau_den`` so the prefix length
+    ``|s| − ceil(τ|s|) + 1`` is exact integer arithmetic (no float
+    ceil ambiguity). Verification is exact: candidate pairs join the
+    per-doc shingle-hash sets (bounded by document length) and the
+    true Jaccard is computed from ``array_intersect`` — the brute-
+    force all-co-occurring-pairs oracle must match EXACTLY, which is
+    the completeness certification.
+
+    Scale shape: one shingle shuffle for document frequencies, one
+    per-doc window (partitioned — never global) for prefix ranks,
+    one prefix-to-prefix equi-join (the candidate stream), and a
+    candidate-sized verify join against the per-doc set arrays.
+    """
+    sh = doc_shingle_hashes(docs, id_col, text_col, n).persist()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .select(
+            "doc_id", "sh",
+            F.row_number()
+            .over(wdoc.orderBy("df", "sh"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(wdoc).alias("n_sh"),
+        )
+    )
+    # prefix length = n_sh - ceil(tau * n_sh) + 1, all integers.
+    need = F.expr(
+        f"(n_sh * {tau_num} + {tau_den} - 1) div {tau_den}"
+    )
+    pref = ranked.filter(F.col("rn") <= F.col("n_sh") - need + 1).select(
+        "doc_id", "sh"
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(
+            F.col("jaccard") >= F.lit(tau_num) / F.lit(float(tau_den))
+        )
     )
 
 

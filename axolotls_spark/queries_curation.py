@@ -536,6 +536,244 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round for the oracle: count adjacent symbol
+    pairs weighted by word frequency, pick the argmax (count desc,
+    pair asc), rewrite every vocabulary word's symbol sequence with
+    the merged token (space-wrapped literal replace — identical
+    semantics in DuckDB and Spark, verified for the overlapping
+    'a a a' case)."""
+    prev = f"v{r - 1}"
+    return f"""
+    p{r} AS (
+        SELECT arr[i] || ' ' || arr[i + 1] AS pair, SUM(cnt) AS pc
+        FROM (SELECT string_split(sym, ' ') AS arr, cnt FROM {prev}),
+             UNNEST(range(1, len(arr))) AS u{r}(i)
+        GROUP BY 1
+    ),
+    t{r} AS (
+        SELECT pair, replace(pair, ' ', '') AS merged, pc
+        FROM p{r} ORDER BY pc DESC, pair LIMIT 1
+    ),
+    v{r} AS (
+        SELECT trim(replace(' ' || sym || ' ',
+                            ' ' || t{r}.pair || ' ',
+                            ' ' || t{r}.merged || ' ')) AS sym, cnt
+        FROM {prev} CROSS JOIN t{r}
+    )"""
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    v0 AS (
+        SELECT array_to_string(string_split(term, ''), ' ') AS sym, cnt
+        FROM vocab
+    ),
+    {", ".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {r} AS round, pair, merged AS merged_token, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )}
+    """,
+    tags=("bpe", "tokenizer", "training-loop", "vocab-induction"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING, not just one candidate count: three full merge
+    rounds of Sennrich et al. (2016) — count adjacent symbol pairs
+    weighted by word frequency, merge the argmax pair into a new
+    token, rewrite the vocabulary, repeat. Returns the learned merge
+    table (round, pair, merged_token, pair_count), i.e. the first
+    three lines of a tokenizer's merges.txt. The oracle unrolls the
+    identical three rounds in SQL, so the whole training loop — not
+    just a step — is hash-certified.
+
+    Scale shape (the vocabulary-first trick production BPE trainers
+    use): the corpus collapses to its Zipf-small (word, count)
+    vocabulary in ONE corpus-sized shuffle; every training round then
+    operates on the vocabulary only — pair explode (bounded by word
+    length), pair aggregate, argmax via orderBy+limit(1)
+    (TakeOrderedAndProject), and a broadcast-merge rewrite (map-only
+    literal replace, space-wrapped so symbol boundaries can't
+    false-match). Each round's vocabulary is persisted: the rounds
+    are sequential by nature, and without the persist round r's lazy
+    plan re-derives rounds 1..r-1 (the Lloyd-iteration lesson)."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v = vocab.select(
+        F.array_join(F.split("term", ""), " ").alias("sym"), "cnt"
+    )
+    merge_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        v = v.persist()
+        pairs = (
+            v.select(F.split("sym", " ").alias("arr"), "cnt")
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1), "
+                        "i -> concat(element_at(arr, i), ' ', "
+                        "element_at(arr, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pc"), "pair")
+            .limit(1)
+            .select("pair", F.expr("replace(pair, ' ', '')").alias("merged"),
+                    "pc")
+            .persist()  # read by the merge rewrite AND the output row
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(r).alias("round"),
+                "pair",
+                F.col("merged").alias("merged_token"),
+                F.col("pc").cast("long").alias("pair_count"),
+            )
+        )
+        v = v.crossJoin(F.broadcast(top)).select(
+            F.expr(
+                "trim(replace(' ' || sym || ' ', ' ' || pair || ' ', "
+                "' ' || merged || ' '))"
+            ).alias("sym"),
+            "cnt",
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+_DSIR_B = 256
+_DSIR_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % " + str(_DSIR_B)
+)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_DSIR_SQL_BUCKET} AS b
+        FROM (SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term
+              FROM documents)
+    ),
+    raw AS (SELECT b, COUNT(*) AS c_r FROM toks GROUP BY 1),
+    tgt AS (SELECT b, COUNT(*) AS c_t FROM toks WHERE lang = 'en'
+            GROUP BY 1),
+    tots AS (
+        SELECT (SELECT COUNT(*) FROM toks) AS rt,
+               (SELECT COUNT(*) FROM toks WHERE lang = 'en') AS tt
+    ),
+    model AS (
+        SELECT raw.b,
+               LN((COALESCE(tgt.c_t, 0) + 1.0) / (tots.tt + {_DSIR_B}))
+             - LN((raw.c_r + 1.0) / (tots.rt + {_DSIR_B})) AS dl
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+    ),
+    docb AS (
+        SELECT doc_id, lang, b, COUNT(*) AS n
+        FROM toks WHERE lang <> 'en'
+        GROUP BY 1, 2, 3
+    ),
+    w AS (
+        SELECT doc_id, lang, ROUND(SUM(n * dl), 6) AS logw
+        FROM docb JOIN model USING (b)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, logw
+    FROM w ORDER BY logw DESC, doc_id LIMIT 20
+    """,
+    tags=("dsir", "importance-sampling", "curation", "hashed-ngrams"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., NeurIPS'23): score every
+    non-English document by the log importance weight
+    Σ log p_target(feature) − log p_raw(feature) under two hashed
+    bag-of-words unigram models (256 buckets, +1 smoothing) — target
+    = the English slice, raw = the whole corpus — and return the 20
+    best-scoring candidates. This is the importance-resampling
+    primitive that tilts a raw 100 TB crawl toward a target domain
+    without training a classifier.
+
+    Scale shape: the corpus tokenizes ONCE (persisted bucket
+    relation feeds the raw model, the target model, and the per-doc
+    fold); both models collapse to ≤256-row broadcast relations; the
+    per-doc score is an integer (doc, bucket) count aggregate joined
+    to the broadcast model — pure map-side arithmetic — and the
+    top-20 is orderBy+limit on the ROUNDED score (ties by doc_id),
+    so cross-engine float noise cannot reorder the cut."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = (
+        docs.select(
+            "doc_id", "lang",
+            F.explode(tokens_col(F.col("text"))).alias("term"),
+        )
+        .select(
+            "doc_id", "lang", (token_hash(F.col("term")) % _DSIR_B).alias("b")
+        )
+        .persist()
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tots = toks.agg(
+        F.count(F.lit(1)).alias("rt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(_DSIR_B))
+                )
+                - F.log(
+                    (F.col("c_r") + F.lit(1.0))
+                    / (F.col("rt") + F.lit(_DSIR_B))
+                )
+            ).alias("dl"),
+        )
+    )
+    docb = (
+        toks.filter(F.col("lang") != "en")
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        docb.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum(F.col("n") * F.col("dl")), 6).alias("logw"))
+    )
+    return w.orderBy(F.desc("logw"), "doc_id").limit(20).select(
+        "doc_id", "lang", "logw"
+    )
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style perplexity terciles per language
 # ---------------------------------------------------------------------------

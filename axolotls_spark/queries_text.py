@@ -399,6 +399,47 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jaccard_prefix_join",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='sh.shingle')} AS shash
+        FROM (
+            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
+            FROM documents
+        ) sh
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_shared / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.2
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "ppjoin", "set-similarity"),
+)
+def jaccard_prefix_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (PPJoin family,
+    operators/dedup.jaccard_prefix_pairs): candidates come only from
+    each document's globally-rarest-shingle prefix, so hot shingles
+    stop driving the candidate stream quadratic — the scalable form
+    of ``ngram_jaccard_pairs``. The ORACLE is the brute-force
+    all-co-occurring-pairs join: prefix filtering is lossless for
+    J ≥ τ, so the two must agree EXACTLY — parity IS the
+    completeness certification (same pattern as the fuzzy edit-1
+    join). τ = 1/5 as an integer ratio; prefix lengths are pure
+    integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_prefix_pairs(docs, tau_num=1, tau_den=5)
+
+
+@register(
     "simhash_fingerprints",
     oracle=f"""
     WITH toks AS (

@@ -89,6 +89,9 @@ HEADLINE = [
     "exact_quantiles_totalprice",
     "zorder_layout_quality",
     "max_concurrent_events",
+    "jaccard_prefix_join",
+    "bpe_train_merges",
+    "dsir_importance_weights",
 ]
 
 

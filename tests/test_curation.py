@@ -116,3 +116,119 @@ def test_ccnet_terciles_balanced(spark, sf_dir):
         # checked via the avg scores.
     for r in rows:
         assert r.n_docs > 0
+
+
+def test_bpe_train_merges_matches_python_mirror(spark):
+    """Third implementation: classic BPE (count pairs weighted by
+    word frequency, merge argmax left-to-right non-overlapping,
+    repeat) in plain Python over the same whitespace vocabulary —
+    the Spark loop and the SQL oracle must both reproduce it."""
+    import re
+    from collections import Counter
+
+    from axolotls_spark.io.sources import load_table
+    from axolotls_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    texts = [
+        r.text for r in load_table(spark, sf, "documents").select("text").collect()
+    ]
+    vocab = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                vocab[w] += 1
+    syms = {tuple(w): c for w, c in vocab.items()}
+
+    def one_round(syms):
+        pc = Counter()
+        for s, c in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = {}
+        for s, c in syms.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            out[tuple(ns)] = out.get(tuple(ns), 0) + c
+        return out, (a, b, n)
+
+    expected = []
+    for r in range(1, 4):
+        syms, (a, b, n) = one_round(syms)
+        expected.append((r, f"{a} {b}", a + b, n))
+
+    got = [
+        (r.round, r.pair, r.merged_token, r.pair_count)
+        for r in sorted(
+            REGISTRY["bpe_train_merges"].fn(spark, sf).collect(),
+            key=lambda x: x.round,
+        )
+    ]
+    assert got == expected
+
+
+def test_dsir_weights_match_python_mirror(spark):
+    """Third implementation of the DSIR score: hashed bag-of-words
+    unigram models with +1 smoothing in plain Python — top-20 ids,
+    langs and rounded scores must match the Spark/oracle pair."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from axolotls_spark.io.sources import load_table
+    from axolotls_spark.queries import REGISTRY
+    from axolotls_spark.queries_curation import _DSIR_B
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def buckets(text):
+        return [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % _DSIR_B
+            for w in re.split(r"\s+", text.strip())
+            if w
+        ]
+
+    raw, tgt = Counter(), Counter()
+    rt = tt = 0
+    per_doc = []
+    for d in docs:
+        bs = buckets(d.text)
+        raw.update(bs)
+        rt += len(bs)
+        if d.lang == "en":
+            tgt.update(bs)
+            tt += len(bs)
+        else:
+            per_doc.append((d.doc_id, d.lang, bs))
+    scored = []
+    for doc_id, lang, bs in per_doc:
+        w = sum(
+            math.log((tgt[b] + 1.0) / (tt + _DSIR_B))
+            - math.log((raw[b] + 1.0) / (rt + _DSIR_B))
+            for b in bs
+        )
+        scored.append((doc_id, lang, round(w, 6)))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    expected = scored[:20]
+
+    got = [
+        (r.doc_id, r.lang, r.logw)
+        for r in REGISTRY["dsir_importance_weights"].fn(spark, sf).collect()
+    ]
+    # Compare ids/langs exactly; scores to 4 decimals (python's
+    # math.log vs the JVM's can differ in the last ulp before the
+    # 6-decimal round).
+    assert [(i, l) for i, l, _ in got] == [(i, l) for i, l, _ in expected]
+    for (_, _, a), (_, _, b) in zip(got, expected):
+        assert abs(a - b) < 5e-5

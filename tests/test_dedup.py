@@ -181,3 +181,62 @@ def test_split_leakage_free_invariant(spark):
     assert n_violations == 0
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert splits == {"train", "val", "test"}
+
+
+def test_prefix_filter_shrinks_candidates_and_stays_complete(spark):
+    """PPJoin prefix filtering: (1) completeness — the prefix-filtered
+    result equals the brute-force all-co-occurring-pairs Jaccard join
+    at the same threshold; (2) the PERF claim — the prefix-to-prefix
+    candidate stream is a strict, substantial subset of the full
+    shingle join's pair stream (hot shingles stop driving it)."""
+    from axolotls_spark.io.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.jaccard_prefix_pairs(docs, tau_num=1, tau_den=5).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert got == want and got  # identical AND non-trivial
+
+    # Candidate-stream sizes: distinct pairs generated by each scheme.
+    sh = D.doc_shingle_hashes(docs)
+    full = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    from pyspark.sql.window import Window
+
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "sh").select(
+        "doc_id", "sh",
+        F.row_number().over(wdoc.orderBy("df", "sh")).alias("rn"),
+        F.count(F.lit(1)).over(wdoc).alias("n_sh"),
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.expr("(n_sh + 4) div 5") + 1
+    ).select("doc_id", "sh")
+    pruned = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert pruned < full * 0.9  # measurably fewer candidates
+    assert pruned >= len({(a, b) for a, b, _ in got})  # still complete
