@@ -774,6 +774,228 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_encode_compression",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    v0 AS (
+        SELECT array_to_string(string_split(term, ''), ' ') AS sym, cnt
+        FROM vocab
+    ),
+    {", ".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))},
+    before AS (
+        SELECT SUM(cnt) AS n_words,
+               SUM(cnt * len(string_split(sym, ' '))) AS syms_before
+        FROM v0
+    ),
+    after AS (
+        SELECT SUM(cnt * len(string_split(sym, ' '))) AS syms_after
+        FROM v{_BPE_ROUNDS}
+    )
+    SELECT CAST(n_words AS BIGINT) AS n_words,
+           CAST(syms_before AS BIGINT) AS syms_before,
+           CAST(syms_after AS BIGINT) AS syms_after,
+           ROUND(CAST(syms_after AS DOUBLE) / syms_before, 6)
+               AS compression
+    FROM before CROSS JOIN after
+    """,
+    tags=("bpe", "tokenizer", "encode", "compression"),
+)
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING with the learned merges — the other half of the BPE
+    story: apply the three trained merge rules to the corpus
+    vocabulary and measure the token-stream compression (symbols
+    after / symbols before; before = character count). This is the
+    number a tokenizer team actually tracks per merge budget
+    (fertility / bytes-per-token), and it certifies that the learned
+    merges APPLY correctly, not just that they were chosen correctly.
+
+    Scale shape: identical to bpe_train_merges (vocabulary-first;
+    every round vocabulary-sized, merges broadcast); the encode cost
+    is two aggregates over the initial and final vocabularies —
+    corpus tokens are never re-materialized with merges applied,
+    because symbol counts weighted by word frequency are sufficient
+    statistics for the compression ratio."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v0 = vocab.select(
+        F.array_join(F.split("term", ""), " ").alias("sym"), "cnt"
+    ).persist()  # start state feeds round 1 AND the 'before' aggregate
+    v = v0
+    for _ in range(_BPE_ROUNDS):
+        v = v.persist()
+        pairs = (
+            v.select(F.split("sym", " ").alias("arr"), "cnt")
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1), "
+                        "i -> concat(element_at(arr, i), ' ', "
+                        "element_at(arr, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pc"), "pair")
+            .limit(1)
+            .select(
+                "pair", F.expr("replace(pair, ' ', '')").alias("merged")
+            )
+        )
+        v = v.crossJoin(F.broadcast(top)).select(
+            F.expr(
+                "trim(replace(' ' || sym || ' ', ' ' || pair || ' ', "
+                "' ' || merged || ' '))"
+            ).alias("sym"),
+            "cnt",
+        )
+    n_syms = F.col("cnt") * F.size(F.split("sym", " "))
+    before = v0.agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(n_syms).alias("syms_before"),
+    )
+    after = v.agg(F.sum(n_syms).alias("syms_after"))
+    return before.crossJoin(F.broadcast(after)).select(
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("syms_before").cast("long").alias("syms_before"),
+        F.col("syms_after").cast("long").alias("syms_after"),
+        F.round(
+            F.col("syms_after").cast("double") / F.col("syms_before"), 6
+        ).alias("compression"),
+    )
+
+
+@register(
+    "curation_funnel_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, lang, n_chars,
+               len({_SQL_TOKENS}) AS n_tokens
+        FROM documents
+    ),
+    gates AS (
+        SELECT COUNT(*) AS total,
+               SUM(CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END)
+                   AS n_lang,
+               SUM(CASE WHEN lang IN ('en','de','fr')
+                         AND n_chars BETWEEN 50 AND 5000
+                         AND n_tokens >= 10 THEN 1 ELSE 0 END) AS n_qual
+        FROM base
+    ),
+    reps AS (
+        SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang
+        FROM base
+        WHERE lang IN ('en','de','fr')
+          AND n_chars BETWEEN 50 AND 5000 AND n_tokens >= 10
+        GROUP BY text
+    ),
+    dd AS (
+        SELECT COUNT(*) AS n_dedup,
+               SUM(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                             ::BIGINT % 100 <
+                             CASE lang WHEN 'en' THEN 40
+                                       WHEN 'de' THEN 70 ELSE 100 END
+                        THEN 1 ELSE 0 END) AS n_sample
+        FROM reps
+    )
+    SELECT s.stage_id, s.stage,
+           CAST(s.rows_surviving AS BIGINT) AS rows_surviving,
+           CAST(s.dropped_here AS BIGINT) AS dropped_here
+    FROM gates CROSS JOIN dd,
+    LATERAL (
+        SELECT * FROM (VALUES
+            (0, 'total',        total,    CAST(0 AS BIGINT)),
+            (1, 'lang_gate',    n_lang,   total - n_lang),
+            (2, 'quality_gate', n_qual,   n_lang - n_qual),
+            (3, 'exact_dedup',  n_dedup,  n_qual - n_dedup),
+            (4, 'sampled',      n_sample, n_dedup - n_sample)
+        ) AS v(stage_id, stage, rows_surviving, dropped_here)
+    ) s
+    """,
+    tags=("pipeline", "observability", "funnel", "governance"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability for ``pipeline_corpus_curation``: the
+    per-stage survival funnel (total → language gate → quality gate →
+    exact dedup → stratified sample) with rows dropped at each stage
+    — the governance artifact a 100 TB curation run publishes next to
+    its output so a 40% corpus shrink is attributable to a stage, not
+    discovered downstream.
+
+    Scale shape: stages 0–2 are conditional sums in ONE pass over the
+    scan; dedup + sample survivors come from one aggregate over the
+    gated text groups; the 5-row funnel is assembled from the two
+    1-row aggregates with literal structs — no window, no second
+    corpus pass per stage."""
+    from axolotls_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", "lang", "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    lang_ok = F.col("lang").isin("en", "de", "fr")
+    qual_ok = (
+        lang_ok
+        & F.col("n_chars").between(50, 5000)
+        & (F.col("n_tokens") >= 10)
+    )
+    gates = base.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(lang_ok.cast("long")).alias("n_lang"),
+        F.sum(qual_ok.cast("long")).alias("n_qual"),
+    )
+    reps = (
+        base.filter(qual_ok)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 40)
+        .when(F.col("lang") == "de", 70)
+        .otherwise(100)
+    )
+    keep = token_hash(F.col("doc_id").cast("string")) % 100 < rate
+    dd = reps.agg(
+        F.count(F.lit(1)).alias("n_dedup"),
+        F.sum(keep.cast("long")).alias("n_sample"),
+    )
+    both = gates.crossJoin(F.broadcast(dd))
+    stage = lambda sid, name, surv, drop: F.struct(
+        F.lit(sid).alias("stage_id"),
+        F.lit(name).alias("stage"),
+        surv.cast("long").alias("rows_surviving"),
+        drop.cast("long").alias("dropped_here"),
+    )
+    return both.select(
+        F.explode(
+            F.array(
+                stage(0, "total", F.col("total"), F.lit(0)),
+                stage(1, "lang_gate", F.col("n_lang"),
+                      F.col("total") - F.col("n_lang")),
+                stage(2, "quality_gate", F.col("n_qual"),
+                      F.col("n_lang") - F.col("n_qual")),
+                stage(3, "exact_dedup", F.col("n_dedup"),
+                      F.col("n_qual") - F.col("n_dedup")),
+                stage(4, "sampled", F.col("n_sample"),
+                      F.col("n_dedup") - F.col("n_sample")),
+            )
+        ).alias("s")
+    ).select("s.stage_id", "s.stage", "s.rows_surviving", "s.dropped_here")
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style perplexity terciles per language
 # ---------------------------------------------------------------------------

@@ -477,6 +477,144 @@ def zorder_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Probe boxes in the quantized 0..255 space: each covers 1/4 of each
+#: dimension (1/16 of the area). A Z-ordered layout should scan ~the
+#: area fraction of buckets; a linear (x-only) layout can prune only
+#: on x and scans ~1/4 regardless of the y constraint.
+_Z_PROBES = (
+    (0, 63, 0, 63),
+    (64, 127, 128, 191),
+    (192, 255, 0, 63),
+    (128, 191, 192, 255),
+)
+
+
+@register(
+    "zonemap_pruning_rate",
+    oracle=f"""
+    WITH ext AS (
+        SELECT MIN(o_custkey) AS kmin, MAX(o_custkey) AS kmax,
+               MIN(CAST(o_orderdate AS DATE)) AS dmin,
+               MAX(CAST(o_orderdate AS DATE)) AS dmax
+        FROM orders
+    ),
+    q AS (
+        SELECT ((o_custkey - kmin) * {1 << _Z_BITS})
+                   // (kmax - kmin + 1) AS xq,
+               ((CAST(o_orderdate AS DATE) - dmin) * {1 << _Z_BITS})
+                   // (dmax - dmin + 1) AS yq
+        FROM orders CROSS JOIN ext
+    ),
+    z AS (
+        SELECT xq, yq, {_interleave_sql('xq', 'yq')} AS zval FROM q
+    ),
+    buckets AS (
+        SELECT 'zorder' AS layout,
+               zval >> {2 * _Z_BITS - _Z_BUCKET_BITS} AS bucket, xq, yq
+        FROM z
+        UNION ALL
+        SELECT 'linear', xq >> {_Z_BITS - _Z_BUCKET_BITS}, xq, yq FROM z
+    ),
+    spans AS (
+        SELECT layout, bucket,
+               MIN(xq) AS x_lo, MAX(xq) AS x_hi,
+               MIN(yq) AS y_lo, MAX(yq) AS y_hi
+        FROM buckets GROUP BY layout, bucket
+    ),
+    probes AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in _Z_PROBES)}
+        ) AS p(px_lo, px_hi, py_lo, py_hi)
+    )
+    SELECT layout,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+           CAST({len(_Z_PROBES)} AS BIGINT) AS n_probes,
+           ROUND(AVG(CASE WHEN x_hi >= px_lo AND x_lo <= px_hi
+                           AND y_hi >= py_lo AND y_lo <= py_hi
+                          THEN 1.0 ELSE 0.0 END), 6) AS avg_scan_frac
+    FROM spans CROSS JOIN probes
+    GROUP BY layout
+    """,
+    tags=("data-layout", "zone-map", "pruning", "file-skipping"),
+)
+def zonemap_pruning_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff measurement for ``zorder_layout_quality``: probe
+    both layouts' per-bucket zone maps with four two-dimensional box
+    predicates (each 1/16 of the quantized area) and report the
+    average fraction of buckets ('files') a scan must touch — exactly
+    the min/max pruning decision a parquet/lakehouse reader makes
+    per file. Z-order's buckets bound both dimensions so ~the area
+    fraction survives; the linear layout prunes on x only and scans
+    ~1/4 of the files no matter how selective the date predicate is.
+
+    Scale shape: same one-pass span aggregate as the layout query
+    (32 zone-map rows), crossed with a 4-row broadcast probe spine —
+    the measurement costs nothing beyond the spans."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    ext = orders.agg(
+        F.min("o_custkey").alias("kmin"),
+        F.max("o_custkey").alias("kmax"),
+        F.min("od").alias("dmin"),
+        F.max("od").alias("dmax"),
+    )
+    side = 1 << _Z_BITS
+    q = orders.crossJoin(F.broadcast(ext)).select(
+        F.expr(
+            f"(o_custkey - kmin) * {side} div (kmax - kmin + 1)"
+        ).alias("xq"),
+        F.expr(
+            f"datediff(od, dmin) * {side} div (datediff(dmax, dmin) + 1)"
+        ).alias("yq"),
+    )
+    z = q.select("xq", "yq", F.expr(_interleave_sql("xq", "yq")).alias("zval"))
+    buckets = z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(
+                        f"zval >> {2 * _Z_BITS - _Z_BUCKET_BITS}"
+                    ).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"xq >> {_Z_BITS - _Z_BUCKET_BITS}").alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("lb"),
+        "xq",
+        "yq",
+    ).select("lb.layout", "lb.bucket", "xq", "yq")
+    spans = buckets.groupBy("layout", "bucket").agg(
+        F.min("xq").alias("x_lo"), F.max("xq").alias("x_hi"),
+        F.min("yq").alias("y_lo"), F.max("yq").alias("y_hi"),
+    )
+    probes = spark.createDataFrame(
+        list(_Z_PROBES), "px_lo long, px_hi long, py_lo long, py_hi long"
+    )
+    hit = (
+        (F.col("x_hi") >= F.col("px_lo"))
+        & (F.col("x_lo") <= F.col("px_hi"))
+        & (F.col("y_hi") >= F.col("py_lo"))
+        & (F.col("y_lo") <= F.col("py_hi"))
+    )
+    return (
+        spans.crossJoin(F.broadcast(probes))
+        .groupBy("layout")
+        .agg(
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.lit(len(_Z_PROBES)).cast("long").alias("n_probes"),
+            F.round(
+                F.avg(F.when(hit, 1.0).otherwise(0.0)), 6
+            ).alias("avg_scan_frac"),
+        )
+    )
+
+
 _SWEEP_SECS = 300
 
 

@@ -147,3 +147,42 @@ def test_new_ops_plan_posture(spark):
         spark.catalog.clearCache()
         f = audit(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
         assert "TakeOrderedAndProject" in f.text, name
+
+
+def test_zonemap_pruning_zorder_beats_linear(spark):
+    """The measured file-skipping claim: with 1/16-area box probes,
+    Z-order scans ~the area fraction of buckets while the linear
+    layout is stuck at ~its x-selectivity (1/4) — at least a 2x
+    separation, and Z-order's rate must be far below linear's
+    floor."""
+    rows = {r.layout: r for r in _rows(spark, "zonemap_pruning_rate")}
+    z, lin = rows["zorder"], rows["linear"]
+    assert z.avg_scan_frac < 0.15
+    assert lin.avg_scan_frac >= 2 * z.avg_scan_frac
+
+
+def test_bpe_encode_compresses_and_is_consistent(spark):
+    """Applying the learned merges must shrink the symbol stream
+    (strictly, since every merge has positive count) and each merge
+    round r saves exactly pair_count_r symbols: syms_before −
+    syms_after == Σ pair_count over the learned merges."""
+    (enc,) = _rows(spark, "bpe_encode_compression")
+    assert enc.syms_after < enc.syms_before
+    assert 0 < enc.compression < 1
+    merges = _rows(spark, "bpe_train_merges")
+    saved = sum(r.pair_count for r in merges)
+    assert enc.syms_before - enc.syms_after == saved
+
+
+def test_curation_funnel_is_conservative(spark):
+    """Funnel algebra: rows_surviving is non-increasing, every
+    dropped_here equals the previous stage's survivors minus this
+    stage's, and the final stage equals pipeline_corpus_curation's
+    actual output count."""
+    rows = sorted(_rows(spark, "curation_funnel_report"),
+                  key=lambda r: r.stage_id)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.rows_surviving <= prev.rows_surviving
+        assert cur.dropped_here == prev.rows_surviving - cur.rows_surviving
+    pipe = REGISTRY["pipeline_corpus_curation"].fn(spark, SF_DIR).count()
+    assert rows[-1].rows_surviving == pipe
