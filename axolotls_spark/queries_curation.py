@@ -996,6 +996,148 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s.stage_id", "s.stage", "s.rows_surviving", "s.dropped_here")
 
 
+#: Target mixture shares per language and the budget fraction of the
+#: corpus to allocate. en's target (60% of the budget ≈ 48% of the
+#: corpus) exceeds its availability (~43% of tokens), so the
+#: waterfill's saturation + redistribution path is exercised at every
+#: SF, not just in theory (pinned in tests).
+_MIX_SHARES = {"en": 0.6, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1}
+_MIX_BUDGET_FRAC = 0.8
+
+_MIX_SHARES_SQL = ", ".join(
+    f"('{k}', {v})" for k, v in sorted(_MIX_SHARES.items())
+)
+
+
+@register(
+    "mixture_waterfill_rates",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, len({_SQL_TOKENS}) AS n
+        FROM documents
+    ),
+    avail AS (SELECT lang, SUM(n) AS avail FROM toks GROUP BY 1),
+    tgt AS (SELECT * FROM (VALUES {_MIX_SHARES_SQL}) AS t(lang, share)),
+    j AS (
+        SELECT a.lang, CAST(a.avail AS DOUBLE) AS avail,
+               CAST(t.share AS DOUBLE) AS share,
+               CAST(a.avail AS DOUBLE) / CAST(t.share AS DOUBLE) AS bp
+        FROM avail a JOIN tgt t USING (lang)
+    ),
+    tot AS (
+        SELECT SUM(avail) * {_MIX_BUDGET_FRAC} AS budget,
+               SUM(share) AS t_all
+        FROM j
+    ),
+    c AS (
+        SELECT j.*, tot.budget,
+               COALESCE(SUM(avail) OVER (ORDER BY bp, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_avail,
+               tot.t_all
+               - COALESCE(SUM(share) OVER (ORDER BY bp, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS t_rest,
+               COALESCE(LAG(bp) OVER (ORDER BY bp, lang), 0) AS prev_bp
+        FROM j CROSS JOIN tot
+    ),
+    w AS (
+        -- The candidate level is valid only INSIDE its own segment
+        -- [prev_bp, bp] of the piecewise-linear total(w) curve; a
+        -- candidate below prev_bp belongs to an earlier segment and
+        -- double-counts saturated sources.
+        SELECT MIN(CASE WHEN (budget - cum_avail) / t_rest <= bp
+                         AND (budget - cum_avail) / t_rest >= prev_bp
+                        THEN (budget - cum_avail) / t_rest END) AS wstar
+        FROM c
+    )
+    SELECT c.lang,
+           CAST(c.avail AS BIGINT) AS avail_tokens,
+           c.share AS target_share,
+           CAST(ROUND(LEAST(c.avail, COALESCE(w.wstar, 1e308) * c.share), 4)
+                AS DOUBLE) AS alloc_tokens,
+           ROUND(LEAST(c.avail, COALESCE(w.wstar, 1e308) * c.share)
+                 / c.avail, 6) AS sample_rate,
+           (COALESCE(w.wstar, 1e308) * c.share >= c.avail) AS saturated
+    FROM c CROSS JOIN w
+    """,
+    tags=("mixture", "waterfill", "sampling-rates", "curation"),
+)
+def mixture_waterfill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture budgeting: given target language shares and a
+    token budget (80% of the corpus), compute each language's
+    allocation and sampling rate by WATERFILLING — sources that can't
+    supply their target share saturate at their availability and the
+    shortfall redistributes to the others, which is the closed-form
+    solution of max-fill under per-source caps. en's 50% target
+    exceeds its ~38% availability, so the saturation branch is live.
+
+    Scale shape: the corpus collapses to one (lang, token-count)
+    aggregate; everything after — breakpoints avail/share, exclusive
+    cumulative sums over the ≤|languages|-row relation, the piecewise-
+    linear solve for the water level, per-source min() — is bounded
+    by the language domain (the one global window here ranks ≤5 rows,
+    allowlisted as aggregate-bounded). No iteration: the water level
+    solves in one pass over sorted breakpoints."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    avail = (
+        docs.select("lang", F.size(tokens_col(F.col("text"))).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("double").alias("avail"))
+    )
+    tgt = spark.createDataFrame(
+        sorted(_MIX_SHARES.items()), "lang string, share double"
+    )
+    j = avail.join(F.broadcast(tgt), "lang").withColumn(
+        "bp", F.col("avail") / F.col("share")
+    )
+    tot = j.agg(
+        (F.sum("avail") * _MIX_BUDGET_FRAC).alias("budget"),
+        F.sum("share").alias("t_all"),
+    )
+    wexc = Window.orderBy("bp", "lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wlag = Window.orderBy("bp", "lang")
+    c = (
+        j.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_avail", F.coalesce(F.sum("avail").over(wexc), F.lit(0.0))
+        )
+        .withColumn(
+            "t_rest",
+            F.col("t_all")
+            - F.coalesce(F.sum("share").over(wexc), F.lit(0.0)),
+        )
+        .withColumn(
+            "prev_bp", F.coalesce(F.lag("bp").over(wlag), F.lit(0.0))
+        )
+        .persist()  # feeds the water-level solve AND the final select
+    )
+    # Candidate valid only inside its own segment [prev_bp, bp] of the
+    # piecewise-linear total(w) curve (below prev_bp it would double-
+    # count saturated sources).
+    w_cand = (F.col("budget") - F.col("cum_avail")) / F.col("t_rest")
+    wstar = c.agg(
+        F.min(
+            F.when(
+                (w_cand <= F.col("bp")) & (w_cand >= F.col("prev_bp")),
+                w_cand,
+            )
+        ).alias("wstar")
+    )
+    lvl = F.coalesce(F.col("wstar"), F.lit(1e308))
+    alloc = F.least(F.col("avail"), lvl * F.col("share"))
+    return c.crossJoin(F.broadcast(wstar)).select(
+        "lang",
+        F.col("avail").cast("long").alias("avail_tokens"),
+        F.col("share").alias("target_share"),
+        F.round(alloc, 4).cast("double").alias("alloc_tokens"),
+        F.round(alloc / F.col("avail"), 6).alias("sample_rate"),
+        (lvl * F.col("share") >= F.col("avail")).alias("saturated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style perplexity terciles per language
 # ---------------------------------------------------------------------------

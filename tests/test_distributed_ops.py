@@ -186,3 +186,27 @@ def test_curation_funnel_is_conservative(spark):
         assert cur.dropped_here == prev.rows_surviving - cur.rows_surviving
     pipe = REGISTRY["pipeline_corpus_curation"].fn(spark, SF_DIR).count()
     assert rows[-1].rows_surviving == pipe
+
+
+def test_mixture_waterfill_invariants(spark):
+    """Waterfill contract: allocations sum to the budget exactly
+    (when the budget is feasible), saturated sources allocate their
+    full availability at rate 1.0, unsaturated sources allocate
+    water-level * share (equal per unit share), and at least one
+    source saturates on this corpus (the redistribution path is
+    live)."""
+    rows = _rows(spark, "mixture_waterfill_rates")
+    avail = sum(r.avail_tokens for r in rows)
+    budget = 0.8 * avail
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1e-4 * budget
+    assert any(r.saturated for r in rows)
+    for r in rows:
+        if r.saturated:
+            assert r.alloc_tokens == float(r.avail_tokens)
+            assert r.sample_rate == 1.0
+        else:
+            assert r.alloc_tokens < r.avail_tokens
+    # Unsaturated allocations are proportional to target share.
+    unsat = [r for r in rows if not r.saturated]
+    levels = {round(r.alloc_tokens / r.target_share, 2) for r in unsat}
+    assert len(levels) == 1

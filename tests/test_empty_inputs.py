@@ -106,6 +106,22 @@ FAMILIES = [
     "retrieval_ndcg",
     "ann_ivfpq_residual_topk",
     "hll_rollup_priorities",
+    # round-4 operator families
+    "er_blocking_skew",
+    "er_best_match_capped",
+    "kmv_distinct_by_priority",
+    "kmv_set_algebra",
+    "exact_quantiles_totalprice",
+    "weighted_sample_orders",
+    "zorder_layout_quality",
+    "zonemap_pruning_rate",
+    "max_concurrent_events",
+    "nucleus_vocab_size",
+    "jaccard_prefix_join",
+    "bpe_train_merges",
+    "bpe_encode_compression",
+    "dsir_importance_weights",
+    "curation_funnel_report",
 ]
 
 
