@@ -685,3 +685,92 @@ def connected_components_star(
             F.coalesce(F.col("rep"), F.col(id_col)).alias("group_rep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+#: Winnowing packs (36-bit gram hash, 24-bit position complement)
+#: into one BIGINT so a single windowed MIN selects the rightmost
+#: minimal hash per window — the MOSS tie rule — in ONE pass with no
+#: second self-referencing window. 36 + 24 = 60 bits keeps the packed
+#: value far inside signed-64 range (a 40-bit hash would overflow at
+#: h >= 2^39 under ANSI arithmetic).
+_WIN_POS_BITS = 24
+_WIN_POS_MASK = (1 << _WIN_POS_BITS) - 1
+
+
+def winnow_fingerprints_df(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03, the MOSS algorithm).
+
+    Every window of ``w`` consecutive token-``k``-gram hashes selects
+    its minimum hash (rightmost on ties); the distinct selections are
+    the fingerprint set. Guarantee: any shared token run of length
+    >= w + k - 1 between two documents shares at least one
+    fingerprint, while only ~2/(w+1) of gram hashes are kept.
+
+    Distributed shape: one posexplode (rows ~= corpus token count),
+    one per-document ordered window (bounded by document length —
+    never a global window), one distinct. The rightmost-min tie rule
+    needs the *position* of the windowed minimum, which a second
+    window referencing the first's result would require; instead the
+    36-bit md5-prefix hash and the bit-complement of the 24-bit gram
+    position are packed into one BIGINT whose plain MIN is exactly
+    (min hash, max position among min-hash ties) — all integer
+    arithmetic, reproduced bit-for-bit by the DuckDB oracle.
+
+    Returns (doc_id, fp_pos, fp_hash, n_grams): one row per distinct
+    fingerprint; documents shorter than ``k`` tokens yield no rows.
+    """
+    toks = tokens_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    g = (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.posexplode(grams).alias("j", "gram"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 9), 16, 10).cast(
+                    "long"
+                )
+                * (1 << _WIN_POS_BITS)
+                + (F.lit(_WIN_POS_MASK) - F.col("j"))
+            ).alias("packed"),
+            "j",
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("j")
+        .rowsBetween(-(w - 1), 0)
+    )
+    anchored = g.select(
+        "doc_id",
+        "j",
+        F.min("packed").over(win).alias("pmin"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    # Only fully-formed windows anchor a selection; a document with
+    # fewer than w grams has exactly one window (all of them), whose
+    # anchor is its last gram.
+    return (
+        anchored.filter(
+            F.col("j") >= F.least(F.lit(w), F.col("n_grams")) - 1
+        )
+        .select(
+            "doc_id",
+            (F.lit(_WIN_POS_MASK) - (F.col("pmin") % (1 << _WIN_POS_BITS)))
+            .alias("fp_pos"),
+            F.shiftright("pmin", _WIN_POS_BITS).alias("fp_hash"),
+            "n_grams",
+        )
+        .distinct()
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table, spread_for_cpu
 from axolotls_spark.operators import dedup as D
@@ -1348,4 +1349,167 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.alias("exact_jaccard"),
             F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+#: Shared CTE chain for the winnowing oracles — the exact integer
+#: pack/min/unpack pipeline of operators/dedup.winnow_fingerprints_df
+#: (k=3 token grams, w=4 windows, 36-bit hash, 24-bit position
+#: complement) expressed in DuckDB SQL. greatest(len-1, 1) makes
+#: range() empty for docs shorter than k tokens.
+_SQL_WINNOW_CTES = r"""
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    packs AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 9)) AS BIGINT)
+                      * 16777216 + (16777215 - (i - 1))) AS ps
+        FROM toks
+    ),
+    g AS (
+        SELECT doc_id, unnest(ps) AS packed, len(ps) AS ng FROM packs
+    ),
+    wnd AS (
+        SELECT doc_id, ng, packed,
+               16777215 - (packed % 16777216) AS j,
+               MIN(packed) OVER (
+                   PARTITION BY doc_id
+                   ORDER BY 16777215 - (packed % 16777216)
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS pmin
+        FROM g
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, ng, pmin
+        FROM wnd WHERE j >= least(4, ng) - 1
+    )
+"""
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH {_SQL_WINNOW_CTES},
+    agg AS (
+        SELECT doc_id, MAX(ng) AS n_grams, COUNT(*) AS n_fp,
+               SUM(pmin >> 24) AS fp_hash_sum
+        FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(COALESCE(a.fp_hash_sum, 0) AS BIGINT) AS fp_hash_sum,
+           ROUND(COALESCE(a.n_fp / CAST(a.n_grams AS DOUBLE), 0), 6)
+               AS fp_density
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("fingerprint", "winnowing", "moss", "dedup", "text"),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowed fingerprint summary (the MOSS algorithm,
+    Schleimer et al. SIGMOD'03): every window of w=4 consecutive
+    token-3-gram hashes keeps its minimum (rightmost on ties), so any
+    shared run of >= w+k-1 = 6 tokens between two documents is
+    guaranteed to share a fingerprint while only ~2/(w+1) of gram
+    hashes are stored.
+
+    Scale shape: one posexplode, one per-document window (bounded by
+    doc length), one distinct, one hash aggregate — no joins over the
+    gram stream. The rightmost-min tie rule rides inside a single
+    windowed MIN via (hash<<24 | ~pos) integer packing, so both
+    engines agree bit-for-bit (fp_hash_sum is hash-checked)."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    fps = D.winnow_fingerprints_df(docs, k=3, w=4)
+    agg = fps.groupBy("doc_id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.count("*").alias("n_fp"),
+        F.sum("fp_hash").alias("fp_hash_sum"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+        F.coalesce("fp_hash_sum", F.lit(0))
+        .cast("long")
+        .alias("fp_hash_sum"),
+        F.round(
+            F.coalesce(F.col("n_fp") / F.col("n_grams"), F.lit(0.0)), 6
+        ).alias("fp_density"),
+    )
+
+
+#: Fingerprints occurring in more than this many documents are
+#: dropped before the pair join — boilerplate/stop-gram buckets would
+#: otherwise create quadratic blocks (the same hot-block control the
+#: ER blocking and LSH df-cap paths use).
+_WINNOW_DF_CAP = 20
+
+#: Minimum shared fingerprints for a reported pair.
+_WINNOW_MIN_SHARED = 3
+
+
+@register(
+    "winnow_shared_spans",
+    oracle=f"""
+    WITH {_SQL_WINNOW_CTES},
+    fph AS (
+        SELECT DISTINCT doc_id, pmin >> 24 AS fp_hash FROM fps
+    ),
+    capped AS (
+        SELECT doc_id, fp_hash FROM (
+            SELECT doc_id, fp_hash,
+                   COUNT(*) OVER (PARTITION BY fp_hash) AS df
+            FROM fph
+        ) WHERE df <= {_WINNOW_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped a
+    JOIN capped b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    tags=("fingerprint", "winnowing", "near-dup", "join", "text"),
+)
+def winnow_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-span detection from winnowed
+    fingerprints: document pairs sharing >= 3 fingerprint hashes —
+    the MOSS plagiarism-candidate report, and an order-sensitive
+    complement to MinHash near-dup (winnowing guarantees detection
+    of any 6-token verbatim overlap, not just global set overlap).
+
+    Scale shape: candidates come from an EQUI-join on fingerprint
+    hash, never all-pairs; hot fingerprints (boilerplate shared by
+    more than {_WINNOW_DF_CAP} docs) are dropped by a df-cap before
+    the join, bounding every join block — the same hot-block control
+    as ER blocking. The df-cap count is a partitioned window, one
+    shuffle on the fingerprint domain."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    fph = (
+        D.winnow_fingerprints_df(docs, k=3, w=4)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    capped = fph.withColumn(
+        "df", F.count("*").over(Window.partitionBy("fp_hash"))
+    ).filter(F.col("df") <= _WINNOW_DF_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )

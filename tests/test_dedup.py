@@ -240,3 +240,71 @@ def test_prefix_filter_shrinks_candidates_and_stays_complete(spark):
     )
     assert pruned < full * 0.9  # measurably fewer candidates
     assert pruned >= len({(a, b) for a, b, _ in got})  # still complete
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
+    """Pure-Python MOSS winnowing mirror: (pos, hash) fingerprint
+    set, rightmost-min tie rule, one whole-doc window for short
+    docs."""
+    toks = text.split()
+    hs = [
+        int(
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:9],
+            16,
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+    if not hs:
+        return set()
+    fps = set()
+    for end in range(min(w, len(hs)) - 1, len(hs)):
+        lo = max(0, end - w + 1)
+        window = hs[lo : end + 1]
+        m = min(window)
+        q = max(j for j in range(lo, end + 1) if hs[j] == m)
+        fps.add((q, m))
+    return fps
+
+
+def test_winnow_matches_python_reference(spark, sf_dir):
+    """Third implementation: the packed-integer windowed-MIN pipeline
+    must reproduce literal textbook winnowing (explicit window scan,
+    rightmost-min ties) fingerprint-for-fingerprint, positions
+    included — on real corpus docs plus edge shapes (doc shorter
+    than k, doc with fewer than w grams)."""
+    from axolotls_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    extra = spark.createDataFrame(
+        [
+            (100001, "one two"),                # < k tokens: no grams
+            (100002, "one two three"),          # exactly 1 gram
+            (100003, "a b c d e"),              # 3 grams < w
+            (100004, "x y z x y z x y z x y"),  # repeats force ties
+        ],
+        "doc_id: long, text: string",
+    )
+    sample = docs.select("doc_id", "text").union(extra)
+    got: dict[int, set[tuple[int, int]]] = {}
+    for r in D.winnow_fingerprints_df(sample, k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for row in sample.collect():
+        assert got.get(row.doc_id, set()) == _py_winnow(row.text), row.doc_id
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a verbatim run of
+    w + k - 1 = 6 tokens share at least one fingerprint hash, even
+    when the rest of the text differs completely."""
+    shared = "amber basalt cobalt dunite eclogite felsite"
+    df = spark.createDataFrame(
+        [
+            (1, f"p q r s t u v {shared} aa bb cc"),
+            (2, f"{shared} zz yy xx ww vv uu tt ss"),
+        ],
+        "doc_id: long, text: string",
+    )
+    fps = D.winnow_fingerprints_df(df, k=3, w=4)
+    a = {r.fp_hash for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r.fp_hash for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert a & b
