@@ -1253,3 +1253,110 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pd2").alias("adc_d2"))
     )
     return _adc_topk_tail(adc, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+#: Anchors for hard-negative mining (same selection idiom as
+#: cosine_topk's query set).
+_HN_N_ANCHORS = 8
+_HN_TOPK = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS anchor_id, embedding AS qv, label AS qlbl
+        FROM embeddings WHERE vec_id < {_HN_N_ANCHORS}
+    ),
+    scored AS (
+        SELECT q.anchor_id, q.qlbl, c.vec_id AS cand_id,
+               c.label AS clbl,
+               {_SQL_DOT.format(a='q.qv', b='c.embedding')}
+               / NULLIF({_SQL_NORM.format(v='q.qv')}
+                        * {_SQL_NORM.format(v='c.embedding')}, 0) AS sim
+        FROM q JOIN embeddings c ON c.vec_id <> q.anchor_id
+    ),
+    wp AS (
+        SELECT *, MAX(CASE WHEN clbl = qlbl THEN sim END)
+                      OVER (PARTITION BY anchor_id) AS pos_sim
+        FROM scored
+    ),
+    ranked AS (
+        SELECT anchor_id, cand_id, sim, pos_sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM wp WHERE clbl <> qlbl
+    )
+    SELECT anchor_id, cand_id AS negative_id, sim AS neg_sim, rn,
+           pos_sim - sim AS margin,
+           COALESCE(sim >= pos_sim, FALSE) AS violates
+    FROM ranked WHERE rn <= {_HN_TOPK}
+    """,
+    tags=("similarity", "contrastive", "hard-negatives", "topk", "window"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor, the top-5 most-similar vectors with a DIFFERENT
+    label (the negatives a triplet loss learns most from), each
+    carrying its margin against the anchor's best same-label
+    similarity — ``violates`` marks negatives that currently rank
+    above the best positive (the active triplet-loss violations).
+
+    Scale shape: ONE broadcast-anchor scoring pass over the corpus;
+    the same-label best positive rides in the SAME per-anchor window
+    pass as the negative ranking (a conditional MAX over the anchor
+    partition), so no second corpus scan and no scored-relation
+    self-join. Per-anchor partitions are the parallelism unit —
+    the cosine_topk shape, distributed across anchors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HN_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlbl"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "qlbl",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("clbl"),
+            (
+                dot(F.col("qv"), F.col("embedding"))
+                / F.nullif(
+                    norm(F.col("qv")) * norm(F.col("embedding")), F.lit(0.0)
+                )
+            ).alias("sim"),
+        )
+    )
+    wa = Window.partitionBy("anchor_id")
+    ranked = (
+        scored.withColumn(
+            "pos_sim",
+            F.max(
+                F.when(F.col("clbl") == F.col("qlbl"), F.col("sim"))
+            ).over(wa),
+        )
+        .filter(F.col("clbl") != F.col("qlbl"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wa.orderBy(F.col("sim").desc(), "cand_id")
+            ),
+        )
+        .filter(F.col("rn") <= _HN_TOPK)
+    )
+    return ranked.select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("sim").alias("neg_sim"),
+        "rn",
+        (F.col("pos_sim") - F.col("sim")).alias("margin"),
+        F.coalesce(
+            F.col("sim") >= F.col("pos_sim"), F.lit(False)
+        ).alias("violates"),
+    )

@@ -282,3 +282,41 @@ def test_ivf_adc_containment_and_within_cell_shortlist(spark, sf_dir):
         r.vec_id for r in adc.orderBy("d", "vec_id").limit(sl).collect()
     }
     assert len(short & exact_in) / 10 >= 0.6  # (2) shortlist recall
+
+
+def test_hard_negative_mining_vs_numpy(spark, sf_dir):
+    """Numpy mirror: for every anchor, the reported negatives must
+    be exactly the top-5 different-label vectors by cosine, the
+    margin must equal best-same-label-sim minus the negative's sim,
+    and `violates` must flag precisely the negatives outscoring the
+    best positive."""
+    import numpy as np
+
+    from axolotls_spark.queries import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    lbl = np.array([r.label for r in emb])
+    V = np.array([r.embedding for r in emb], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    got = REGISTRY["hard_negative_mining"].fn(spark, sf_dir).collect()
+    by_anchor: dict[int, list] = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for a in range(8):
+        i = int(np.nonzero(ids == a)[0][0])
+        sims = Vn @ Vn[i]
+        sims[i] = -np.inf
+        neg_mask = lbl != lbl[i]
+        pos_sim = sims[(~neg_mask) & (ids != a)].max()
+        order = sorted(
+            (int(ids[j]) for j in np.nonzero(neg_mask)[0]),
+            key=lambda v: (-sims[np.nonzero(ids == v)[0][0]], v),
+        )[:5]
+        rows = sorted(by_anchor[a], key=lambda r: r.rn)
+        assert [r.negative_id for r in rows] == order
+        for r in rows:
+            j = int(np.nonzero(ids == r.negative_id)[0][0])
+            assert abs(r.neg_sim - sims[j]) < 1e-9
+            assert abs(r.margin - (pos_sim - sims[j])) < 1e-9
+            assert r.violates == bool(sims[j] >= pos_sim)
