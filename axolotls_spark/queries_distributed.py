@@ -697,3 +697,90 @@ def max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_at",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation by key-domain sampling
+# ---------------------------------------------------------------------------
+
+#: 1-in-8 deterministic key-domain sample for the join-size
+#: estimator (h % 8 == 0 on the engine-independent md5 hash).
+_JSE_MOD = 8
+
+
+@register(
+    "join_size_estimate",
+    oracle=f"""
+    WITH fe AS (
+        SELECT user_id AS k, COUNT(*) AS f FROM events GROUP BY user_id
+    ),
+    fo AS (
+        SELECT o_custkey AS k, COUNT(*) AS f
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT fe.k, fe.f * fo.f AS m, {_SQL_H.format(x='fe.k')} AS h
+        FROM fe JOIN fo USING (k)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+           CAST(COUNT(*) FILTER (WHERE h % {_JSE_MOD} = 0) AS BIGINT)
+               AS n_sampled_keys,
+           CAST(SUM(m) AS BIGINT) AS exact_join_rows,
+           CAST({_JSE_MOD} * COALESCE(
+                    SUM(m) FILTER (WHERE h % {_JSE_MOD} = 0), 0)
+                AS BIGINT) AS est_join_rows,
+           ROUND(ABS({_JSE_MOD}.0 * COALESCE(
+                     SUM(m) FILTER (WHERE h % {_JSE_MOD} = 0), 0)
+                     - SUM(m)) / SUM(m) * 100, 4) AS rel_err_pct
+    FROM j
+    """,
+    tags=("sketch", "join-size", "cardinality-estimation", "governance"),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT executing the join — the query-
+    governance primitive that decides whether an events-x-orders
+    user join is safe to run at 100 TB: |A join B| = sum over keys
+    of fA(k)*fB(k), computed from the two per-key COUNT aggregates
+    joined on the KEY DOMAIN (millions of keys, never the row-level
+    join's billions of rows).
+
+    The estimator samples the key domain deterministically
+    (md5-hash % 8 == 0 — "end-biased" domain sampling: every key's
+    inclusion is a pure function of the key, so both engines pick
+    the identical sample) and scales the sampled frequency-product
+    mass by 8: unbiased over the hash draw, and all-integer
+    arithmetic so even the estimate hash-checks. The exact total
+    rides along as the audit column (same deliberate pattern as the
+    HLL exact-audit columns): at production scale you'd keep only
+    the sampled pass, touching 1/8 of the key domain."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    fe = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("fa")
+    )
+    fo = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("fb")
+    )
+    j = fe.join(fo, "k").select(
+        (F.col("fa") * F.col("fb")).alias("m"),
+        (token_hash(F.col("k").cast("string")) % _JSE_MOD == 0).alias(
+            "sampled"
+        ),
+    )
+    msamp = F.coalesce(
+        F.sum(F.when(F.col("sampled"), F.col("m"))), F.lit(0)
+    )
+    return j.agg(
+        F.count("*").alias("n_join_keys"),
+        F.count_if("sampled").alias("n_sampled_keys"),
+        F.sum("m").cast("long").alias("exact_join_rows"),
+        (F.lit(_JSE_MOD) * msamp).cast("long").alias("est_join_rows"),
+        F.round(
+            F.abs(
+                F.lit(float(_JSE_MOD)) * msamp - F.sum("m")
+            )
+            / F.sum("m")
+            * 100,
+            4,
+        ).alias("rel_err_pct"),
+    )

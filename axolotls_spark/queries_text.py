@@ -1513,3 +1513,120 @@ def winnow_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality report (the dedup eval head)
+# ---------------------------------------------------------------------------
+
+#: Jaccard thresholds for the LSH precision/recall curve.
+_LSH_EVAL_TAUS = (0.2, 0.35, 0.5, 0.65, 0.8)
+_LSH_EVAL_TAUS_SQL = ", ".join(
+    f"(CAST({t} AS DOUBLE))" for t in _LSH_EVAL_TAUS
+)
+
+
+@register(
+    "lsh_quality_report",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b,
+               n_shared / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+        FROM shared
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.2
+    ),
+    u AS (
+        SELECT COALESCE(c.doc_a, t.doc_a) AS doc_a,
+               COALESCE(c.doc_b, t.doc_b) AS doc_b,
+               c.doc_a IS NOT NULL AS in_cand,
+               t.jaccard
+        FROM cand c
+        FULL OUTER JOIN truth t
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    taus(tau) AS (VALUES {_LSH_EVAL_TAUS_SQL})
+    SELECT tau,
+           CAST(COUNT(*) FILTER (WHERE in_cand) AS BIGINT)
+               AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE jaccard >= tau) AS BIGINT)
+               AS n_truth,
+           CAST(COUNT(*) FILTER (WHERE in_cand AND jaccard >= tau)
+                AS BIGINT) AS n_tp,
+           ROUND(COUNT(*) FILTER (WHERE in_cand AND jaccard >= tau)
+                 / NULLIF(CAST(COUNT(*) FILTER (WHERE in_cand)
+                               AS DOUBLE), 0), 6) AS precision,
+           ROUND(COUNT(*) FILTER (WHERE in_cand AND jaccard >= tau)
+                 / NULLIF(CAST(COUNT(*) FILTER (WHERE jaccard >= tau)
+                               AS DOUBLE), 0), 6) AS recall
+    FROM u CROSS JOIN taus
+    GROUP BY tau
+    """,
+    tags=("dedup", "lsh", "evaluation", "precision-recall", "minhash"),
+)
+def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup eval head: precision/recall of the MinHash-LSH candidate
+    generator (k=8, 2 bands) against EXACT 3-gram-Jaccard ground
+    truth, on a spine of Jaccard thresholds — the "measure, don't
+    guess" report that tells an operator whether the banding config
+    catches the duplicates their threshold actually targets (LSH at
+    r=4 rows/band has steep S-curve recall: near-total at J=0.8,
+    sparse at J=0.2 — the report quantifies exactly that).
+
+    Scale shape: ground truth comes from the PREFIX-FILTERED exact
+    Jaccard join (lossless for J >= 0.2, certified by
+    jaccard_prefix_join's parity) — never brute-force; candidates
+    from the banded LSH equi-join. One full-outer join of two
+    pair relations, then a broadcast threshold-spine cross join and
+    ONE aggregate — the er_linkage_quality pattern.
+
+    On the synthetic corpus every ground-truth pair is a verbatim
+    duplicate (J ≈ 1), so the certified curve sits flat at
+    precision = recall = 1.0 — the harness (and its parity proof)
+    is the deliverable; a crawl corpus with mid-J pairs produces
+    the S-curve."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.near_dup_candidate_pairs(docs, k=8, bands=2).withColumn(
+        "in_cand", F.lit(True)
+    )
+    truth = D.jaccard_prefix_pairs(docs, tau_num=1, tau_den=5)
+    u = cand.join(truth, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_cand", F.lit(False)).alias("in_cand"), "jaccard"
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in _LSH_EVAL_TAUS], "tau double"
+    )
+    hit = F.col("in_cand") & (F.col("jaccard") >= F.col("tau"))
+    return (
+        u.crossJoin(F.broadcast(taus))
+        .groupBy("tau")
+        .agg(
+            F.count_if("in_cand").alias("n_candidates"),
+            F.count_if(F.col("jaccard") >= F.col("tau")).alias("n_truth"),
+            F.count_if(hit).alias("n_tp"),
+            F.round(
+                F.try_divide(
+                    F.count_if(hit),
+                    F.count_if("in_cand").cast("double"),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.try_divide(
+                    F.count_if(hit),
+                    F.count_if(F.col("jaccard") >= F.col("tau")).cast(
+                        "double"
+                    ),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )

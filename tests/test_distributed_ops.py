@@ -210,3 +210,19 @@ def test_mixture_waterfill_invariants(spark):
     unsat = [r for r in rows if not r.saturated]
     levels = {round(r.alloc_tokens / r.target_share, 2) for r in unsat}
     assert len(levels) == 1
+
+
+def test_join_size_estimate_exact_is_the_real_join(spark):
+    """The frequency-product identity: exact_join_rows (computed on
+    the key domain, no row-level join) must equal the row count of
+    the ACTUAL events-x-orders join; the estimate must equal 8x the
+    sampled mass and land within an order of magnitude (1-in-8 key
+    sampling over ~150 keys)."""
+    r = _rows(spark, "join_size_estimate")[0]
+    ev = load_table(spark, SF_DIR, "events")
+    od = load_table(spark, SF_DIR, "orders")
+    true_rows = ev.join(od, ev.user_id == od.o_custkey).count()
+    assert r.exact_join_rows == true_rows
+    assert 0 < r.n_sampled_keys < r.n_join_keys
+    assert r.est_join_rows % 8 == 0
+    assert 0.2 <= r.est_join_rows / r.exact_join_rows <= 5
