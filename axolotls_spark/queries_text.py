@@ -1630,3 +1630,161 @@ def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_FB_DOCS = 3   # feedback set: top-k BM25 docs per query
+_ROCCHIO_TOPK = 8      # expansion terms reported per query
+
+
+@register(
+    "rocchio_expansion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (
+        SELECT AVG(dl) AS avgdl, COUNT(*)::DOUBLE AS n_docs FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (
+        VALUES {", ".join(f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts)}
+    ),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               SUM(
+                   LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * t.tf * ({_BM25_K1} + 1)
+                   / (t.tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+               ) AS score
+        FROM q
+        JOIN tf t  ON t.term = q.term
+        JOIN dfreq d ON d.term = q.term
+        JOIN dl    ON dl.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    ),
+    fb AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= {_ROCCHIO_FB_DOCS}
+    ),
+    expn AS (
+        SELECT fb.query_id, t.term,
+               SUM(t.tf * LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1))
+                   AS weight
+        FROM fb
+        JOIN tf t ON t.doc_id = fb.doc_id
+        JOIN dfreq d ON d.term = t.term
+        CROSS JOIN stats s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM q
+            WHERE q.query_id = fb.query_id AND q.term = t.term
+        )
+        GROUP BY 1, 2
+    )
+    SELECT query_id, term, ROUND(weight, 6) AS weight, rn
+    FROM (
+        SELECT query_id, term, weight,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY weight DESC, term
+               ) AS rn
+        FROM expn
+    ) WHERE rn <= {_ROCCHIO_TOPK}
+    """,
+    tags=("rocchio", "query-expansion", "prf", "bm25", "text-analysis"),
+)
+def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: each BM25 query's top-3
+    retrieved documents act as the (pseudo-)relevant set; their
+    tf-idf centroid mass, minus the original query terms, ranks the
+    top-8 EXPANSION terms per query — the classic automatic
+    query-expansion loop (Rocchio '71 / standard PRF) layered on the
+    certified bm25_search scorer.
+
+    Scale shape: the feedback set is |queries| x 3 doc ids — a
+    broadcast relation that prunes the inverted (doc, term, tf) list
+    to feedback docs before any aggregation; query terms leave via a
+    broadcast anti-join; idf comes from the same df aggregate BM25
+    already needs. Per-query top-8 ranks a vocabulary-bounded,
+    feedback-pruned relation (3 docs' worth of terms per query)."""
+    from pyspark.sql import Window
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id STRING, term STRING",
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(
+            F.broadcast(
+                dfreq.join(F.broadcast(q), "term")
+                .select("term", "df")
+                .distinct()
+            ),
+            "term",
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    fb = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _ROCCHIO_FB_DOCS)
+        .select("query_id", "doc_id")
+    )
+    expn = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(q), ["query_id", "term"], "left_anti")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "term")
+        .agg(F.sum(F.col("tf") * idf).alias("weight"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("weight").desc(), "term"
+    )
+    return (
+        expn.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _ROCCHIO_TOPK)
+        .select("query_id", "term", F.round("weight", 6).alias("weight"), "rn")
+    )
