@@ -64,8 +64,11 @@ def _eps_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the density-adaptive cell assignment. eps comes from a
     1-row broadcast aggregate (no driver collect)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # try_divide: an empty corpus has sqrt(0) = 0 — eps becomes NULL
+    # (and the point relation is empty anyway) instead of an ANSI
+    # divide-by-zero.
     epsrow = emb.agg(
-        (F.lit(_SPATIAL_K) / F.sqrt(F.count("*"))).alias("eps")
+        F.try_divide(F.lit(_SPATIAL_K), F.sqrt(F.count("*"))).alias("eps")
     )
     return emb.crossJoin(F.broadcast(epsrow)).select(
         "vec_id",

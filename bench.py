@@ -92,6 +92,11 @@ HEADLINE = [
     "jaccard_prefix_join",
     "bpe_train_merges",
     "dsir_importance_weights",
+    "mixture_waterfill_rates",
+    "winnow_shared_spans",
+    "dbscan_core_clusters",
+    "hard_negative_mining",
+    "lsh_quality_report",
 ]
 
 

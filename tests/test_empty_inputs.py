@@ -122,6 +122,15 @@ FAMILIES = [
     "bpe_encode_compression",
     "dsir_importance_weights",
     "curation_funnel_report",
+    "mixture_waterfill_rates",
+    "winnow_fingerprints",
+    "winnow_shared_spans",
+    "spatial_eps_neighbors",
+    "dbscan_core_clusters",
+    "hard_negative_mining",
+    "lsh_quality_report",
+    "join_size_estimate",
+    "rocchio_expansion",
 ]
 
 
