@@ -392,3 +392,4 @@ from axolotls_spark import queries_lm  # noqa: E402,F401
 from axolotls_spark import queries_entity  # noqa: E402,F401
 from axolotls_spark import queries_distributed  # noqa: E402,F401
 from axolotls_spark import queries_spatial  # noqa: E402,F401
+from axolotls_spark import queries_recsys  # noqa: E402,F401
