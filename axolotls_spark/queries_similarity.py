@@ -1360,3 +1360,83 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sim") >= F.col("pos_sim"), F.lit(False)
         ).alias("violates"),
     )
+
+
+@register(
+    "silhouette_kmeans",
+    oracle=_KMEANS_CTE + """
+    ,
+    d3 AS (
+        SELECT l.vec_id, c.cid,
+               SUM((l.val - c.cval) * (l.val - c.cval)) AS d2c
+        FROM long l JOIN c2 c USING (pos)
+        GROUP BY l.vec_id, c.cid
+    ),
+    sil AS (
+        SELECT d3.vec_id, a2.cid AS acid,
+               MIN(CASE WHEN d3.cid = a2.cid THEN d2c END) AS a2d,
+               MIN(CASE WHEN d3.cid <> a2.cid THEN d2c END) AS b2d
+        FROM d3 JOIN a2 ON d3.vec_id = a2.vec_id
+        GROUP BY d3.vec_id, a2.cid
+    )
+    SELECT acid AS cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG((SQRT(b2d) - SQRT(a2d))
+                     / NULLIF(GREATEST(SQRT(a2d), SQRT(b2d)), 0)), 6)
+               AS mean_silhouette
+    FROM sil GROUP BY acid
+    """,
+    tags=("clustering", "kmeans", "silhouette", "evaluation", "embedding"),
+)
+def silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per k-means cluster: for each point,
+    a = distance to its OWN final centroid, b = distance to the
+    nearest OTHER centroid, s = (b - a) / max(a, b); report the
+    per-cluster mean — the standard clustering-quality head
+    (simplified silhouette replaces all-pairs member distances with
+    centroid distances, turning O(N^2) into one broadcast-centroid
+    pass; the convention sklearn calls "silhouette on centroids").
+
+    Scale shape: ONE extra distance pass against the 8x64-row
+    broadcast centroid relation on top of the certified kmeans run;
+    a and b fall out of the same per-point conditional MIN
+    aggregate; output is k rows. Complements kmeans_inertia (which
+    only sees within-cluster tightness — silhouette also penalizes
+    overlapping clusters)."""
+    from axolotls_spark.operators import clustering as CLU
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assign, cents = CLU.kmeans(emb, k=8, iters=2)
+    long = CLU.explode_long(emb)
+    d3 = (
+        long.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("d2c")
+        )
+    )
+    per_point = (
+        d3.join(
+            assign.select("vec_id", F.col("cid").alias("acid")), "vec_id"
+        )
+        .groupBy("vec_id", "acid")
+        .agg(
+            F.min(
+                F.when(F.col("cid") == F.col("acid"), F.col("d2c"))
+            ).alias("a2d"),
+            F.min(
+                F.when(F.col("cid") != F.col("acid"), F.col("d2c"))
+            ).alias("b2d"),
+        )
+    )
+    a_d = F.sqrt(F.col("a2d"))
+    b_d = F.sqrt(F.col("b2d"))
+    s = F.try_divide(b_d - a_d, F.greatest(a_d, b_d))
+    return per_point.groupBy(F.col("acid").alias("cid")).agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg(s), 6).alias("mean_silhouette"),
+    )

@@ -320,3 +320,44 @@ def test_hard_negative_mining_vs_numpy(spark, sf_dir):
             assert abs(r.neg_sim - sims[j]) < 1e-9
             assert abs(r.margin - (pos_sim - sims[j])) < 1e-9
             assert r.violates == bool(sims[j] >= pos_sim)
+
+
+def test_silhouette_vs_numpy(spark, sf_dir):
+    """Numpy mirror: recompute the simplified silhouette from the
+    raw embeddings + the certified kmeans outputs; per-cluster means
+    must agree and land in [-1, 1]."""
+    import numpy as np
+
+    from axolotls_spark.operators import clustering as CLU
+    from axolotls_spark.queries import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assign, cents = CLU.kmeans(emb, k=8, iters=2)
+    acid = {r.vec_id: r.cid for r in assign.collect()}
+    crows = cents.collect()
+    k = 8
+    dim = max(r.pos for r in crows)
+    C = np.zeros((k, dim))
+    for r in crows:
+        C[r.cid, r.pos - 1] = r.cval
+    rows = emb.collect()
+    by_cluster: dict[int, list[float]] = {}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        d = np.sqrt(((C - v) ** 2).sum(1))
+        a = d[acid[r.vec_id]]
+        b = np.min(np.delete(d, acid[r.vec_id]))
+        by_cluster.setdefault(acid[r.vec_id], []).append(
+            (b - a) / max(a, b)
+        )
+    got = {
+        r.cid: (r.n_members, r.mean_silhouette)
+        for r in REGISTRY["silhouette_kmeans"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_cluster)
+    for cid, (n, ms) in got.items():
+        assert n == len(by_cluster[cid])
+        assert -1.0 <= ms <= 1.0
+        assert abs(ms - float(np.mean(by_cluster[cid]))) < 1e-5
