@@ -1,5 +1,6 @@
 from axolotls_spark.multimodal.ops import (  # noqa: F401
     MEDIA_META_SCHEMA,
+    ahash64,
     attach_payload,
     byte_histogram_features,
     decode_media,

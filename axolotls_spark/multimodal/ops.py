@@ -343,3 +343,55 @@ def tile_grid(manifest: DataFrame, tile: int = TILE) -> DataFrame:
         F.least(F.lit(tile), F.col("width") - x0).cast("long").alias("tile_w"),
         F.least(F.lit(tile), F.col("height") - y0).cast("long").alias("tile_h"),
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
+
+
+def ahash64(manifest: DataFrame) -> DataFrame:
+    """Perceptual average-hash over the payload bytes: the payload is
+    split into 64 equal byte ranges ("pixels" of the 8x8 aHash
+    grid); bit k is set iff range k's mean byte value exceeds the
+    whole payload's mean. Returned as four 16-bit band keys
+    (b0..b3) — exactly the split a banded hamming-LSH join needs.
+
+    The mean comparison is cross-multiplied (sum_k * n > total * c_k)
+    so the whole hash is INTEGER arithmetic — bit-reproducible by the
+    DuckDB oracle from hex(payload) substrings. Real codec note: on
+    decoded images the same function runs over the 8x8-downsampled
+    grayscale plane; the byte-range stand-in exercises identical
+    plumbing and join shapes.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                tot = int(b.sum())
+                bands = [0, 0, 0, 0]
+                for k in range(64):
+                    lo, hi = (k * n) // 64, ((k + 1) * n) // 64
+                    seg = b[lo:hi]
+                    if int(seg.sum()) * n > tot * len(seg):
+                        bands[k // 16] |= 1 << (k % 16)
+                rows.append((doc_id, *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return manifest.select("doc_id", "payload").mapInPandas(
+        run, AHASH_SCHEMA
+    )

@@ -140,3 +140,157 @@ def multimodal_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return M.tile_grid(M.attach_payload(docs))
+
+
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash) fingerprints + hamming top-k
+# ---------------------------------------------------------------------------
+
+#: Shared oracle preamble: the 64-bit aHash from hex(payload)
+#: substring arithmetic — an independent restatement of
+#: multimodal/ops.ahash64's numpy mapInPandas (cross-multiplied
+#: integer mean comparison, so the two agree bit-for-bit).
+_SQL_AHASH_CTES = """
+    b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id, n,
+               list_transform(range(0, n),
+                 j -> CAST(('0x' || substr(hx, CAST(2 * j + 1 AS BIGINT), 2))
+                           AS BIGINT)) AS vals
+        FROM b
+    ),
+    t AS (
+        SELECT doc_id, n, vals, COALESCE(list_sum(vals), 0) AS tot FROM v
+    ),
+    ch AS (
+        SELECT doc_id, k,
+               CASE WHEN COALESCE(list_sum(
+                        vals[CAST(k * n // 64 + 1 AS BIGINT)
+                             : CAST((k + 1) * n // 64 AS BIGINT)]), 0) * n
+                         > tot * ((k + 1) * n // 64 - k * n // 64)
+                    THEN 1 ELSE 0 END AS bit
+        FROM t CROSS JOIN UNNEST(range(0, 64)) AS r(k)
+    ),
+    bandrows AS (
+        SELECT doc_id, k // 16 AS band, SUM(bit << (k % 16)) AS bval
+        FROM ch GROUP BY doc_id, k // 16
+    ),
+    ah AS (
+        SELECT doc_id,
+               MAX(CASE WHEN band = 0 THEN bval END) AS b0,
+               MAX(CASE WHEN band = 1 THEN bval END) AS b1,
+               MAX(CASE WHEN band = 2 THEN bval END) AS b2,
+               MAX(CASE WHEN band = 3 THEN bval END) AS b3
+        FROM bandrows GROUP BY doc_id
+    )
+"""
+
+#: Probe payloads for the hamming nearest-neighbor report.
+_AHASH_N_PROBES = 5
+_AHASH_TOPK = 5
+
+
+@register(
+    "image_ahash_fingerprints",
+    oracle=f"""
+    WITH {_SQL_AHASH_CTES}
+    SELECT doc_id,
+           CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+           CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3
+    FROM ah
+    """,
+    tags=("multimodal", "ahash", "perceptual-hash", "fingerprint",
+          "mapInPandas"),
+)
+def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual average-hash per payload, as four 16-bit
+    band keys: the payload's 64 equal byte ranges are the 8x8 aHash
+    "pixel" grid; bit k is set iff range k's mean byte exceeds the
+    global mean (cross-multiplied, pure integers). Computed by
+    Arrow-batched mapInPandas over the binary column
+    (multimodal/ops.ahash64); the oracle re-derives every bit from
+    hex(payload) substring arithmetic — the Python codec stage is
+    value-certified hash-for-hash, not just row-counted. With a real
+    codec the identical function runs on the 8x8-downsampled
+    grayscale plane; the 16-bit band split is the key layout a
+    banded hamming-LSH join consumes (lossless for distance <= 3 by
+    pigeonhole over 4 bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.ahash64(M.attach_payload(docs)).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    )
+
+
+@register(
+    "image_ahash_topk",
+    oracle=f"""
+    WITH {_SQL_AHASH_CTES},
+    probes AS (
+        SELECT doc_id AS probe_id, b0, b1, b2, b3 FROM ah
+        WHERE doc_id < {_AHASH_N_PROBES}
+    ),
+    scored AS (
+        SELECT p.probe_id, a.doc_id AS cand_id,
+               bit_count(xor(p.b0, a.b0)) + bit_count(xor(p.b1, a.b1))
+               + bit_count(xor(p.b2, a.b2)) + bit_count(xor(p.b3, a.b3))
+                   AS hamming
+        FROM probes p JOIN ah a ON a.doc_id <> p.probe_id
+    )
+    SELECT probe_id, cand_id, CAST(hamming AS BIGINT) AS hamming, rn
+    FROM (
+        SELECT probe_id, cand_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY hamming, cand_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_AHASH_TOPK}
+    """,
+    tags=("multimodal", "ahash", "hamming", "topk", "near-dup"),
+)
+def image_ahash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate search: for 5 probe payloads, the 5
+    nearest others by 64-bit aHash hamming distance (bit_count of
+    XORed band keys — 4 JVM intrinsic ops per comparison, no Python
+    in the scoring path).
+
+    Scale shape: probes broadcast against the hash relation (5
+    integer columns per doc — the corpus bytes are touched exactly
+    once, in the fingerprint stage); per-probe top-5 ranks the
+    probe-partitioned scored relation, the cosine_topk shape. On
+    this corpus the nearest non-self distances start at hamming 9
+    (no byte-identical payloads), which the report surfaces
+    honestly — a banded-LSH candidate stage would be layered in
+    front only for thresholds <= 3 where it is lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = M.ahash64(M.attach_payload(docs))
+    probes = h.filter(F.col("doc_id") < _AHASH_N_PROBES).select(
+        F.col("doc_id").alias("probe_id"),
+        *[F.col(c).alias(f"p{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    scored = h.join(
+        F.broadcast(probes), F.col("doc_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        F.col("doc_id").alias("cand_id"),
+        sum(
+            F.bit_count(
+                F.col(f"pb{i}").bitwiseXOR(F.col(f"b{i}"))
+            )
+            for i in range(4)
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy("hamming", "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AHASH_TOPK)
+        .select("probe_id", "cand_id", "hamming", "rn")
+    )

@@ -126,3 +126,35 @@ def test_binary_file_ingestion(spark, tmp_path):
     assert set(rows) == {"a.jpg", "b.jpg"}
     assert bytes(rows["a.jpg"].content) == payloads["a.jpg"]
     assert rows["b.jpg"].length == len(payloads["b.jpg"])
+
+
+def test_ahash64_matches_python_reference(spark):
+    """Third implementation of the aHash: literal textbook loop
+    (slice ranges, float means, > comparison) over constructed
+    payloads — must reproduce the cross-multiplied integer version
+    bit-for-bit, including n < 64 (empty ranges) and constant
+    payloads (no bit ever set: mean never strictly exceeds mean)."""
+    from axolotls_spark.multimodal import ahash64, attach_payload
+
+    texts = [
+        (1, "ab"),                      # n < 64: most ranges empty
+        (2, "z" * 100),                 # constant: hash must be 0
+        (3, "".join(chr(33 + (i * 7) % 90) for i in range(200))),
+        (4, "the quick brown fox jumps over the lazy dog " * 4),
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in ahash64(attach_payload(df)).collect()
+    }
+    for doc_id, text in texts:
+        b = text.encode()
+        n = len(b)
+        mean = sum(b) / n
+        bands = [0, 0, 0, 0]
+        for k in range(64):
+            seg = b[(k * n) // 64 : ((k + 1) * n) // 64]
+            if seg and sum(seg) / len(seg) > mean:
+                bands[k // 16] |= 1 << (k % 16)
+        assert got[doc_id] == tuple(bands), doc_id
+    assert got[2] == (0, 0, 0, 0)
