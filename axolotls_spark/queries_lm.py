@@ -546,3 +546,77 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novel_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+#: Vocabulary cut for the Zipf fit (TakeOrderedAndProject, never a
+#: global window over the unbounded term domain).
+_ZIPF_TOP_TERMS = 1000
+
+
+@register(
+    "zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS f FROM toks GROUP BY term),
+    top AS (
+        SELECT term, f FROM freq
+        ORDER BY f DESC, term LIMIT {_ZIPF_TOP_TERMS}
+    ),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r
+        FROM top
+    ),
+    xy AS (SELECT LN(r) AS x, LN(f) AS y FROM ranked)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0), 6)
+               AS slope,
+           ROUND((SUM(y) - SUM(x) * (COUNT(*) * SUM(x * y)
+                  - SUM(x) * SUM(y))
+                  / NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0))
+                 / COUNT(*), 6) AS intercept
+    FROM xy
+    """,
+    tags=("linguistics", "zipf", "vocabulary", "ols", "topk"),
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) vs ln(rank) for the top-1000 terms — natural text
+    sits near slope -1; a synthetic or templated corpus (like this
+    one) deviates, which is exactly what the diagnostic detects in a
+    curation pipeline (vocabulary health check before tokenizer
+    training).
+
+    Scale shape: one term-count aggregate, then the vocabulary cut
+    is orderBy+limit (TakeOrderedAndProject — the term domain grows
+    with the corpus, so a global ranking window is banned); ranks
+    are assigned by a window over the capped 1000-row relation and
+    the fit is ONE closed-form aggregate."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("f"))
+    top = freq.orderBy(F.col("f").desc(), "term").limit(_ZIPF_TOP_TERMS)
+    ranked = top.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), "term")),
+    )
+    xy = ranked.select(
+        F.log("r").alias("x"), F.log("f").alias("y")
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    return xy.agg(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - sx * slope) / n, 6).alias("intercept"),
+    )

@@ -470,3 +470,63 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("risk_frac"),
         F.min("n").cast("long").alias("min_group_size"),
     )
+
+
+@register(
+    "flesch_readability",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+'))::DOUBLE AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE
+                   AS sents,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+                   AS sylls
+        FROM documents
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+           CAST(sents AS BIGINT) AS n_sentences,
+           CAST(sylls AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * words / sents
+                 - 84.6 * sylls / NULLIF(words, 0), 4) AS flesch_ease,
+           ROUND(0.39 * words / sents
+                 + 11.8 * sylls / NULLIF(words, 0) - 15.59, 4)
+               AS fk_grade
+    FROM f
+    """,
+    tags=("text-analysis", "readability", "quality-scoring", "map-only"),
+)
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document, from
+    the standard heuristics (syllables = vowel-group count, the
+    classic approximation; sentences = terminal-punctuation runs,
+    floored at 1 for fragment docs). Map-only — three regexp counts
+    riding the scan, zero shuffles; the quality-scoring family's
+    readability axis alongside the Gopher/length/entropy filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("double")
+    sylls = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words / sents
+            - F.lit(84.6) * F.try_divide(sylls, words),
+            4,
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * words / sents
+            + F.lit(11.8) * F.try_divide(sylls, words)
+            - F.lit(15.59),
+            4,
+        ).alias("fk_grade"),
+    )

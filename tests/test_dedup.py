@@ -308,3 +308,53 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     a = {r.fp_hash for r in fps.filter(F.col("doc_id") == 1).collect()}
     b = {r.fp_hash for r in fps.filter(F.col("doc_id") == 2).collect()}
     assert a & b
+
+
+def test_winnow_df_cap_bounds_hot_fingerprints(spark):
+    """Boilerplate stress: 60 docs sharing one hot sentence (plus
+    unique tails) would contribute C(60,2)-scale candidate pairs
+    through the shared fingerprints; the df-cap must drop those hot
+    buckets, bounding join work, while genuinely rare shared spans
+    (2 docs) still match. Mirrors the ER hot-block certification."""
+    from pyspark.sql.window import Window as W
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = [(i, f"{boiler} unique tail token{i} filler{i} pad{i}")
+            for i in range(60)]
+    rows += [
+        (100, "zeta eta theta iota kappa lam mu nu xi omicron pi rho"),
+        (101, "zeta eta theta iota kappa lam mu nu xi omicron pi rho"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fph = (
+        D.winnow_fingerprints_df(df, k=3, w=4)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    capped = fph.withColumn(
+        "df", F.count("*").over(W.partitionBy("fp_hash"))
+    ).filter(F.col("df") <= 20)
+    uncapped_pairs = fph.alias("a").join(
+        fph.alias("b"),
+        (F.col("a.fp_hash") == F.col("b.fp_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    capped_pairs = capped.alias("a").join(
+        capped.alias("b"),
+        (F.col("a.fp_hash") == F.col("b.fp_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    n_capped = capped_pairs.count()
+    # the hot boilerplate block is gone: >=C(60,2) pairs collapse
+    assert uncapped_pairs >= 60 * 59 // 2
+    assert n_capped < uncapped_pairs / 20
+    # the rare exact-dup pair (docs 100/101) survives the cap
+    survivors = {
+        (r["a.doc_id"], r["b.doc_id"])
+        if "a.doc_id" in r.asDict()
+        else (r[0], r[1])
+        for r in capped_pairs.select(
+            F.col("a.doc_id"), F.col("b.doc_id")
+        ).collect()
+    }
+    assert (100, 101) in {(a, b) for a, b in survivors}
