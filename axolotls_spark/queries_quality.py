@@ -530,3 +530,77 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fk_grade"),
     )
+
+
+#: l-diversity floor: every quasi-identifier group must contain at
+#: least l distinct values of the sensitive attribute.
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(DISTINCT c_custkey) AS n,
+               COUNT(DISTINCT o_orderpriority) AS l_div
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN n ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(l_div) AS BIGINT) AS min_l,
+           CAST(CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN n ELSE 0 END)
+                     AS DOUBLE) / SUM(n) AS REAL) AS risk_frac
+    FROM g
+    """,
+    tags=("l-diversity", "privacy", "governance", "quality", "agg"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE'06 — the
+    k-anonymity follow-up): a quasi-identifier group is safe only if
+    its SENSITIVE attribute (order priority here) takes >= l
+    distinct values — k-anonymous groups where everyone shares one
+    sensitive value still leak by homogeneity. Same quasi-identifier
+    bands as k_anonymity_audit; one join + one aggregate with a
+    distinct-count per group, one summary row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        cust.join(
+            orders, orders.o_custkey == cust.c_custkey, "left"
+        )
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "bal_band"
+            ),
+        )
+        .agg(
+            F.countDistinct("c_custkey").alias("n"),
+            F.countDistinct("o_orderpriority").alias("l_div"),
+        )
+    )
+    viol = F.col("l_div") < _LDIV_L
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.count_if(viol).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("l_div").cast("long").alias("min_l"),
+        (
+            F.sum(F.when(viol, F.col("n")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("n")
+        )
+        .cast("float")
+        .alias("risk_frac"),
+    )

@@ -1089,3 +1089,52 @@ def test_vocab_topk_sweep_no_global_window(spark):
         spark.catalog.clearCache()
         f = _facts(spark, name)
         assert single_partition_windows(f.text) == (), name
+
+
+def test_als_join_reduce_shape(spark):
+    """ALS half-rounds are equi-joins + hash aggregates over the
+    persisted ratings relation: no cartesian, no Python, ratings
+    cached (InMemoryRelation). The registered query returns a
+    localCheckpoint (cache-release contract), which truncates its
+    lineage — so audit the internal pre-checkpoint pipeline, the
+    same pattern as the loop-plan captures."""
+    from axolotls_spark.queries_recsys import _als_factors, _ratings
+
+    ratings = _ratings(spark, SF_DIR).persist()
+    try:
+        u2, v2 = _als_factors(ratings)
+        f = audit(u2)
+        assert "CartesianProduct" not in f.text
+        assert "BatchEvalPython" not in f.text
+        assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    finally:
+        ratings.unpersist()
+
+
+def test_zipf_vocab_cut_is_distributed_topk(spark):
+    """The top-1000 vocabulary cut must plan TakeOrderedAndProject
+    (the term domain grows with the corpus); the rank window runs on
+    the capped relation after it."""
+    f = _facts(spark, "zipf_slope")
+    assert "TakeOrderedAndProject" in f.text
+    assert "CartesianProduct" not in f.text
+
+
+def test_ahash_topk_broadcasts_probes(spark):
+    """Probe scoring must broadcast the 5-row probe relation against
+    the hash relation — never shuffle the corpus side for it."""
+    f = _facts(spark, "image_ahash_topk")
+    assert (
+        f.n_broadcast_hash_joins >= 1
+        or "BroadcastNestedLoopJoin" in f.text
+    )
+    assert "CartesianProduct" not in f.text
+
+
+def test_winnow_no_join_in_fingerprint_stage(spark):
+    """Per-doc winnowing is explode + window + distinct — the gram
+    stream must never be joined; the only joins in the summary query
+    attach the per-doc aggregate back to doc ids."""
+    f = _facts(spark, "winnow_fingerprints")
+    assert "CartesianProduct" not in f.text
+    assert "BatchEvalPython" not in f.text
