@@ -2819,3 +2819,144 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("linear_credit"), 6).alias("linear_credit"),
         F.round(F.sum("ushape_credit"), 6).alias("ushape_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-driven Shapley attribution
+# ---------------------------------------------------------------------------
+
+#: Channel -> bit for the journey bitmask (alphabetical, purchase is
+#: the conversion event, not a channel).
+_SHAP_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+
+#: Shapley coalition weights for n = 4 players, by |S| of the
+#: coalition S the player joins: |S|!(n-1-|S|)!/n!.
+_SHAP_W = ("CASE bit_count(s) WHEN 0 THEN 0.25 WHEN 1 THEN 1.0/12 "
+           "WHEN 2 THEN 1.0/12 ELSE 0.25 END")
+
+_SHAP_CH_SQL = ", ".join(f"('{n}', {b})" for n, b in _SHAP_CHANNELS)
+
+
+@register(
+    "shapley_attribution",
+    oracle=f"""
+    WITH ch(name, bit) AS (VALUES {_SHAP_CH_SQL}),
+    fp AS (
+        SELECT user_id, MIN(ts) AS fts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    m AS (
+        SELECT fp.user_id, COALESCE(SUM(DISTINCT ch.bit), 0) AS mask
+        FROM fp
+        LEFT JOIN events e
+          ON e.user_id = fp.user_id AND e.ts < fp.fts
+         AND e.event_type <> 'purchase'
+        LEFT JOIN ch ON ch.name = e.event_type
+        GROUP BY fp.user_id
+    ),
+    mc AS (SELECT mask, COUNT(*) AS cnt FROM m GROUP BY mask),
+    subs AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS s),
+    v AS (
+        SELECT s,
+               COALESCE(SUM(CASE WHEN (mask & s) = mask THEN cnt END), 0)
+                   AS v
+        FROM subs CROSS JOIN mc GROUP BY s
+    ),
+    shap AS (
+        SELECT ch.name,
+               SUM(({_SHAP_W.replace('s', 'v1.s')})
+                   * (v2.v - v1.v)) AS shapley
+        FROM ch
+        JOIN v v1 ON (v1.s & ch.bit) = 0
+        JOIN v v2 ON v2.s = v1.s + ch.bit
+        GROUP BY ch.name
+    )
+    SELECT name AS channel, ROUND(shapley, 6) AS shapley,
+           CAST(tot.v AS BIGINT) AS n_conversions
+    FROM shap CROSS JOIN (SELECT v FROM v WHERE s = 15) tot
+    """,
+    tags=("attribution", "shapley", "marketing", "bitmask",
+          "subset-enumeration"),
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Shapley attribution over pre-conversion journeys:
+    each converting user's channel set (distinct non-purchase event
+    types strictly BEFORE their first purchase) becomes a 4-bit
+    mask; the coalition value v(S) counts conversions whose mask is
+    a SUBSET of S, and each channel's credit is the exact Shapley
+    value over the 16 enumerated coalitions — the principled
+    alternative to the heuristic first/last/linear rules in
+    multitouch_attribution (efficiency property: credits sum to
+    v(N) - v(empty), pinned in tests).
+
+    Scale shape: the corpus-sized work is ONE self-restricted join
+    (events x first-purchase timestamps on user_id) and one mask
+    aggregate; everything after — the 16-value mask histogram, the
+    16-row coalition-value relation via a broadcast subset spine,
+    the 32-term Shapley sum — is bitmask arithmetic on
+    domain-bounded relations. Subset containment is (mask & s) =
+    mask, never set explosion."""
+    events = load_table(spark, sf_dir, "events")
+    ch = spark.createDataFrame(
+        list(_SHAP_CHANNELS), "name string, bit long"
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fts"))
+    )
+    e = events.alias("e")
+    m = (
+        fp.join(
+            e,
+            (F.col("e.user_id") == fp.user_id)
+            & (F.col("e.ts") < F.col("fts"))
+            & (F.col("e.event_type") != "purchase"),
+            "left",
+        )
+        .join(
+            F.broadcast(ch), F.col("name") == F.col("e.event_type"), "left"
+        )
+        .groupBy(fp.user_id)
+        .agg(F.coalesce(F.sum_distinct("bit"), F.lit(0)).alias("mask"))
+    )
+    mc = m.groupBy("mask").agg(F.count("*").alias("cnt"))
+    subs = spark.range(16).select(F.col("id").alias("s"))
+    v = (
+        subs.crossJoin(mc)
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("mask").bitwiseAND(F.col("s"))
+                        == F.col("mask"),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("v")
+        )
+    )
+    w = (
+        F.when(F.bit_count("s") == 0, F.lit(0.25))
+        .when(F.bit_count("s") == 1, F.lit(1.0) / 12)
+        .when(F.bit_count("s") == 2, F.lit(1.0) / 12)
+        .otherwise(F.lit(0.25))
+    )
+    v1 = v.select(F.col("s"), F.col("v").alias("v1"))
+    v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
+    shap = (
+        ch.join(v1, F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .join(v2, F.col("s2") == F.col("s") + F.col("bit"))
+        .groupBy("name")
+        .agg(F.sum(w * (F.col("v2") - F.col("v1"))).alias("shapley"))
+    )
+    tot = v.filter(F.col("s") == 15).select(
+        F.col("v").alias("n_conversions")
+    )
+    return shap.crossJoin(F.broadcast(tot)).select(
+        F.col("name").alias("channel"),
+        F.round("shapley", 6).alias("shapley"),
+        F.col("n_conversions").cast("long"),
+    )

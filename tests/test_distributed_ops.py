@@ -226,3 +226,48 @@ def test_join_size_estimate_exact_is_the_real_join(spark):
     assert 0 < r.n_sampled_keys < r.n_join_keys
     assert r.est_join_rows % 8 == 0
     assert 0.2 <= r.est_join_rows / r.exact_join_rows <= 5
+
+
+def test_shapley_efficiency_and_symmetry(spark):
+    """Shapley axioms on the attribution credits: efficiency — the
+    four channel credits sum exactly to v(N) - v(empty) (conversions
+    with at least one pre-purchase channel); and a brute-force
+    python mirror over all 4! orderings reproduces each credit."""
+    from itertools import permutations
+
+    rows = _rows(spark, "shapley_attribution")
+    assert len(rows) == 4
+    # rebuild v(S) from the raw events, python-side
+    ev = load_table(spark, SF_DIR, "events").collect()
+    first_p = {}
+    for e in ev:
+        if e.event_type == "purchase":
+            if e.user_id not in first_p or e.ts < first_p[e.user_id]:
+                first_p[e.user_id] = e.ts
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    masks = {u: 0 for u in first_p}
+    for e in ev:
+        if (
+            e.user_id in first_p
+            and e.event_type in bits
+            and e.ts < first_p[e.user_id]
+        ):
+            masks[e.user_id] |= bits[e.event_type]
+    def v(S):
+        return sum(1 for m in masks.values() if m & S == m)
+    # efficiency
+    got = {r.channel: r.shapley for r in rows}
+    assert abs(sum(got.values()) - (v(15) - v(0))) < 1e-4
+    assert rows[0].n_conversions == v(15) == len(masks)
+    # permutation-form Shapley mirror (marginal contribution of each
+    # channel averaged over all arrival orders)
+    chans = list(bits)
+    acc = {c: 0.0 for c in chans}
+    for perm in permutations(chans):
+        S = 0
+        for c in perm:
+            acc[c] += v(S | bits[c]) - v(S)
+            S |= bits[c]
+    n_perm = 24
+    for c in chans:
+        assert abs(got[c] - acc[c] / n_perm) < 1e-4, c
