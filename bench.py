@@ -97,6 +97,10 @@ HEADLINE = [
     "dbscan_core_clusters",
     "hard_negative_mining",
     "lsh_quality_report",
+    "als_rank1_factors",
+    "silhouette_kmeans",
+    "image_ahash_topk",
+    "shapley_attribution",
 ]
 
 

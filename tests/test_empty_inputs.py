@@ -131,6 +131,15 @@ FAMILIES = [
     "lsh_quality_report",
     "join_size_estimate",
     "rocchio_expansion",
+    "als_rank1_factors",
+    "als_top_recs",
+    "silhouette_kmeans",
+    "image_ahash_fingerprints",
+    "image_ahash_topk",
+    "flesch_readability",
+    "zipf_slope",
+    "l_diversity_audit",
+    "shapley_attribution",
 ]
 
 
