@@ -77,3 +77,49 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
             )
         )
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed: str,
+    damping: float = DAMPING,
+    iters: int = ITERS,
+) -> DataFrame:
+    """Random walk with restart: PageRank whose restart mass all
+    returns to ``seed`` instead of spreading uniformly — the
+    standard graph-proximity score ("how related is every node to
+    the seed"), used for graph-based recommendation and seed
+    expansion. Same aggregate-then-iterate shape as ``pagerank``:
+    the rank vector stays node-domain-sized and broadcast; only the
+    restart vector differs (an indicator on the seed)."""
+    edges = edges.repartition(1).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    t = edges.join(ow, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("wn")
+    ).persist()
+    restart = F.when(F.col("node") == seed, F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    ranks = nodes.select("node", restart.alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            t.join(F.broadcast(ranks), t.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(1.0 - damping) * restart
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

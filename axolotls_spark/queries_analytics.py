@@ -2923,7 +2923,7 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc = m.groupBy("mask").agg(F.count("*").alias("cnt"))
     subs = spark.range(16).select(F.col("id").alias("s"))
     v = (
-        subs.crossJoin(mc)
+        subs.crossJoin(F.broadcast(mc))
         .groupBy("s")
         .agg(
             F.coalesce(
@@ -2947,8 +2947,8 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = v.select(F.col("s"), F.col("v").alias("v1"))
     v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
     shap = (
-        ch.join(v1, F.col("s").bitwiseAND(F.col("bit")) == 0)
-        .join(v2, F.col("s2") == F.col("s") + F.col("bit"))
+        ch.join(F.broadcast(v1), F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(v2), F.col("s2") == F.col("s") + F.col("bit"))
         .groupBy("name")
         .agg(F.sum(w * (F.col("v2") - F.col("v1"))).alias("shapley"))
     )
@@ -2959,4 +2959,107 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name").alias("channel"),
         F.round("shapley", 6).alias("shapley"),
         F.col("n_conversions").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart)
+# ---------------------------------------------------------------------------
+
+_PPR_SEED = "NATION_0"
+
+
+def _ppr_iter_sql(i: int) -> str:
+    prev = f"p{i - 1}"
+    return f""",
+    p{i} AS (
+        SELECT nodes.node,
+               0.15 * (CASE WHEN nodes.node = '{_PPR_SEED}'
+                            THEN 1.0 ELSE 0.0 END)
+                 + 0.85 * COALESCE(c.s, 0.0) AS rank
+        FROM nodes
+        LEFT JOIN (
+            SELECT t.dst, SUM({prev}.rank * t.wn) AS s
+            FROM t JOIN {prev} ON t.src = {prev}.node
+            GROUP BY t.dst
+        ) c ON nodes.node = c.dst
+    )"""
+
+
+_PPR_ORACLE = (
+    "WITH " + _PR_EDGES_SQL
+    + f""",
+    p0 AS (
+        SELECT node, CASE WHEN node = '{_PPR_SEED}' THEN 1.0 ELSE 0.0 END
+            AS rank
+        FROM nodes
+    )"""
+    + "".join(_ppr_iter_sql(i) for i in range(1, 6))
+    + "\n    SELECT node AS nation, CAST(rank AS REAL) AS ppr FROM p5"
+)
+
+
+@register(
+    "ppr_trade_similarity",
+    oracle=_PPR_ORACLE,
+    tags=("graph", "personalized-pagerank", "random-walk", "iterative"),
+)
+def ppr_trade_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the NATION_0 seed over the
+    nation trade graph — random walk with restart, the standard
+    graph-proximity score for seed expansion and graph-based
+    recommendation ("which trade partners is this economy most
+    entangled with", direct or transitive). Restart mass returns
+    entirely to the seed, so ranks decay with trade distance from
+    it, unlike global pagerank_trade_graph.
+
+    Scale shape identical to pagerank_trade_graph: corpus-sized work
+    is the one edge aggregation; all 5 iterations are broadcast
+    joins over the 25-row rank vector
+    (operators/graph.personalized_pagerank)."""
+    from axolotls_spark.operators.graph import personalized_pagerank
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("ck"),
+                    F.col("n_name").alias("dst"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("sk"),
+                    F.col("n_name").alias("src"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("w")
+        )
+    )
+    return personalized_pagerank(edges, _PPR_SEED).select(
+        F.col("node").alias("nation"),
+        F.col("rank").cast("float").alias("ppr"),
     )

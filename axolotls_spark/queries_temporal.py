@@ -915,3 +915,136 @@ def burst_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surprise"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal forecast intervals
+# ---------------------------------------------------------------------------
+
+_CF_CAL = 14   # calibration days (between train end and test start)
+_CF_TEST = 7   # held-out test days
+#: split-conformal quantile index: ceil((n_cal + 1) * (1 - alpha))
+#: with alpha = 0.2 -> the 12th smallest of 14 absolute residuals.
+_CF_K = 12
+
+
+@register(
+    "forecast_conformal_interval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, rev,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               COUNT(*) OVER () AS nd
+        FROM daily
+    ),
+    fit AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(t::DOUBLE) AS st, SUM(t::DOUBLE * t::DOUBLE) AS stt,
+               SUM(rev) AS sy, SUM(t::DOUBLE * rev) AS sty
+        FROM idx WHERE t <= nd - {_CF_CAL + _CF_TEST}
+    ),
+    cal AS (
+        SELECT ABS(rev - ({_FC_A} + {_FC_B} * t)) AS res
+        FROM idx CROSS JOIN fit
+        WHERE t > nd - {_CF_CAL + _CF_TEST} AND t <= nd - {_CF_TEST}
+    ),
+    q AS (
+        SELECT res AS qhat FROM (
+            SELECT res, ROW_NUMBER() OVER (ORDER BY res) AS rn FROM cal
+        ) WHERE rn = {_CF_K}
+    )
+    SELECT t - (nd - {_CF_TEST}) AS horizon, day,
+           CAST(rev AS REAL) AS actual_rev,
+           CAST({_FC_A} + {_FC_B} * t AS REAL) AS forecast_rev,
+           CAST({_FC_A} + {_FC_B} * t - qhat AS REAL) AS lo,
+           CAST({_FC_A} + {_FC_B} * t + qhat AS REAL) AS hi,
+           rev BETWEEN {_FC_A} + {_FC_B} * t - qhat
+                   AND {_FC_A} + {_FC_B} * t + qhat AS covered
+    FROM idx CROSS JOIN fit CROSS JOIN q
+    WHERE t > nd - {_CF_TEST}
+    """,
+    tags=("forecast", "conformal", "uncertainty", "timeseries",
+          "calibration"),
+)
+def forecast_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for the linear revenue
+    forecast (Vovk et al. / the distribution-free conformal recipe):
+    fit OLS on everything before the last 14+7 days, take
+    the ceil((n+1)(1-alpha))-th smallest absolute residual on the
+    14-day calibration slice as qhat (alpha = 0.2), and report
+    [forecast - qhat, forecast + qhat] for the 7 held-out days with
+    the realized coverage flag — finite-sample 80% coverage with NO
+    distributional assumptions, the honest uncertainty head a
+    forecast pipeline ships with.
+
+    Scale shape: the corpus collapses to one per-day aggregate;
+    fit/calibration/quantile/test are all windows and aggregates
+    over the day-domain relation (bounded by the date range, the
+    same allowlisted regime as forecast_linear_28d). One 1-row fit
+    relation and one 1-row qhat relation broadcast back."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "rev",
+        F.row_number().over(wd).alias("t"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nd"),
+    )
+    td = F.col("t").cast("double")
+    fit = idx.filter(
+        F.col("t") <= F.col("nd") - (_CF_CAL + _CF_TEST)
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(td).alias("st"),
+        F.sum(td * td).alias("stt"),
+        F.sum("rev").alias("sy"),
+        F.sum(td * F.col("rev")).alias("sty"),
+    )
+    b = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    a = (F.col("sy") - b * F.col("st")) / F.col("n")
+    yhat = a + b * F.col("t")
+    cal = (
+        idx.crossJoin(F.broadcast(fit))
+        .filter(
+            (F.col("t") > F.col("nd") - (_CF_CAL + _CF_TEST))
+            & (F.col("t") <= F.col("nd") - _CF_TEST)
+        )
+        .select(F.abs(F.col("rev") - yhat).alias("res"))
+    )
+    q = (
+        cal.withColumn(
+            "rn", F.row_number().over(Window.orderBy("res"))
+        )
+        .filter(F.col("rn") == _CF_K)
+        .select(F.col("res").alias("qhat"))
+    )
+    return (
+        idx.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("t") > F.col("nd") - _CF_TEST)
+        .select(
+            (F.col("t") - (F.col("nd") - _CF_TEST)).alias("horizon"),
+            "day",
+            F.col("rev").cast("float").alias("actual_rev"),
+            yhat.cast("float").alias("forecast_rev"),
+            (yhat - F.col("qhat")).cast("float").alias("lo"),
+            (yhat + F.col("qhat")).cast("float").alias("hi"),
+            F.col("rev").between(
+                yhat - F.col("qhat"), yhat + F.col("qhat")
+            ).alias("covered"),
+        )
+    )

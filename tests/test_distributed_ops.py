@@ -271,3 +271,32 @@ def test_shapley_efficiency_and_symmetry(spark):
     n_perm = 24
     for c in chans:
         assert abs(got[c] - acc[c] / n_perm) < 1e-4, c
+
+
+def test_ppr_seed_concentration(spark):
+    """Random-walk-with-restart invariants: every score in [0, 1],
+    the seed holds the maximum (it receives all restart mass), seed
+    score >= 1 - damping, and total mass <= 1 (leaks only through
+    dangling nodes)."""
+    rows = _rows(spark, "ppr_trade_similarity")
+    scores = {r.nation: r.ppr for r in rows}
+    seed = "NATION_0"
+    assert all(0.0 <= v <= 1.0 for v in scores.values())
+    assert scores[seed] == max(scores.values())
+    assert scores[seed] >= 0.15
+    assert sum(scores.values()) <= 1.0 + 1e-6
+
+
+def test_conformal_interval_contract(spark):
+    """Split-conformal invariants: symmetric intervals of constant
+    width 2*qhat, the covered flag is exactly lo <= actual <= hi,
+    and qhat > 0."""
+    rows = _rows(spark, "forecast_conformal_interval")
+    assert len(rows) == 7
+    widths = [r.hi - r.lo for r in rows]
+    # lo/hi emit as f32 (~7 sig digits), so equal double widths may
+    # differ by the f32 ulp at this magnitude (~0.25)
+    assert max(widths) - min(widths) < 1.0 and min(widths) > 0
+    for r in rows:
+        assert abs((r.hi + r.lo) / 2 - r.forecast_rev) < 1.0
+        assert r.covered == (r.lo <= r.actual_rev <= r.hi)

@@ -783,6 +783,8 @@ def test_registry_wide_plan_hygiene(spark):
     global_window_ok = {
         "cusum_changepoint",        # per-day aggregate (date spine)
         "ewma_daily_revenue",       # per-day aggregate
+        "forecast_conformal_interval",  # per-day aggregate +
+                                    # 14-row calibration quantile
         "forecast_linear_28d",      # per-day aggregate
         "gini_customer_spend",      # per-customer agg; documented
                                     # quantile-bucket degrade path
