@@ -140,6 +140,8 @@ FAMILIES = [
     "zipf_slope",
     "l_diversity_audit",
     "shapley_attribution",
+    "ppr_trade_similarity",
+    "forecast_conformal_interval",
 ]
 
 
