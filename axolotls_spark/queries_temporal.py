@@ -1048,3 +1048,109 @@ def forecast_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covered"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Journey sequence-pattern matching (MATCH_RECOGNIZE-style)
+# ---------------------------------------------------------------------------
+
+#: Event-type initials for the journey string.
+_SEQ_INITS = (("click", "c"), ("error", "e"), ("purchase", "p"),
+              ("signup", "s"), ("view", "v"))
+
+#: Named patterns over the per-user journey string (RE2-safe syntax
+#: so Spark's Java regex and DuckDB's RE2 agree).
+_SEQ_PATTERNS = (
+    ("view_then_purchase", "v[a-z]*p"),
+    ("error_before_purchase", "e[^p]*p"),
+    ("signup_first", "^s"),
+    ("never_purchased", "^[^p]*$"),
+    ("purchase_retention", "p[a-z]*p"),
+)
+
+_SEQ_INITS_SQL = ", ".join(f"('{t}', '{i}')" for t, i in _SEQ_INITS)
+_SEQ_PATS_SQL = ", ".join(f"('{n}', '{p}')" for n, p in _SEQ_PATTERNS)
+
+
+@register(
+    "session_pattern_match",
+    oracle=f"""
+    WITH inits(event_type, init) AS (VALUES {_SEQ_INITS_SQL}),
+    seqs AS (
+        SELECT e.user_id,
+               string_agg(i.init, '' ORDER BY e.ts, e.event_id) AS seq
+        FROM events e JOIN inits i USING (event_type)
+        GROUP BY e.user_id
+    ),
+    pats(pattern_name, pat) AS (VALUES {_SEQ_PATS_SQL}),
+    tot AS (SELECT COUNT(*) AS n_users FROM seqs)
+    SELECT p.pattern_name,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(s.seq, p.pat))
+                AS BIGINT) AS n_matching,
+           CAST(tot.n_users AS BIGINT) AS n_users,
+           ROUND(COUNT(*) FILTER (WHERE regexp_matches(s.seq, p.pat))
+                 / CAST(tot.n_users AS DOUBLE), 6) AS frac
+    FROM seqs s CROSS JOIN pats p CROSS JOIN tot
+    GROUP BY p.pattern_name, tot.n_users
+    """,
+    tags=("sequence", "pattern-match", "match-recognize", "journey",
+          "regex"),
+)
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence patterns over user journeys:
+    each user's event history collapses to an ordered initial string
+    (ts then event_id tiebreak — fully deterministic), and a
+    broadcast spine of named regexes counts journeys matching each
+    behavioral pattern (view→purchase conversion, error-shadowed
+    purchases, signup-first onboarding, churn-risk never-purchased,
+    repeat-purchase retention) — the sequence-analytics surface
+    ANSI MATCH_RECOGNIZE provides that Spark SQL lacks natively.
+
+    Scale shape: ONE shuffle builds the per-user journey string
+    (sorted struct collect, map-side combinable); the pattern spine
+    is a 5-row broadcast cross join; matching is a JVM regexp over
+    the user-domain relation. Patterns use RE2-safe syntax so Java
+    regex and DuckDB RE2 agree. Journey strings are bounded by
+    per-user event counts — a user with millions of events would
+    need the chunked variant (split by session, patterns per
+    chunk)."""
+    events = load_table(spark, sf_dir, "events")
+    inits = spark.createDataFrame(
+        list(_SEQ_INITS), "event_type string, init string"
+    )
+    seqs = (
+        events.join(F.broadcast(inits), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "init")
+                        )
+                    ),
+                    lambda x: x.getField("init"),
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    pats = spark.createDataFrame(
+        list(_SEQ_PATTERNS), "pattern_name string, pat string"
+    )
+    tot = seqs.agg(F.count("*").alias("n_users"))
+    hit = F.expr("seq rlike pat")
+    return (
+        seqs.crossJoin(F.broadcast(pats))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("pattern_name", "n_users")
+        .agg(F.count_if(hit).alias("n_matching"))
+        .select(
+            "pattern_name",
+            F.col("n_matching").cast("long"),
+            F.col("n_users").cast("long"),
+            F.round(
+                F.col("n_matching") / F.col("n_users").cast("double"), 6
+            ).alias("frac"),
+        )
+    )

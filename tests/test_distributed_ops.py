@@ -300,3 +300,34 @@ def test_conformal_interval_contract(spark):
     for r in rows:
         assert abs((r.hi + r.lo) / 2 - r.forecast_rev) < 1.0
         assert r.covered == (r.lo <= r.actual_rev <= r.hi)
+
+
+def test_session_pattern_match_vs_python_re(spark):
+    """Python re mirror: rebuild every journey string (ts,
+    event_id ordering) and re.search each pattern; counts must match
+    exactly."""
+    import re
+
+    rows = _rows(spark, "session_pattern_match")
+    ev = load_table(spark, SF_DIR, "events").collect()
+    init = {"click": "c", "error": "e", "purchase": "p",
+            "signup": "s", "view": "v"}
+    js: dict[int, list] = {}
+    for e in ev:
+        js.setdefault(e.user_id, []).append((e.ts, e.event_id, init[e.event_type]))
+    seqs = ["".join(i for _, _, i in sorted(v)) for v in js.values()]
+    pats = {
+        "view_then_purchase": "v[a-z]*p",
+        "error_before_purchase": "e[^p]*p",
+        "signup_first": "^s",
+        "never_purchased": "^[^p]*$",
+        "purchase_retention": "p[a-z]*p",
+    }
+    got = {r.pattern_name: (r.n_matching, r.n_users, r.frac) for r in rows}
+    assert set(got) == set(pats)
+    for name, pat in pats.items():
+        want = sum(1 for s in seqs if re.search(pat, s))
+        n_match, n_users, frac = got[name]
+        assert n_users == len(seqs)
+        assert n_match == want, name
+        assert abs(frac - want / len(seqs)) < 1e-6

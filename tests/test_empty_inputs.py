@@ -142,6 +142,7 @@ FAMILIES = [
     "shapley_attribution",
     "ppr_trade_similarity",
     "forecast_conformal_interval",
+    "session_pattern_match",
 ]
 
 
