@@ -3063,3 +3063,73 @@ def ppr_trade_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nation"),
         F.col("rank").cast("float").alias("ppr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+_TE_SMOOTH = 10.0  # pseudo-count weight toward the global prior
+
+
+@register(
+    "target_encode_loo",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority AS cat,
+               COUNT(*) AS n, SUM(o_totalprice) AS s
+        FROM orders GROUP BY 1
+    ),
+    prior AS (SELECT AVG(o_totalprice) AS mu FROM orders)
+    SELECT o.o_orderkey AS orderkey, o.o_orderpriority AS cat,
+           CAST(o.o_totalprice AS REAL) AS target,
+           CAST((g.s - o.o_totalprice + {_TE_SMOOTH} * prior.mu)
+                / (g.n - 1 + {_TE_SMOOTH}) AS REAL) AS loo_encoding
+    FROM orders o
+    JOIN g ON g.cat = o.o_orderpriority
+    CROSS JOIN prior
+    ORDER BY o.o_orderkey LIMIT 20
+    """,
+    tags=("feature-engineering", "target-encoding", "leave-one-out",
+          "broadcast"),
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    categorical-feature workhorse for gradient-boosted / linear
+    models: each row's category is encoded by its group's target
+    mean EXCLUDING the row itself (killing the self-leakage that
+    makes naive target encoding overfit), shrunk toward the global
+    prior by a pseudo-count (Micci-Barreca, SIGKDD Expl. 2001).
+
+    Scale shape: one group aggregate over the category domain plus a
+    1-row prior — both broadcast back onto the fact scan, so the
+    encoding is MAP-ONLY per row (no window over the fact table, no
+    per-group shuffle of facts). The 20-row sample is
+    orderBy+limit (TakeOrderedAndProject)."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+    )
+    prior = orders.agg(F.avg("o_totalprice").alias("mu"))
+    enc = (
+        orders.join(
+            F.broadcast(g), F.col("o_orderpriority") == F.col("cat")
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "cat",
+            F.col("o_totalprice").cast("float").alias("target"),
+            (
+                (
+                    F.col("s")
+                    - F.col("o_totalprice")
+                    + F.lit(_TE_SMOOTH) * F.col("mu")
+                )
+                / (F.col("n") - 1 + F.lit(_TE_SMOOTH))
+            )
+            .cast("float")
+            .alias("loo_encoding"),
+        )
+    )
+    return enc.orderBy("orderkey").limit(20)

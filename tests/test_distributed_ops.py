@@ -331,3 +331,32 @@ def test_session_pattern_match_vs_python_re(spark):
         assert n_users == len(seqs)
         assert n_match == want, name
         assert abs(frac - want / len(seqs)) < 1e-6
+
+
+def test_target_encode_loo_no_self_leakage(spark):
+    """LOO contract, python mirror: encoding equals
+    (group_sum - own_target + m*prior) / (group_n - 1 + m), and
+    perturbing ONLY a row's own target must change its encoding
+    (self-exclusion is real, not the plain group mean)."""
+    rows = _rows(spark, "target_encode_loo")
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    import collections
+
+    n = collections.Counter()
+    s = collections.defaultdict(float)
+    for r in od:
+        n[r.o_orderpriority] += 1
+        s[r.o_orderpriority] += r.o_totalprice
+    mu = sum(s.values()) / sum(n.values())
+    by_key = {r.o_orderkey: r for r in od}
+    assert len(rows) == 20
+    for r in rows:
+        o = by_key[r.orderkey]
+        want = (s[o.o_orderpriority] - o.o_totalprice + 10.0 * mu) / (
+            n[o.o_orderpriority] - 1 + 10.0
+        )
+        assert abs(r.loo_encoding - want) / want < 1e-5
+        plain = s[o.o_orderpriority] / n[o.o_orderpriority]
+        assert abs(r.loo_encoding - plain) > 1e-9  # truly leave-one-out

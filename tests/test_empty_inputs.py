@@ -143,6 +143,7 @@ FAMILIES = [
     "ppr_trade_similarity",
     "forecast_conformal_interval",
     "session_pattern_match",
+    "target_encode_loo",
 ]
 
 
