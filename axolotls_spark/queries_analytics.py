@@ -3133,3 +3133,146 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return enc.orderBy("orderkey").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs and authorities
+# ---------------------------------------------------------------------------
+
+def _hits_iter_sql(i: int) -> str:
+    prev_h = f"h{i - 1}n"
+    return f""",
+    a{i} AS (
+        SELECT e.dst AS node, SUM(p.sc * e.w) AS sc
+        FROM edges e JOIN {prev_h} p ON e.src = p.node
+        GROUP BY e.dst
+    ),
+    a{i}n AS (
+        SELECT node, sc / t.s AS sc
+        FROM a{i} CROSS JOIN (SELECT SUM(sc) AS s FROM a{i}) t
+    ),
+    h{i} AS (
+        SELECT e.src AS node, SUM(p.sc * e.w) AS sc
+        FROM edges e JOIN a{i}n p ON e.dst = p.node
+        GROUP BY e.src
+    ),
+    h{i}n AS (
+        SELECT node, sc / t.s AS sc
+        FROM h{i} CROSS JOIN (SELECT SUM(sc) AS s FROM h{i}) t
+    )"""
+
+
+_HITS_ORACLE = (
+    "WITH " + _PR_EDGES_SQL
+    + """,
+    h0n AS (SELECT node, 1.0 AS sc FROM nodes)"""
+    + "".join(_hits_iter_sql(i) for i in range(1, 4))
+    + """
+    SELECT n.node AS nation,
+           CAST(COALESCE(h.sc, 0.0) AS REAL) AS hub,
+           CAST(COALESCE(a.sc, 0.0) AS REAL) AS authority
+    FROM nodes n
+    LEFT JOIN h3n h ON n.node = h.node
+    LEFT JOIN a3n a ON n.node = a.node"""
+)
+
+
+@register(
+    "hits_trade_graph",
+    oracle=_HITS_ORACLE,
+    tags=("graph", "hits", "hubs-authorities", "iterative"),
+)
+def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg '99) on the weighted nation trade graph: a
+    nation's AUTHORITY is the hub-mass of its suppliers, its HUB
+    score the authority-mass of its customers — mutually reinforcing
+    and L1-normalized each half-step, 3 unrolled iterations. The
+    complement to pagerank_trade_graph: PageRank ranks by random-walk
+    visitation, HITS separates "big buyer" (hub) from "big seller"
+    (authority) roles.
+
+    Scale shape identical to the PageRank family: corpus-sized work
+    is the one edge aggregation; each half-iteration joins the
+    broadcast 25-row score vector with the persisted edge list, and
+    the normalizer is a 1-row broadcast sum — no driver state."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("ck"),
+                    F.col("n_name").alias("dst"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("sk"),
+                    F.col("n_name").alias("src"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("w")
+        )
+        .repartition(1)
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _l1(scores: DataFrame) -> DataFrame:
+        t = scores.agg(F.sum("sc").alias("s"))
+        return scores.crossJoin(F.broadcast(t)).select(
+            "node", (F.col("sc") / F.col("s")).alias("sc")
+        )
+
+    h = nodes.select("node", F.lit(1.0).alias("sc"))
+    a = None
+    for _ in range(3):
+        a = _l1(
+            edges.join(F.broadcast(h), edges.src == h.node)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum(F.col("sc") * F.col("w")).alias("sc"))
+            .select(F.col("n2").alias("node"), "sc")
+        )
+        h = _l1(
+            edges.join(F.broadcast(a), edges.dst == a.node)
+            .groupBy(F.col("src").alias("n2"))
+            .agg(F.sum(F.col("sc") * F.col("w")).alias("sc"))
+            .select(F.col("n2").alias("node"), "sc")
+        )
+    return (
+        nodes.join(h.withColumnRenamed("sc", "hub"), "node", "left")
+        .join(a.withColumnRenamed("sc", "authority"), "node", "left")
+        .select(
+            F.col("node").alias("nation"),
+            F.coalesce("hub", F.lit(0.0)).cast("float").alias("hub"),
+            F.coalesce("authority", F.lit(0.0))
+            .cast("float")
+            .alias("authority"),
+        )
+    )

@@ -1803,3 +1803,112 @@ def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset datasheet (governance card)
+# ---------------------------------------------------------------------------
+
+_DS_SHORT_TOKENS = 10
+
+
+@register(
+    "dataset_datasheet",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, n_chars,
+               len({_SQL_TOKENS}) AS nt, md5(text) AS h
+        FROM documents
+    ),
+    base AS (
+        SELECT COUNT(*)::DOUBLE AS n_docs,
+               SUM(nt)::DOUBLE AS total_tokens,
+               AVG(nt::DOUBLE) AS mean_tokens,
+               AVG(n_chars::DOUBLE) AS mean_chars,
+               (COUNT(*) - COUNT(DISTINCT h))::DOUBLE AS n_dup_docs,
+               COUNT(DISTINCT lang)::DOUBLE AS n_langs,
+               COUNT(DISTINCT source)::DOUBLE AS n_sources,
+               AVG(CASE WHEN nt < {_DS_SHORT_TOKENS} THEN 1.0
+                        ELSE 0.0 END) AS short_doc_frac
+        FROM d
+    ),
+    lent AS (
+        SELECT COALESCE(-SUM(p * LN(p)), 0.0) AS lang_entropy
+        FROM (
+            SELECT COUNT(*)::DOUBLE
+                   / (SELECT COUNT(*) FROM d) AS p
+            FROM d GROUP BY lang
+        )
+    )
+    SELECT metric, ROUND(value, 6) AS value FROM (
+        SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        UNION ALL SELECT 'total_tokens', total_tokens FROM base
+        UNION ALL SELECT 'mean_tokens', mean_tokens FROM base
+        UNION ALL SELECT 'mean_chars', mean_chars FROM base
+        UNION ALL SELECT 'n_exact_dup_docs', n_dup_docs FROM base
+        UNION ALL SELECT 'n_langs', n_langs FROM base
+        UNION ALL SELECT 'n_sources', n_sources FROM base
+        UNION ALL SELECT 'short_doc_frac', short_doc_frac FROM base
+        UNION ALL SELECT 'lang_entropy', lang_entropy FROM lent
+    )
+    """,
+    tags=("governance", "datasheet", "profiling", "curation", "unpivot"),
+)
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card / datasheet for the document corpus (Gebru et
+    al., "Datasheets for Datasets"): the one-pass governance summary
+    a curation pipeline publishes alongside a release — size, token
+    mass, exact-dup count (content hash), language/source breadth,
+    language-distribution entropy, and the short-document fraction.
+
+    Scale shape: ONE corpus scan feeds a single multi-metric
+    aggregate (count-distincts included) plus a language-domain
+    entropy aggregate; the wide 1-row result unpivots to the long
+    (metric, value) card — the profile_table_stats pattern applied
+    to the curation domain."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    d = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(tokens_col(F.col("text"))).cast("double").alias("nt"),
+        F.md5("text").alias("h"),
+    )
+    base = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.avg("nt").alias("mean_tokens"),
+        F.avg("n_chars").alias("mean_chars"),
+        (F.count("*") - F.countDistinct("h"))
+        .cast("double")
+        .alias("n_exact_dup_docs"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.avg(
+            F.when(F.col("nt") < _DS_SHORT_TOKENS, 1.0).otherwise(0.0)
+        ).alias("short_doc_frac"),
+    )
+    tot = d.agg(F.count("*").cast("double").alias("n"))
+    lent = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("double").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log(F.col("c") / F.col("n"))
+                ),
+                F.lit(0.0),
+            ).alias("lang_entropy")
+        )
+    )
+    wide = base.crossJoin(F.broadcast(lent))
+    cols = [
+        "n_docs", "total_tokens", "mean_tokens", "mean_chars",
+        "n_exact_dup_docs", "n_langs", "n_sources", "short_doc_frac",
+        "lang_entropy",
+    ]
+    return wide.unpivot([], cols, "metric", "value").select(
+        "metric", F.round("value", 6).alias("value")
+    )

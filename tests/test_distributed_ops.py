@@ -360,3 +360,30 @@ def test_target_encode_loo_no_self_leakage(spark):
         assert abs(r.loo_encoding - want) / want < 1e-5
         plain = s[o.o_orderpriority] / n[o.o_orderpriority]
         assert abs(r.loo_encoding - plain) > 1e-9  # truly leave-one-out
+
+
+def test_hits_normalization_and_sign(spark):
+    """HITS invariants: both score vectors are L1-normalized
+    (sum = 1) and non-negative, and the hub/authority rankings are
+    not identical (the two roles genuinely separate on a directed
+    graph)."""
+    rows = _rows(spark, "hits_trade_graph")
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-5
+    assert all(r.hub >= 0 and r.authority >= 0 for r in rows)
+    hub_rank = [r.nation for r in sorted(rows, key=lambda r: -r.hub)]
+    auth_rank = [r.nation for r in sorted(rows, key=lambda r: -r.authority)]
+    assert hub_rank != auth_rank
+
+
+def test_datasheet_consistency(spark):
+    """Datasheet metrics must reconcile with direct queries."""
+    vals = {r.metric: r.value for r in _rows(spark, "dataset_datasheet")}
+    docs = load_table(spark, SF_DIR, "documents")
+    assert vals["n_docs"] == docs.count()
+    assert vals["n_langs"] == docs.select("lang").distinct().count()
+    assert vals["n_sources"] == docs.select("source").distinct().count()
+    assert 0.0 <= vals["short_doc_frac"] <= 1.0
+    import math
+
+    assert 0.0 <= vals["lang_entropy"] <= math.log(vals["n_langs"]) + 1e-9

@@ -144,6 +144,8 @@ FAMILIES = [
     "forecast_conformal_interval",
     "session_pattern_match",
     "target_encode_loo",
+    "hits_trade_graph",
+    "dataset_datasheet",
 ]
 
 
