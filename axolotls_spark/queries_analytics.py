@@ -3276,3 +3276,183 @@ def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("authority"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based decision-stump split search (the GBDT primitive)
+# ---------------------------------------------------------------------------
+
+_STUMP_BINS = 16
+_STUMP_FEATS = ("l_quantity", "l_discount", "l_tax")
+
+_STUMP_FEATS_SQL = " UNION ALL ".join(
+    f"SELECT '{f}' AS feat, CAST({f} AS DOUBLE) AS x, y FROM base"
+    for f in _STUMP_FEATS
+)
+
+
+@register(
+    "stump_split_search",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_quantity, l_discount, l_tax,
+               l_extendedprice * (1 - l_discount) AS y
+        FROM lineitem
+    ),
+    long AS ({_STUMP_FEATS_SQL}),
+    rng AS (
+        SELECT feat, MIN(x) AS lo, MAX(x) AS hi FROM long GROUP BY feat
+    ),
+    binned AS (
+        SELECT l.feat,
+               LEAST(CAST(FLOOR((l.x - r.lo) / (r.hi - r.lo)
+                                * {_STUMP_BINS}) AS BIGINT),
+                     {_STUMP_BINS - 1}) AS bin,
+               l.y
+        FROM long l JOIN rng r USING (feat)
+    ),
+    hist AS (
+        SELECT feat, bin, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss
+        FROM binned GROUP BY feat, bin
+    ),
+    cum AS (
+        SELECT feat, bin,
+               SUM(n)  OVER w AS nl, SUM(s)  OVER w AS sl,
+               SUM(ss) OVER w AS ssl,
+               SUM(n)  OVER p AS nt, SUM(s)  OVER p AS st,
+               SUM(ss) OVER p AS sst
+        FROM hist
+        WINDOW w AS (PARTITION BY feat ORDER BY bin),
+               p AS (PARTITION BY feat)
+    ),
+    gains AS (
+        SELECT c.feat, c.bin,
+               r.lo + (c.bin + 1) * (r.hi - r.lo) / {_STUMP_BINS}
+                   AS threshold,
+               c.nl AS n_left, c.nt - c.nl AS n_right,
+               (c.sst - c.st * c.st / c.nt)
+               - (c.ssl - c.sl * c.sl / c.nl)
+               - ((c.sst - c.ssl)
+                  - (c.st - c.sl) * (c.st - c.sl) / (c.nt - c.nl))
+                   AS gain
+        FROM cum c JOIN rng r USING (feat)
+        WHERE c.nl > 0 AND c.nt - c.nl > 0
+    )
+    SELECT feat, ROUND(threshold, 6) AS threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           ROUND(gain, 4) AS gain
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY feat
+                                     ORDER BY gain DESC, bin) AS rn
+        FROM gains
+    ) WHERE rn = 1
+    """,
+    tags=("gbdt", "decision-stump", "histogram-split", "ml-training",
+          "supervised"),
+)
+def stump_split_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump split search — the inner-loop
+    primitive of every distributed gradient-boosted-tree trainer
+    (LightGBM/XGBoost-hist): per feature, bin the corpus into 16
+    equal-width bins in ONE pass, then evaluate every bin-boundary
+    split from CUMULATIVE bin statistics — variance gain
+    = SSE(parent) − SSE(left) − SSE(right) via the sum/sumsq
+    identity, no second data pass, no per-threshold rescan.
+    Reports the best (threshold, gain, child sizes) per feature for
+    predicting line revenue from quantity/discount/tax.
+
+    Scale shape: the fact table is touched exactly once (a 3-way
+    feature explode riding the scan, then the (feat, bin) hash
+    aggregate → 48 rows); split evaluation is windows over ≤16-row
+    per-feature partitions. This is why histogram GBDT scales where
+    exact split enumeration (sort per feature per node) cannot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y")
+    base = li.select("l_quantity", "l_discount", "l_tax", y)
+    long = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("feat"),
+                        F.col(f).cast("double").alias("x"),
+                    )
+                    for f in _STUMP_FEATS
+                ]
+            )
+        ).alias("fx"),
+        "y",
+    ).select("fx.feat", "fx.x", "y")
+    rng = long.groupBy("feat").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    binned = long.join(F.broadcast(rng), "feat").select(
+        "feat",
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _STUMP_BINS
+            ).cast("long"),
+            F.lit(_STUMP_BINS - 1),
+        ).alias("bin"),
+        "y",
+    )
+    hist = binned.groupBy("feat", "bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("feat").orderBy("bin")
+    p = Window.partitionBy("feat")
+    cum = hist.select(
+        "feat",
+        "bin",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("s").over(w).alias("sl"),
+        F.sum("ss").over(w).alias("ssl"),
+        F.sum("n").over(p).alias("nt"),
+        F.sum("s").over(p).alias("st"),
+        F.sum("ss").over(p).alias("sst"),
+    )
+    gains = (
+        cum.join(F.broadcast(rng), "feat")
+        .filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        .select(
+            "feat",
+            "bin",
+            (
+                F.col("lo")
+                + (F.col("bin") + 1)
+                * (F.col("hi") - F.col("lo"))
+                / _STUMP_BINS
+            ).alias("threshold"),
+            F.col("nl").alias("n_left"),
+            (F.col("nt") - F.col("nl")).alias("n_right"),
+            (
+                (F.col("sst") - F.col("st") * F.col("st") / F.col("nt"))
+                - (F.col("ssl") - F.col("sl") * F.col("sl") / F.col("nl"))
+                - (
+                    (F.col("sst") - F.col("ssl"))
+                    - (F.col("st") - F.col("sl"))
+                    * (F.col("st") - F.col("sl"))
+                    / (F.col("nt") - F.col("nl"))
+                )
+            ).alias("gain"),
+        )
+    )
+    wb = Window.partitionBy("feat").orderBy(F.col("gain").desc(), "bin")
+    return (
+        gains.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feat",
+            F.round("threshold", 6).alias("threshold"),
+            F.col("n_left").cast("long"),
+            F.col("n_right").cast("long"),
+            F.round("gain", 4).alias("gain"),
+        )
+    )

@@ -387,3 +387,44 @@ def test_datasheet_consistency(spark):
     import math
 
     assert 0.0 <= vals["lang_entropy"] <= math.log(vals["n_langs"]) + 1e-9
+
+
+def test_stump_split_vs_numpy_exhaustive(spark):
+    """Numpy mirror: rebuild the 16-bin histograms and evaluate every
+    boundary split exhaustively; the reported best (threshold, gain,
+    child sizes) per feature must match, and each gain must be
+    non-negative (splitting can never increase SSE)."""
+    import numpy as np
+
+    rows = {r.feat: r for r in _rows(spark, "stump_split_search")}
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    ).collect()
+    y = np.array([r.l_extendedprice * (1 - r.l_discount) for r in li])
+    for feat in ("l_quantity", "l_discount", "l_tax"):
+        x = np.array([float(r[feat]) for r in li])
+        lo, hi = x.min(), x.max()
+        b = np.minimum(
+            np.floor((x - lo) / (hi - lo) * 16).astype(int), 15
+        )
+        best = None
+        nt, st, sst = len(y), y.sum(), (y * y).sum()
+        for cut in range(16):
+            m = b <= cut
+            nl = int(m.sum())
+            if nl == 0 or nl == nt:
+                continue
+            sl, ssl = y[m].sum(), (y[m] * y[m]).sum()
+            gain = (
+                (sst - st * st / nt)
+                - (ssl - sl * sl / nl)
+                - ((sst - ssl) - (st - sl) ** 2 / (nt - nl))
+            )
+            if best is None or gain > best[0] + 1e-9:
+                best = (gain, cut, nl)
+        g = rows[feat]
+        assert g.gain >= 0
+        assert abs(g.gain - best[0]) < max(1e-3, 1e-9 * abs(best[0]))
+        assert g.n_left == best[2]
+        want_thr = lo + (best[1] + 1) * (hi - lo) / 16
+        assert abs(g.threshold - want_thr) < 1e-6

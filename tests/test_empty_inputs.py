@@ -146,6 +146,7 @@ FAMILIES = [
     "target_encode_loo",
     "hits_trade_graph",
     "dataset_datasheet",
+    "stump_split_search",
 ]
 
 
