@@ -784,3 +784,128 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent hashing: ring assignment + rebalance movement
+# ---------------------------------------------------------------------------
+
+_CH_NODES = 4     # initial cluster size
+_CH_VNODES = 32   # virtual nodes per physical node
+#: ring positions are 60-bit md5 hashes of "node:replica" labels —
+#: the same engine-independent arithmetic as every other hash here.
+_CH_RING_SQL = " UNION ALL ".join(
+    f"SELECT {n} AS node, "
+    + _SQL_H.format(x=f"'ring:{n}:{r}'")
+    + " AS pos"
+    for n in range(_CH_NODES + 1)
+    for r in range(_CH_VNODES)
+)
+
+
+@register(
+    "consistent_hash_movement",
+    oracle=f"""
+    WITH ring AS ({_CH_RING_SQL}),
+    keys AS (
+        SELECT o_orderkey AS k, {_SQL_H.format(x='o_orderkey')} AS h
+        FROM orders
+    ),
+    a4 AS (
+        SELECT k.k,
+               COALESCE(
+                   MIN(CASE WHEN r.pos >= k.h THEN r.pos END),
+                   MIN(r.pos)) AS sel
+        FROM keys k CROSS JOIN ring r
+        WHERE r.node < {_CH_NODES}
+        GROUP BY k.k
+    ),
+    a5 AS (
+        SELECT k.k,
+               COALESCE(
+                   MIN(CASE WHEN r.pos >= k.h THEN r.pos END),
+                   MIN(r.pos)) AS sel
+        FROM keys k CROSS JOIN ring r
+        GROUP BY k.k
+    ),
+    n4 AS (SELECT a4.k, r.node FROM a4 JOIN ring r ON a4.sel = r.pos),
+    n5 AS (SELECT a5.k, r.node FROM a5 JOIN ring r ON a5.sel = r.pos),
+    j AS (
+        SELECT n4.node AS node4, n5.node AS node5
+        FROM n4 JOIN n5 USING (k)
+    )
+    SELECT node4 AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_keys_before,
+           CAST(COUNT(*) FILTER (WHERE node5 <> node4) AS BIGINT)
+               AS n_moved_away,
+           ROUND(COUNT(*) FILTER (WHERE node5 <> node4)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS moved_frac
+    FROM j GROUP BY node4
+    """,
+    tags=("consistent-hashing", "partitioning", "rebalance",
+          "infrastructure"),
+)
+def consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring assignment and the rebalance-movement
+    report for scaling 4 -> 5 nodes (Karger et al., STOC'97): every
+    order key walks clockwise to the first of 32 virtual nodes per
+    physical node; adding node 4 must move only the keys landing in
+    the new node's arcs (~1/5 of each node's keys), where mod-N
+    partitioning would reshuffle ~4/5 — the property that makes
+    shard scaling cheap, measured rather than asserted.
+
+    Scale shape: the ring is a 160-row
+    broadcast relation; each key resolves its successor vnode in one
+    conditional-MIN aggregate over the broadcast (wrap-around via
+    COALESCE to the global ring minimum) — the corpus is scanned
+    once per ring epoch and never joined with itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    ring = spark.createDataFrame(
+        [(n, r) for n in range(_CH_NODES + 1) for r in range(_CH_VNODES)],
+        "node int, replica int",
+    ).select(
+        "node",
+        token_hash(
+            F.concat(
+                F.lit("ring:"),
+                F.col("node").cast("string"),
+                F.lit(":"),
+                F.col("replica").cast("string"),
+            )
+        ).alias("pos"),
+    )
+    keys = orders.select(
+        F.col("o_orderkey").alias("k"),
+        token_hash(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+
+    def assign(ring_df):
+        sel = (
+            keys.crossJoin(F.broadcast(ring_df))
+            .groupBy("k")
+            .agg(
+                F.coalesce(
+                    F.min(
+                        F.when(F.col("pos") >= F.col("h"), F.col("pos"))
+                    ),
+                    F.min("pos"),
+                ).alias("sel")
+            )
+        )
+        return sel.join(
+            F.broadcast(ring_df), F.col("sel") == F.col("pos")
+        ).select("k", "node")
+
+    n4 = assign(ring.filter(F.col("node") < _CH_NODES))
+    n5 = assign(ring)
+    j = n4.withColumnRenamed("node", "node4").join(
+        n5.withColumnRenamed("node", "node5"), "k"
+    )
+    moved = F.col("node5") != F.col("node4")
+    return j.groupBy(F.col("node4").alias("node")).agg(
+        F.count("*").alias("n_keys_before"),
+        F.count_if(moved).alias("n_moved_away"),
+        F.round(
+            F.count_if(moved) / F.count("*").cast("double"), 6
+        ).alias("moved_frac"),
+    )

@@ -428,3 +428,43 @@ def test_stump_split_vs_numpy_exhaustive(spark):
         assert g.n_left == best[2]
         want_thr = lo + (best[1] + 1) * (hi - lo) / 16
         assert abs(g.threshold - want_thr) < 1e-6
+
+
+def test_consistent_hash_minimal_movement(spark):
+    """The Karger property, measured: scaling 4 -> 5 nodes moves
+    roughly 1/5 of each node's keys (movement only INTO the new
+    node's arcs) — far below the ~4/5 a mod-N repartition forces;
+    and keys that move can only move to the NEW node (python ring
+    mirror double-checks the full assignment)."""
+    import hashlib
+
+    rows = _rows(spark, "consistent_hash_movement")
+    assert {r.node for r in rows} == {0, 1, 2, 3}
+    total = sum(r.n_keys_before for r in rows)
+    moved = sum(r.n_moved_away for r in rows)
+    assert 0.10 <= moved / total <= 0.35  # ~1/5, hash-draw tolerance
+    # python mirror of both ring epochs
+    def h(sx):
+        return int(hashlib.md5(sx.encode()).hexdigest()[:15], 16)
+    ring5 = sorted(
+        (h(f"ring:{n}:{r}"), n) for n in range(5) for r in range(32)
+    )
+    ring4 = [(p, n) for p, n in ring5 if n < 4]
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    def assign(ring, k):
+        hk = h(str(k))
+        for p, n in ring:
+            if p >= hk:
+                return n
+        return ring[0][1]
+    moved_py = sum(
+        1 for k in keys if assign(ring4, k) != assign(ring5, k)
+    )
+    to_new = sum(1 for k in keys if assign(ring5, k) == 4)
+    assert moved_py == moved
+    assert moved_py == to_new  # movement is ONLY into the new node

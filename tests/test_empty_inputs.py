@@ -147,6 +147,7 @@ FAMILIES = [
     "hits_trade_graph",
     "dataset_datasheet",
     "stump_split_search",
+    "consistent_hash_movement",
 ]
 
 
