@@ -3456,3 +3456,99 @@ def stump_split_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("gain", 4).alias("gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: IPS / SNIPS
+# ---------------------------------------------------------------------------
+
+_OPE_TAU = 2.0  # softmax temperature of the target policy
+
+
+@register(
+    "offpolicy_ips_estimate",
+    oracle=f"""
+    WITH logged AS (
+        SELECT event_type AS arm, value AS r FROM events
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, AVG(r) AS mean_r FROM logged
+        GROUP BY arm
+    ),
+    tot AS (SELECT SUM(n)::DOUBLE AS nt FROM arms),
+    pol AS (
+        SELECT arm, n / tot.nt AS p_log,
+               EXP(mean_r / {_OPE_TAU})
+               / SUM(EXP(mean_r / {_OPE_TAU})) OVER () AS p_tgt
+        FROM arms CROSS JOIN tot
+    ),
+    w AS (
+        SELECT l.r, p.p_tgt / p.p_log AS wt
+        FROM logged l JOIN pol p USING (arm)
+    )
+    SELECT ROUND(SUM(r * wt) / COUNT(*), 6) AS ips_value,
+           ROUND(SUM(r * wt) / SUM(wt), 6) AS snips_value,
+           ROUND(SUM(wt) * SUM(wt) / SUM(wt * wt) / COUNT(*), 6)
+               AS ess_frac,
+           ROUND(MAX(wt), 6) AS max_weight,
+           ROUND(AVG(r), 6) AS logging_value
+    FROM w
+    """,
+    tags=("off-policy", "ips", "snips", "bandit", "evaluation"),
+)
+def offpolicy_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a softmax target policy from logged
+    interaction data — the counterfactual question every
+    recommender/bandit change answers BEFORE an online A/B: events
+    are (arm = event type, reward = value) logged under the
+    empirical behavior policy; the target policy prefers
+    higher-mean arms (softmax over arm means, tau = 2); its value
+    is estimated by inverse-propensity scoring — IPS
+    (unbiased, high variance), SNIPS (self-normalized — the
+    standard variance fix), plus the diagnostics an OPE report
+    needs: effective-sample-size fraction and the max importance
+    weight (weight explosion = untrustworthy estimate).
+
+    Scale shape: the arm relation is domain-sized (5 rows) and
+    broadcast back; the corpus is scanned once for arm stats and
+    once for the weighted estimate — both plain aggregates; the
+    softmax normalizer is a 1-row broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    logged = events.select(
+        F.col("event_type").alias("arm"), F.col("value").alias("r")
+    )
+    arms = logged.groupBy("arm").agg(
+        F.count("*").alias("n"), F.avg("r").alias("mean_r")
+    )
+    tot = arms.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.sum(F.exp(F.col("mean_r") / _OPE_TAU)).alias("z"),
+    )
+    pol = (
+        arms.crossJoin(F.broadcast(tot))
+        .withColumn("p_log", F.col("n") / F.col("nt"))
+        .withColumn(
+            "p_tgt", F.exp(F.col("mean_r") / _OPE_TAU) / F.col("z")
+        )
+        .select("arm", "p_log", "p_tgt")
+    )
+    w = logged.join(F.broadcast(pol), "arm").select(
+        "r", (F.col("p_tgt") / F.col("p_log")).alias("wt")
+    )
+    return w.agg(
+        F.round(F.sum(F.col("r") * F.col("wt")) / F.count("*"), 6).alias(
+            "ips_value"
+        ),
+        F.round(
+            F.sum(F.col("r") * F.col("wt")) / F.sum("wt"), 6
+        ).alias("snips_value"),
+        F.round(
+            F.sum("wt")
+            * F.sum("wt")
+            / F.sum(F.col("wt") * F.col("wt"))
+            / F.count("*"),
+            6,
+        ).alias("ess_frac"),
+        F.round(F.max("wt"), 6).alias("max_weight"),
+        F.round(F.avg("r"), 6).alias("logging_value"),
+    )

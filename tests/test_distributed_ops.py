@@ -468,3 +468,43 @@ def test_consistent_hash_minimal_movement(spark):
     to_new = sum(1 for k in keys if assign(ring5, k) == 4)
     assert moved_py == moved
     assert moved_py == to_new  # movement is ONLY into the new node
+
+
+def test_offpolicy_ips_vs_python(spark):
+    """Python mirror of the whole OPE pipeline plus the estimator
+    sanity relations: SNIPS is a weighted mean of rewards (so it
+    stays inside the reward range), ess_frac in (0, 1], and both
+    estimates match the mirror to 1e-4."""
+    import math
+
+    rows = _rows(spark, "offpolicy_ips_estimate")
+    assert len(rows) == 1
+    g = rows[0]
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+
+    n = defaultdict(int)
+    s = defaultdict(float)
+    for e in ev:
+        n[e.event_type] += 1
+        s[e.event_type] += e.value
+    nt = sum(n.values())
+    mean = {a: s[a] / n[a] for a in n}
+    z = sum(math.exp(m / 2.0) for m in mean.values())
+    p_tgt = {a: math.exp(mean[a] / 2.0) / z for a in mean}
+    wts, wr = [], []
+    for e in ev:
+        w = p_tgt[e.event_type] / (n[e.event_type] / nt)
+        wts.append(w)
+        wr.append(w * e.value)
+    ips = sum(wr) / nt
+    snips = sum(wr) / sum(wts)
+    ess = (sum(wts) ** 2 / sum(w * w for w in wts)) / nt
+    assert abs(g.ips_value - ips) < 1e-4
+    assert abs(g.snips_value - snips) < 1e-4
+    assert abs(g.ess_frac - ess) < 1e-4
+    lo, hi = min(e.value for e in ev), max(e.value for e in ev)
+    assert lo <= g.snips_value <= hi
+    assert 0 < g.ess_frac <= 1.0 + 1e-9

@@ -148,6 +148,7 @@ FAMILIES = [
     "dataset_datasheet",
     "stump_split_search",
     "consistent_hash_movement",
+    "offpolicy_ips_estimate",
 ]
 
 
