@@ -708,6 +708,232 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+
+
+@register(
+    "cuped_adjusted_lift",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey AS cust,
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                        THEN o_totalprice ELSE 0 END) AS x,
+               SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                        THEN o_totalprice ELSE 0 END) AS y
+        FROM orders GROUP BY 1
+    ),
+    armed AS (
+        SELECT CASE WHEN ('0x' || substr(md5(cust::VARCHAR), 1, 15))::BIGINT
+                         % 2 = 0
+                    THEN 'T' ELSE 'C' END AS arm,
+               x, y
+        FROM per
+    ),
+    st AS (
+        SELECT AVG(x) AS mx, COVAR_SAMP(x, y) / VAR_SAMP(x) AS theta
+        FROM armed
+    ),
+    adj AS (
+        SELECT arm, y, y - st.theta * (x - st.mx) AS ya
+        FROM armed CROSS JOIN st
+    ),
+    g AS (SELECT VAR_SAMP(y) AS vy, VAR_SAMP(ya) AS vya FROM adj),
+    s AS (
+        SELECT arm, COUNT(*) AS n, AVG(y) AS my, AVG(ya) AS mya
+        FROM adj GROUP BY arm
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_treat, CAST(c.n AS BIGINT) AS n_control,
+           CAST(st.theta AS REAL) AS theta,
+           CAST(t.my - c.my AS REAL) AS diff_raw,
+           CAST(t.mya - c.mya AS REAL) AS diff_cuped,
+           CAST(1.0 - g.vya / g.vy AS REAL) AS var_reduction
+    FROM (SELECT * FROM s WHERE arm = 'T') t
+    CROSS JOIN (SELECT * FROM s WHERE arm = 'C') c
+    CROSS JOIN st CROSS JOIN g
+    """,
+    tags=("ab-test", "cuped", "variance-reduction", "experiment",
+          "statistics"),
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM'13) experiment readout: the
+    treatment-effect estimate on post-period customer spend, variance-
+    reduced by each customer's PRE-period spend as the control
+    covariate — y_adj = y − θ·(x − x̄) with θ = cov(x,y)/var(x). The
+    industry-standard upgrade to ab_test_welch: same deterministic
+    hash split, but the pre-experiment covariate absorbs
+    between-customer variance, shrinking the confidence interval
+    without touching the expected lift. Reports the raw and adjusted
+    arm differences plus the achieved variance reduction.
+
+    Scale shape: ONE grouped pass over orders builds per-customer
+    (pre, post) spend via conditional sums; θ and x̄ are a 1-row
+    broadcast aggregate; the adjusted readout is one more grouped
+    aggregate over the per-customer relation. Three corpus-free
+    scalar relations pivot the two arms — no shuffle wider than the
+    per-customer groupBy.
+    """
+    from axolotls_spark.operators.dedup import token_hash
+
+    split = F.lit("1999-01-01").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < split, F.col("o_totalprice"))
+            .otherwise(0.0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= split, F.col("o_totalprice"))
+            .otherwise(0.0)
+        ).alias("y"),
+    )
+    armed = per.select(
+        F.when(token_hash(F.col("cust").cast("string")) % 2 == 0, "T")
+        .otherwise("C")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    st = armed.agg(
+        F.avg("x").alias("mx"),
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("theta"),
+    )
+    adj = armed.crossJoin(F.broadcast(st)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))).alias(
+            "ya"
+        ),
+    )
+    g = adj.agg(
+        F.var_samp("y").alias("vy"), F.var_samp("ya").alias("vya")
+    )
+    s = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("ya").alias("mya"),
+    )
+    t = s.filter(F.col("arm") == "T").select(
+        F.col("n").alias("n_treat"),
+        F.col("my").alias("my_t"),
+        F.col("mya").alias("mya_t"),
+    )
+    c = s.filter(F.col("arm") == "C").select(
+        F.col("n").alias("n_control"),
+        F.col("my").alias("my_c"),
+        F.col("mya").alias("mya_c"),
+    )
+    return (
+        t.crossJoin(c)
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("n_treat").cast("long").alias("n_treat"),
+            F.col("n_control").cast("long").alias("n_control"),
+            F.col("theta").cast("float").alias("theta"),
+            (F.col("my_t") - F.col("my_c")).cast("float").alias("diff_raw"),
+            (F.col("mya_t") - F.col("mya_c"))
+            .cast("float")
+            .alias("diff_cuped"),
+            (F.lit(1.0) - F.col("vya") / F.col("vy"))
+            .cast("float")
+            .alias("var_reduction"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences: 2x2 pre/post x treat/control readout
+
+
+@register(
+    "diff_in_diff_readout",
+    oracle="""
+    WITH cells AS (
+        SELECT CASE WHEN ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))
+                         ::BIGINT % 2 = 0
+                    THEN 'T' ELSE 'C' END AS arm,
+               CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                    THEN 'post' ELSE 'pre' END AS period,
+               o_totalprice AS v
+        FROM orders
+    ),
+    s AS (
+        SELECT arm, period, COUNT(*) AS n, AVG(v) AS mean_v
+        FROM cells GROUP BY arm, period
+    )
+    SELECT s.arm, s.period, CAST(s.n AS BIGINT) AS n,
+           CAST(s.mean_v AS REAL) AS mean_v,
+           CAST((tpost.mean_v - tpre.mean_v)
+                - (cpost.mean_v - cpre.mean_v) AS REAL) AS did_estimate
+    FROM s
+    CROSS JOIN (SELECT mean_v FROM s WHERE arm = 'T' AND period = 'post') tpost
+    CROSS JOIN (SELECT mean_v FROM s WHERE arm = 'T' AND period = 'pre') tpre
+    CROSS JOIN (SELECT mean_v FROM s WHERE arm = 'C' AND period = 'post') cpost
+    CROSS JOIN (SELECT mean_v FROM s WHERE arm = 'C' AND period = 'pre') cpre
+    ORDER BY s.arm, s.period
+    """,
+    tags=("ab-test", "difference-in-differences", "causal", "experiment",
+          "statistics"),
+)
+def diff_in_diff_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per-order spend means in the
+    2×2 (treatment, period) grid plus the DiD estimate
+    (ΔT − ΔC) — the causal-inference workhorse when treatment
+    rolls out at a known date and a parallel-trends control group
+    absorbs the secular drift that a naive pre/post comparison
+    mistakes for effect. Completes the experimentation trio:
+    ab_test_welch (post-only), cuped_adjusted_lift (pre-period
+    covariate), diff_in_diff (pre/post trend differencing).
+
+    Scale shape: assignment and period are map-side expressions; the
+    whole readout is ONE grouped aggregate into a 4-row grid; the
+    DiD scalar is assembled by broadcasting the four 1-row cell
+    relations back onto the grid. A single corpus pass at any scale.
+    """
+    from axolotls_spark.operators.dedup import token_hash
+
+    split = F.lit("1999-01-01").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.select(
+        F.when(token_hash(F.col("o_custkey").cast("string")) % 2 == 0, "T")
+        .otherwise("C")
+        .alias("arm"),
+        F.when(F.col("o_orderdate") >= split, "post")
+        .otherwise("pre")
+        .alias("period"),
+        F.col("o_totalprice").alias("v"),
+    )
+    s = cells.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("v").alias("mean_v")
+    ).persist()
+
+    def cell(arm: str, period: str, name: str) -> DataFrame:
+        return s.filter(
+            (F.col("arm") == arm) & (F.col("period") == period)
+        ).select(F.col("mean_v").alias(name))
+
+    return (
+        s.crossJoin(F.broadcast(cell("T", "post", "tpost")))
+        .crossJoin(F.broadcast(cell("T", "pre", "tpre")))
+        .crossJoin(F.broadcast(cell("C", "post", "cpost")))
+        .crossJoin(F.broadcast(cell("C", "pre", "cpre")))
+        .select(
+            "arm",
+            "period",
+            F.col("n").cast("long").alias("n"),
+            F.col("mean_v").cast("float").alias("mean_v"),
+            (
+                (F.col("tpost") - F.col("tpre"))
+                - (F.col("cpost") - F.col("cpre"))
+            )
+            .cast("float")
+            .alias("did_estimate"),
+        )
+        .orderBy("arm", "period")
+    )
+
+
+# --------------------------------------------------------------------------
 # DAU / rolling 7-day active users (distinct over sliding windows)
 
 

@@ -287,6 +287,88 @@ def nucleus_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unseen-vocabulary estimation: Good–Turing mass + Chao1 richness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_unseen_mass",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+    ff AS (SELECT c, COUNT(*) AS f FROM tc GROUP BY 1),
+    agg AS (
+        SELECT SUM(c * f)::DOUBLE AS n_tokens,
+               SUM(f)::DOUBLE AS vocab,
+               COALESCE(SUM(CASE WHEN c = 1 THEN f END), 0)::DOUBLE AS f1,
+               COALESCE(SUM(CASE WHEN c = 2 THEN f END), 0)::DOUBLE AS f2
+        FROM ff
+    )
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(f1 AS BIGINT) AS hapax_terms,
+           CAST(f2 AS BIGINT) AS dis_terms,
+           CAST(f1 / n_tokens AS REAL) AS gt_unseen_mass,
+           CAST(vocab + f1 * (f1 - 1) / (2 * (f2 + 1)) AS REAL)
+               AS chao1_richness
+    FROM agg
+    """,
+    tags=("good-turing", "chao1", "vocabulary", "richness", "curation"),
+)
+def vocab_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much vocabulary has the corpus NOT shown yet? Good–Turing
+    unseen-probability mass (f₁/N — the chance the next token is a
+    new type) and the bias-corrected Chao1 richness estimate
+    (V + f₁(f₁−1)/(2(f₂+1)) — a lower bound on the true vocabulary
+    size), both driven by the hapax/dis legomena counts. The
+    collection-strategy complement to vocab_coverage_curve: coverage
+    sizes the tokenizer for the data you HAVE; unseen mass says
+    whether crawling more of the same source still buys new
+    vocabulary.
+
+    Scale shape: corpus → term counts (one map-side-combined
+    aggregate, Zipf-small) → frequency-of-frequencies (bounded by
+    the distinct count values, far smaller still) → one scalar row.
+    Every reduction is algebraic; nothing wider than the term-count
+    shuffle ever exists.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    tc = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ff = tc.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+    agg = ff.agg(
+        F.sum(F.col("c") * F.col("f")).cast("double").alias("n_tokens"),
+        F.sum("f").cast("double").alias("vocab"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, F.col("f"))), F.lit(0)
+        ).cast("double").alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 2, F.col("f"))), F.lit(0)
+        ).cast("double").alias("f2"),
+    )
+    return agg.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("hapax_terms"),
+        F.col("f2").cast("long").alias("dis_terms"),
+        (F.col("f1") / F.col("n_tokens")).cast("float").alias(
+            "gt_unseen_mass"
+        ),
+        (
+            F.col("vocab")
+            + F.col("f1") * (F.col("f1") - 1) / (2 * (F.col("f2") + 1))
+        )
+        .cast("float")
+        .alias("chao1_richness"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational logistic regression (IRLS) — the quality classifier
 # ---------------------------------------------------------------------------
 
@@ -474,6 +556,119 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("p").cast("float").alias("avg_pred"),
             F.avg("y").cast("float").alias("frac_positive"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier ranking quality — binned ROC: AUC, Gini, KS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "logreg_auc_roc",
+    oracle=f"""
+    WITH feats AS ({_FEATS_SQL}),
+    seed AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN seed),
+    beta1 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m1),
+    m2 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN beta1),
+    beta2 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m2),
+    scored AS (
+        SELECT y, {_CAL_P} AS p FROM feats CROSS JOIN beta2
+    ),
+    b AS (
+        SELECT LEAST(CAST(FLOOR(p * 64) AS BIGINT), 63) AS bin,
+               SUM(y) AS npos, COUNT(*) - SUM(y) AS nneg
+        FROM scored GROUP BY 1
+    ),
+    t AS (SELECT SUM(npos)::DOUBLE AS tp, SUM(nneg)::DOUBLE AS tn FROM b),
+    c AS (
+        SELECT bin,
+               SUM(npos) OVER (ORDER BY bin DESC) / t.tp AS tpr,
+               SUM(nneg) OVER (ORDER BY bin DESC) / t.tn AS fpr
+        FROM b CROSS JOIN t
+    ),
+    r AS (
+        SELECT tpr, fpr,
+               COALESCE(LAG(tpr) OVER (ORDER BY bin DESC), 0.0) AS ptpr,
+               COALESCE(LAG(fpr) OVER (ORDER BY bin DESC), 0.0) AS pfpr
+        FROM c
+    ),
+    a AS (
+        SELECT SUM((fpr - pfpr) * (tpr + ptpr) / 2) AS auc,
+               MAX(ABS(tpr - fpr)) AS ks
+        FROM r
+    )
+    SELECT CAST(t.tp AS BIGINT) AS n_pos, CAST(t.tn AS BIGINT) AS n_neg,
+           CAST(a.auc AS REAL) AS auc,
+           CAST(2 * a.auc - 1 AS REAL) AS gini,
+           CAST(a.ks AS REAL) AS ks
+    FROM a CROSS JOIN t
+    """,
+    tags=("logreg", "auc", "roc", "ks", "ml-eval", "shared-algebra"),
+)
+def logreg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking quality of the IRLS classifier: AUC, Gini and the
+    Kolmogorov–Smirnov statistic from a 64-bin ROC curve — the
+    complement of logreg_calibration_bins (calibration says whether
+    scores mean what they claim; AUC/KS say whether they ORDER
+    documents correctly, which is what a keep/drop threshold uses).
+    Scores falling in one bin are treated as tied (trapezoid over the
+    binned ROC) — deterministic on every engine, unlike exact-rank
+    AUC whose tie handling is sort-order-dependent.
+
+    Scale shape: the ROC is computed from per-BIN pos/neg counts —
+    one map-side-combinable aggregate over the scored corpus into a
+    fixed 64-row relation; the cumulative TPR/FPR walk, trapezoid sum
+    and KS max all run on those 64 rows (the global window is
+    bin-bounded, never corpus-sized). This is the histogram-AUC
+    production systems use at scale: exact global ranking would be a
+    full sort; binning makes the ranking metric a histogram merge.
+    """
+    feats = _logreg_features(spark, sf_dir)
+    beta = _irls_beta(spark, feats, iters=2)
+    scored = feats.crossJoin(F.broadcast(beta)).select(
+        "y", F.expr(_P).alias("p")
+    )
+    b = scored.groupBy(
+        F.least(F.floor(F.col("p") * 64), F.lit(63)).cast("long").alias("bin")
+    ).agg(
+        F.sum("y").alias("npos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("nneg"),
+    )
+    t = b.agg(
+        F.sum("npos").cast("double").alias("tp"),
+        F.sum("nneg").cast("double").alias("tn"),
+    )
+    w = Window.orderBy(F.col("bin").desc())
+    c = (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            (F.sum("npos").over(w) / F.col("tp")).alias("tpr"),
+            (F.sum("nneg").over(w) / F.col("tn")).alias("fpr"),
+        )
+    )
+    r = c.select(
+        "tpr",
+        "fpr",
+        F.coalesce(F.lag("tpr").over(w), F.lit(0.0)).alias("ptpr"),
+        F.coalesce(F.lag("fpr").over(w), F.lit(0.0)).alias("pfpr"),
+    )
+    a = r.agg(
+        F.sum(
+            (F.col("fpr") - F.col("pfpr"))
+            * (F.col("tpr") + F.col("ptpr"))
+            / 2
+        ).alias("auc"),
+        F.max(F.abs(F.col("tpr") - F.col("fpr"))).alias("ks"),
+    )
+    return a.crossJoin(F.broadcast(t)).select(
+        F.col("tp").cast("long").alias("n_pos"),
+        F.col("tn").cast("long").alias("n_neg"),
+        F.col("auc").cast("float").alias("auc"),
+        (2 * F.col("auc") - 1).cast("float").alias("gini"),
+        F.col("ks").cast("float").alias("ks"),
     )
 
 

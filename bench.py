@@ -101,6 +101,18 @@ HEADLINE = [
     "silhouette_kmeans",
     "image_ahash_topk",
     "shapley_attribution",
+    "ppr_trade_similarity",
+    "forecast_conformal_interval",
+    "session_pattern_match",
+    "target_encode_loo",
+    "hits_trade_graph",
+    "stump_split_search",
+    "consistent_hash_movement",
+    "offpolicy_ips_estimate",
+    "logreg_auc_roc",
+    "cuped_adjusted_lift",
+    "diff_in_diff_readout",
+    "vocab_unseen_mass",
 ]
 
 

@@ -149,6 +149,10 @@ FAMILIES = [
     "stump_split_search",
     "consistent_hash_movement",
     "offpolicy_ips_estimate",
+    "logreg_auc_roc",
+    "cuped_adjusted_lift",
+    "diff_in_diff_readout",
+    "vocab_unseen_mass",
 ]
 
 
