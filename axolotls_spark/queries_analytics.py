@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table, spread_for_cpu
 from axolotls_spark.operators.dedup import tokens_col
@@ -930,6 +931,139 @@ def diff_in_diff_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("did_estimate"),
         )
         .orderBy("arm", "period")
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: distributed confidence interval for a corpus mean
+
+# Cumulative Poisson(1) CDF breakpoints: P(X <= k) = e^-1 * sum 1/i!.
+# Shared literal text drives the identical inverse-CDF CASE ladder in
+# Spark and the DuckDB oracle, so replicate weights match bit-for-bit.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+_BOOT_B = 32  # bootstrap replicates
+_BOOT_U = (
+    "(('0x' || substr(md5(k || ':' || b), 1, 13))::BIGINT"
+    " / 4503599627370496.0)"
+)
+_BOOT_W_SQL = "CASE " + " ".join(
+    f"WHEN u < CAST({c!r} AS DOUBLE) THEN {i}"
+    for i, c in enumerate(_POIS_CDF)
+) + " ELSE 7 END"
+
+
+@register(
+    "bootstrap_ci_poisson",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey::VARCHAR AS k, o_totalprice AS v FROM orders
+    ),
+    ex AS (
+        SELECT k, v, unnest(range(0, {_BOOT_B}))::VARCHAR AS b FROM o
+    ),
+    u AS (SELECT b, v, {_BOOT_U} AS u FROM ex),
+    w AS (SELECT b, v, {_BOOT_W_SQL} AS wt FROM u),
+    rm AS (SELECT b, SUM(wt * v) / SUM(wt) AS m FROM w GROUP BY b),
+    rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM rm),
+    fs AS (SELECT COUNT(*) AS n, AVG(v) AS point_mean FROM o)
+    SELECT CAST(fs.n AS BIGINT) AS n_orders,
+           CAST(fs.point_mean AS REAL) AS point_mean,
+           CAST((SELECT AVG(m) FROM rm) AS REAL) AS boot_mean,
+           CAST((SELECT STDDEV_SAMP(m) FROM rm) AS REAL) AS boot_se,
+           CAST((SELECT m FROM rk WHERE r = 2) AS REAL) AS ci_lo,
+           CAST((SELECT m FROM rk WHERE r = {_BOOT_B - 1}) AS REAL) AS ci_hi
+    FROM fs
+    """,
+    tags=("bootstrap", "poisson", "confidence-interval", "statistics",
+          "experiment"),
+)
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Hanley & MacGibbon; the Google/Meta metric-
+    pipeline standard) confidence interval for mean order value:
+    classical bootstrap resampling needs N global draws per replicate
+    — impossible distributed — but Binomial(N, 1/N) → Poisson(1), so
+    each row independently contributes a deterministic pseudo-Poisson
+    weight per replicate and every replicate mean is a weighted
+    aggregate. Reports the point estimate, bootstrap mean/SE, and the
+    rank-based 2nd..{_BOOT_B - 1}th order-statistic interval of the
+    {_BOOT_B} replicate means.
+
+    Replicate weights come from an md5-derived uniform pushed through
+    the shared inverse-CDF ladder (_POIS_CDF literals), so Spark and
+    the oracle agree bit-for-bit — no RNG, reproducible on any
+    engine, any partitioning, any run.
+
+    Scale shape: a constant ×{_BOOT_B} map-side explode (no join, no
+    state), then ONE grouped aggregate to the {_BOOT_B}-row replicate
+    relation; ranking/percentiles run on those {_BOOT_B} rows. At
+    100 TB the explode factor is the only cost knob — exactly how
+    production metric pipelines bootstrap trillions of rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").alias("v"),
+    )
+    ex = o.select(
+        "k",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("bi"),
+    ).select("k", "v", F.col("bi").cast("string").alias("b"))
+    u = ex.select(
+        "b",
+        "v",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("k"), F.lit(":"), F.col("b"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4503599627370496.0)
+        ).alias("u"),
+    )
+    wt = F.lit(7)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        wt = F.when(F.col("u") < F.lit(_POIS_CDF[i]), i).otherwise(wt)
+    w = u.select("b", "v", wt.alias("wt"))
+    rm = w.groupBy("b").agg(
+        (F.sum(F.col("wt") * F.col("v")) / F.sum("wt")).alias("m")
+    ).persist()
+    rk = rm.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("r")
+    )
+    stats = rm.agg(
+        F.avg("m").alias("boot_mean"), F.stddev_samp("m").alias("boot_se")
+    )
+    lo = rk.filter(F.col("r") == 2).select(F.col("m").alias("ci_lo"))
+    hi = rk.filter(F.col("r") == _BOOT_B - 1).select(
+        F.col("m").alias("ci_hi")
+    )
+    fs = o.agg(
+        F.count(F.lit(1)).alias("n_orders"), F.avg("v").alias("point_mean")
+    )
+    return (
+        fs.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("point_mean").cast("float").alias("point_mean"),
+            F.col("boot_mean").cast("float").alias("boot_mean"),
+            F.col("boot_se").cast("float").alias("boot_se"),
+            F.col("ci_lo").cast("float").alias("ci_lo"),
+            F.col("ci_hi").cast("float").alias("ci_hi"),
+        )
     )
 
 

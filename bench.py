@@ -113,6 +113,7 @@ HEADLINE = [
     "cuped_adjusted_lift",
     "diff_in_diff_readout",
     "vocab_unseen_mass",
+    "bootstrap_ci_poisson",
 ]
 
 

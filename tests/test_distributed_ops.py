@@ -508,3 +508,46 @@ def test_offpolicy_ips_vs_python(spark):
     lo, hi = min(e.value for e in ev), max(e.value for e in ev)
     assert lo <= g.snips_value <= hi
     assert 0 < g.ess_frac <= 1.0 + 1e-9
+
+
+def test_bootstrap_ci_poisson_python_mirror(spark):
+    """Full pure-Python mirror of the Poisson bootstrap (hashlib md5
+    uniforms -> inverse-CDF weights -> replicate means -> rank CI) —
+    a third implementation, so the Spark plan and the SQL oracle
+    can't share a misconception about the weight ladder."""
+    import hashlib
+    import statistics
+
+    from axolotls_spark.queries_analytics import _BOOT_B, _POIS_CDF
+
+    g = _rows(spark, "bootstrap_ci_poisson")[0]
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+
+    def weight(k: str, b: int) -> int:
+        u = int(hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:13], 16)
+        u /= 4503599627370496.0
+        for i, c in enumerate(_POIS_CDF):
+            if u < c:
+                return i
+        return 7
+
+    means = []
+    for b in range(_BOOT_B):
+        num = den = 0.0
+        for r in orders:
+            w = weight(str(r.o_orderkey), b)
+            num += w * r.o_totalprice
+            den += w
+        means.append(num / den)
+    means.sort()
+    assert g.n_orders == len(orders)
+    assert abs(g.boot_mean - statistics.mean(means)) < 1e-2
+    assert abs(g.boot_se - statistics.stdev(means)) < 1e-3
+    assert abs(g.ci_lo - means[1]) < 1e-2
+    assert abs(g.ci_hi - means[_BOOT_B - 2]) < 1e-2
+    # The interval must bracket both the point estimate and the
+    # bootstrap mean, and weights must average ~1 by construction.
+    assert g.ci_lo <= g.point_mean <= g.ci_hi
+    assert g.ci_lo <= g.boot_mean <= g.ci_hi

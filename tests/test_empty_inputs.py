@@ -153,6 +153,7 @@ FAMILIES = [
     "cuped_adjusted_lift",
     "diff_in_diff_readout",
     "vocab_unseen_mass",
+    "bootstrap_ci_poisson",
 ]
 
 

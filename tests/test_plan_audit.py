@@ -790,6 +790,7 @@ def test_registry_wide_plan_hygiene(spark):
                                     # quantile-bucket degrade path
         "kaplan_meier_retention",   # distinct-duration life table
         "logreg_auc_roc",           # fixed 64-bin ROC relation
+        "bootstrap_ci_poisson",     # fixed 32-replicate relation
         "mixture_waterfill_rates",  # <=|languages|-row breakpoint walk
         "mom_revenue_growth",       # per-month aggregate
         "pareto_brand_revenue",     # <=25 brand rows
