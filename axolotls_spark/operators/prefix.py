@@ -57,8 +57,20 @@ def ranked_cumsum(
     ``order_cols`` are Column sort expressions (e.g. ``[F.desc("cnt"),
     F.asc("term")]``) and MUST define a total order over the rows.
     """
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        _PART, F.spark_partition_id()
+    # The range shuffle is consumed TWICE (per-partition offsets +
+    # the final join).  Without pinning, each consumer may plan its
+    # own Exchange whose RangePartitioner re-SAMPLES different
+    # boundaries — ReusedExchange normally dedupes them, but a
+    # persisted relation anywhere upstream breaks that reuse and the
+    # offsets stop matching the local row_numbers (observed: ranks
+    # off by whole partitions, nondeterministically).  Persisting the
+    # ranged relation freezes one partitioning for both consumers;
+    # follows the caller-owned cache contract (session owners release
+    # via spark.catalog.clearCache(), as tools/parity.py does).
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn(_PART, F.spark_partition_id())
+        .persist()
     )
     # One row per partition; the exclusive-prefix window below is over
     # this ≤n_parts-row relation only.

@@ -1728,6 +1728,131 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# k-fold cross-validated OLS — train-on-complement by moment subtraction
+
+_CV_K = 5
+
+# Test-side SSE/R²: the _OLS_SSE quadratic evaluated with the TRAIN
+# betas (Cramer over complement moments n,s1,...) against the held-out
+# fold's own moments tn,ts1,... — same shared-algebra trick, so the
+# whole CV is exact on both engines.
+_CV_TEST_SSE = (
+    "(tsyy - 2*(({b0})*tsy + ({b1})*ts1y + ({b2})*ts2y)"
+    " + (({b0})*({b0})*tn + ({b1})*({b1})*ts11 + ({b2})*({b2})*ts22"
+    "    + 2*({b0})*({b1})*ts1 + 2*({b0})*({b2})*ts2"
+    "    + 2*({b1})*({b2})*ts12))"
+).format(b0=_OLS_B0, b1=_OLS_B1, b2=_OLS_B2)
+_CV_TEST_R2 = f"(1 - ({_CV_TEST_SSE}) / (tsyy - tsy*tsy/tn))"
+
+_CV_MOMENTS = {
+    "n": "COUNT(*)",
+    "s1": "SUM(x1)",
+    "s2": "SUM(x2)",
+    "s11": "SUM(x1*x1)",
+    "s12": "SUM(x1*x2)",
+    "s22": "SUM(x2*x2)",
+    "sy": "SUM(y)",
+    "syy": "SUM(y*y)",
+    "s1y": "SUM(x1*y)",
+    "s2y": "SUM(x2*y)",
+}
+
+
+@register(
+    "cv_ols_generalization",
+    oracle=f"""
+    WITH feats AS (
+        SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '-'
+                    || l_linenumber::VARCHAR), 1, 15))::BIGINT
+                   % {_CV_K} AS fold,
+               l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem
+    ),
+    fm AS (
+        SELECT fold,
+               {", ".join(f"{e}::DOUBLE AS f{k}" for k, e in _CV_MOMENTS.items())}
+        FROM feats GROUP BY fold
+    ),
+    tot AS (
+        SELECT {", ".join(f"SUM(f{k}) AS g{k}" for k in _CV_MOMENTS)}
+        FROM fm
+    ),
+    tr AS (
+        SELECT fold,
+               {", ".join(f"g{k} - f{k} AS {k}" for k in _CV_MOMENTS)},
+               {", ".join(f"f{k} AS t{k}" for k in _CV_MOMENTS)}
+        FROM fm CROSS JOIN tot
+    )
+    SELECT fold,
+           CAST(tn AS BIGINT) AS n_test,
+           CAST({_OLS_R2} AS REAL) AS train_r2,
+           CAST({_CV_TEST_R2} AS REAL) AS test_r2,
+           CAST(({_OLS_R2}) - ({_CV_TEST_R2}) AS REAL) AS gap
+    FROM tr
+    """,
+    tags=("cross-validation", "ols", "generalization", "ml-eval",
+          "shared-algebra", "single-scan"),
+)
+def cv_ols_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated OLS (price ~ quantity + discount) with
+    ZERO extra passes: because OLS is fully determined by moment sums
+    and moments are additive, each fold's train-on-complement model
+    is (total − fold) algebra — one grouped aggregate computes the
+    5×10 per-fold moments, the complement subtraction + Cramer solve
+    + held-out R² all run on 5 rows. The naive formulation retrains
+    k times over the corpus; this is the distributed-CV trick that
+    makes model selection a single scan. Reports per-fold train/test
+    R² and the generalization gap.
+
+    Fold assignment is the deterministic md5 split (engine-portable,
+    partition-independent); every scalar formula is the exact
+    shared-algebra text of ols_normal_equations run on both engines.
+    """
+    from axolotls_spark.operators.dedup import token_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        (
+            token_hash(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % _CV_K
+        ).alias("fold"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    fm = feats.groupBy("fold").agg(
+        *[
+            F.expr(e).cast("double").alias(f"f{k}")
+            for k, e in _CV_MOMENTS.items()
+        ]
+    )
+    tot = fm.agg(
+        *[F.sum(f"f{k}").alias(f"g{k}") for k in _CV_MOMENTS]
+    )
+    tr = fm.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        *[
+            (F.col(f"g{k}") - F.col(f"f{k}")).alias(k)
+            for k in _CV_MOMENTS
+        ],
+        *[F.col(f"f{k}").alias(f"t{k}") for k in _CV_MOMENTS],
+    )
+    return tr.select(
+        "fold",
+        F.col("tn").cast("long").alias("n_test"),
+        F.expr(_OLS_R2).cast("float").alias("train_r2"),
+        F.expr(_CV_TEST_R2).cast("float").alias("test_r2"),
+        (F.expr(_OLS_R2) - F.expr(_CV_TEST_R2)).cast("float").alias("gap"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Floor-at-zero running balance (non-linear sequential fold)
 
 
@@ -3605,9 +3730,19 @@ def hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _l1(scores: DataFrame) -> DataFrame:
-        t = scores.agg(F.sum("sc").alias("s"))
-        return scores.crossJoin(F.broadcast(t)).select(
-            "node", (F.col("sc") / F.col("s")).alias("sc")
+        # Normalize with a window sum so the score relation is
+        # referenced ONCE: a normalizer built as scores.agg(...)
+        # crossJoined back would reference it twice, doubling the
+        # LOGICAL plan each half-step (2^6 Catalyst-analysis blowup
+        # across 3 iterations — a 50 s outlier; persist does not
+        # help, caching kicks in below the analyzer). The window is
+        # single-partition by construction but runs on the ≤25-row
+        # nation score vector, never the corpus.
+        return scores.select(
+            "node",
+            (
+                F.col("sc") / F.sum("sc").over(Window.partitionBy())
+            ).alias("sc"),
         )
 
     h = nodes.select("node", F.lit(1.0).alias("sc"))

@@ -854,11 +854,14 @@ def consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning would reshuffle ~4/5 — the property that makes
     shard scaling cheap, measured rather than asserted.
 
-    Scale shape: the ring is a 160-row
-    broadcast relation; each key resolves its successor vnode in one
-    conditional-MIN aggregate over the broadcast (wrap-around via
-    COALESCE to the global ring minimum) — the corpus is scanned
-    once per ring epoch and never joined with itself."""
+    Scale shape: BOTH ring epochs collapse to one 1-row broadcast
+    spine (sorted vnode-position arrays + a pos→node map); each key
+    resolves its successor in both rings with per-row higher-order
+    array lookups (wrap-around via COALESCE to the ring head) — ONE
+    corpus scan, zero row blowup, and the only shuffle is the 5-row
+    movement rollup. (The first formulation — a 160× key-ring
+    crossJoin re-aggregated per epoch — was the 18 s bench outlier
+    this replaced.)"""
     orders = load_table(spark, sf_dir, "orders")
     ring = spark.createDataFrame(
         [(n, r) for n in range(_CH_NODES + 1) for r in range(_CH_VNODES)],
@@ -874,35 +877,36 @@ def consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos"),
     )
+    spine = ring.agg(
+        F.sort_array(F.collect_list("pos")).alias("arr5"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("node") < _CH_NODES, F.col("pos"))
+            )
+        ).alias("arr4"),
+        F.map_from_entries(
+            F.collect_list(F.struct("pos", "node"))
+        ).alias("m"),
+    )
+
+    def successor(arr: str) -> F.Column:
+        # try_element_at: the filtered array is legitimately empty
+        # when h lies past the last vnode (the wrap-around case);
+        # plain element_at throws under ANSI.
+        hit = F.expr(f"try_element_at(filter({arr}, p -> p >= h), 1)")
+        return F.col("m")[F.coalesce(hit, F.element_at(F.col(arr), 1))]
+
     keys = orders.select(
         F.col("o_orderkey").alias("k"),
         token_hash(F.col("o_orderkey").cast("string")).alias("h"),
     )
-
-    def assign(ring_df):
-        sel = (
-            keys.crossJoin(F.broadcast(ring_df))
-            .groupBy("k")
-            .agg(
-                F.coalesce(
-                    F.min(
-                        F.when(F.col("pos") >= F.col("h"), F.col("pos"))
-                    ),
-                    F.min("pos"),
-                ).alias("sel")
-            )
-        )
-        return sel.join(
-            F.broadcast(ring_df), F.col("sel") == F.col("pos")
-        ).select("k", "node")
-
-    n4 = assign(ring.filter(F.col("node") < _CH_NODES))
-    n5 = assign(ring)
-    j = n4.withColumnRenamed("node", "node4").join(
-        n5.withColumnRenamed("node", "node5"), "k"
+    assigned = keys.crossJoin(F.broadcast(spine)).select(
+        "k",
+        successor("arr4").alias("node4"),
+        successor("arr5").alias("node5"),
     )
     moved = F.col("node5") != F.col("node4")
-    return j.groupBy(F.col("node4").alias("node")).agg(
+    return assigned.groupBy(F.col("node4").alias("node")).agg(
         F.count("*").alias("n_keys_before"),
         F.count_if(moved).alias("n_moved_away"),
         F.round(

@@ -114,6 +114,8 @@ HEADLINE = [
     "diff_in_diff_readout",
     "vocab_unseen_mass",
     "bootstrap_ci_poisson",
+    "cv_ols_generalization",
+    "trend_mann_kendall",
 ]
 
 

@@ -154,6 +154,8 @@ FAMILIES = [
     "diff_in_diff_readout",
     "vocab_unseen_mass",
     "bootstrap_ci_poisson",
+    "cv_ols_generalization",
+    "trend_mann_kendall",
 ]
 
 

@@ -788,6 +788,8 @@ def test_registry_wide_plan_hygiene(spark):
         "forecast_linear_28d",      # per-day aggregate
         "gini_customer_spend",      # per-customer agg; documented
                                     # quantile-bucket degrade path
+        "hits_trade_graph",         # <=25-row nation score vector
+                                    # L1-normalized per half-step
         "kaplan_meier_retention",   # distinct-duration life table
         "logreg_auc_roc",           # fixed 64-bin ROC relation
         "bootstrap_ci_poisson",     # fixed 32-replicate relation

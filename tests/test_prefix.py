@@ -70,3 +70,31 @@ def test_no_data_sized_global_window(spark):
     assert single_partition_windows(f.text) == ()
     # Data-sized windows are hash-partitioned on the range-partition id.
     assert "hashpartitioning" in f.text
+
+
+def test_persisted_input_keeps_ranks_consistent(spark):
+    """Regression: a persisted input used to break the Exchange reuse
+    between the offsets aggregate and the final join, so the two
+    consumers range-SAMPLED different partition boundaries and global
+    ranks went wrong by whole partitions (observed on the Mann-Kendall
+    pair relation: the rank-m/2 'median' drifted nondeterministically
+    across runs). ranked_cumsum now pins one partitioning by
+    persisting the ranged relation itself."""
+    # A wider relation than _data so multiple range partitions are
+    # actually populated, plus a persisted+materialized input.
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    ).persist()
+    df.count()
+    try:
+        got = (
+            ranked_cumsum(df, [F.desc("v"), F.asc("k")], "v")
+            .select("k", "rn", "cum")
+            .orderBy("rn")
+            .collect()
+        )
+        want = _reference(df).orderBy("rn").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        df.unpersist()
+        spark.catalog.clearCache()
