@@ -4047,3 +4047,383 @@ def offpolicy_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("wt"), 6).alias("max_weight"),
         F.round(F.avg("r"), 6).alias("logging_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across market segments
+
+
+@register(
+    "anova_oneway_segments",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT seg, COUNT(*)::DOUBLE AS n, SUM(y) AS s, SUM(y*y) AS ss
+        FROM joined GROUP BY seg
+    ),
+    tot AS (
+        SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn, SUM(s) AS st,
+               SUM(ss) AS sst,
+               SUM(s * s / n) AS sgm
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_total,
+           CAST((sgm - st*st/nn) / (k - 1)
+                / ((sst - sgm) / (nn - k)) AS REAL) AS f_stat,
+           CAST((sgm - st*st/nn) / (sst - st*st/nn) AS REAL) AS eta_sq
+    FROM tot
+    """,
+    tags=("anova", "f-test", "experiment", "statistics", "single-scan"),
+)
+def anova_oneway_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the 5 market segments:
+    between-group sum of squares SSB = Σ s_g²/n_g − S²/N and within
+    SSW = ΣSS − Σ s_g²/n_g both fall out of per-group (n, Σy, Σy²),
+    so F = (SSB/(k−1))/(SSW/(N−k)) and the effect size η² = SSB/SST
+    need exactly ONE grouped aggregate after the fact-dim join —
+    the k-sample generalization of ab_test_welch's two arms.
+
+    Scale shape: the only corpus work is the orders⋈customer equi-
+    join (both shuffle on the key; at warehouse scale this is the
+    standard co-partitioned fact-dim join) and its 5-row group
+    aggregate; the F/η² algebra runs on one row.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias(
+                "ss"
+            ),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgm"),
+    )
+    ssb = F.col("sgm") - F.col("st") * F.col("st") / F.col("nn")
+    ssw = F.col("sst") - F.col("sgm")
+    sstot = F.col("sst") - F.col("st") * F.col("st") / F.col("nn")
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        (ssb / (F.col("k") - 1) / (ssw / (F.col("nn") - F.col("k"))))
+        .cast("float")
+        .alias("f_stat"),
+        (ssb / sstot).cast("float").alias("eta_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: survival difference between two customer strata
+
+
+@register(
+    "logrank_test_retention",
+    oracle=f"""
+    WITH g AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS gmax FROM orders),
+    cust AS (
+        SELECT o.o_custkey,
+               DATEDIFF('day', CAST(MIN(o.o_orderdate) AS DATE),
+                        CAST(MAX(o.o_orderdate) AS DATE)) AS duration,
+               CASE WHEN DATEDIFF('day', CAST(MAX(o.o_orderdate) AS DATE),
+                                  (SELECT gmax FROM g)) > {_KM_CHURN_DAYS}
+                    THEN 1 ELSE 0 END AS churned,
+               CASE WHEN MAX(c.c_mktsegment) = 'BUILDING'
+                    THEN 1 ELSE 0 END AS grp
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey
+    ),
+    tbl AS (
+        SELECT duration,
+               SUM(churned)::DOUBLE AS d,
+               SUM(churned * grp)::DOUBLE AS d1,
+               COUNT(*)::DOUBLE AS c,
+               SUM(grp)::DOUBLE AS c1
+        FROM cust GROUP BY duration
+    ),
+    risk AS (
+        SELECT duration, d, d1,
+               SUM(c)  OVER (ORDER BY duration DESC
+                             ROWS UNBOUNDED PRECEDING) AS n_risk,
+               SUM(c1) OVER (ORDER BY duration DESC
+                             ROWS UNBOUNDED PRECEDING) AS n1_risk
+        FROM tbl
+    ),
+    acc AS (
+        SELECT SUM(d1) AS o1,
+               SUM(d * n1_risk / n_risk) AS e1,
+               SUM(CASE WHEN n_risk > 1
+                        THEN d * (n1_risk / n_risk)
+                             * (1 - n1_risk / n_risk)
+                             * (n_risk - d) / (n_risk - 1)
+                        ELSE 0 END) AS v
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(o1 AS BIGINT) AS observed_1,
+           CAST(e1 AS REAL) AS expected_1,
+           CAST((o1 - e1) / SQRT(v) AS REAL) AS z,
+           CAST((o1 - e1) * (o1 - e1) / v AS REAL) AS chi_sq
+    FROM acc
+    """,
+    tags=("survival", "log-rank", "hypothesis-test", "censoring",
+          "kaplan-meier"),
+)
+def logrank_test_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test: does the BUILDING segment churn on
+    a different clock than everyone else?  Shares kaplan_meier_retention's
+    duration/censoring construction, then at every event time t
+    compares group 1's observed churn d1(t) with its hypergeometric
+    expectation d(t)·n1(t)/n(t) under H0 (identical hazards), and
+    accumulates the variance d·(n1/n)(1−n1/n)(n−d)/(n−1).  The
+    standard two-sample survival comparison — KM curves show the
+    difference, this says whether it's noise.
+
+    Scale shape: identical to the KM query — one corpus aggregate to
+    per-customer rows, one to the distinct-duration life table; the
+    at-risk reversed-cumulative windows and the O/E/V reduction all
+    run on that calendar-bounded relation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("firstd"),
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.max("c_mktsegment").alias("seg"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.datediff("lastd", "firstd").alias("duration"),
+            F.when(
+                F.datediff("gmax", "lastd") > _KM_CHURN_DAYS, 1
+            ).otherwise(0).alias("churned"),
+            F.when(F.col("seg") == "BUILDING", 1).otherwise(0).alias(
+                "grp"
+            ),
+        )
+    )
+    tbl = cust.groupBy("duration").agg(
+        F.sum("churned").cast("double").alias("d"),
+        F.sum(F.col("churned") * F.col("grp")).cast("double").alias("d1"),
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("grp").cast("double").alias("c1"),
+    )
+    w_desc = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tbl.select(
+        "duration",
+        "d",
+        "d1",
+        F.sum("c").over(w_desc).alias("n_risk"),
+        F.sum("c1").over(w_desc).alias("n1_risk"),
+    ).filter(F.col("d") > 0)
+    p1 = F.col("n1_risk") / F.col("n_risk")
+    acc = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("d") * p1).alias("e1"),
+        F.sum(
+            F.when(
+                F.col("n_risk") > 1,
+                F.col("d")
+                * p1
+                * (1 - p1)
+                * (F.col("n_risk") - F.col("d"))
+                / (F.col("n_risk") - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    return acc.select(
+        F.col("o1").cast("long").alias("observed_1"),
+        F.col("e1").cast("float").alias("expected_1"),
+        ((F.col("o1") - F.col("e1")) / F.sqrt(F.col("v")))
+        .cast("float")
+        .alias("z"),
+        (
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.col("v")
+        )
+        .cast("float")
+        .alias("chi_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the per-nation mean-spend test family
+
+_BH_Q = 0.10
+# Abramowitz-Stegun 26.2.17 normal CDF, identical text on both
+# engines (neither exposes a portable erf): Phi(|z|) with
+# k = 1/(1 + 0.2316419|z|) and the 5-term polynomial; two-sided
+# p = 2(1 - Phi(|z|)).  |poly error| < 7.5e-8 — identical to f32.
+_BH_K = "(1 / (1 + 0.2316419 * ABS(z)))"
+_BH_P = (
+    "(2 * (EXP(-0.5 * z * z) / 2.5066282746310002 * "
+    "(0.319381530 * {k} - 0.356563782 * {k} * {k}"
+    " + 1.781477937 * {k} * {k} * {k}"
+    " - 1.821255978 * {k} * {k} * {k} * {k}"
+    " + 1.330274429 * {k} * {k} * {k} * {k} * {k})))"
+).format(k=_BH_K)
+
+
+@register(
+    "fdr_bh_nation_tests",
+    oracle=f"""
+    WITH joined AS (
+        SELECT n.n_name AS nation, o.o_totalprice AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    g AS (
+        SELECT nation, COUNT(*)::DOUBLE AS n, SUM(y) AS s,
+               SUM(y*y) AS ss
+        FROM joined GROUP BY nation
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, SUM(s) AS st, SUM(ss) AS sst FROM g
+    ),
+    zs AS (
+        SELECT nation,
+               (s/n - (st - s)/(nn - n))
+               / SQRT(((ss - s*s/n) / (n - 1)) / n
+                      + (((sst - ss) - (st - s)*(st - s)/(nn - n))
+                         / (nn - n - 1)) / (nn - n)) AS z
+        FROM g CROSS JOIN tot
+    ),
+    ps AS (
+        SELECT nation, z, {_BH_P} AS p,
+               ROW_NUMBER() OVER (ORDER BY {_BH_P}, nation) AS i,
+               COUNT(*) OVER () AS m
+        FROM zs
+    ),
+    mx AS (
+        SELECT MAX(CASE WHEN p <= {_BH_Q} * i / m THEN i END) AS imax
+        FROM ps
+    )
+    SELECT nation,
+           CAST(z AS REAL) AS z,
+           CAST(p AS REAL) AS p_value,
+           CAST(i AS BIGINT) AS p_rank,
+           CAST({_BH_Q} * i / m AS REAL) AS bh_crit,
+           CAST(CASE WHEN i <= COALESCE(imax, 0) THEN 1 ELSE 0 END
+                AS INT) AS rejected
+    FROM ps CROSS JOIN mx
+    """,
+    tags=("fdr", "benjamini-hochberg", "multiple-testing",
+          "hypothesis-test", "welch"),
+)
+def fdr_bh_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a FAMILY of tests — the
+    missing piece once dashboards run 25 parallel nation-vs-rest
+    Welch tests and 'significant' results appear by volume alone.
+    Each nation's complement moments come from total−group algebra
+    (the cv_ols trick — no second corpus pass), the two-sided p uses
+    the Abramowitz–Stegun Φ polynomial (shared formula text, since
+    neither engine has a portable erf), and BH's step-up rule rejects
+    ranks 1..i* where i* = max{{i : p_(i) ≤ q·i/m}} at q = 0.10.
+
+    Scale shape: ONE corpus pass to 25 per-nation moment rows; the
+    sort, rank window and step-up scan all run on the 25-row family.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias(
+                "ss"
+            ),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+    )
+    mean_g = F.col("s") / F.col("n")
+    mean_r = (F.col("st") - F.col("s")) / (F.col("nn") - F.col("n"))
+    var_g = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    var_r = (
+        (F.col("sst") - F.col("ss"))
+        - (F.col("st") - F.col("s"))
+        * (F.col("st") - F.col("s"))
+        / (F.col("nn") - F.col("n"))
+    ) / (F.col("nn") - F.col("n") - 1)
+    zs = g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        (
+            (mean_g - mean_r)
+            / F.sqrt(
+                var_g / F.col("n") + var_r / (F.col("nn") - F.col("n"))
+            )
+        ).alias("z"),
+    )
+    ps = zs.select(
+        "nation",
+        "z",
+        F.expr(_BH_P).alias("p"),
+    ).select(
+        "nation",
+        "z",
+        "p",
+        F.row_number()
+        .over(Window.orderBy("p", "nation"))
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    mx = ps.agg(
+        F.max(
+            F.when(
+                F.col("p") <= _BH_Q * F.col("i") / F.col("m"), F.col("i")
+            )
+        ).alias("imax")
+    )
+    return ps.crossJoin(F.broadcast(mx)).select(
+        "nation",
+        F.col("z").cast("float").alias("z"),
+        F.col("p").cast("float").alias("p_value"),
+        F.col("i").cast("long").alias("p_rank"),
+        (F.lit(_BH_Q) * F.col("i") / F.col("m"))
+        .cast("float")
+        .alias("bh_crit"),
+        F.when(F.col("i") <= F.coalesce(F.col("imax"), F.lit(0)), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    )

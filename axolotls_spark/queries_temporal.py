@@ -1271,3 +1271,118 @@ def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function + Ljung-Box portmanteau on daily revenue
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 14
+
+
+@register(
+    "acf_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(rev) AS mu,
+               SUM((rev - (SELECT AVG(rev) FROM daily))
+                   * (rev - (SELECT AVG(rev) FROM daily))) AS denom
+        FROM daily
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag,
+               SUM((a.rev - s.mu) * (b.rev - s.mu)) AS num
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b
+          ON date_diff('day', a.day, b.day) = l.lag
+        CROSS JOIN stats s
+        GROUP BY l.lag
+    ),
+    acf AS (
+        SELECT p.lag, p.num / s.denom AS r, s.n
+        FROM pairs p CROSS JOIN stats s
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(r AS REAL) AS acf,
+           CAST(n * (n + 2)
+                * SUM(r * r / (n - lag))
+                  OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING)
+                AS REAL) AS ljung_box_q
+    FROM acf
+    """,
+    tags=("timeseries", "acf", "ljung-box", "autocorrelation",
+          "diagnostics"),
+)
+def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1–14 plus the
+    cumulative Ljung–Box Q statistic — the standard residual/series
+    whiteness diagnostic (weekly seasonality shows up as an r₇
+    spike; Q(k) = n(n+2)·Σ_{{j≤k}} r_j²/(n−j) grows past the χ²_k
+    quantile when the series isn't white noise).  Calendar gaps are
+    handled by matching pairs exactly `lag` days apart, with the
+    full-series mean/variance as the classical denominator.
+
+    Scale shape: the corpus collapses to the per-day aggregate
+    first; lag pairing is a 14× explode of the day-domain relation
+    equi-joined back on (day + lag), never a corpus self-join; the
+    ACF reduction is one grouped aggregate to 14 rows and the
+    Ljung–Box cumsum runs on those 14 rows.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .persist()
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("rev").alias("mu"),
+        (
+            F.sum(F.col("rev") * F.col("rev"))
+            - F.count(F.lit(1)) * F.avg("rev") * F.avg("rev")
+        ).alias("denom"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = (
+        daily.crossJoin(F.broadcast(lags))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "lag",
+            F.date_add(F.col("day"), F.col("lag")).alias("day2"),
+            (F.col("rev") - F.col("mu")).alias("xa"),
+            "mu",
+            "denom",
+            "n",
+        )
+    )
+    b = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rb"))
+    pairs = shifted.join(b, "day2").groupBy("lag").agg(
+        (
+            F.sum(F.col("xa") * (F.col("rb") - F.col("mu")))
+            / F.first("denom")
+        ).alias("r"),
+        F.first("n").alias("n"),
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return pairs.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("r").cast("float").alias("acf"),
+        (
+            F.col("n")
+            * (F.col("n") + 2)
+            * F.sum(
+                F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+            ).over(w)
+        )
+        .cast("float")
+        .alias("ljung_box_q"),
+    )

@@ -156,6 +156,10 @@ FAMILIES = [
     "bootstrap_ci_poisson",
     "cv_ols_generalization",
     "trend_mann_kendall",
+    "anova_oneway_segments",
+    "logrank_test_retention",
+    "fdr_bh_nation_tests",
+    "acf_ljung_box",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Statistics family (ANOVA, log-rank, BH-FDR, ACF/Ljung-Box):
+pure-Python/numpy third implementations so the Spark plan and the
+DuckDB oracle (which share the scalar formula text) can't share a
+misconception about the underlying math."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+from axolotls_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR).collect()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_anova_vs_numpy():
+    groups = _duck(
+        """
+        SELECT c.c_mktsegment, LIST(o.o_totalprice)
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """
+    )
+    ys = [np.asarray(v, dtype=np.float64) for _, v in groups]
+    allv = np.concatenate(ys)
+    grand = allv.mean()
+    ssb = sum(len(y) * (y.mean() - grand) ** 2 for y in ys)
+    ssw = sum(((y - y.mean()) ** 2).sum() for y in ys)
+    k, n = len(ys), len(allv)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    eta_ref = ssb / (ssb + ssw)
+
+    from axolotls_spark.session import get_spark
+
+    r = _rows(get_spark("t", master="local[8]"), "anova_oneway_segments")[0]
+    assert r.k_groups == k and r.n_total == n
+    assert math.isclose(r.f_stat, f_ref, rel_tol=1e-5)
+    assert math.isclose(r.eta_sq, eta_ref, rel_tol=1e-5)
+
+
+def test_logrank_vs_python(spark):
+    from axolotls_spark.queries_analytics import _KM_CHURN_DAYS
+
+    cust = _duck(
+        f"""
+        WITH g AS (SELECT CAST(MAX(o_orderdate) AS DATE) gmax FROM orders)
+        SELECT DATEDIFF('day', CAST(MIN(o.o_orderdate) AS DATE),
+                        CAST(MAX(o.o_orderdate) AS DATE)),
+               CASE WHEN DATEDIFF('day', CAST(MAX(o.o_orderdate) AS DATE),
+                                  (SELECT gmax FROM g)) > {_KM_CHURN_DAYS}
+                    THEN 1 ELSE 0 END,
+               CASE WHEN MAX(c.c_mktsegment) = 'BUILDING' THEN 1 ELSE 0 END
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey
+        """
+    )
+    # Textbook log-rank: iterate event times ascending, maintain
+    # at-risk sets per group by removing everyone with duration < t.
+    durs = sorted({d for d, e, g in cust})
+    o1 = e1 = v = 0.0
+    for t in durs:
+        at = [(d, e, g) for d, e, g in cust if d >= t]
+        d_t = sum(e for d, e, g in at if d == t)
+        if d_t == 0:
+            continue
+        n_t = len(at)
+        n1_t = sum(g for _, _, g in at)
+        d1_t = sum(e for d, e, g in at if d == t and g == 1)
+        o1 += d1_t
+        e1 += d_t * n1_t / n_t
+        if n_t > 1:
+            v += (
+                d_t
+                * (n1_t / n_t)
+                * (1 - n1_t / n_t)
+                * (n_t - d_t)
+                / (n_t - 1)
+            )
+    r = _rows(spark, "logrank_test_retention")[0]
+    assert r.observed_1 == int(o1)
+    assert math.isclose(r.expected_1, e1, rel_tol=1e-5)
+    assert math.isclose(r.z, (o1 - e1) / math.sqrt(v), rel_tol=1e-4)
+    assert math.isclose(r.chi_sq, (o1 - e1) ** 2 / v, rel_tol=1e-4)
+
+
+def test_fdr_bh_vs_exact_normal(spark):
+    """The A&S 26.2.17 polynomial promises |Phi_approx - Phi| <
+    7.5e-8; check every p against math.erfc and replay the step-up
+    rule on the EXACT p-values — the rejection set must agree (the
+    nation z-scores sit far from the q*i/m boundaries)."""
+    rows = sorted(_rows(spark, "fdr_bh_nation_tests"), key=lambda r: r.p_rank)
+    m = len(rows)
+    assert [r.p_rank for r in rows] == list(range(1, m + 1))
+    exact = []
+    for r in rows:
+        p_exact = math.erfc(abs(r.z) / math.sqrt(2.0))
+        assert abs(r.p_value - p_exact) < 2e-7
+        exact.append(p_exact)
+    # p sorted ascending by rank, bh_crit = q*i/m increasing.
+    assert exact == sorted(exact)
+    imax = max(
+        (i for i, p in enumerate(exact, 1) if p <= 0.10 * i / m),
+        default=0,
+    )
+    got = [r.p_rank for r in rows if r.rejected == 1]
+    assert got == list(range(1, imax + 1))
+
+
+def test_acf_ljung_box_vs_numpy(spark):
+    daily = _duck(
+        """
+        SELECT CAST(o_orderdate AS DATE), SUM(o_totalprice)
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    )
+    days = np.array([(d - daily[0][0]).days for d, _ in daily])
+    rev = np.array([v for _, v in daily], dtype=np.float64)
+    mu = rev.mean()
+    n = len(rev)
+    denom = ((rev - mu) ** 2).sum()
+    by_day = dict(zip(days.tolist(), (rev - mu).tolist()))
+    rs = {}
+    for lag in range(1, 15):
+        num = sum(
+            x * by_day[d + lag] for d, x in zip(days.tolist(),
+                                                (rev - mu).tolist())
+            if d + lag in by_day
+        )
+        rs[lag] = num / denom
+    got = {r.lag: r for r in _rows(spark, "acf_ljung_box")}
+    q = 0.0
+    for lag in range(1, 15):
+        q += rs[lag] ** 2 / (n - lag)
+        assert math.isclose(got[lag].acf, rs[lag], rel_tol=1e-4,
+                            abs_tol=1e-7)
+        assert math.isclose(
+            got[lag].ljung_box_q, n * (n + 2) * q, rel_tol=1e-4
+        )
