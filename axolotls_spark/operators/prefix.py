@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["ranked_cumsum"]
+__all__ = ["ranked_cumsum", "exclusive_prefix_max"]
 
 _PART = "__rcs_part"
 _LRN = "__rcs_local_rn"
@@ -95,4 +95,47 @@ def ranked_cumsum(
         .withColumn(rank_name, F.col(_OFF_N) + F.col(_LRN))
         .withColumn(cum_name, F.col(_OFF_S) + F.col(_LCUM))
         .drop(_PART, _LRN, _LCUM, _OFF_N, _OFF_S)
+    )
+
+
+def exclusive_prefix_max(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: str,
+    out_name: str = "prev_max",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Attach the running MAX of ``value_col`` over all rows strictly
+    BEFORE each row in ``order_cols`` order (NULL for the first row),
+    with the same two-level scaffold as ranked_cumsum: range
+    partitions, per-partition maxes turned into exclusive offsets by
+    a window over the ≤n_parts-row aggregate, then partitioned local
+    exclusive-max windows.  The 2D-skyline primitive: a point is
+    Pareto-optimal iff its y beats the exclusive prefix max taken in
+    x order.  ``order_cols`` must form a total order.
+    """
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn(_PART, F.spark_partition_id())
+        .persist()
+    )
+    per_part = ranged.groupBy(_PART).agg(F.max(value_col).alias("_m"))
+    woff = Window.orderBy(_PART).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_part.select(
+        _PART, F.max("_m").over(woff).alias(_OFF_S)
+    )
+    wloc = (
+        Window.partitionBy(_PART)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), _PART)
+        .withColumn(_LCUM, F.max(value_col).over(wloc))
+        # greatest() skips NULLs, so the first row of the first
+        # partition correctly gets NULL (no predecessor).
+        .withColumn(out_name, F.greatest(F.col(_OFF_S), F.col(_LCUM)))
+        .drop(_PART, _LCUM, _OFF_S)
     )

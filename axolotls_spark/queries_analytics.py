@@ -4427,3 +4427,269 @@ def fdr_bh_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# All-pairs shortest paths via min-plus matrix squaring
+
+_APSP_EDGE_SQL = """
+        SELECT sn.n_name AS src, cn.n_name AS dst,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2
+"""
+
+
+@register(
+    "apsp_trade_costs",
+    oracle=f"""
+    WITH edges AS ({_APSP_EDGE_SQL}),
+    tw AS (SELECT SUM(w) AS t FROM edges),
+    nodes AS (
+        SELECT src AS v FROM edges UNION SELECT dst FROM edges
+    ),
+    d0 AS (
+        SELECT src, dst, MIN(c) AS c FROM (
+            SELECT src, dst, LN(t / w) AS c FROM edges CROSS JOIN tw
+            UNION ALL
+            SELECT v, v, 0.0 FROM nodes
+        ) GROUP BY 1, 2
+    ),
+    d1 AS (
+        SELECT a.src, b.dst, MIN(a.c + b.c) AS c
+        FROM d0 a JOIN d0 b ON a.dst = b.src GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT a.src, b.dst, MIN(a.c + b.c) AS c
+        FROM d1 a JOIN d1 b ON a.dst = b.src GROUP BY 1, 2
+    ),
+    d3 AS (
+        SELECT a.src, b.dst, MIN(a.c + b.c) AS c
+        FROM d2 a JOIN d2 b ON a.dst = b.src GROUP BY 1, 2
+    )
+    SELECT src, dst, CAST(c AS REAL) AS cost
+    FROM d3
+    """,
+    tags=("graph", "shortest-path", "apsp", "min-plus",
+          "matrix-squaring"),
+)
+def apsp_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shortest paths on the weighted nation trade graph by
+    MIN-PLUS MATRIX SQUARING: with edge cost ln(Σw / w_e) (strong
+    trade flows are cheap to traverse), D_{2k} = min_j D_k(i,j) +
+    D_k(j,·) doubles the covered path length per round — 3 squarings
+    reach length-8 paths, past any 25-node diameter.  The log-rounds
+    complement to bfs_shortest_hops's per-hop frontier expansion:
+    O(log V) self-join rounds instead of O(V) Bellman–Ford sweeps is
+    exactly the trade a distributed engine wants when each round is
+    a shuffle.
+
+    Scale shape: corpus-sized work is the ONE edge aggregation
+    (aggregate-then-iterate, the pagerank_trade_graph mold); every
+    squaring is a ≤|V|²-row self-join, persisted per round so the
+    doubled references resolve to one cached relation.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("ck"),
+                    F.col("n_name").alias("dst"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("sk"),
+                    F.col("n_name").alias("src"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("w")
+        )
+        .repartition(1)
+        .persist()
+    )
+    tw = edges.agg(F.sum("w").alias("t"))
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    d = (
+        edges.crossJoin(F.broadcast(tw))
+        .select("src", "dst", F.log(F.col("t") / F.col("w")).alias("c"))
+        .union(nodes.select(F.col("v").alias("src"),
+                            F.col("v").alias("dst"),
+                            F.lit(0.0).alias("c")))
+        .groupBy("src", "dst")
+        .agg(F.min("c").alias("c"))
+        .repartition(1)
+        .persist()
+    )
+    for _ in range(3):
+        a = d.select(F.col("src").alias("i"), F.col("dst").alias("k"),
+                     F.col("c").alias("ca"))
+        b = d.select(F.col("src").alias("k"), F.col("dst").alias("j"),
+                     F.col("c").alias("cb"))
+        d = (
+            a.join(F.broadcast(b), "k")
+            .groupBy(F.col("i").alias("src"), F.col("j").alias("dst"))
+            .agg(F.min(F.col("ca") + F.col("cb")).alias("c"))
+            .repartition(1)
+            .persist()
+        )
+    return d.select("src", "dst", F.col("c").cast("float").alias("cost"))
+
+
+# --------------------------------------------------------------------------
+# Mutual-information feature ranking (binned features vs return flag)
+
+_MI_BINS = 8
+_MI_FEATS = ("l_quantity", "l_discount", "l_tax")
+
+_MI_FEATS_SQL = " UNION ALL ".join(
+    f"SELECT '{f}' AS feat, CAST({f} AS DOUBLE) AS x, l_returnflag AS lbl"
+    " FROM lineitem"
+    for f in _MI_FEATS
+)
+
+
+@register(
+    "mutual_info_features",
+    oracle=f"""
+    WITH long AS ({_MI_FEATS_SQL}),
+    rng AS (
+        SELECT feat, MIN(x) AS lo, MAX(x) AS hi FROM long GROUP BY feat
+    ),
+    binned AS (
+        SELECT l.feat,
+               LEAST(CAST(FLOOR((l.x - r.lo) / (r.hi - r.lo)
+                                * {_MI_BINS}) AS BIGINT),
+                     {_MI_BINS - 1}) AS bin,
+               l.lbl
+        FROM long l JOIN rng r ON l.feat = r.feat
+    ),
+    joint AS (
+        SELECT feat, bin, lbl, COUNT(*)::DOUBLE AS nxy
+        FROM binned GROUP BY 1, 2, 3
+    ),
+    mx AS (
+        SELECT feat, bin, SUM(nxy) AS nx FROM joint GROUP BY 1, 2
+    ),
+    my AS (
+        SELECT feat, lbl, SUM(nxy) AS ny FROM joint GROUP BY 1, 2
+    ),
+    tot AS (SELECT feat, SUM(nxy) AS nn FROM joint GROUP BY 1)
+    SELECT j.feat,
+           CAST(SUM(j.nxy / t.nn
+                    * LN(j.nxy * t.nn / (x.nx * y.ny))) AS REAL)
+               AS mi_nats,
+           CAST(COUNT(DISTINCT j.bin) AS BIGINT) AS n_bins_used
+    FROM joint j
+    JOIN mx x ON j.feat = x.feat AND j.bin = x.bin
+    JOIN my y ON j.feat = y.feat AND j.lbl = y.lbl
+    JOIN tot t ON j.feat = t.feat
+    GROUP BY j.feat
+    """,
+    tags=("mutual-information", "feature-selection", "entropy",
+          "histogram", "single-scan"),
+)
+def mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between each 8-bin histogram feature
+    and the return flag — the model-free feature-relevance screen
+    that catches nonlinear and non-monotone dependence a correlation
+    matrix misses (corr_matrix_lineitem is the linear sibling, the
+    stump gain the variance-reduction one).  I = Σ p(x,y)·
+    ln(p(x,y)/(p(x)p(y))) over the (feat, bin, label) contingency
+    cube.
+
+    Scale shape: the fact table is touched ONCE (3-way feature
+    explode riding the scan, the stump-histogram mold); joint and
+    marginal counts are grouped aggregates of the ≤feat×bins×labels
+    cube, and the MI reduction is a 3-row groupBy — no windows at
+    all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select("l_quantity", "l_discount", "l_tax",
+                     F.col("l_returnflag").alias("lbl"))
+    long = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("feat"),
+                        F.col(f).cast("double").alias("x"),
+                    )
+                    for f in _MI_FEATS
+                ]
+            )
+        ).alias("fx"),
+        "lbl",
+    ).select("fx.feat", "fx.x", "lbl")
+    rng = long.groupBy("feat").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    binned = long.join(F.broadcast(rng), "feat").select(
+        "feat",
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _MI_BINS
+            ).cast("long"),
+            F.lit(_MI_BINS - 1),
+        ).alias("bin"),
+        "lbl",
+    )
+    joint = binned.groupBy("feat", "bin", "lbl").agg(
+        F.count(F.lit(1)).cast("double").alias("nxy")
+    )
+    mx = joint.groupBy("feat", "bin").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("feat", "lbl").agg(F.sum("nxy").alias("ny"))
+    tot = joint.groupBy("feat").agg(F.sum("nxy").alias("nn"))
+    return (
+        joint.join(mx, ["feat", "bin"])
+        .join(my, ["feat", "lbl"])
+        .join(F.broadcast(tot), "feat")
+        .groupBy("feat")
+        .agg(
+            F.sum(
+                F.col("nxy")
+                / F.col("nn")
+                * F.log(
+                    F.col("nxy") * F.col("nn")
+                    / (F.col("nx") * F.col("ny"))
+                )
+            )
+            .cast("float")
+            .alias("mi_nats"),
+            F.countDistinct("bin").cast("long").alias("n_bins_used"),
+        )
+    )

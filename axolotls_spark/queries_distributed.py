@@ -913,3 +913,65 @@ def consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(moved) / F.count("*").cast("double"), 6
         ).alias("moved_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto frontier) via distributed exclusive prefix max
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size > a.p_size)
+    )
+    """,
+    tags=("skyline", "pareto", "dominance", "prefix-max",
+          "distributed-rank"),
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts (minimize retail price,
+    maximize size): the classic multi-criteria OLAP operator.  The
+    textbook formulation is a quadratic NOT-EXISTS dominance check —
+    and that is exactly what the oracle runs, making it an
+    independent derivation.  The Spark plan instead exploits the 2D
+    structure: sweep prices ascending, and a part is Pareto-optimal
+    iff (a) it carries the max size among equal-priced parts and
+    (b) its size strictly beats the EXCLUSIVE prefix max of sizes
+    over all strictly-cheaper parts — one distributed prefix-max
+    (operators/prefix.exclusive_prefix_max: range partitions +
+    broadcast offsets), O(N log N)-ish instead of O(N²), no corpus
+    self-join, no single-partition window.
+
+    Scale shape: one groupBy to the distinct-price relation, one
+    range shuffle for the prefix max, one equi-join back on price.
+    """
+    from axolotls_spark.operators.prefix import exclusive_prefix_max
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    swept = exclusive_prefix_max(
+        per_price,
+        [F.asc("p_retailprice")],
+        "pmax",
+        out_name="prev_max",
+    )
+    frontier = swept.filter(
+        F.col("prev_max").isNull() | (F.col("pmax") > F.col("prev_max"))
+    ).select(F.col("p_retailprice").alias("fp"), "pmax")
+    return part.join(
+        frontier,
+        (part.p_retailprice == F.col("fp"))
+        & (part.p_size == F.col("pmax")),
+    ).select("p_partkey", "p_retailprice", "p_size")

@@ -604,3 +604,179 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("risk_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness: ordered-EMD distribution distance per QI group
+
+_TCLOSE_T = 0.20
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               o_orderpriority AS prio
+        FROM customer JOIN orders ON o_custkey = c_custkey
+    ),
+    cnt AS (
+        SELECT c_mktsegment, c_nationkey, bal_band, prio,
+               COUNT(*)::DOUBLE AS n
+        FROM base GROUP BY 1, 2, 3, 4
+    ),
+    grp AS (
+        SELECT c_mktsegment, c_nationkey, bal_band, SUM(n) AS tot
+        FROM cnt GROUP BY 1, 2, 3
+    ),
+    spine AS (SELECT DISTINCT prio FROM base),
+    m AS (SELECT COUNT(*)::DOUBLE AS m FROM spine),
+    gcnt AS (SELECT prio, COUNT(*)::DOUBLE AS n FROM base GROUP BY 1),
+    gtot AS (SELECT SUM(n) AS t FROM gcnt),
+    gcum AS (
+        SELECT a.prio, SUM(b.n) / MAX(gtot.t) AS cq
+        FROM spine a JOIN gcnt b ON b.prio <= a.prio
+        CROSS JOIN gtot GROUP BY a.prio
+    ),
+    full_grid AS (
+        SELECT g.c_mktsegment, g.c_nationkey, g.bal_band, g.tot,
+               s.prio, COALESCE(c.n, 0) AS n
+        FROM grp g CROSS JOIN spine s
+        LEFT JOIN cnt c
+          ON c.c_mktsegment = g.c_mktsegment
+         AND c.c_nationkey = g.c_nationkey
+         AND c.bal_band = g.bal_band
+         AND c.prio = s.prio
+    ),
+    cums AS (
+        SELECT c_mktsegment, c_nationkey, bal_band, tot, prio,
+               SUM(n) OVER (PARTITION BY c_mktsegment, c_nationkey,
+                                         bal_band
+                            ORDER BY prio
+                            ROWS UNBOUNDED PRECEDING) / tot AS cp
+        FROM full_grid
+    ),
+    t_g AS (
+        SELECT c.c_mktsegment, c.c_nationkey, c.bal_band,
+               MAX(c.tot) AS tot,
+               SUM(ABS(c.cp - g.cq)) / (MAX(m.m) - 1) AS t
+        FROM cums c JOIN gcum g ON c.prio = g.prio
+        CROSS JOIN m
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN t > {_TCLOSE_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN t > {_TCLOSE_T} THEN tot ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MAX(t) AS REAL) AS max_t,
+           CAST(SUM(CASE WHEN t > {_TCLOSE_T} THEN tot ELSE 0 END)
+                / SUM(tot) AS REAL) AS risk_frac
+    FROM t_g
+    """,
+    tags=("t-closeness", "privacy", "governance", "emd", "quality"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE'07) — completes the
+    k-anonymity → l-diversity → t-closeness privacy ladder on the
+    SAME quasi-identifier bands: a QI group leaks when its sensitive
+    distribution (order priority, an ordinal 1-URGENT…5-LOW) sits
+    far from the corpus-wide distribution, measured by the ordered
+    Earth-Mover's Distance Σ|CumP−CumQ|/(m−1).  l-diversity passes
+    a group with 3 distinct values at 98/1/1%; t-closeness flags it.
+
+    Scale shape: one join + one (QI, priority) hash aggregate; the
+    m=5-level grid is rebuilt per group by a broadcast spine cross
+    (groups missing a level still accumulate EMD mass), cumulatives
+    run in per-group partitioned windows over ≤5 rows, the global
+    distribution is a broadcast 5-row triangle join (no global
+    window), and the audit is one summary row.
+    """
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = cust.join(
+        orders, orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    cnt = base.groupBy(
+        "c_mktsegment", "c_nationkey", "bal_band", "prio"
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    grp = cnt.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.sum("n").alias("tot")
+    )
+    spine = base.select("prio").distinct()
+    m = spine.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    gcnt = base.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("double").alias("gn")
+    )
+    gtot = gcnt.agg(F.sum("gn").alias("t"))
+    gcum = (
+        spine.withColumnRenamed("prio", "p_a")
+        .join(F.broadcast(gcnt), F.col("prio") <= F.col("p_a"))
+        .crossJoin(F.broadcast(gtot))
+        .groupBy(F.col("p_a").alias("prio"))
+        .agg((F.sum("gn") / F.max("t")).alias("cq"))
+    )
+    full_grid = (
+        grp.crossJoin(F.broadcast(spine))
+        .join(
+            cnt,
+            ["c_mktsegment", "c_nationkey", "bal_band", "prio"],
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "bal_band",
+            "tot",
+            "prio",
+            F.coalesce("n", F.lit(0.0)).alias("n"),
+        )
+    )
+    wg = (
+        Window.partitionBy("c_mktsegment", "c_nationkey", "bal_band")
+        .orderBy("prio")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = full_grid.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "bal_band",
+        "tot",
+        "prio",
+        (F.sum("n").over(wg) / F.col("tot")).alias("cp"),
+    )
+    t_g = (
+        cums.join(F.broadcast(gcum), "prio")
+        .crossJoin(F.broadcast(m))
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(
+            F.max("tot").alias("tot"),
+            (
+                F.sum(F.abs(F.col("cp") - F.col("cq")))
+                / (F.max("m") - 1)
+            ).alias("t"),
+        )
+    )
+    viol = F.col("t") > _TCLOSE_T
+    return t_g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(viol).cast("long").alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("tot")).otherwise(F.lit(0.0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.max("t").cast("float").alias("max_t"),
+        (
+            F.sum(F.when(viol, F.col("tot")).otherwise(F.lit(0.0)))
+            / F.sum("tot")
+        )
+        .cast("float")
+        .alias("risk_frac"),
+    )

@@ -1386,3 +1386,72 @@ def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("ljung_box_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily-revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_drawdown_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    dd AS (
+        SELECT day, rev,
+               MAX(rev) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM daily
+    )
+    SELECT day AS trough_day,
+           CAST((peak - rev) / peak AS REAL) AS max_drawdown,
+           CAST(peak AS REAL) AS peak_rev,
+           CAST(rev AS REAL) AS trough_rev
+    FROM dd
+    ORDER BY (peak - rev) / peak DESC, day
+    LIMIT 1
+    """,
+    tags=("timeseries", "drawdown", "running-max", "monitoring"),
+)
+def max_drawdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of daily revenue — the worst peak-to-trough
+    decline (peak_t − x_t)/peak_t under the running maximum.  The
+    risk/monitoring counterpart to cusum_changepoint: CUSUM finds
+    where the mean shifted, drawdown reports the deepest slump an
+    on-call dashboard would have paged on.
+
+    Scale shape: the corpus collapses to the calendar-bounded daily
+    aggregate; the running peak is one ordered window over that
+    day-domain relation and the argmax is orderBy+limit(1)
+    (TakeOrderedAndProject), never a corpus-sized sort.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        "rev",
+        F.max("rev").over(w).alias("peak"),
+    ).select(
+        "day",
+        "rev",
+        "peak",
+        ((F.col("peak") - F.col("rev")) / F.col("peak")).alias("d"),
+    )
+    return (
+        dd.orderBy(F.desc("d"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("d").cast("float").alias("max_drawdown"),
+            F.col("peak").cast("float").alias("peak_rev"),
+            F.col("rev").cast("float").alias("trough_rev"),
+        )
+    )

@@ -160,6 +160,11 @@ FAMILIES = [
     "logrank_test_retention",
     "fdr_bh_nation_tests",
     "acf_ljung_box",
+    "skyline_price_size",
+    "apsp_trade_costs",
+    "t_closeness_audit",
+    "max_drawdown_revenue",
+    "mutual_info_features",
 ]
 
 

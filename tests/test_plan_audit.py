@@ -794,6 +794,7 @@ def test_registry_wide_plan_hygiene(spark):
         "logrank_test_retention",   # distinct-duration life table
         "fdr_bh_nation_tests",      # 25-row test family
         "acf_ljung_box",            # 14-row lag relation cumsum
+        "max_drawdown_revenue",     # per-day aggregate running peak
         "logreg_auc_roc",           # fixed 64-bin ROC relation
         "bootstrap_ci_poisson",     # fixed 32-replicate relation
         "mixture_waterfill_rates",  # <=|languages|-row breakpoint walk

@@ -98,3 +98,31 @@ def test_persisted_input_keeps_ranks_consistent(spark):
     finally:
         df.unpersist()
         spark.catalog.clearCache()
+
+
+def test_exclusive_prefix_max_matches_window(spark):
+    from axolotls_spark.operators.prefix import exclusive_prefix_max
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).alias("v"),
+    ).persist()
+    df.count()
+    try:
+        got = (
+            exclusive_prefix_max(df, [F.asc("k")], "v", out_name="pm")
+            .orderBy("k")
+            .select("k", "pm")
+            .collect()
+        )
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        want = (
+            df.select("k", F.max("v").over(w).alias("pm"))
+            .orderBy("k")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert got[0].pm is None
+    finally:
+        df.unpersist()
+        spark.catalog.clearCache()

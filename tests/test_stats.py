@@ -151,3 +151,109 @@ def test_acf_ljung_box_vs_numpy(spark):
         assert math.isclose(
             got[lag].ljung_box_q, n * (n + 2) * q, rel_tol=1e-4
         )
+
+
+def test_skyline_vs_brute_force(spark):
+    """The Spark plan derives the frontier from a prefix-max sweep;
+    the oracle uses NOT-EXISTS dominance; this mirror brute-forces
+    dominance in Python — three independent derivations."""
+    pts = _duck_table(None, "SELECT p_partkey, p_retailprice, p_size"
+                               " FROM part")
+    sky = set()
+    for pk, pr, sz in pts:
+        dominated = any(
+            (qr <= pr and qs >= sz and (qr < pr or qs > sz))
+            for _, qr, qs in pts
+        )
+        if not dominated:
+            sky.add(pk)
+    got = {r.p_partkey for r in _rows(spark, "skyline_price_size")}
+    assert got == sky
+
+
+def test_apsp_vs_floyd_warshall(spark):
+    """Min-plus squaring (Spark) and unrolled SQL squarings (oracle)
+    vs the textbook Floyd-Warshall triple loop."""
+    rows = _rows(spark, "apsp_trade_costs")
+    nodes = sorted({r.src for r in rows} | {r.dst for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    import math as _m
+
+    # Rebuild D0 from the Spark result is circular; rebuild edges
+    # from the raw tables instead.
+    edges = _duck_table(
+        None,
+        """
+        SELECT sn.n_name, cn.n_name,
+               SUM(l.l_extendedprice * (1 - l.l_discount))
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2
+        """,
+    )
+    tw = sum(w for _, _, w in edges)
+    INF = float("inf")
+    d = [[INF] * n for _ in range(n)]
+    for i in range(n):
+        d[i][i] = 0.0
+    for s, t, w in edges:
+        c = _m.log(tw / w)
+        i, j = idx[s], idx[t]
+        d[i][j] = min(d[i][j], c)
+    for k in range(n):
+        for i in range(n):
+            dik = d[i][k]
+            if dik == INF:
+                continue
+            for j in range(n):
+                if dik + d[k][j] < d[i][j]:
+                    d[i][j] = dik + d[k][j]
+    for r in rows:
+        assert math.isclose(
+            r.cost, d[idx[r.src]][idx[r.dst]], rel_tol=1e-5, abs_tol=1e-6
+        )
+    # every reachable pair is present
+    assert len(rows) == sum(
+        1 for i in range(n) for j in range(n) if d[i][j] < INF
+    )
+
+
+def test_mutual_info_vs_numpy(spark):
+    import collections
+
+    rows = _duck_table(
+        None,
+        "SELECT l_quantity, l_discount, l_tax, l_returnflag FROM lineitem",
+    )
+    got = {r.feat: r for r in _rows(spark, "mutual_info_features")}
+    for fi, feat in enumerate(("l_quantity", "l_discount", "l_tax")):
+        xs = np.array([r[fi] for r in rows], dtype=np.float64)
+        lbl = [r[3] for r in rows]
+        lo, hi = xs.min(), xs.max()
+        bins = np.minimum(
+            np.floor((xs - lo) / (hi - lo) * 8).astype(int), 7
+        )
+        joint = collections.Counter(zip(bins.tolist(), lbl))
+        nx = collections.Counter(bins.tolist())
+        ny = collections.Counter(lbl)
+        nn = len(rows)
+        mi = sum(
+            c / nn * math.log(c * nn / (nx[b] * ny[l]))
+            for (b, l), c in joint.items()
+        )
+        assert math.isclose(got[feat].mi_nats, mi, rel_tol=1e-4,
+                            abs_tol=1e-7)
+        assert got[feat].n_bins_used == len(nx)
+
+
+def _duck_table(_unused, sql=None):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "nation", "supplier",
+              "part"):
+        con.execute(f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql if sql else f"SELECT * FROM {_unused}").fetchall()
