@@ -4693,3 +4693,219 @@ def mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bin").cast("long").alias("n_bins_used"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Always-valid inference: mixture SPRT p-value for the A/B readout
+
+_MSPRT_TAU2 = 25.0  # mixing variance of the effect-size prior
+
+
+@register(
+    "msprt_always_valid",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                         ::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT arm, COUNT(*)::DOUBLE AS n, AVG(value) AS mean,
+               VAR_SAMP(value) AS var
+        FROM assigned GROUP BY arm
+    ),
+    w AS (
+        SELECT a.n AS n_a, b.n AS n_b,
+               b.mean - a.mean AS delta,
+               a.var / a.n + b.var / b.n AS v
+        FROM (SELECT * FROM s WHERE arm = 'A') a
+        CROSS JOIN (SELECT * FROM s WHERE arm = 'B') b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(delta AS REAL) AS delta,
+           CAST(SQRT(v / (v + {_MSPRT_TAU2}))
+                * EXP(delta * delta * {_MSPRT_TAU2}
+                      / (2 * v * (v + {_MSPRT_TAU2}))) AS REAL)
+               AS lambda,
+           CAST(LEAST(1.0,
+                      1.0 / (SQRT(v / (v + {_MSPRT_TAU2}))
+                             * EXP(delta * delta * {_MSPRT_TAU2}
+                                   / (2 * v * (v + {_MSPRT_TAU2})))))
+                AS REAL) AS always_valid_p
+    FROM w
+    """,
+    tags=("msprt", "always-valid", "sequential-testing", "experiment",
+          "ab-test"),
+)
+def msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid p-value via the mixture SPRT (Johari et al.,
+    KDD'17 — the math behind 'peeking-safe' commercial A/B
+    platforms): the normal-mixture likelihood ratio Λ =
+    √(V/(V+τ²))·exp(δ²τ²/(2V(V+τ²))) over the same deterministic
+    hash split as ab_test_welch, with V the Welch variance of the
+    arm-mean difference and τ² the effect prior.  p = min(1, 1/Λ)
+    stays valid UNDER CONTINUOUS MONITORING — the fixed-n Welch t is
+    anti-conservative the moment a dashboard refreshes daily.
+
+    Scale shape: identical to ab_test_welch — map-side hash
+    assignment, ONE grouped aggregate to two arm rows, closed-form
+    algebra on a self-cross of 1-row relations.
+    """
+    from axolotls_spark.operators.dedup import token_hash
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    assigned = e.select(
+        F.when(
+            token_hash(F.col("user_id").cast("string")) % 2 == 0, "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "value",
+    )
+    s = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    w = a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        (F.col("mean_b") - F.col("mean_a")).alias("delta"),
+        (
+            F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+        ).alias("v"),
+    )
+    lam = F.sqrt(F.col("v") / (F.col("v") + _MSPRT_TAU2)) * F.exp(
+        F.col("delta")
+        * F.col("delta")
+        * _MSPRT_TAU2
+        / (2 * F.col("v") * (F.col("v") + _MSPRT_TAU2))
+    )
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("delta").cast("float").alias("delta"),
+        lam.cast("float").alias("lambda"),
+        F.least(F.lit(1.0), 1.0 / lam).cast("float").alias(
+            "always_valid_p"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified (sub-classification) treatment-effect estimate
+
+
+@register(
+    "stratified_ate_balance",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) AS stratum,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treat,
+               o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT stratum, treat, COUNT(*)::DOUBLE AS n, AVG(y) AS mean
+        FROM base GROUP BY 1, 2
+    ),
+    strata AS (
+        SELECT stratum,
+               SUM(n) AS ns,
+               MAX(CASE WHEN treat = 1 THEN mean END) AS mt,
+               MAX(CASE WHEN treat = 0 THEN mean END) AS mc
+        FROM cells GROUP BY 1
+    ),
+    ok AS (SELECT * FROM strata WHERE mt IS NOT NULL AND mc IS NOT NULL),
+    raw AS (
+        SELECT AVG(CASE WHEN treat = 1 THEN y END)
+               - AVG(CASE WHEN treat = 0 THEN y END) AS ate_raw,
+               COUNT(*)::DOUBLE AS n_all
+        FROM base
+    )
+    SELECT CAST(MAX(raw.ate_raw) AS REAL) AS ate_raw,
+           CAST(SUM(ok.ns * (ok.mt - ok.mc)) / SUM(ok.ns) AS REAL)
+               AS ate_stratified,
+           CAST(COUNT(*) AS BIGINT) AS n_strata_used,
+           CAST(SUM(ok.ns) / MAX(raw.n_all) AS REAL) AS coverage_frac
+    FROM ok CROSS JOIN raw
+    """,
+    tags=("causal", "stratification", "ate", "subclassification",
+          "experiment"),
+)
+def stratified_ate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-classification treatment-effect estimate (Cochran '68 —
+    the precursor to propensity stratification): compare BUILDING-
+    segment order values against the rest WITHIN $1000 account-
+    balance strata, then average the per-stratum gaps weighted by
+    stratum size.  If balance confounds segment membership, the raw
+    gap and the stratified ATE diverge — the query reports both,
+    plus how many strata had both arms (positivity) and the row
+    coverage of those strata.
+
+    Scale shape: ONE corpus pass to the (stratum, arm) cell means;
+    everything after runs on the ≤|bands|×2 cell relation.  The
+    stratified estimator is what an observational pipeline runs
+    daily where cuped_adjusted_lift handles the randomized case.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("stratum"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("treat"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cells = base.groupBy("stratum", "treat").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("mean"),
+    )
+    strata = cells.groupBy("stratum").agg(
+        F.sum("n").alias("ns"),
+        F.max(F.when(F.col("treat") == 1, F.col("mean"))).alias("mt"),
+        F.max(F.when(F.col("treat") == 0, F.col("mean"))).alias("mc"),
+    )
+    ok = strata.filter(
+        F.col("mt").isNotNull() & F.col("mc").isNotNull()
+    )
+    raw = base.agg(
+        (
+            F.avg(F.when(F.col("treat") == 1, F.col("y")))
+            - F.avg(F.when(F.col("treat") == 0, F.col("y")))
+        ).alias("ate_raw"),
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+    )
+    return ok.crossJoin(F.broadcast(raw)).agg(
+        F.max("ate_raw").cast("float").alias("ate_raw"),
+        (
+            F.sum(F.col("ns") * (F.col("mt") - F.col("mc")))
+            / F.sum("ns")
+        )
+        .cast("float")
+        .alias("ate_stratified"),
+        F.count(F.lit(1)).cast("long").alias("n_strata_used"),
+        (F.sum("ns") / F.max("n_all")).cast("float").alias(
+            "coverage_frac"
+        ),
+    )

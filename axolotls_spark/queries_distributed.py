@@ -975,3 +975,120 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part.p_retailprice == F.col("fp"))
         & (part.p_size == F.col("pmax")),
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test via distributed average ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kruskal_wallis_segments",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+        SELECT seg,
+               RANK() OVER (ORDER BY v)
+                 + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar,
+               v
+        FROM j
+    ),
+    g AS (
+        SELECT seg, SUM(ar) AS rg, COUNT(*)::DOUBLE AS ng
+        FROM r GROUP BY 1
+    ),
+    ties AS (
+        SELECT COALESCE(SUM(t*t*t - t), 0)::DOUBLE AS tie
+        FROM (SELECT COUNT(*)::DOUBLE AS t FROM j GROUP BY v)
+    ),
+    agg AS (
+        SELECT COUNT(*)::DOUBLE AS k, SUM(ng) AS n,
+               SUM(rg*rg/ng) AS srr
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(12.0 / (n * (n + 1)) * srr - 3 * (n + 1) AS REAL)
+               AS h_stat,
+           CAST((12.0 / (n * (n + 1)) * srr - 3 * (n + 1))
+                / (1 - tie / (n*n*n - n)) AS REAL) AS h_corrected
+    FROM agg CROSS JOIN ties
+    """,
+    tags=("kruskal-wallis", "rank-test", "nonparametric",
+          "distributed-rank", "prefix-sum"),
+)
+def kruskal_wallis_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank ANOVA of order value across market
+    segments — the nonparametric sibling of anova_oneway_segments
+    (H needs no normality and shrugs off the heavy right tail that
+    inflates the F test's within-variance).  The hard part at scale
+    is GLOBAL AVERAGE RANKS over the corpus; here each distinct
+    value's average rank falls out of the distributed prefix sum
+    (operators/prefix.ranked_cumsum over the distinct-value
+    relation): avg_rank(v) = C_<v + (t_v+1)/2 with C the exclusive
+    cumulative count — no corpus-wide sort, no single-partition
+    window, and the tie-correction Σ(t³−t) rides the same relation.
+
+    Scale shape: one fact-dim join, one groupBy to the distinct-value
+    relation, one range shuffle for the prefix counts, one equi-join
+    back on value, one 5-row group aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+    )
+    dv = j.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("t"))
+    rc = ranked_cumsum(
+        dv, [F.asc("v")], "t", rank_name="_rn", cum_name="cumt"
+    ).select(
+        "v",
+        "t",
+        (F.col("cumt") - F.col("t") + (F.col("t") + 1) / 2).alias("ar"),
+    )
+    g = (
+        j.join(rc.select("v", "ar"), "v")
+        .groupBy("seg")
+        .agg(
+            F.sum("ar").alias("rg"),
+            F.count(F.lit(1)).cast("double").alias("ng"),
+        )
+    )
+    ties = dv.agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            F.lit(0.0),
+        ).alias("tie")
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("srr"),
+    )
+    h = (
+        F.lit(12.0) / (F.col("n") * (F.col("n") + 1)) * F.col("srr")
+        - 3 * (F.col("n") + 1)
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("k_groups"),
+        h.cast("float").alias("h_stat"),
+        (
+            h
+            / (
+                1
+                - F.col("tie")
+                / (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+            )
+        )
+        .cast("float")
+        .alias("h_corrected"),
+    )

@@ -815,3 +815,104 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - sx * slope) / n, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram scoring
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+
+
+@register(
+    "kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2),
+    fw AS (
+        SELECT w1, SUM(cb) AS cw1, COUNT(*)::DOUBLE AS n1p_fw
+        FROM bgc GROUP BY 1
+    ),
+    bw AS (SELECT w2, COUNT(*)::DOUBLE AS n1p_bw FROM bgc GROUP BY 1),
+    ty AS (SELECT COUNT(*)::DOUBLE AS tt FROM bgc)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(AVG(LN((bgc.cb - {_KN_D}) / fw.cw1
+                       + {_KN_D} * fw.n1p_fw / fw.cw1
+                         * (bw.n1p_bw / ty.tt))) AS REAL)
+               AS kn_logprob
+    FROM bg
+    JOIN bgc USING (w1, w2)
+    JOIN fw USING (w1)
+    JOIN bw USING (w2)
+    CROSS JOIN ty
+    GROUP BY 1
+    """,
+    tags=("language-model", "kneser-ney", "smoothing", "bigram",
+          "curation", "text"),
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring — the smoothing that
+    actually ships in KenLM, vs bigram_interp_logprob's simple
+    unigram interpolation: the discount D=0.75 is moved from every
+    seen bigram onto the CONTINUATION probability N₁₊(·,w₂)/N₁₊(··)
+    ('how many contexts does w₂ complete' — so "Francisco" scores
+    low after anything but "San" even though it's frequent).  All
+    four statistics (bigram counts, left-context totals and fan-out,
+    right fan-in, type total) are aggregates of the bigram-TYPE
+    relation, which is Zipf-small.
+
+    Scale shape: mirror of bigram_interp_logprob — one tokenize
+    pass persisted, the doc-bigram → bigram-count equi-join is the
+    single wide shuffle, the fan-out/fan-in relations ride the same
+    bgc aggregate and broadcast onto the probe.
+    """
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("t")
+    ).persist()
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    ).persist()
+    fw = bgc.groupBy("w1").agg(
+        F.sum("cb").alias("cw1"),
+        F.count(F.lit(1)).cast("double").alias("n1p_fw"),
+    )
+    bw = bgc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_bw")
+    )
+    ty = bgc.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    p_kn = (
+        (F.col("cb") - _KN_D) / F.col("cw1")
+        + _KN_D
+        * F.col("n1p_fw")
+        / F.col("cw1")
+        * (F.col("n1p_bw") / F.col("tt"))
+    )
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(F.broadcast(fw), "w1")
+        .join(F.broadcast(bw), "w2")
+        .crossJoin(F.broadcast(ty))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(p_kn)).cast("float").alias("kn_logprob"),
+        )
+    )

@@ -165,6 +165,10 @@ FAMILIES = [
     "t_closeness_audit",
     "max_drawdown_revenue",
     "mutual_info_features",
+    "kneser_ney_bigram",
+    "kruskal_wallis_segments",
+    "msprt_always_valid",
+    "stratified_ate_balance",
 ]
 
 

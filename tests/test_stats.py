@@ -254,6 +254,126 @@ def test_mutual_info_vs_numpy(spark):
 def _duck_table(_unused, sql=None):
     con = duckdb.connect()
     for t in ("orders", "customer", "lineitem", "nation", "supplier",
-              "part"):
+              "part", "events", "documents"):
         con.execute(f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'")
     return con.execute(sql if sql else f"SELECT * FROM {_unused}").fetchall()
+
+
+def test_kruskal_wallis_vs_python(spark):
+    rows = _duck_table(
+        None,
+        """SELECT c.c_mktsegment, o.o_totalprice
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    )
+    vals = sorted(v for _, v in rows)
+    # average rank per value (1-indexed)
+    first = {}
+    cnt = {}
+    for i, v in enumerate(vals, 1):
+        first.setdefault(v, i)
+        cnt[v] = cnt.get(v, 0) + 1
+    ar = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    groups = {}
+    for s, v in rows:
+        groups.setdefault(s, []).append(ar[v])
+    n = len(rows)
+    srr = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    h = 12.0 / (n * (n + 1)) * srr - 3 * (n + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    r = _rows(spark, "kruskal_wallis_segments")[0]
+    assert r.n_total == n and r.k_groups == len(groups)
+    assert math.isclose(r.h_stat, h, rel_tol=1e-5)
+    assert math.isclose(r.h_corrected, h / (1 - tie / (n**3 - n)),
+                        rel_tol=1e-5)
+
+
+def test_msprt_vs_python(spark):
+    import hashlib
+
+    rows = _duck_table(
+        None,
+        "SELECT user_id, value FROM events WHERE event_type = 'purchase'",
+    )
+    arms = {"A": [], "B": []}
+    for uid, v in rows:
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        arms["A" if h % 2 == 0 else "B"].append(v)
+    a, b = np.array(arms["A"]), np.array(arms["B"])
+    delta = b.mean() - a.mean()
+    v = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    tau2 = 25.0
+    lam = math.sqrt(v / (v + tau2)) * math.exp(
+        delta * delta * tau2 / (2 * v * (v + tau2))
+    )
+    r = _rows(spark, "msprt_always_valid")[0]
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert math.isclose(r.delta, delta, rel_tol=1e-5, abs_tol=1e-6)
+    assert math.isclose(r["lambda"], lam, rel_tol=1e-4)
+    assert math.isclose(r.always_valid_p, min(1.0, 1.0 / lam),
+                        rel_tol=1e-4)
+
+
+def test_stratified_ate_vs_python(spark):
+    rows = _duck_table(
+        None,
+        """SELECT CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT),
+                  CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END,
+                  o.o_totalprice
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    )
+    strata = {}
+    for s, t, y in rows:
+        strata.setdefault(s, {0: [], 1: []})[t].append(y)
+    num = den = used = cov = 0.0
+    for s, d in strata.items():
+        if d[0] and d[1]:
+            ns = len(d[0]) + len(d[1])
+            num += ns * (np.mean(d[1]) - np.mean(d[0]))
+            den += ns
+            used += 1
+            cov += ns
+    treated = [y for _, t, y in rows if t == 1]
+    control = [y for _, t, y in rows if t == 0]
+    r = _rows(spark, "stratified_ate_balance")[0]
+    assert math.isclose(
+        r.ate_raw, np.mean(treated) - np.mean(control), rel_tol=1e-5
+    )
+    assert math.isclose(r.ate_stratified, num / den, rel_tol=1e-5)
+    assert r.n_strata_used == used
+    assert math.isclose(r.coverage_frac, cov / len(rows), rel_tol=1e-6)
+
+
+def test_kneser_ney_vs_python(spark):
+    import collections
+
+    docs = _duck_table(None, "SELECT doc_id, text FROM documents")
+    toks = {d: t.strip().split() for d, t in docs}
+    bgc = collections.Counter(
+        (w1, w2)
+        for t in toks.values()
+        for w1, w2 in zip(t, t[1:])
+    )
+    cw1 = collections.Counter()
+    n1p_fw = collections.Counter()
+    n1p_bw = collections.Counter()
+    for (w1, w2), c in bgc.items():
+        cw1[w1] += c
+        n1p_fw[w1] += 1
+        n1p_bw[w2] += 1
+    T = len(bgc)
+    D = 0.75
+    got = {r.doc_id: r for r in _rows(spark, "kneser_ney_bigram")}
+    for d, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            assert d not in got
+            continue
+        lp = np.mean([
+            math.log(
+                (bgc[p] - D) / cw1[p[0]]
+                + D * n1p_fw[p[0]] / cw1[p[0]] * n1p_bw[p[1]] / T
+            )
+            for p in pairs
+        ])
+        assert got[d].n_bigrams == len(pairs)
+        assert math.isclose(got[d].kn_logprob, lp, rel_tol=1e-5)
