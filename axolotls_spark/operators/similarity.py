@@ -305,3 +305,64 @@ def lsh_bucketed_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "sim", "rn")
     )
+
+
+def mips_norm_pruned_topk(
+    q: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 200,
+) -> DataFrame:
+    """EXACT maximum-inner-product top-k with the Cauchy-Schwarz norm
+    bound (LEMP/FEXIPRO's first pruning tier).
+
+    ``q``: (query_id, qv) query block (small, broadcast).  ``corpus``:
+    (vec_id, embedding).  Phase 1 scores only the ``m`` largest-norm
+    vectors (TakeOrderedAndProject) and takes each query's
+    provisional k-th best t_q; phase 2 filters the corpus by
+    ‖x‖·‖q‖ ≥ t_q before any dot product.  Every true top-k member
+    survives (score ≤ ‖x‖‖q‖ and true-kth ≥ t_q), so the output is
+    bit-identical to brute force.  Pruning power depends on norm
+    skew: heavy-tailed norms (popularity-scaled item factors — the
+    MIPS workload) prune hard; isotropic vectors degrade gracefully
+    to brute force, never to a wrong answer.
+    """
+    from axolotls_spark.functions.arrays import dot, norm
+
+    qn = q.select(
+        "query_id", "qv", norm(F.col("qv")).alias("qnorm")
+    )
+    cn = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("xnorm")
+    )
+    cands = cn.orderBy(F.desc("xnorm"), F.asc("vec_id")).limit(m)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    prov = (
+        cands.crossJoin(F.broadcast(qn))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            dot(F.col("qv"), F.col("embedding")).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+    )
+    tq = prov.groupBy("query_id").agg(F.min("score").alias("tq"))
+    qb = qn.join(F.broadcast(tq), "query_id")
+    survivors = (
+        cn.crossJoin(F.broadcast(qb))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(F.col("xnorm") * F.col("qnorm") >= F.col("tq"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            dot(F.col("qv"), F.col("embedding")).alias("score"),
+        )
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+    )

@@ -4909,3 +4909,256 @@ def stratified_ate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Chow structural-break test on the OLS pricing model
+
+_CHOW_BREAK = "1998-06-01"
+_CHOW_K = 3  # parameters per regime (intercept + 2 slopes)
+
+_CHOW_SELF_SSE = (
+    "(syy - (({b0})*sy + ({b1})*s1y + ({b2})*s2y))"
+).format(b0=_OLS_B0, b1=_OLS_B1, b2=_OLS_B2)
+
+_CHOW_MOMENT_EXPRS = {
+    "n": "COUNT(*)",
+    "s1": "SUM(x1)",
+    "s2": "SUM(x2)",
+    "s11": "SUM(x1*x1)",
+    "s12": "SUM(x1*x2)",
+    "s22": "SUM(x2*x2)",
+    "sy": "SUM(y)",
+    "syy": "SUM(y*y)",
+    "s1y": "SUM(x1*y)",
+    "s2y": "SUM(x2*y)",
+}
+
+
+@register(
+    "chow_test_break",
+    oracle=f"""
+    WITH feats AS (
+        SELECT CASE WHEN l_shipdate < TIMESTAMP '{_CHOW_BREAK}'
+                    THEN 0 ELSE 1 END AS period,
+               l_quantity AS x1, l_discount AS x2,
+               l_extendedprice AS y
+        FROM lineitem
+    ),
+    pm AS (
+        SELECT period,
+               {", ".join(f"{e}::DOUBLE AS {k}"
+                          for k, e in _CHOW_MOMENT_EXPRS.items())}
+        FROM feats GROUP BY period
+    ),
+    sse_p AS (
+        SELECT period, n, {_CHOW_SELF_SSE} AS sse FROM pm
+    ),
+    pooled AS (
+        SELECT {", ".join(f"SUM({k}) AS {k}"
+                          for k in _CHOW_MOMENT_EXPRS)}
+        FROM pm
+    ),
+    sse_pool AS (SELECT n, {_CHOW_SELF_SSE} AS sse FROM pooled),
+    acc AS (
+        SELECT SUM(sse) AS sse_split, SUM(n) AS n_all,
+               MIN(CASE WHEN period = 0 THEN n END) AS n_pre
+        FROM sse_p
+    )
+    SELECT CAST(acc.n_pre AS BIGINT) AS n_pre,
+           CAST(acc.n_all - acc.n_pre AS BIGINT) AS n_post,
+           CAST(sse_pool.sse AS REAL) AS sse_pooled,
+           CAST(acc.sse_split AS REAL) AS sse_split,
+           CAST(((sse_pool.sse - acc.sse_split) / {_CHOW_K})
+                / (acc.sse_split / (acc.n_all - 2 * {_CHOW_K}))
+                AS REAL) AS chow_f
+    FROM acc CROSS JOIN sse_pool
+    """,
+    tags=("chow-test", "structural-break", "ols", "regression",
+          "shared-algebra", "single-scan"),
+)
+def chow_test_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the pricing model
+    (price ~ quantity + discount) at {break_date}: fit the two
+    regimes and the pooled model purely from ADDITIVE MOMENTS (the
+    cv_ols trick — per-period moment rows sum to the pooled row,
+    each fit is Cramer algebra on its own row, and a self-fit's SSE
+    collapses to syy − b'X'y), then
+    F = ((SSE_pooled − SSE_split)/k) / (SSE_split/(n−2k)).
+    cusum_changepoint finds WHERE the series shifted; this says
+    whether the REGRESSION RELATIONSHIP itself changed, with a
+    sampling distribution attached.
+
+    Scale shape: ONE grouped scan to two 10-moment rows; every fit,
+    SSE and the F ratio run on ≤2-row relations.
+    """.format(break_date=_CHOW_BREAK)
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.when(
+            F.col("l_shipdate") < F.lit(_CHOW_BREAK).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    pm = feats.groupBy("period").agg(
+        *[
+            F.expr(e).cast("double").alias(k)
+            for k, e in _CHOW_MOMENT_EXPRS.items()
+        ]
+    )
+    sse_p = pm.select(
+        "period", "n", F.expr(_CHOW_SELF_SSE).alias("sse")
+    )
+    pooled = pm.agg(
+        *[F.sum(k).alias(k) for k in _CHOW_MOMENT_EXPRS]
+    )
+    sse_pool = pooled.select("n", F.expr(_CHOW_SELF_SSE).alias("sse"))
+    acc = sse_p.agg(
+        F.sum("sse").alias("sse_split"),
+        F.sum("n").alias("n_all"),
+        F.min(F.when(F.col("period") == 0, F.col("n"))).alias("n_pre"),
+    )
+    return acc.crossJoin(
+        F.broadcast(
+            sse_pool.select(F.col("sse").alias("sse_pooled"))
+        )
+    ).select(
+        F.col("n_pre").cast("long").alias("n_pre"),
+        (F.col("n_all") - F.col("n_pre")).cast("long").alias("n_post"),
+        F.col("sse_pooled").cast("float").alias("sse_pooled"),
+        F.col("sse_split").cast("float").alias("sse_split"),
+        (
+            ((F.col("sse_pooled") - F.col("sse_split")) / _CHOW_K)
+            / (F.col("sse_split") / (F.col("n_all") - 2 * _CHOW_K))
+        )
+        .cast("float")
+        .alias("chow_f"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ridge regularization path from centered moments
+
+_RIDGE_LFS = (0.0, 0.01, 0.1, 1.0)
+# Centered second moments; lam = lf * (Sxx+Szz)/2 keeps the path
+# scale-free across SFs and feature units.
+_RIDGE_PRE = {
+    "sxx": "(s11 - s1*s1/n)",
+    "sxz": "(s12 - s1*s2/n)",
+    "szz": "(s22 - s2*s2/n)",
+    "sxy": "(s1y - s1*sy/n)",
+    "szy": "(s2y - s2*sy/n)",
+    "syyc": "(syy - sy*sy/n)",
+}
+_RIDGE_LAM = "(lf * (sxx + szz) / 2)"
+_RIDGE_DET = f"((sxx + {_RIDGE_LAM}) * (szz + {_RIDGE_LAM}) - sxz*sxz)"
+_RIDGE_B1 = f"((sxy * (szz + {_RIDGE_LAM}) - sxz * szy) / {_RIDGE_DET})"
+_RIDGE_B2 = f"(((sxx + {_RIDGE_LAM}) * szy - sxz * sxy) / {_RIDGE_DET})"
+_RIDGE_SSE = (
+    "(syyc - 2*(({b1})*sxy + ({b2})*szy)"
+    " + ({b1})*({b1})*sxx + 2*({b1})*({b2})*sxz"
+    " + ({b2})*({b2})*szz)"
+).format(b1=_RIDGE_B1, b2=_RIDGE_B2)
+
+
+@register(
+    "ridge_path_lineitem",
+    oracle=f"""
+    WITH m AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(l_quantity) AS s1, SUM(l_discount) AS s2,
+               SUM(l_quantity*l_quantity) AS s11,
+               SUM(l_quantity*l_discount) AS s12,
+               SUM(l_discount*l_discount) AS s22,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_extendedprice*l_extendedprice) AS syy,
+               SUM(l_quantity*l_extendedprice) AS s1y,
+               SUM(l_discount*l_extendedprice) AS s2y
+        FROM lineitem
+    ),
+    c AS (
+        SELECT n, s1, s2, sy,
+               {", ".join(f"{e} AS {k}" for k, e in _RIDGE_PRE.items())}
+        FROM m
+    ),
+    lams AS (
+        SELECT CAST(unnest([{", ".join(str(lf) for lf in _RIDGE_LFS)}])
+                    AS DOUBLE) AS lf
+    )
+    SELECT CAST(lf AS REAL) AS lam_frac,
+           CAST((sy - ({_RIDGE_B1})*s1 - ({_RIDGE_B2})*s2) / n
+                AS REAL) AS b0,
+           CAST({_RIDGE_B1} AS REAL) AS b1,
+           CAST({_RIDGE_B2} AS REAL) AS b2,
+           CAST(1 - ({_RIDGE_SSE}) / syyc AS REAL) AS r2
+    FROM lams CROSS JOIN c
+    """,
+    tags=("ridge", "regularization", "regression", "shared-algebra",
+          "single-scan"),
+)
+def ridge_path_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regularization path for price ~ quantity + discount —
+    four shrinkage levels solved CLOSED-FORM from one set of
+    centered moments: β(λ) = (X'X + λI)⁻¹X'y with the intercept
+    unpenalized (centered algebra), λ = lf·(Sxx+Szz)/2 so the path
+    is scale-free across SFs.  The model-selection companion to
+    cv_ols_generalization: the path shows how fast the fit degrades
+    as coefficients shrink — k retrains for the price of ZERO extra
+    scans, because moments are sufficient statistics.
+
+    Scale shape: ONE corpus aggregate to a 1-row moment relation;
+    the 4-point λ spine is a broadcast literal cross and all solves
+    run on 4 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("s1"),
+        F.sum("l_discount").alias("s2"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s11"),
+        F.sum(F.col("l_quantity") * F.col("l_discount")).alias("s12"),
+        F.sum(F.col("l_discount") * F.col("l_discount")).alias("s22"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias(
+            "syy"
+        ),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias(
+            "s1y"
+        ),
+        F.sum(F.col("l_discount") * F.col("l_extendedprice")).alias(
+            "s2y"
+        ),
+    )
+    c = m.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        *[F.expr(e).alias(k) for k, e in _RIDGE_PRE.items()],
+    )
+    lams = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(lf)) for lf in _RIDGE_LFS])
+        ).alias("lf")
+    )
+    return lams.crossJoin(F.broadcast(c)).select(
+        F.col("lf").cast("float").alias("lam_frac"),
+        (
+            (
+                F.col("sy")
+                - F.expr(_RIDGE_B1) * F.col("s1")
+                - F.expr(_RIDGE_B2) * F.col("s2")
+            )
+            / F.col("n")
+        )
+        .cast("float")
+        .alias("b0"),
+        F.expr(_RIDGE_B1).cast("float").alias("b1"),
+        F.expr(_RIDGE_B2).cast("float").alias("b2"),
+        (1 - F.expr(_RIDGE_SSE) / F.col("syyc"))
+        .cast("float")
+        .alias("r2"),
+    )

@@ -1092,3 +1092,86 @@ def kruskal_wallis_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("h_corrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation via distributed average ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_corr_qty_price",
+    oracle="""
+    WITH j AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    r AS (
+        SELECT RANK() OVER (ORDER BY x)
+                 + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+               RANK() OVER (ORDER BY y)
+                 + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+        FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((COUNT(*) * SUM(rx*ry) - SUM(rx) * SUM(ry))
+                / SQRT(COUNT(*) * SUM(rx*rx) - SUM(rx) * SUM(rx))
+                / SQRT(COUNT(*) * SUM(ry*ry) - SUM(ry) * SUM(ry))
+                AS REAL) AS spearman_rho
+    FROM r
+    """,
+    tags=("spearman", "rank-correlation", "nonparametric",
+          "distributed-rank", "prefix-sum"),
+)
+def spearman_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price — the
+    monotone-association measure that ignores the marginal scales
+    (corr_matrix_lineitem's Pearson entries see only LINEAR
+    association).  Average ranks for BOTH variables come from the
+    distributed prefix sum over each variable's distinct-value
+    relation (the kruskal_wallis_segments machinery, applied twice):
+    avg_rank(v) = C_<v + (t_v+1)/2 — no corpus-wide sort, ties get
+    the exact midrank, and ρ is Pearson's formula on the rank pair.
+
+    Scale shape: two distinct-value aggregates + two range shuffles
+    for the prefix counts, two equi-joins back onto the fact scan,
+    ONE final moment aggregate.  Quantity has ~50 distinct values
+    (heavy ties — midranks matter); price is near-continuous.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def avg_ranks(col: str, out: str) -> DataFrame:
+        dv = li.groupBy(col).agg(
+            F.count(F.lit(1)).cast("double").alias("t")
+        )
+        return ranked_cumsum(
+            dv, [F.asc(col)], "t", rank_name="_rn", cum_name="cumt"
+        ).select(
+            col,
+            (F.col("cumt") - F.col("t") + (F.col("t") + 1) / 2).alias(
+                out
+            ),
+        )
+
+    ranked = li.join(avg_ranks("x", "rx"), "x").join(
+        avg_ranks("y", "ry"), "y"
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.agg(
+        n.cast("long").alias("n"),
+        (
+            (n * F.sum(F.col("rx") * F.col("ry"))
+             - F.sum("rx") * F.sum("ry"))
+            / F.sqrt(
+                n * F.sum(F.col("rx") * F.col("rx"))
+                - F.sum("rx") * F.sum("rx")
+            )
+            / F.sqrt(
+                n * F.sum(F.col("ry") * F.col("ry"))
+                - F.sum("ry") * F.sum("ry")
+            )
+        )
+        .cast("float")
+        .alias("spearman_rho"),
+    )

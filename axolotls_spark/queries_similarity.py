@@ -1440,3 +1440,71 @@ def silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.round(F.avg(s), 6).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact maximum-inner-product top-k with Cauchy-Schwarz norm pruning
+# ---------------------------------------------------------------------------
+
+_MIPS_Q = 8      # query vectors (vec_id < _MIPS_Q)
+_MIPS_K = 5
+_MIPS_M = 200    # norm-descending candidate subset for the bound
+
+
+@register(
+    "mips_norm_pruned_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {_MIPS_Q}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               {_SQL_DOT.format(a='q.qv', b='c.embedding')} AS score
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, cand_id, CAST(score AS REAL) AS score,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_MIPS_K}
+    """,
+    tags=("mips", "inner-product", "topk", "norm-pruning",
+          "similarity", "exact"),
+)
+def mips_norm_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximum-inner-product top-5 with Cauchy–Schwarz norm
+    pruning (the LEMP/FEXIPRO family's first bound): score only the
+    {_MIPS_M} largest-norm vectors first, take each query's
+    provisional k-th best t_q, then the full corpus is filtered by
+    ‖x‖·‖q‖ ≥ t_q BEFORE any dot product — every true top-k member
+    survives (its score is ≥ t_q and ≤ ‖x‖‖q‖), so the result is
+    bit-identical to brute force, which is exactly what the oracle
+    runs.  MIPS ≠ cosine: popular/long vectors legitimately win, so
+    the cosine family's normalization tricks don't apply.
+
+    Scale shape: the candidate pass is TakeOrderedAndProject (top-M
+    by norm, distributed per-partition top-k) scored against the
+    broadcast query block; the corpus-wide phase is a map-side
+    filter on a precomputed norm column — at 100 TB the dot products
+    that never happen are the point (the pruned fraction is pinned
+    in tests).  Requires corpus ≳ M for the bound to be meaningful;
+    degrades to brute force, never to a wrong answer.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MIPS_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    return SIM.mips_norm_pruned_topk(
+        q, emb, k=_MIPS_K, m=_MIPS_M
+    ).select(
+        "query_id",
+        "cand_id",
+        F.col("score").cast("float").alias("score"),
+        F.col("rn").cast("long").alias("rn"),
+    )

@@ -169,6 +169,10 @@ FAMILIES = [
     "kruskal_wallis_segments",
     "msprt_always_valid",
     "stratified_ate_balance",
+    "spearman_corr_qty_price",
+    "chow_test_break",
+    "ridge_path_lineitem",
+    "mips_norm_pruned_topk",
 ]
 
 

@@ -377,3 +377,141 @@ def test_kneser_ney_vs_python(spark):
         ])
         assert got[d].n_bigrams == len(pairs)
         assert math.isclose(got[d].kn_logprob, lp, rel_tol=1e-5)
+
+
+def test_spearman_vs_numpy(spark):
+    rows = _duck_table(
+        None, "SELECT l_quantity, l_extendedprice FROM lineitem"
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    y = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def avg_rank(a):
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a))
+        sa = a[order]
+        i = 0
+        while i < len(a):
+            j = i
+            while j < len(a) and sa[j] == sa[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = avg_rank(x), avg_rank(y)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    r = _rows(spark, "spearman_corr_qty_price")[0]
+    assert r.n == len(rows)
+    assert math.isclose(r.spearman_rho, rho, rel_tol=1e-5)
+
+
+def test_chow_vs_numpy(spark):
+    rows = _duck_table(
+        None,
+        """SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-06-01'
+                       THEN 0 ELSE 1 END,
+                  l_quantity, l_discount, l_extendedprice
+           FROM lineitem""",
+    )
+
+    def sse(sub):
+        X = np.column_stack(
+            [np.ones(len(sub))]
+            + [np.array([r[i] for r in sub]) for i in (1, 2)]
+        )
+        yv = np.array([r[3] for r in sub])
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        resid = yv - X @ beta
+        return float(resid @ resid)
+
+    pre = [r for r in rows if r[0] == 0]
+    post = [r for r in rows if r[0] == 1]
+    sse_p = sse(rows)
+    sse_s = sse(pre) + sse(post)
+    k = 3
+    f_ref = ((sse_p - sse_s) / k) / (sse_s / (len(rows) - 2 * k))
+    r = _rows(spark, "chow_test_break")[0]
+    assert r.n_pre == len(pre) and r.n_post == len(post)
+    assert math.isclose(r.sse_pooled, sse_p, rel_tol=1e-4)
+    assert math.isclose(r.sse_split, sse_s, rel_tol=1e-4)
+    assert math.isclose(r.chow_f, f_ref, rel_tol=1e-3)
+
+
+def test_ridge_path_vs_numpy(spark):
+    rows = _duck_table(
+        None,
+        "SELECT l_quantity, l_discount, l_extendedprice FROM lineitem",
+    )
+    X = np.array([[r[0], r[1]] for r in rows], dtype=np.float64)
+    y = np.array([r[2] for r in rows], dtype=np.float64)
+    xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    S = xc.T @ xc
+    got = {round(r.lam_frac, 4): r for r in _rows(spark, "ridge_path_lineitem")}
+    prev_r2 = None
+    for lf in (0.0, 0.01, 0.1, 1.0):
+        lam = lf * (S[0, 0] + S[1, 1]) / 2
+        beta = np.linalg.solve(S + lam * np.eye(2), xc.T @ yc)
+        b0 = y.mean() - beta @ X.mean(axis=0)
+        resid = yc - xc @ beta
+        r2 = 1 - float(resid @ resid) / float(yc @ yc)
+        r = got[lf]
+        assert math.isclose(r.b0, b0, rel_tol=1e-4)
+        assert math.isclose(r.b1, beta[0], rel_tol=1e-4)
+        assert math.isclose(r.b2, beta[1], rel_tol=1e-4, abs_tol=1e-6)
+        assert math.isclose(r.r2, r2, rel_tol=1e-4)
+        if prev_r2 is not None:
+            assert r.r2 <= prev_r2 + 1e-9  # shrinkage can't improve fit
+        prev_r2 = r.r2
+
+
+def test_mips_prunes_and_stays_exact(spark):
+    """On a SKEWED-norm corpus (the real MIPS workload: popularity-
+    scaled item factors) the Cauchy-Schwarz bound must prune hard
+    AND stay exact vs brute force; on the isotropic synthetic
+    embeddings the registry query degrades to brute force, which the
+    oracle-parity gate already certifies."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from axolotls_spark.functions.arrays import dot
+    from axolotls_spark.operators.similarity import mips_norm_pruned_topk
+
+    rng = np.random.RandomState(7)
+    n, d = 2000, 8
+    # heavy-tailed norms: a few "popular" long vectors dominate
+    vecs = rng.randn(n, d) * (rng.pareto(2.0, size=(n, 1)) + 0.05)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    q = spark.createDataFrame(
+        [(10_000 + j, [float(x) for x in rng.randn(d)]) for j in range(4)],
+        "query_id INT, qv ARRAY<FLOAT>",
+    )
+    got = mips_norm_pruned_topk(q, corpus, k=5, m=100).collect()
+    assert len(got) == 4 * 5
+
+    # exactness vs a brute-force numpy mirror (f32 corpus)
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    for row in q.collect():
+        qv = np.array(row.qv, dtype=np.float64)
+        scores = v32 @ qv
+        order = np.argsort(-scores, kind="stable")[:5]
+        mine = sorted(
+            [r for r in got if r.query_id == row.query_id],
+            key=lambda r: r.rn,
+        )
+        assert [r.cand_id for r in mine] == order.tolist()
+
+    # the bound must actually prune on this corpus
+    norms = np.linalg.norm(v32, axis=1)
+    pruned_fracs = []
+    for row in q.collect():
+        qv = np.array(row.qv, dtype=np.float64)
+        qnorm = float(np.linalg.norm(qv))
+        top_m = np.argsort(-norms, kind="stable")[:100]
+        cand_scores = v32[top_m] @ qv
+        tq = float(np.sort(cand_scores)[-5])
+        pruned_fracs.append(float((norms * qnorm < tq).mean()))
+    assert min(pruned_fracs) > 0.5
