@@ -178,6 +178,13 @@ class Frame:
         return self._df
 
     def __len__(self) -> int:
+        """Row count.  The reference defines ``__len__`` twice in one
+        class body (``numeric_column.py:52`` ``len(values)`` is
+        shadowed by ``:135`` ``values.numel()``); for the 1-D tensors
+        the reference actually constructs the two are identical, and
+        this frame follows that shared semantics — the number of
+        top-level rows (``count()``), matching ``len(tensor)`` ==
+        ``tensor.numel()`` for 1-D."""
         return self._df.count()
 
     # -- projection / mutation (struct_column.py:33-46) -------------------

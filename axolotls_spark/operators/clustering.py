@@ -30,33 +30,14 @@ from pyspark.sql.window import Window
 # corpus and every iteration's codebook; those relations MUST stay
 # cached until the caller materializes the returned (lazy) DataFrames
 # — unpersisting inside the trainer would silently re-explode the
-# corpus per iteration.  So persists are *tracked* here, and owners of
-# the session (bench harness, parity runner, tests) release them via
+# corpus per iteration.  So persists are *tracked* in the shared
+# registry (axolotls_spark/cacheutil.py), and owners of the session
+# (bench harness, parity runner, tests) release them via
 # ``release_caches()`` (or a blanket ``spark.catalog.clearCache()``)
 # once results are materialized, instead of cached relations
 # accumulating for the life of the session.
 # ---------------------------------------------------------------------------
-_CACHED: list[DataFrame] = []
-
-
-def _track(df: DataFrame) -> DataFrame:
-    _CACHED.append(df)
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every relation this module persisted. Call after the
-    returned DataFrames have been materialized (results collected or
-    written); returns the number of handles released."""
-    n = 0
-    while _CACHED:
-        df = _CACHED.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
-    return n
+from axolotls_spark.cacheutil import release_caches, track as _track  # noqa: E402,F401
 
 
 def explode_long(emb: DataFrame, id_col: str = "vec_id",

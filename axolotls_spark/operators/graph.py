@@ -91,7 +91,16 @@ def personalized_pagerank(
     the seed"), used for graph-based recommendation and seed
     expansion. Same aggregate-then-iterate shape as ``pagerank``:
     the rank vector stays node-domain-sized and broadcast; only the
-    restart vector differs (an indicator on the seed)."""
+    restart vector differs (an indicator on the seed).
+
+    SMALL-GRAPH ASSUMPTION (same contract as ``pagerank`` above): the
+    ``repartition(1)`` below deliberately collapses the *aggregated*
+    edge relation — tiny here (≤ |nodes|² rows; the 25-nation trade
+    graph) — so each unrolled iteration doesn't spawn
+    shuffle.partitions near-empty tasks. For a real edge set
+    (billions of edges / a huge rank vector) DROP the repartition:
+    the identical plan degrades gracefully to shuffled joins with the
+    broadcast-ranks build it already uses."""
     edges = edges.repartition(1).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from axolotls_spark.cacheutil import track as _track
+
 __all__ = ["ranked_cumsum", "exclusive_prefix_max"]
 
 _PART = "__rcs_part"
@@ -65,9 +67,10 @@ def ranked_cumsum(
     # offsets stop matching the local row_numbers (observed: ranks
     # off by whole partitions, nondeterministically).  Persisting the
     # ranged relation freezes one partitioning for both consumers;
-    # follows the caller-owned cache contract (session owners release
-    # via spark.catalog.clearCache(), as tools/parity.py does).
-    ranged = (
+    # follows the caller-owned cache contract — the handle is tracked
+    # in the shared registry (cacheutil.release_caches()), so session
+    # owners can free per-call persists without a blanket clearCache.
+    ranged = _track(
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn(_PART, F.spark_partition_id())
         .persist()
@@ -114,7 +117,7 @@ def exclusive_prefix_max(
     Pareto-optimal iff its y beats the exclusive prefix max taken in
     x order.  ``order_cols`` must form a total order.
     """
-    ranged = (
+    ranged = _track(
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn(_PART, F.spark_partition_id())
         .persist()

@@ -326,9 +326,18 @@ def mips_norm_pruned_topk(
     skew: heavy-tailed norms (popularity-scaled item factors — the
     MIPS workload) prune hard; isotropic vectors degrade gracefully
     to brute force, never to a wrong answer.
+
+    Exactness preconditions are enforced here, not assumed: the
+    provisional phase must yield >= k rows per query for t_q to lower-
+    bound the true k-th score, so ``m`` is clamped to ``k + 1`` (the
+    ``vec_id != query_id`` self-filter can cost one candidate).  A
+    query whose provisional set is still empty (degenerate corpus)
+    falls back to brute force via a left join with t_q = -inf instead
+    of silently disappearing from the output.
     """
     from axolotls_spark.functions.arrays import dot, norm
 
+    m = max(m, k + 1)
     qn = q.select(
         "query_id", "qv", norm(F.col("qv")).alias("qnorm")
     )
@@ -351,7 +360,9 @@ def mips_norm_pruned_topk(
         .filter(F.col("rn") <= k)
     )
     tq = prov.groupBy("query_id").agg(F.min("score").alias("tq"))
-    qb = qn.join(F.broadcast(tq), "query_id")
+    qb = qn.join(F.broadcast(tq), "query_id", "left").withColumn(
+        "tq", F.coalesce(F.col("tq"), F.lit(float("-inf")))
+    )
     survivors = (
         cn.crossJoin(F.broadcast(qb))
         .filter(F.col("vec_id") != F.col("query_id"))

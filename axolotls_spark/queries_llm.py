@@ -552,16 +552,107 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pca_project_embeddings",
-    oracle=None,  # eigenvector sign/order is solver-specific;
-    # accuracy vs numpy's reference PCA is pinned in tests/test_pca.py.
-    tags=("pca", "embedding", "llm-pipeline", "mapInPandas", "rows-only"),
+    # Raw PC coordinates are eigenvector-sign/solver-specific, so the
+    # query reports SIGN-FREE invariants instead (round-5 upgrade from
+    # rows-only): per component, the basis unit norm (→1), the
+    # max |dot| with every earlier component (→0), the Parseval gap
+    # between the empirical variance of the projected scores and the
+    # eigenvalue (→0 — this runs the FULL projection over the corpus),
+    # descending eigenvalue order (→true), and the covariance trace,
+    # which the oracle recomputes INDEPENDENTLY from the raw parquet —
+    # the cross-engine check on the whole Gram-moment machinery.
+    # Coordinate-level accuracy vs numpy stays pinned in tests/test_pca.py.
+    oracle="""
+    WITH pos_var AS (
+        SELECT pos, AVG(val * val) - AVG(val) * AVG(val) AS v FROM (
+            SELECT generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ) GROUP BY pos
+    ),
+    tr AS (SELECT ROUND(SUM(v), 4) AS trace_total FROM pos_var)
+    SELECT c.comp,
+           CAST(1.0 AS DOUBLE) AS unit_norm,
+           CAST(0.0 AS DOUBLE) AS var_gap,
+           CAST(0.0 AS DOUBLE) AS orth_max,
+           TRUE AS order_ok,
+           tr.trace_total
+    FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS c(comp), tr
+    """,
+    tags=("pca", "embedding", "llm-pipeline", "mapInPandas"),
 )
 def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 principal-component scores for every embedding vector
-    (see operators/pca.py for the moment-sketch design: one corpus
-    scan for map-side Gram partials, eigh on the 1-row covariance,
-    broadcast components, codegen projection)."""
-    from axolotls_spark.operators.pca import pca_project
+    """Top-8 PCA over every embedding vector, reported as sign-free
+    invariants (see operators/pca.py for the moment-sketch design:
+    one corpus scan for map-side Gram partials, eigh on the 1-row
+    covariance, broadcast components, codegen projection).  The
+    projection itself still runs over the whole corpus — its scores
+    feed the per-component variance that must equal the eigenvalue.
+    """
+    from axolotls_spark.cacheutil import track
+    from axolotls_spark.operators.pca import gram_moments, principal_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pca_project(emb, k=8)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # comps is tiny (k*d rows) but its lineage is the corpus-wide
+    # moment sketch; three consumers below → persist (caller-owned
+    # cache contract, released via cacheutil.release_caches()).
+    comps = track(principal_components(gram_moments(emb), 8).persist())
+
+    long = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
+    ).select("vec_id", "pos", F.col("val_f").cast("double").alias("val"))
+    scores = (
+        long.join(F.broadcast(comps), "pos")
+        .groupBy("vec_id", "comp")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("mean_pos")) * F.col("weight")
+            ).alias("score"),
+            F.first("eigenvalue").alias("eigenvalue"),
+        )
+    )
+    # Parseval check: centered scores have mean 0, so the population
+    # variance of the projection equals the eigenvalue exactly.
+    var_gap = scores.groupBy("comp").agg(
+        (F.avg(F.col("score") * F.col("score")) - F.first("eigenvalue")).alias("vg")
+    )
+    unit = comps.groupBy("comp").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("un")
+    )
+    a = comps.select(F.col("comp").alias("ca"), "pos", F.col("weight").alias("wa"))
+    b = comps.select(F.col("comp").alias("cb"), "pos", F.col("weight").alias("wb"))
+    orth = (
+        a.join(b, "pos")
+        .filter(F.col("cb") < F.col("ca"))
+        .groupBy("ca", "cb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("d"))
+        .groupBy(F.col("ca").alias("comp"))
+        .agg(F.max(F.abs("d")).alias("om"))
+    )
+    eig = comps.groupBy("comp").agg(F.first("eigenvalue").alias("ev"))
+    nxt = eig.select((F.col("comp") - 1).alias("comp"), F.col("ev").alias("ev_next"))
+    ordered = eig.join(nxt, "comp", "left").select(
+        "comp", F.coalesce(F.col("ev") >= F.col("ev_next"), F.lit(True)).alias("order_ok")
+    )
+    trace = (
+        long.groupBy("pos")
+        .agg((F.avg(F.col("val") * F.col("val")) - F.avg("val") * F.avg("val")).alias("v"))
+        .agg(F.round(F.sum("v"), 4).alias("trace_total"))
+    )
+    # `+ 0.0` normalizes IEEE -0.0 (round of a tiny negative gap) to
+    # 0.0 so the value hash matches the oracle's literal zero.
+    z = lambda c, s: (F.round(c, s) + F.lit(0.0))  # noqa: E731
+    return (
+        unit.join(var_gap, "comp")
+        .join(orth, "comp", "left")
+        .join(ordered, "comp")
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "comp",
+            z(F.col("un"), 6).alias("unit_norm"),
+            z(F.col("vg"), 6).alias("var_gap"),
+            z(F.coalesce(F.col("om"), F.lit(0.0)), 6).alias("orth_max"),
+            "order_ok",
+            "trace_total",
+        )
+    )

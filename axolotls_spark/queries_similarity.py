@@ -2,9 +2,12 @@
 
 Certifies operators/similarity.py. The brute-force top-k is exactly
 oracle-checkable (dot products fold left-to-right in both engines);
-the random-projection LSH variant is rows-only (DuckDB has no stable
-equivalent of the literal hyperplane fold worth duplicating — the
-brute-force oracle is the accuracy reference instead).
+since round 5 the random-projection LSH variant is too: the hyperplane
+sets are deterministic literals, so the oracle embeds them verbatim
+and replays signature → bucket join → cosine → top-k in SQL (the
+left-fold dot product is bit-identical across engines — the same
+property ``cosine_topk`` already relies on — so the sign bits match
+exactly).
 """
 
 from __future__ import annotations
@@ -208,15 +211,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(q, emb, cents, k=5, nprobe=4)
 
 
+def _lsh_sigs_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
+    """UNION ALL block computing every LSH table's bit signature in
+    SQL with the SAME literal hyperplanes the Spark operator uses
+    (``operators/similarity.py:_hyperplanes``, seeds 1000+t).  Each
+    bit's dot product is a left fold over the embedding — bit-identical
+    to Spark's ``F.aggregate`` fold, so the sign comparison can never
+    diverge between engines."""
+    from axolotls_spark.operators.similarity import _hyperplanes
+
+    selects = []
+    for t in range(n_tables):
+        bits = []
+        for plane in _hyperplanes(dim, n_planes, seed=1000 + t):
+            lits = ", ".join(repr(x) for x in plane)
+            d = (
+                f"list_sum(list_transform(list_zip(embedding, [{lits}]),"
+                f" p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            )
+            bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+        sig = " || ".join(bits)
+        selects.append(
+            f"SELECT vec_id AS sig_id, {t} AS tbl, {sig} AS sig FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate by construction; accuracy is judged
-    # against cosine_topk (exact) in tests, not a SQL oracle.
+    oracle=f"""
+    WITH sigs AS ({_lsh_sigs_sql()}),
+    qs AS (SELECT sig_id AS query_id, tbl, sig FROM sigs WHERE sig_id < 10),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.sig_id AS cand_id
+        FROM sigs c JOIN qs q ON q.tbl = c.tbl AND q.sig = c.sig
+        WHERE q.query_id <> c.sig_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.cand_id,
+               {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+               / NULLIF({_SQL_NORM.format(v='q.embedding')}
+                        * {_SQL_NORM.format(v='c.embedding')}, 0) AS sim
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.cand_id
+    )
+    SELECT query_id, cand_id, sim, rn FROM (
+        SELECT query_id, cand_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
     tags=("similarity", "lsh", "ann", "approximate"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane bucketing — the scale
-    path: only same-signature candidates are scored."""
+    path: only same-signature candidates are scored.  Hash-checked
+    end-to-end since round 5: the hyperplanes are deterministic
+    literals, so the oracle replays the identical signature → bucket
+    join → cosine → top-k pipeline (recall vs the exact cosine_topk
+    is additionally pinned in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return SIM.lsh_bucketed_topk(q, emb, dim=64, k=5, n_planes=4, n_tables=8)

@@ -1,13 +1,34 @@
 """Benchmark runner — the driver's per-round feedback loop.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
 
-Timing methodology: one warm-up of the flagship primes the JVM and
-the parquet footer cache; each query is then timed end-to-end
-(plan → execute → count-style action that materializes every row
-without shipping them to the driver).
+Output contract (round-5 fix — the r4 single-line artifact outgrew the
+driver's 2000-char tail capture and parsed as null):
+
+1. the full per-query timing map is printed on its OWN line first
+   (``{"metric": "headline_query_sec", "queries": {...}}``) for humans
+   and round-over-round diffing;
+2. the LAST line is a SHORT summary the driver's tail capture always
+   fits: ``{"metric": "headline_queries_total_sec", "value": ...,
+   "unit": "sec", "n_queries": ..., "core_total_sec": ...,
+   "new_total_sec": ..., "sf": ...}`` — no embedded map.
+
+Timing methodology: one warm-up of the flagship primes the JVM and the
+parquet footer cache; each query is then timed end-to-end (plan →
+execute → noop sink that materializes every row without shipping them
+to the driver).  After EVERY query the harness releases operator-owned
+persisted relations (``cacheutil.release_caches()``) and clears the
+session cache — the caller-owned cache contract
+(``operators/clustering.py``) — so per-query numbers are independent
+of session position (the r4 judge measured a uniform 1.30x
+accumulation drift without this).
+
+Headline-set hygiene: ``CORE`` is the frozen round-3 comparison set —
+one composite per operator family — and is never edited, so
+``core_total_sec`` stays apples-to-apples across rounds.  Each round's
+additions go to the round block below; they contribute to
+``new_total_sec`` and the overall total.
 """
 
 from __future__ import annotations
@@ -19,12 +40,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from axolotls_spark import cacheutil
 from axolotls_spark.queries import REGISTRY
 from axolotls_spark.session import get_spark
 
-# Headline set: one per operator family, weighted toward the
-# shuffle-heavy plans that dominate at scale.
-HEADLINE = [
+# FROZEN core (the round-3 headline set): one per operator family,
+# weighted toward the shuffle-heavy plans that dominate at scale.
+# Do not edit — round-over-round comparability depends on it.
+CORE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -81,6 +104,11 @@ HEADLINE = [
     "mmr_diverse_topk",
     "mv_incremental_refresh",
     "hll_distinct_by_priority",
+]
+
+# Round-4 additions (distributed-algorithms lab, fingerprinting,
+# spatial, recsys/eval, stats closure).
+ROUND4 = [
     "ann_ivfpq_residual_topk",
     "hll_rollup_priorities",
     "er_linkage_quality",
@@ -135,6 +163,11 @@ HEADLINE = [
     "mips_norm_pruned_topk",
 ]
 
+# Round-5 additions — this round's new operators.
+ROUND5: list[str] = []
+
+HEADLINE = CORE + ROUND4 + ROUND5
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,16 +196,27 @@ def main() -> None:
             # driver collect, mirroring cluster behavior.
             df.write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
+            # Caller-owned cache contract: free operator persists +
+            # session cache so query N+1 never pays for query N.
+            cacheutil.release_caches()
+            spark.catalog.clearCache()
     timings = {n: round(t, 4) for n, t in timings.items()}
     total = sum(timings.values())
+    core_total = sum(t for n, t in timings.items() if n in set(CORE))
+    new_total = sum(t for n, t in timings.items() if n in set(ROUND5))
 
+    # Line 1: full per-query map (human / diff audience).
+    print(json.dumps({"metric": "headline_query_sec", "queries": timings}))
+    # LAST line: short summary — must fit the driver's tail capture.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(names),
+                "core_total_sec": round(core_total, 4),
+                "new_total_sec": round(new_total, 4),
                 "sf": float(sf),
             }
         )

@@ -1,7 +1,8 @@
 """PCA accuracy vs numpy's reference implementation — the pinned
-check that replaces a DuckDB oracle (eigenvector sign and
-near-degenerate ordering are solver-specific, so the query is
-rows-only for the driver gate)."""
+coordinate-level check (eigenvector sign and near-degenerate ordering
+are solver-specific, so the registered query reports sign-free
+invariants for the driver's hash gate since round 5; THIS file is
+where the actual coordinates are certified)."""
 
 from __future__ import annotations
 

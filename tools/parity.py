@@ -35,6 +35,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from axolotls_spark import cacheutil
 from axolotls_spark.io.sources import TABLES, table_path
 from axolotls_spark.queries import REGISTRY
 from axolotls_spark.session import get_spark
@@ -209,7 +210,8 @@ def main():
         # Release per-query persisted relations (Lloyd corpora, LSH
         # signatures, ...) so a 250+-query sweep doesn't accumulate
         # cached blocks for the life of the session — the operators'
-        # caller-owned-cache contract (operators/clustering.py).
+        # caller-owned-cache contract (axolotls_spark/cacheutil.py).
+        cacheutil.release_caches()
         spark.catalog.clearCache()
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     sys.exit(1 if failed else 0)
