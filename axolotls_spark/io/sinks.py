@@ -54,6 +54,31 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def replace_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Idempotent bucketed-table replacement that survives SESSION
+    turnover: a managed table written by a previous session leaves its
+    warehouse directory behind while the new session's in-memory
+    catalog has no entry for it, so ``mode("overwrite")`` fails with
+    LOCATION_ALREADY_EXISTS.  Drop the catalog entry if present, then
+    remove any orphaned location via the Hadoop FS API (driver-side
+    metadata ops only), then write."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(wh + "/" + table)
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    write_bucketed(df, table, bucket_by, n_buckets, sort_by=sort_by)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").option(
         "compression", "gzip"

@@ -774,3 +774,123 @@ def winnow_fingerprints_df(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted MinHash — Ioffe's consistent weighted sampling (ICDM 2010,
+# "Improved Consistent Sampling, Weighted Minhash and L1 Sketching").
+# Set-based MinHash above treats a document as {shingles}; term-WEIGHTED
+# near-dup (TF / TF-IDF vectors) needs P(sample_A == sample_B) =
+# J_w(A,B) = sum_t min(wA_t, wB_t) / sum_t max(wA_t, wB_t).  The
+# reference has no weighted sketching (SURVEY §2A — eager torch kernels
+# only); this is a §2B dedup-family extension.
+#
+# Per (term, rep) the sampler needs r ~ Gamma(2,1), c ~ Gamma(2,1),
+# beta ~ U(0,1).  All three are derived from md5(term|rep|salt) so the
+# DuckDB oracle replays them bit-for-bit ('0x'||substr(md5(..)))::BIGINT
+# — the same engine-independence trick token_hash() uses.  The sample
+# for rep i is argmin_t of ln a_t = ln c - r*(t_k - beta) - r with
+# t_k = floor(ln w / r + beta); equality of (term, t_k) across two
+# documents is the collision event.  Outputs are (string, int) — no
+# float crosses the engine boundary, so 1-ulp libm differences in ln()
+# cannot produce a hash mismatch unless they flip an argmin/floor
+# boundary (measure-zero event).
+#
+# Scale shape: params live on the VOCAB relation (Zipf-small — the BPE
+# trick), joined once to the (doc, term, tf) relation; the signature is
+# ONE grouped aggregate with k parallel min(struct) columns — identical
+# exchange count to minhash_wide.
+# ---------------------------------------------------------------------------
+
+_TWO60 = float(1 << 60)
+
+
+def _wmh_uniform(term: Column, i: int, salt: str, start: int) -> Column:
+    """U(0,1) from 60 bits of md5(term|i|salt) at hex offset ``start``
+    (1 or 16) — (h + 0.5) / 2^60, identical arithmetic to the oracle's
+    (CAST(h AS DOUBLE) + 0.5) / 2^60."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(term, F.lit(f"|{i}|{salt}"))), start, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h + F.lit(0.5)) / F.lit(_TWO60)
+
+
+def weighted_minhash_wide(
+    weights: DataFrame,
+    k: int = 4,
+) -> DataFrame:
+    """(doc_id, s_0 … s_{k-1}) where s_i = struct(ln_a, term, tk) is
+    rep i's consistent weighted sample (argmin by ln_a, term tie-break
+    via lexicographic struct min).
+
+    ``weights`` is a (doc_id, term, w) relation with w > 0 — the
+    weighting scheme (TF, TF-IDF, IDF-weighted shingles, …) is the
+    caller's choice, decoupled from the sampler.  NOTE: raw unigram TF
+    on a templated corpus makes every document's weight profile nearly
+    identical (pairwise J_w ≈ 0.5 measured on the synthetic corpus —
+    single-sample buckets covered 78% of all docs); discriminative
+    weights (rare-feature-favoring, e.g. shingle IDF) keep the
+    downstream bucket join sub-quadratic."""
+    tf = weights.select("doc_id", "term", F.col("w").cast("double").alias("w"))
+    vocab = tf.select("term").distinct()
+    cols: list[Column] = [F.col("term")]
+    for i in range(k):
+        u1 = _wmh_uniform(F.col("term"), i, "A", 1)
+        u2 = _wmh_uniform(F.col("term"), i, "A", 16)
+        u3 = _wmh_uniform(F.col("term"), i, "B", 1)
+        u4 = _wmh_uniform(F.col("term"), i, "B", 16)
+        beta = _wmh_uniform(F.col("term"), i, "C", 1)
+        cols.append((-(F.log(u1) + F.log(u2))).alias(f"r_{i}"))
+        cols.append((-(F.log(u3) + F.log(u4))).alias(f"c_{i}"))
+        cols.append(beta.alias(f"b_{i}"))
+    params = vocab.select(*cols)
+    j = tf.join(params, "term")
+    aggs = []
+    for i in range(k):
+        t = F.floor(F.log("w") / F.col(f"r_{i}") + F.col(f"b_{i}"))
+        ln_a = (
+            F.log(F.col(f"c_{i}"))
+            - F.col(f"r_{i}") * (t - F.col(f"b_{i}"))
+            - F.col(f"r_{i}")
+        )
+        aggs.append(
+            F.min(
+                F.struct(
+                    ln_a.alias("ln_a"),
+                    F.col("term").alias("term"),
+                    t.cast("long").alias("tk"),
+                )
+            ).alias(f"s_{i}")
+        )
+    return j.groupBy("doc_id").agg(*aggs)
+
+
+def weighted_minhash_sketch(
+    weights: DataFrame,
+    k: int = 4,
+) -> DataFrame:
+    """(doc_id, i, wmh_term, wmh_t): long-format consistent weighted
+    sample over a (doc_id, term, w) relation — the wide aggregate
+    unpivoted by an inline explode (zero extra exchanges), mirroring
+    minhash_signatures."""
+    wide = weighted_minhash_wide(weights, k)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("i"),
+                    F.col(f"s_{i}.term").alias("wmh_term"),
+                    F.col(f"s_{i}.tk").alias("wmh_t"),
+                )
+                for i in range(k)
+            ]
+        )
+    ).alias("p")
+    return wide.select("doc_id", pairs).select(
+        "doc_id",
+        F.col("p.i").alias("i"),
+        F.col("p.wmh_term").alias("wmh_term"),
+        F.col("p.wmh_t").alias("wmh_t"),
+    )

@@ -559,6 +559,92 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "brier_decomposition",
+    oracle=f"""
+    WITH feats AS ({_FEATS_SQL}),
+    seed AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN seed),
+    beta1 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m1),
+    m2 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN beta1),
+    beta2 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m2),
+    scored AS (
+        SELECT y, {_CAL_P} AS p,
+               LEAST(CAST(FLOOR({_CAL_P} * 10) AS BIGINT), 9) AS bin
+        FROM feats CROSS JOIN beta2
+    ),
+    bins AS (
+        SELECT bin, COUNT(*) AS n_k, AVG(p) AS p_k, AVG(y) AS o_k
+        FROM scored GROUP BY bin
+    ),
+    overall AS (
+        SELECT COUNT(*) AS n, AVG(y) AS obar,
+               AVG((p - y) * (p - y)) AS brier
+        FROM scored
+    )
+    SELECT ROUND(o.brier, 6) AS brier,
+           ROUND(SUM(b.n_k * (b.p_k - b.o_k) * (b.p_k - b.o_k)) / o.n, 6)
+               AS reliability,
+           ROUND(SUM(b.n_k * (b.o_k - o.obar) * (b.o_k - o.obar)) / o.n, 6)
+               AS resolution,
+           ROUND(o.obar * (1.0 - o.obar), 6) AS uncertainty,
+           ROUND(o.brier
+                 - (SUM(b.n_k * (b.p_k - b.o_k) * (b.p_k - b.o_k)) / o.n
+                    - SUM(b.n_k * (b.o_k - o.obar) * (b.o_k - o.obar)) / o.n
+                    + o.obar * (1.0 - o.obar)), 6) AS decomp_gap
+    FROM bins b CROSS JOIN overall o
+    GROUP BY o.brier, o.obar, o.n
+    """,
+    tags=("logreg", "calibration", "brier", "ml-eval", "shared-algebra"),
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the classifier's Brier score over the
+    decile reliability bins: brier, reliability (miscalibration),
+    resolution (discrimination), uncertainty (label base rate), and
+    the binning residual ``decomp_gap`` (the decomposition is exact
+    only when p is constant within a bin, so the gap is reported
+    instead of assumed zero).  One extra ≤10-row aggregate + one
+    1-row aggregate over the same persisted scored relation the
+    calibration query uses — no additional corpus pass at 100 TB.
+    """
+    feats = _logreg_features(spark, sf_dir)
+    beta = _irls_beta(spark, feats, iters=2)
+    scored = feats.crossJoin(F.broadcast(beta)).select(
+        "y",
+        F.expr(_P).alias("p"),
+        F.least(F.floor(F.expr(_P) * 10), F.lit(9)).cast("long").alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.avg("p").alias("p_k"),
+        F.avg("y").alias("o_k"),
+    )
+    overall = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("obar"),
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "brier"
+        ),
+    )
+    rel = F.sum(
+        F.col("n_k") * (F.col("p_k") - F.col("o_k")) * (F.col("p_k") - F.col("o_k"))
+    ) / F.first("n")
+    res = F.sum(
+        F.col("n_k") * (F.col("o_k") - F.col("obar")) * (F.col("o_k") - F.col("obar"))
+    ) / F.first("n")
+    unc = F.first("obar") * (F.lit(1.0) - F.first("obar"))
+    return (
+        bins.crossJoin(F.broadcast(overall))
+        .agg(
+            F.round(F.first("brier"), 6).alias("brier"),
+            F.round(rel, 6).alias("reliability"),
+            F.round(res, 6).alias("resolution"),
+            F.round(unc, 6).alias("uncertainty"),
+            F.round(F.first("brier") - (rel - res + unc), 6).alias("decomp_gap"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classifier ranking quality — binned ROC: AUC, Gini, KS
 # ---------------------------------------------------------------------------

@@ -594,3 +594,60 @@ def mv_refresh_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join — round 5.  The on-disk co-partitioning
+# story the 100 TB brief calls out explicitly: write both fact tables
+# bucketed by the join key, and the repeated key-join plans with ZERO
+# exchanges under the join (pinned by tests/test_plan_audit.py) — the
+# shuffle is paid once at write time and amortized over every
+# subsequent join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bucketed_join_colocate",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l.l_extendedprice) AS REAL) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("warehouse", "bucketing", "join", "colocation", "sink"),
+)
+def bucketed_join_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two tables that were WRITTEN bucketed on the join key
+    (8 buckets, sorted within bucket): the sort-merge join consumes
+    the bucketed layout directly — no Exchange under the join, no
+    sort — so the only shuffle in the whole plan is the final tiny
+    group-by.  The ``merge`` hint pins SMJ at every SF (a broadcast
+    join would also be exchange-free but wouldn't demonstrate the
+    layout).  The write itself is the one-time co-location cost every
+    warehouse pays to make its hot join paths shuffle-free.
+    """
+    from axolotls_spark.io.sinks import replace_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    replace_bucketed_table(
+        orders, "bkt_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"]
+    )
+    replace_bucketed_table(
+        li, "bkt_lineitem", ["l_orderkey"], 8, sort_by=["l_orderkey"]
+    )
+    bo = spark.table("bkt_orders").hint("merge")
+    bl = spark.table("bkt_lineitem").hint("merge")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("l_extendedprice").cast("float").alias("revenue"),
+        )
+    )

@@ -164,7 +164,14 @@ ROUND4 = [
 ]
 
 # Round-5 additions — this round's new operators.
-ROUND5: list[str] = []
+ROUND5: list[str] = [
+    "weighted_minhash_sketch",
+    "wmh_near_dup_pairs",
+    "psm_caliper_att",
+    "permutation_test_priority",
+    "brier_decomposition",
+    "bucketed_join_colocate",
+]
 
 HEADLINE = CORE + ROUND4 + ROUND5
 

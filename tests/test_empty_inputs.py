@@ -173,6 +173,12 @@ FAMILIES = [
     "chow_test_break",
     "ridge_path_lineitem",
     "mips_norm_pruned_topk",
+    "weighted_minhash_sketch",
+    "wmh_near_dup_pairs",
+    "psm_caliper_att",
+    "permutation_test_priority",
+    "brier_decomposition",
+    "bucketed_join_colocate",
 ]
 
 

@@ -1148,3 +1148,23 @@ def test_winnow_no_join_in_fingerprint_stage(spark):
     f = _facts(spark, "winnow_fingerprints")
     assert "CartesianProduct" not in f.text
     assert "BatchEvalPython" not in f.text
+
+
+def test_bucketed_join_is_exchange_free_under_the_join(spark):
+    """bucketed_join_colocate joins two tables WRITTEN bucketed on the
+    join key: the sort-merge join must consume the bucketed layout
+    directly — scans flagged Bucketed: true, NO Exchange anywhere
+    below the join (the only shuffle in the plan is the final tiny
+    group-by).  This pins the on-disk co-location contract: the
+    shuffle is paid once at write time, not per join."""
+    spark.catalog.clearCache()
+    f = _facts(spark, "bucketed_join_colocate", execute=True)
+    assert f.text.count("Bucketed: true") >= 2
+    assert "SortMergeJoin" in f.text
+    # Split the FINAL plan at the join: everything below it must be
+    # exchange-free (the one Exchange in the plan is the group-by
+    # ABOVE the join).
+    final = f.text.split("== Initial Plan ==")[0]
+    below_join = final.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join
+    assert final.count("Exchange") <= 1
