@@ -5454,3 +5454,108 @@ def psm_caliper_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cal.select(F.col("caliper").cast("float").alias("caliper"))))
         .select("n_treated", "n_matched", "att", "caliper")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson GLM (log link) — round 5.  Completes the in-engine
+# regression family (OLS, grouped OLS, ridge path, logistic IRLS):
+# counts ~ covariate by two unrolled IRLS steps, every step ONE
+# weighted-moment aggregate + a closed-form 2x2 WLS solve — the same
+# shared-algebra shape as logreg_quality_classifier, replayed
+# verbatim by the oracle.
+# --------------------------------------------------------------------------
+
+_POIS_ETA = "(b0 + b1 * x)"
+_POIS_MU = f"EXP({_POIS_ETA})"
+_POIS_Z = f"({_POIS_ETA} + (y - {_POIS_MU}) / {_POIS_MU})"
+_POIS_MOMENTS = {
+    "sw": f"SUM({_POIS_MU})",
+    "swx": f"SUM({_POIS_MU} * x)",
+    "swxx": f"SUM({_POIS_MU} * x * x)",
+    "swz": f"SUM({_POIS_MU} * {_POIS_Z})",
+    "swxz": f"SUM({_POIS_MU} * x * {_POIS_Z})",
+}
+_POIS_MOMENT_SQL = ", ".join(f"{e} AS {k}" for k, e in _POIS_MOMENTS.items())
+_POIS_B1 = "(sw * swxz - swx * swz) / (sw * swxx - swx * swx)"
+_POIS_B0 = f"(swz - {_POIS_B1} * swx) / sw"
+
+
+@register(
+    "glm_poisson_orders",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT CAST(COALESCE(s.n_orders, 0) AS DOUBLE) AS y,
+               CAST(c.c_acctbal AS DOUBLE) / 1000.0 AS x
+        FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    ),
+    seed AS (SELECT LN(AVG(y)) AS b0, 0.0 AS b1 FROM base),
+    m1 AS (SELECT {_POIS_MOMENT_SQL} FROM base CROSS JOIN seed),
+    beta1 AS (SELECT {_POIS_B0} AS b0, {_POIS_B1} AS b1 FROM m1),
+    m2 AS (SELECT {_POIS_MOMENT_SQL} FROM base CROSS JOIN beta1),
+    beta2 AS (SELECT {_POIS_B0} AS b0, {_POIS_B1} AS b1 FROM m2),
+    fitq AS (
+        SELECT COUNT(*) AS n,
+               SUM((y - {_POIS_MU}) * (y - {_POIS_MU}) / {_POIS_MU})
+                   AS pearson
+        FROM base CROSS JOIN beta2
+    )
+    SELECT CAST(beta2.b0 AS REAL) AS b0,
+           CAST(beta2.b1 AS REAL) AS b1,
+           CAST(fitq.n AS BIGINT) AS n_customers,
+           CAST(fitq.pearson / (fitq.n - 2) AS REAL) AS dispersion
+    FROM beta2 CROSS JOIN fitq
+    """,
+    tags=("glm", "poisson", "irls", "statistics", "shared-algebra",
+          "iterative"),
+)
+def glm_poisson_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression of per-customer order counts on scaled
+    account balance: log link, two unrolled IRLS steps (mu = w, working
+    response z = eta + (y-mu)/mu, closed-form 2x2 WLS per step), plus
+    the Pearson chi-square dispersion — the over/under-dispersion
+    check that decides whether Poisson is even the right family.
+
+    Scale shape: the feature relation is persisted and scanned once
+    per IRLS aggregate (each a 1-row moment fold against the broadcast
+    current beta); nothing iterative touches the driver."""
+    from axolotls_spark.cacheutil import track
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_acctbal").cast("double") / 1000.0).alias("x")
+    )
+    base = track(
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("double").alias("y"),
+            "x",
+        )
+        .persist()
+    )
+    beta = base.agg(F.log(F.avg("y")).alias("b0"), F.lit(0.0).alias("b1"))
+    for _ in range(2):
+        m = base.crossJoin(F.broadcast(beta)).agg(
+            *[F.expr(e).alias(k) for k, e in _POIS_MOMENTS.items()]
+        )
+        beta = m.select(
+            F.expr(_POIS_B0).alias("b0"), F.expr(_POIS_B1).alias("b1")
+        )
+    fitq = base.crossJoin(F.broadcast(beta)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"SUM((y - {_POIS_MU}) * (y - {_POIS_MU}) / {_POIS_MU})"
+        ).alias("pearson"),
+    )
+    return beta.crossJoin(F.broadcast(fitq)).select(
+        F.col("b0").cast("float").alias("b0"),
+        F.col("b1").cast("float").alias("b1"),
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("pearson") / (F.col("n") - 2)).cast("float").alias("dispersion"),
+    )

@@ -1563,3 +1563,94 @@ def mips_norm_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("float").alias("score"),
         F.col("rn").cast("long").alias("rn"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF index build-quality report — round 5.  Cell balance decides
+# whether an IVF index scales: a skewed inverted file turns nprobe
+# pruning into a full scan (hot cells) and wastes memory on empty
+# ones.  One argmax assignment pass + two tiny aggregates.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ivf_cell_balance",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cent_vec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cell,
+               {_SQL_DOT.format(a='e.embedding', b='c.cent_vec')}
+               / NULLIF({_SQL_NORM.format(v='e.embedding')}
+                        * {_SQL_NORM.format(v='c.cent_vec')}, 0) AS cell_sim
+        FROM embeddings e, cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cell_sim DESC, cell) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cell, COUNT(*) AS sz FROM assigned GROUP BY cell),
+    tot AS (
+        SELECT CAST(SUM(sz) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MIN(sz) AS BIGINT) AS min_cell,
+               CAST(MAX(sz) AS BIGINT) AS max_cell,
+               MAX(sz) / (SUM(sz) / CAST(COUNT(*) AS DOUBLE)) AS imb
+        FROM sizes
+    ),
+    top4 AS (
+        SELECT SUM(sz) AS s4 FROM (
+            SELECT sz FROM sizes ORDER BY sz DESC, cell LIMIT 4
+        )
+    )
+    SELECT tot.n_vecs, tot.n_cells, tot.min_cell, tot.max_cell,
+           CAST(tot.imb AS REAL) AS imbalance,
+           CAST(top4.s4 / CAST(tot.n_vecs AS DOUBLE) AS REAL)
+               AS worst4_scan_frac
+    FROM tot CROSS JOIN top4
+    """,
+    tags=("similarity", "ivf", "index-quality", "balance", "ann"),
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file balance report for the 16-cell IVF index: cell
+    count and size extremes, max/mean imbalance, and the worst-case
+    scan fraction at nprobe=4 (the 4 largest cells' share of the
+    corpus — the upper bound on how much of the index a probe can
+    touch).  An imbalance near n_cells means the coarse quantizer
+    collapsed and the 'index' is a full scan in disguise — the
+    build-time preflight every 100 TB vector deployment runs before
+    trusting its recall/latency model."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < 16)
+    assigned = SIM.assign_cells(emb, cents)
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    tot = sizes.agg(
+        F.sum("sz").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("sz").cast("long").alias("min_cell"),
+        F.max("sz").cast("long").alias("max_cell"),
+        (
+            F.max("sz") / (F.sum("sz") / F.count(F.lit(1)).cast("double"))
+        ).alias("imb"),
+    )
+    top4 = (
+        sizes.orderBy(F.desc("sz"), F.asc("cell"))
+        .limit(4)
+        .agg(F.sum("sz").alias("s4"))
+    )
+    return tot.crossJoin(F.broadcast(top4)).select(
+        "n_vecs",
+        "n_cells",
+        "min_cell",
+        "max_cell",
+        F.col("imb").cast("float").alias("imbalance"),
+        (F.col("s4") / F.col("n_vecs").cast("double"))
+        .cast("float")
+        .alias("worst4_scan_frac"),
+    )

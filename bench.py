@@ -171,6 +171,8 @@ ROUND5: list[str] = [
     "permutation_test_priority",
     "brier_decomposition",
     "bucketed_join_colocate",
+    "glm_poisson_orders",
+    "ivf_cell_balance",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5

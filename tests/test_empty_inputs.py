@@ -179,6 +179,8 @@ FAMILIES = [
     "permutation_test_priority",
     "brier_decomposition",
     "bucketed_join_colocate",
+    "glm_poisson_orders",
+    "ivf_cell_balance",
 ]
 
 
