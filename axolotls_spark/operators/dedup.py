@@ -832,8 +832,20 @@ def weighted_minhash_wide(
     identical (pairwise J_w ≈ 0.5 measured on the synthetic corpus —
     single-sample buckets covered 78% of all docs); discriminative
     weights (rare-feature-favoring, e.g. shingle IDF) keep the
-    downstream bucket join sub-quadratic."""
-    tf = weights.select("doc_id", "term", F.col("w").cast("double").alias("w"))
+    downstream bucket join sub-quadratic.
+
+    The weights relation has TWO consumers (the vocab for the param
+    derivation, and the sampler join), so it is persisted here and
+    tracked in the shared registry (caller-owned cache contract,
+    released via cacheutil.release_caches()) — without the pin the
+    whole upstream weighting pipeline runs twice."""
+    from axolotls_spark.cacheutil import track
+
+    tf = track(
+        weights.select(
+            "doc_id", "term", F.col("w").cast("double").alias("w")
+        ).persist()
+    )
     vocab = tf.select("term").distinct()
     cols: list[Column] = [F.col("term")]
     for i in range(k):
