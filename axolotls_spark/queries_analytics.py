@@ -5170,6 +5170,11 @@ def ridge_path_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reassignments of the treatment label (Dwass-style randomization
 # test), so both engines draw the IDENTICAL resamples and the whole
 # test is hash-checkable — no RNG state crosses the engine boundary.
+#
+# Hashing cost is ONE md5 per row, not one per (row, resample): md5
+# yields 128 independent bits, so resample b's side is simply bit b
+# of the row's digest (two 60-bit halves cover B=64).  At 100 TB this
+# is the difference between 1x and 64x the corpus-hashing work.
 # --------------------------------------------------------------------------
 
 _PERM_B = 64
@@ -5179,9 +5184,10 @@ _PERM_B = 64
     "permutation_test_priority",
     oracle=f"""
     WITH base AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
-               o_totalprice AS y
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+               o_totalprice AS y,
+               ('0x' || substr(md5(o_orderkey::VARCHAR || '|pt'), 1, 15))::BIGINT AS h1,
+               ('0x' || substr(md5(o_orderkey::VARCHAR || '|pt'), 16, 15))::BIGINT AS h2
         FROM orders
     ),
     obs AS (
@@ -5189,16 +5195,21 @@ _PERM_B = 64
                - AVG(CASE WHEN t = 0 THEN y END) AS stat_obs
         FROM base
     ),
+    spine AS (
+        SELECT UNNEST(range(0, {_PERM_B})) AS b
+    ),
     perm AS (
-        SELECT b.b,
-               AVG(CASE WHEN ('0x' || substr(md5(base.o_orderkey::VARCHAR
-                       || '|pt' || b.b::VARCHAR), 1, 15))::BIGINT % 2 = 1
+        SELECT s.b,
+               AVG(CASE WHEN (CASE WHEN s.b < 60
+                                   THEN (base.h1 >> s.b) & 1
+                                   ELSE (base.h2 >> (s.b - 60)) & 1 END) = 1
                         THEN y END)
-               - AVG(CASE WHEN ('0x' || substr(md5(base.o_orderkey::VARCHAR
-                       || '|pt' || b.b::VARCHAR), 1, 15))::BIGINT % 2 = 0
+               - AVG(CASE WHEN (CASE WHEN s.b < 60
+                                     THEN (base.h1 >> s.b) & 1
+                                     ELSE (base.h2 >> (s.b - 60)) & 1 END) = 0
                           THEN y END) AS stat_b
-        FROM base CROSS JOIN (SELECT UNNEST(range(1, {_PERM_B + 1})) AS b) b
-        GROUP BY b.b
+        FROM base CROSS JOIN spine s
+        GROUP BY s.b
     )
     SELECT CAST(o.stat_obs AS REAL) AS stat_obs,
            CAST({_PERM_B} AS INT) AS n_perms,
@@ -5215,24 +5226,25 @@ _PERM_B = 64
 )
 def permutation_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization test for the urgent-vs-rest mean order-value
-    lift: B=64 deterministic md5-keyed label reassignments,
-    two-sided p = (1 + #extreme) / (1 + B) — the distribution-free
-    complement of ab_test_welch (no normality or equal-variance
-    assumption).
+    lift: B=64 deterministic md5-keyed label reassignments (bit b of
+    each order's single digest), two-sided p = (1 + #extreme) /
+    (1 + B) — the distribution-free complement of ab_test_welch (no
+    normality or equal-variance assumption).
 
-    Scale shape: the observed stat is ONE aggregate; the B resamples
+    Scale shape: ONE md5 per row covers all 64 resamples (bit-slicing
+    the digest); the observed stat is one aggregate; the B resamples
     are an inline spine explode whose per-(b, arm) partials collapse
     map-side, so shuffle volume is 2B rows per partition regardless
     of table size — one corpus pass total, never B passes.
     """
-    from axolotls_spark.operators.dedup import token_hash
-
+    md5s = F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("|pt")))
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
         .otherwise(0)
         .alias("t"),
         F.col("o_totalprice").alias("y"),
+        F.conv(F.substring(md5s, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5s, 16, 15), 16, 10).cast("long").alias("h2"),
     )
     obs = o.agg(
         (
@@ -5240,29 +5252,33 @@ def permutation_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.avg(F.when(F.col("t") == 0, F.col("y")))
         ).alias("stat_obs")
     )
-    spine = F.array(*[F.lit(b) for b in range(1, _PERM_B + 1)])
-    exploded = o.select(
-        "y",
-        F.explode(spine).alias("b"),
-        "o_orderkey",
-    ).select(
-        "b",
-        "y",
-        (
-            token_hash(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit("|pt"),
-                    F.col("b").cast("string"),
-                )
+    # shiftright needs a literal bit count in the DataFrame API, so
+    # the side bit is taken with a per-b literal mask carried through
+    # the spine instead (equivalent to the oracle's (h >> b) & 1).
+    masks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.lit(0 if b < 60 else 1).alias("half"),
+                F.lit(1 << (b if b < 60 else b - 60)).alias("mask"),
             )
-            % 2
-        ).alias("side"),
+            for b in range(_PERM_B)
+        ]
+    )
+    exploded = o.select("y", "h1", "h2", F.explode(masks).alias("m")).select(
+        F.col("m.b").alias("b"),
+        "y",
+        F.when(
+            F.col("m.half") == 0,
+            F.col("h1").bitwiseAND(F.col("m.mask")),
+        )
+        .otherwise(F.col("h2").bitwiseAND(F.col("m.mask")))
+        .alias("bit"),
     )
     perm = exploded.groupBy("b").agg(
         (
-            F.avg(F.when(F.col("side") == 1, F.col("y")))
-            - F.avg(F.when(F.col("side") == 0, F.col("y")))
+            F.avg(F.when(F.col("bit") != 0, F.col("y")))
+            - F.avg(F.when(F.col("bit") == 0, F.col("y")))
         ).alias("stat_b")
     )
     extreme = F.sum(
@@ -5278,181 +5294,6 @@ def permutation_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(1.0) + extreme) / F.lit(1.0 + _PERM_B)
             ).cast("float").alias("p_value"),
         )
-    )
-
-
-# --------------------------------------------------------------------------
-# Propensity-score matching (caliper 1-NN with replacement) — round 5.
-# --------------------------------------------------------------------------
-
-
-@register(
-    "psm_caliper_att",
-    oracle="""
-    WITH spend AS (
-        SELECT o_custkey, SUM(o_totalprice) AS y FROM orders GROUP BY o_custkey
-    ),
-    base AS (
-        SELECT c.c_custkey,
-               CAST(c.c_acctbal AS DOUBLE) AS x,
-               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
-               COALESCE(s.y, 0.0) AS y
-        FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
-    ),
-    m AS (
-        SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(t)::DOUBLE AS st,
-               SUM(x * x) AS sxx, SUM(x * t) AS sxt
-        FROM base
-    ),
-    coef AS (
-        SELECT (n * sxt - sx * st) / (n * sxx - sx * sx) AS b,
-               (st - (n * sxt - sx * st) / (n * sxx - sx * sx) * sx) / n AS a
-        FROM m
-    ),
-    scored AS (
-        SELECT c_custkey, t, y, x, a + b * x AS p FROM base CROSS JOIN coef
-    ),
-    cal AS (SELECT 0.2 * STDDEV_SAMP(p) AS caliper FROM scored),
-    best AS (
-        SELECT tid, yt, yc FROM (
-            SELECT tr.c_custkey AS tid, tr.y AS yt, co.y AS yc,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY tr.c_custkey
-                       ORDER BY ABS(tr.x - co.x), co.c_custkey
-                   ) AS rn
-            FROM scored tr
-            JOIN scored co ON co.t = 0
-            CROSS JOIN cal
-            WHERE tr.t = 1 AND ABS(tr.p - co.p) <= cal.caliper
-        ) WHERE rn = 1
-    )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM scored WHERE t = 1)
-               AS n_treated,
-           CAST(COUNT(*) AS BIGINT) AS n_matched,
-           CAST(AVG(yt - yc) AS REAL) AS att,
-           (SELECT CAST(caliper AS REAL) FROM cal) AS caliper
-    FROM best
-    """,
-    tags=("causal", "propensity-matching", "statistics", "bucketed-join"),
-)
-def psm_caliper_att(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average treatment effect on the treated (ATT) by propensity-
-    score matching: a linear-probability propensity fit (closed-form
-    OLS on account balance), then 1-nearest-neighbor matching WITH
-    replacement inside a 0.2·sigma caliper, deterministic control-id
-    tie-break.  Completes the causal family (CUPED, diff-in-diff,
-    stratified ATE) with the matching estimator.
-
-    Scale shape: greedy without-replacement matching is inherently
-    sequential, but with-replacement 1-NN is relational — candidates
-    come from a CALIPER-BUCKET equi-join (bucket width = caliper, so
-    every within-caliper pair lands in the treated row's bucket ±1;
-    the treated side explodes 3×, controls don't), then one
-    min(struct) argmin per treated row.  Work is proportional to
-    bucket occupancy, never |treated|×|controls| — the oracle's
-    quadratic join is the independent completeness proof.
-    """
-    from axolotls_spark.cacheutil import track
-
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.col("c_acctbal").cast("double").alias("x"),
-        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("t"),
-    )
-    spend = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("yo"))
-    )
-    base = track(
-        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
-        .select(
-            "c_custkey", "x", "t", F.coalesce(F.col("yo"), F.lit(0.0)).alias("y")
-        )
-        .persist()
-    )
-    m = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("t").cast("double").alias("st"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("t")).alias("sxt"),
-    )
-    bexp = (F.col("n") * F.col("sxt") - F.col("sx") * F.col("st")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    coef = m.select(
-        bexp.alias("b"), ((F.col("st") - bexp * F.col("sx")) / F.col("n")).alias("a")
-    )
-    scored = track(
-        base.crossJoin(F.broadcast(coef))
-        .select(
-            "c_custkey", "t", "y", "x",
-            (F.col("a") + F.col("b") * F.col("x")).alias("p"),
-        )
-        .persist()
-    )
-    cal = scored.agg((F.lit(0.2) * F.stddev_samp("p")).alias("caliper"))
-    tr = (
-        scored.filter(F.col("t") == 1)
-        .crossJoin(F.broadcast(cal))
-        .select(
-            F.col("c_custkey").alias("tid"),
-            F.col("y").alias("yt"),
-            F.col("p").alias("pt"),
-            F.col("x").alias("xt"),
-            "caliper",
-            F.floor(F.col("p") / F.col("caliper")).alias("k"),
-        )
-        .select(
-            "tid", "yt", "pt", "xt", "caliper",
-            F.explode(
-                F.array(F.col("k") - 1, F.col("k"), F.col("k") + 1)
-            ).alias("kk"),
-        )
-    )
-    co = (
-        scored.filter(F.col("t") == 0)
-        .crossJoin(F.broadcast(cal))
-        .select(
-            F.col("c_custkey").alias("cid"),
-            F.col("y").alias("yc"),
-            F.col("p").alias("pc"),
-            F.col("x").alias("xc"),
-            F.floor(F.col("p") / F.col("caliper")).alias("kk"),
-        )
-    )
-    best = (
-        tr.join(co, "kk")
-        .filter(F.abs(F.col("pt") - F.col("pc")) <= F.col("caliper"))
-        .groupBy("tid", "yt")
-        .agg(
-            # Argmin on |x_t - x_c|, NOT |p_t - p_c|: p = a + b*x is
-            # monotone in x so the nearest-propensity neighbor is the
-            # nearest-x neighbor, and x distances are raw parquet
-            # doubles — bit-identical across engines — whereas p
-            # carries the aggregate-reduction noise of (a, b), which
-            # flipped exact grid ties (2-decimal acctbal) at sf0.1.
-            F.min(
-                F.struct(
-                    F.abs(F.col("xt") - F.col("xc")).alias("adx"),
-                    F.col("cid").alias("cid"),
-                    F.col("yc").alias("yc"),
-                )
-            ).alias("mt")
-        )
-    )
-    n_treated = scored.filter(F.col("t") == 1).agg(
-        F.count(F.lit(1)).cast("long").alias("n_treated")
-    )
-    att = best.agg(
-        F.count(F.lit(1)).cast("long").alias("n_matched"),
-        F.avg(F.col("yt") - F.col("mt.yc")).cast("float").alias("att"),
-    )
-    return (
-        n_treated.crossJoin(F.broadcast(att))
-        .crossJoin(F.broadcast(cal.select(F.col("caliper").cast("float").alias("caliper"))))
-        .select("n_treated", "n_matched", "att", "caliper")
     )
 
 
