@@ -5400,3 +5400,178 @@ def glm_poisson_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_customers"),
         (F.col("pearson") / (F.col("n") - 2)).cast("float").alias("dispersion"),
     )
+
+
+# --------------------------------------------------------------------------
+# Propensity-score matching (caliper 1-NN with replacement) — round 5.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "psm_caliper_att",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, SUM(o_totalprice) AS y FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT c.c_custkey,
+               CAST(c.c_acctbal AS DOUBLE) AS x,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+               COALESCE(s.y, 0.0) AS y
+        FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(t)::DOUBLE AS st,
+               SUM(x * x) AS sxx, SUM(x * t) AS sxt
+        FROM base
+    ),
+    coef AS (
+        SELECT (n * sxt - sx * st) / (n * sxx - sx * sx) AS b,
+               (st - (n * sxt - sx * st) / (n * sxx - sx * sx) * sx) / n AS a
+        FROM m
+    ),
+    scored AS (
+        SELECT c_custkey, t, y, x, a + b * x AS p FROM base CROSS JOIN coef
+    ),
+    cal AS (SELECT 0.2 * STDDEV_SAMP(p) AS caliper FROM scored),
+    best AS (
+        SELECT tid, yt, yc FROM (
+            SELECT tr.c_custkey AS tid, tr.y AS yt, co.y AS yc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tr.c_custkey
+                       ORDER BY ABS(tr.x - co.x), co.c_custkey
+                   ) AS rn
+            FROM scored tr
+            JOIN scored co ON co.t = 0
+            CROSS JOIN cal
+            WHERE tr.t = 1 AND ABS(tr.p - co.p) <= cal.caliper
+        ) WHERE rn = 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM scored WHERE t = 1)
+               AS n_treated,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(AVG(yt - yc) AS REAL) AS att,
+           (SELECT CAST(caliper AS REAL) FROM cal) AS caliper
+    FROM best
+    """,
+    tags=("causal", "propensity-matching", "statistics", "bucketed-join"),
+)
+def psm_caliper_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average treatment effect on the treated (ATT) by propensity-
+    score matching: a linear-probability propensity fit (closed-form
+    OLS on account balance), then 1-nearest-neighbor matching WITH
+    replacement inside a 0.2*sigma caliper, deterministic control-id
+    tie-break.  Completes the causal family (CUPED, diff-in-diff,
+    stratified ATE) with the matching estimator.
+
+    Scale shape: greedy without-replacement matching is inherently
+    sequential, but with-replacement 1-NN is relational — candidates
+    come from a CALIPER-BUCKET equi-join (bucket width = caliper, so
+    every within-caliper pair lands in the treated row's bucket +-1;
+    the treated side explodes 3x, controls don't), then one
+    min(struct) argmin per treated row.  Work is proportional to
+    bucket occupancy, never |treated|x|controls| — the oracle's
+    quadratic join is the independent completeness proof.
+    """
+    from axolotls_spark.cacheutil import track
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("x"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("t"),
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("yo"))
+    )
+    base = track(
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "c_custkey", "x", "t", F.coalesce(F.col("yo"), F.lit(0.0)).alias("y")
+        )
+        .persist()
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("t")).alias("sxt"),
+    )
+    bexp = (F.col("n") * F.col("sxt") - F.col("sx") * F.col("st")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coef = m.select(
+        bexp.alias("b"), ((F.col("st") - bexp * F.col("sx")) / F.col("n")).alias("a")
+    )
+    scored = track(
+        base.crossJoin(F.broadcast(coef))
+        .select(
+            "c_custkey", "t", "y", "x",
+            (F.col("a") + F.col("b") * F.col("x")).alias("p"),
+        )
+        .persist()
+    )
+    cal = scored.agg((F.lit(0.2) * F.stddev_samp("p")).alias("caliper"))
+    tr = (
+        scored.filter(F.col("t") == 1)
+        .crossJoin(F.broadcast(cal))
+        .select(
+            F.col("c_custkey").alias("tid"),
+            F.col("y").alias("yt"),
+            F.col("p").alias("pt"),
+            F.col("x").alias("xt"),
+            "caliper",
+            F.floor(F.col("p") / F.col("caliper")).alias("k"),
+        )
+        .select(
+            "tid", "yt", "pt", "xt", "caliper",
+            F.explode(
+                F.array(F.col("k") - 1, F.col("k"), F.col("k") + 1)
+            ).alias("kk"),
+        )
+    )
+    co = (
+        scored.filter(F.col("t") == 0)
+        .crossJoin(F.broadcast(cal))
+        .select(
+            F.col("c_custkey").alias("cid"),
+            F.col("y").alias("yc"),
+            F.col("p").alias("pc"),
+            F.col("x").alias("xc"),
+            F.floor(F.col("p") / F.col("caliper")).alias("kk"),
+        )
+    )
+    best = (
+        tr.join(co, "kk")
+        .filter(F.abs(F.col("pt") - F.col("pc")) <= F.col("caliper"))
+        .groupBy("tid", "yt")
+        .agg(
+            # Argmin on |x_t - x_c|, NOT |p_t - p_c|: p = a + b*x is
+            # monotone in x so the nearest-propensity neighbor is the
+            # nearest-x neighbor, and x distances are raw parquet
+            # doubles — bit-identical across engines — whereas p
+            # carries the aggregate-reduction noise of (a, b), which
+            # flipped exact grid ties (2-decimal acctbal) at sf0.1.
+            F.min(
+                F.struct(
+                    F.abs(F.col("xt") - F.col("xc")).alias("adx"),
+                    F.col("cid").alias("cid"),
+                    F.col("yc").alias("yc"),
+                )
+            ).alias("mt")
+        )
+    )
+    n_treated = scored.filter(F.col("t") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_treated")
+    )
+    att = best.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.avg(F.col("yt") - F.col("mt.yc")).cast("float").alias("att"),
+    )
+    return (
+        n_treated.crossJoin(F.broadcast(att))
+        .crossJoin(F.broadcast(cal.select(F.col("caliper").cast("float").alias("caliper"))))
+        .select("n_treated", "n_matched", "att", "caliper")
+    )

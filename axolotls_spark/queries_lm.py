@@ -1002,3 +1002,95 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log(p_kn)).cast("float").alias("kn_logprob"),
         )
     )
+
+
+@register(
+    "isotonic_calibration_bins",
+    oracle=f"""
+    WITH feats AS ({_FEATS_SQL}),
+    seed AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN seed),
+    beta1 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m1),
+    m2 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN beta1),
+    beta2 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m2),
+    scored AS (
+        SELECT y, LEAST(CAST(FLOOR({_CAL_P} * 10) AS BIGINT), 9) AS bin
+        FROM feats CROSS JOIN beta2
+    ),
+    bins AS (
+        SELECT bin, COUNT(*)::DOUBLE AS n_k, AVG(y) AS o_k
+        FROM scored GROUP BY bin
+    ),
+    pairs AS (
+        SELECT a.bin AS i, b.bin AS j,
+               SUM(m.n_k * m.o_k) / SUM(m.n_k) AS av
+        FROM bins a
+        JOIN bins b ON b.bin >= a.bin
+        JOIN bins m ON m.bin BETWEEN a.bin AND b.bin
+        GROUP BY a.bin, b.bin
+    ),
+    iso AS (
+        SELECT k, MAX(mn) AS iso_fit FROM (
+            SELECT kb.bin AS k, p.i, MIN(p.av) AS mn
+            FROM bins kb
+            JOIN pairs p ON p.i <= kb.bin AND p.j >= kb.bin
+            GROUP BY kb.bin, p.i
+        ) GROUP BY k
+    )
+    SELECT b.bin,
+           CAST(b.n_k AS BIGINT) AS n_docs,
+           CAST(b.o_k AS REAL) AS frac_positive,
+           CAST(i.iso_fit AS REAL) AS iso_fit
+    FROM bins b JOIN iso i ON i.k = b.bin
+    """,
+    tags=("logreg", "calibration", "isotonic", "pava", "ml-eval",
+          "shared-algebra"),
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) recalibration of the classifier's reliability
+    curve — the exact weighted isotonic fit via the minimax identity
+    iso(k) = max_{{i<=k}} min_{{j>=k}} weighted-avg(o over bins i..j),
+    which equals the pool-adjacent-violators solution in CLOSED FORM,
+    so the inherently sequential PAVA sweep never runs: everything is
+    joins and aggregates over the <=10-row bin relation (pairs <=55
+    rows, minimax <=550) — trivially parallel and exactly replayable
+    in SQL.  This is the recalibration step logreg_calibration_bins'
+    docstring points at when a quality classifier's scores are
+    miscalibrated but rank correctly."""
+    feats = _logreg_features(spark, sf_dir)
+    beta = _irls_beta(spark, feats, iters=2)
+    scored = feats.crossJoin(F.broadcast(beta)).select(
+        "y",
+        F.least(F.floor(F.expr(_P) * 10), F.lit(9)).cast("long").alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("n_k"),
+        F.avg("y").alias("o_k"),
+    )
+    a = bins.select(F.col("bin").alias("i"))
+    b = bins.select(F.col("bin").alias("j"))
+    m = bins.select(F.col("bin").alias("mb"), "n_k", "o_k")
+    pairs = (
+        a.join(b, F.col("j") >= F.col("i"))
+        .join(m, (F.col("mb") >= F.col("i")) & (F.col("mb") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            (F.sum(F.col("n_k") * F.col("o_k")) / F.sum("n_k")).alias("av")
+        )
+    )
+    kspine = bins.select(F.col("bin").alias("k"))
+    iso = (
+        kspine.join(
+            pairs, (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k"))
+        )
+        .groupBy("k", "i")
+        .agg(F.min("av").alias("mn"))
+        .groupBy("k")
+        .agg(F.max("mn").alias("iso_fit"))
+    )
+    return bins.join(iso, bins.bin == iso.k).select(
+        "bin",
+        F.col("n_k").cast("long").alias("n_docs"),
+        F.col("o_k").cast("float").alias("frac_positive"),
+        F.col("iso_fit").cast("float").alias("iso_fit"),
+    )

@@ -173,6 +173,7 @@ ROUND5: list[str] = [
     "bucketed_join_colocate",
     "glm_poisson_orders",
     "ivf_cell_balance",
+    "isotonic_calibration_bins",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5

@@ -181,6 +181,7 @@ FAMILIES = [
     "bucketed_join_colocate",
     "glm_poisson_orders",
     "ivf_cell_balance",
+    "isotonic_calibration_bins",
 ]
 
 
