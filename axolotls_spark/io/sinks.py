@@ -67,12 +67,37 @@ def replace_bucketed_table(
     catalog has no entry for it, so ``mode("overwrite")`` fails with
     LOCATION_ALREADY_EXISTS.  Drop the catalog entry if present, then
     remove any orphaned location via the Hadoop FS API (driver-side
-    metadata ops only), then write."""
+    metadata ops only), then write.
+
+    CONTRACT: ``table`` must be a simple unqualified identifier in the
+    session's default database.  The fs.delete of a derived path is
+    destructive, so anything else (``db.tbl`` qualifiers, quoting,
+    path separators) is rejected up front rather than risking deleting
+    a mis-derived location.  When the table still exists in the
+    catalog, its location is resolved FROM the catalog (authoritative
+    even if warehouse.dir changed between sessions); the
+    warehouse-derived fallback only covers the orphaned-directory
+    case, where no catalog entry exists to consult."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(
+            f"replace_bucketed_table requires a simple unqualified "
+            f"table identifier in the default database, got {table!r}"
+        )
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     jvm = spark._jvm
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(wh + "/" + table)
+    loc = None
+    if spark.catalog.tableExists(table):
+        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        for row in detail:
+            if row.col_name == "Location":
+                loc = jvm.org.apache.hadoop.fs.Path(row.data_type)
+                break
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if loc is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(wh + "/" + table.lower())
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)

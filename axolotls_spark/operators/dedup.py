@@ -844,7 +844,13 @@ def weighted_minhash_wide(
     tf = track(
         weights.select(
             "doc_id", "term", F.col("w").cast("double").alias("w")
-        ).persist()
+        )
+        # Enforce the w > 0 precondition identically on both engines:
+        # Spark's ln(w<=0) yields NULL (min(struct) would silently pick
+        # a NULL-influenced sample) while DuckDB's ln() raises — a
+        # divergent failure for callers passing raw TF-IDF with zeros.
+        .filter(F.col("w") > 0)
+        .persist()
     )
     vocab = tf.select("term").distinct()
     cols: list[Column] = [F.col("term")]

@@ -591,7 +591,7 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(o.brier
                  - (SUM(b.n_k * (b.p_k - b.o_k) * (b.p_k - b.o_k)) / o.n
                     - SUM(b.n_k * (b.o_k - o.obar) * (b.o_k - o.obar)) / o.n
-                    + o.obar * (1.0 - o.obar)), 6) AS decomp_gap
+                    + o.obar * (1.0 - o.obar)), 6) + 0.0 AS decomp_gap
     FROM bins b CROSS JOIN overall o
     GROUP BY o.brier, o.obar, o.n
     """,
@@ -640,7 +640,10 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rel, 6).alias("reliability"),
             F.round(res, 6).alias("resolution"),
             F.round(unc, 6).alias("uncertainty"),
-            F.round(F.first("brier") - (rel - res + unc), 6).alias("decomp_gap"),
+            # + 0.0 folds -0.0 to 0.0: the gap is a difference of
+            # near-equal FP aggregates whose sign can differ between
+            # engines, and repr(-0.0) != repr(0.0) in the parity hash.
+            (F.round(F.first("brier") - (rel - res + unc), 6) + F.lit(0.0)).alias("decomp_gap"),
         )
     )
 

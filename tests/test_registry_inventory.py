@@ -1,0 +1,62 @@
+"""Pin the registry inventory so scripted edits can't silently drop
+registrations.
+
+Round-5 incident this guards against: a marker-to-marker block rewrite
+of queries_analytics.py deleted the ADJACENT ``psm_caliper_att``
+registration; it was caught only by an informal ``len(REGISTRY)``
+check at the prompt (restored in commit c83395c).  These counts are
+updated DELIBERATELY, one commit per batch of new queries — a
+mismatch here means a registration vanished (or appeared) without the
+inventory being touched.
+"""
+
+from __future__ import annotations
+
+import axolotls_spark.queries  # noqa: F401 — import registers everything
+from axolotls_spark.registry import REGISTRY
+
+# Update these two numbers in the same commit that adds/removes
+# registered queries.  README.md and SURVEY.md §8 carry the same
+# counts for humans; this is the machine-checked copy.
+N_EXPECTED = 329
+N_ORACLE = 326
+
+# The deliberate rows-only set: every name here must exist, have no
+# oracle, and nothing outside it may lack one.  (VERDICT r5 item #2
+# asks these three to be promoted to hash-checked; shrink this set as
+# that lands.)
+ROWS_ONLY = {
+    "agg_approx_sketches",
+    "sketch_mergeable_rollup",
+    "multimodal_byte_histogram",
+}
+
+
+def test_registry_total_count():
+    assert len(REGISTRY) == N_EXPECTED, (
+        f"registry has {len(REGISTRY)} entries, expected {N_EXPECTED}. "
+        "If you added/removed queries on purpose, update N_EXPECTED in "
+        "the same commit; otherwise a registration was silently dropped "
+        "by an edit (see commit c83395c for the failure mode)."
+    )
+
+
+def test_registry_oracle_count():
+    with_oracle = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    assert len(with_oracle) == N_ORACLE, (
+        f"{len(with_oracle)} oracle-checked entries, expected {N_ORACLE}"
+    )
+
+
+def test_rows_only_set_is_exact():
+    without_oracle = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert without_oracle == ROWS_ONLY, (
+        f"rows-only drift: unexpected={sorted(without_oracle - ROWS_ONLY)} "
+        f"missing={sorted(ROWS_ONLY - without_oracle)}"
+    )
+
+
+def test_every_entry_has_callable_and_tags():
+    for name, spec in REGISTRY.items():
+        assert callable(spec.fn), name
+        assert isinstance(spec.tags, tuple) and spec.tags, name
