@@ -90,14 +90,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_byte_histogram",
-    oracle=None,  # numpy histogram featurizer; checked by tests
-    # (deterministic) rather than a SQL restatement.
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS n
+        FROM documents
+    ),
+    nib AS (
+        SELECT doc_id, n,
+               strpos('0123456789ABCDEF', substr(hx, 2 * i.i + 1, 1)) - 1
+                   AS v
+        FROM b CROSS JOIN UNNEST(range(0, CAST(n AS BIGINT))) AS i(i)
+    ),
+    agg AS (
+        SELECT doc_id, MAX(n) AS n,
+               {", ".join(f"SUM(CASE WHEN v = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(16))}
+        FROM nib GROUP BY doc_id
+    )
+    SELECT doc_id,
+           sqrt(0.0 + {" + ".join(f"(c{i}/n)*(c{i}/n)" for i in range(16))})
+               AS feat_norm,
+           list_value({", ".join(f"c{i}/n" for i in range(16))}) AS features
+    FROM agg
+    """,
     tags=("multimodal", "feature-extraction", "mapInPandas", "vectorized"),
 )
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin L1-normalized byte histogram per payload (numpy over
+    Arrow batches) — the featurizer shape of a real embedding stage.
+
+    Hash-checked, not rows-only: the payload is the UTF-8 text, so
+    the oracle recomputes each high nibble from ``hex(encode(text))``
+    (the same trick ``image_ahash_fingerprints``'s bit-for-bit hex
+    oracle uses) and rebuilds the identical 16 floats — a single
+    c/n double division per bin is bit-exact across engines.  The L2
+    norm is deliberately computed JVM-side as a SEQUENTIAL
+    ``F.aggregate`` fold over the features array so its FP op order
+    matches the oracle's left-associative sum literally — numpy's
+    pairwise summation inside the UDF would not."""
     docs = load_table(spark, sf_dir, "documents")
     feats = M.byte_histogram_features(M.attach_payload(docs), bins=16)
-    return feats.select("doc_id", "feat_norm", F.col("features"))
+    return feats.select(
+        "doc_id",
+        F.sqrt(
+            F.aggregate(
+                F.col("features"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        ).alias("feat_norm"),
+        F.col("features"),
+    )
 
 
 @register(

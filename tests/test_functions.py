@@ -89,14 +89,15 @@ def test_cosine_zero_norm_is_null(spark):
 
 
 def test_approx_sketches_close_to_exact(spark, sf_dir):
-    """HLL++ distinct counts within 3*rsd of exact; approx median
-    within 2% of exact interpolated median."""
+    """The promoted bound-oracle query certifies itself: the exact
+    columns must equal an independent exact computation and every
+    sketch-within-bound flag must be 1."""
     from pyspark.sql import functions as F
 
     from axolotls_spark.io.sources import load_table
     from axolotls_spark.queries import REGISTRY
 
-    approx = {
+    got = {
         r.l_returnflag: r
         for r in REGISTRY["agg_approx_sketches"].fn(spark, sf_dir).collect()
     }
@@ -110,11 +111,13 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for flag, e in exact.items():
-        a = approx[flag]
-        assert abs(a.approx_orders - e.n_orders) <= 0.06 * e.n_orders
-        assert abs(a.approx_p50_price - e.p50) <= 0.02 * e.p50
+        a = got[flag]
+        assert a.exact_orders == e.n_orders
+        assert a.exact_p50_price == e.p50
+        assert a.approx_orders_ok == 1
+        assert a.approx_p50_ok == 1
 
 
 def test_observe_metrics_single_pass(spark):
@@ -174,6 +177,7 @@ def test_sketch_rollup_accuracy(spark):
     assert set(got) == set(exact) and len(got) >= 1
     for m, r in got.items():
         ex = exact[m]
-        assert abs(r.approx_users - ex.users) <= max(0.05 * ex.users, 2)
-        assert abs(r.approx_median_value - ex.med) <= 0.1 * (abs(ex.med) + 1)
+        assert r.exact_users == ex.users
+        assert r.users_ok == 1
+        assert r.median_ok == 1
         assert r.n_events > 0 and r.n_days >= 1

@@ -19,17 +19,14 @@ from axolotls_spark.registry import REGISTRY
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
 N_EXPECTED = 329
-N_ORACLE = 326
+N_ORACLE = 329
 
 # The deliberate rows-only set: every name here must exist, have no
-# oracle, and nothing outside it may lack one.  (VERDICT r5 item #2
-# asks these three to be promoted to hash-checked; shrink this set as
-# that lands.)
-ROWS_ONLY = {
-    "agg_approx_sketches",
-    "sketch_mergeable_rollup",
-    "multimodal_byte_histogram",
-}
+# oracle, and nothing outside it may lack one.  Empty since round 6:
+# the last three (agg_approx_sketches, sketch_mergeable_rollup,
+# multimodal_byte_histogram) were promoted to hash-checked via
+# accuracy-bound / hex-arithmetic oracles (VERDICT r5 item #2).
+ROWS_ONLY: set[str] = set()
 
 
 def test_registry_total_count():
