@@ -115,16 +115,85 @@ def test_python_datasource_stream(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == 60
 
 
-def test_state_v2_gated_on_protobuf():
-    """transformWithStateInPandas (arbitrary-state v2) registration
-    must track protobuf availability: the operator code always
-    ships; the query only joins the correctness gate where the
-    state-server dependency exists."""
+def test_state_v2_is_a_seam_not_a_registration():
+    """Arbitrary-state v2 is a documented environmental seam (demo +
+    operator code), never a registry entry: the v2 state server needs
+    protobuf, absent here, and a registered query that has never
+    executed anywhere is worse than an honest seam (VERDICT r5 #6)."""
     from axolotls_spark.queries import REGISTRY
-    from axolotls_spark.queries_streaming import (
-        _has_protobuf,
-        streaming_user_state_v2,
-    )
 
-    assert callable(streaming_user_state_v2)
-    assert ("streaming_user_state_v2" in REGISTRY) == _has_protobuf()
+    assert "streaming_user_state_v2" not in REGISTRY
+    # The demo must exist and be import-safe without protobuf.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "streaming_state_v2_demo", "/root/repo/demos/streaming_state_v2.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.main)
+
+
+def test_state_v2_processor_update_logic():
+    """Exercise the v2 StatefulProcessor's per-key update logic
+    directly against a fake ValueState handle — the only part of the
+    seam the missing state server would otherwise leave unexecuted.
+    Two micro-batches for one user must accumulate (count, sum,
+    last-seen max) exactly like the batch group-by."""
+    import pandas as pd
+
+    from axolotls_spark.streaming.jobs import _UserAggProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema):
+            assert name == "agg"
+            return self.state
+
+    proc = _UserAggProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    b1 = pd.DataFrame(
+        {
+            "value": [1.5, 2.5],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-02 09:00:00"]
+            ),
+        }
+    )
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))
+    assert len(out1) == 1
+    r1 = out1[0].iloc[0]
+    assert r1.user_id == 7 and r1.n_events == 2
+    assert r1.total_value == 4.0
+
+    b2 = pd.DataFrame(
+        {
+            "value": [10.0],
+            "ts": pd.to_datetime(["2024-01-01 23:00:00"]),  # earlier max
+        }
+    )
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))
+    r2 = out2[0].iloc[0]
+    assert r2.n_events == 3 and r2.total_value == 14.0
+    # last_seen keeps the Jan-2 maximum across batches.
+    assert r2.last_seen_us == int(
+        pd.Timestamp("2024-01-02 09:00:00").value // 1000
+    )
+    assert handle.state.get() == (3, 14.0, r2.last_seen_us)
