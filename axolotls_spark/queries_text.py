@@ -1245,6 +1245,149 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Daily ingestion: the end-to-end composite a corpus runs every day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_ingestion",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES},
+    near_hits AS (
+        SELECT DISTINCT a.doc_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket_key = b.bucket_key
+         AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    exact_hits AS (
+        SELECT DISTINCT n.doc_id
+        FROM documents n JOIN documents c
+          ON md5(n.text) = md5(c.text)
+         AND n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    survivors AS (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        LEFT JOIN exact_hits e ON d.doc_id = e.doc_id
+        LEFT JOIN near_hits  h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 10 = 0 AND e.doc_id IS NULL AND h.doc_id IS NULL
+    ),
+    toks AS (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM survivors),
+    m AS (
+        SELECT doc_id, text, len(t)::BIGINT AS n_tokens,
+               1.0 - len(list_distinct(t))::DOUBLE / len(t) AS dup_frac
+        FROM toks
+    ),
+    bg AS (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    tb AS (
+        SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_bg
+        FROM bgc GROUP BY doc_id
+    ),
+    assigned AS (
+        SELECT m.doc_id, m.n_tokens,
+               CASE ('0x' || substr(md5(m.text), 1, 15))::BIGINT % 10
+                    WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM m JOIN tb USING (doc_id)
+        WHERE m.dup_frac <= 0.65 AND tb.top_bg <= 0.06
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY split
+    """,
+    tags=(
+        "pipeline",
+        "ingestion",
+        "dedup",
+        "quality",
+        "split",
+        "composite",
+    ),
+)
+def daily_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end daily-ingestion composite (VERDICT r5 item #8) —
+    the chain a 100 TB corpus actually runs per crawl, as ONE
+    oracle-checked query instead of four separate certifications:
+
+      batch screen (two-tier incremental dedup: exact 60-bit digest
+      semi-join + MinHash/LSH bucket probe against the corpus)
+      → Gopher repetition quality gate (map-only fold)
+      → deterministic content-keyed train/val/test split
+      → per-split admission summary (docs, tokens).
+
+    Scale shape: the dedup tiers are EXACTLY
+    ``dedup_incremental_batch``'s plan — one banded-signature
+    relation over batch ∪ corpus, persisted, probed by equi-joins;
+    the quality gate and split assignment are zero-shuffle scalar
+    expressions over the surviving batch rows (the gate metrics are
+    sorted-array folds, the split is a content-hash mod — duplicates
+    co-assign by construction, and near-dups were already removed by
+    the screen, so the split is leakage-free); the only NEW wide edge
+    the composite adds is the final 3-row summary aggregate.  Pinned
+    by ``test_daily_ingestion_gate_and_split_add_no_shuffle``.
+
+    The demo spelling (``demos/daily_ingestion.py``) narrates the
+    stages interactively; this registered query is the certified
+    contract."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    is_new = (F.col("doc_id") % 10) == 0
+
+    # Tier 1+2: identical structure to dedup_incremental_batch.
+    wide = D.minhash_wide(docs, k=8)
+    banded = D.lsh_banded_keys(wide, k=8, bands=2).persist()
+    near_hits = (
+        banded.filter(is_new)
+        .alias("a")
+        .join(
+            banded.filter(~is_new).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    h = docs.select("doc_id", F.md5("text").alias("h")).persist()
+    exact_hits = (
+        h.filter(is_new)
+        .join(h.filter(~is_new).select("h").distinct(), "h", "left_semi")
+        .select("doc_id")
+    )
+    survivors = (
+        docs.filter(is_new)
+        .join(exact_hits, "doc_id", "left_anti")
+        .join(near_hits, "doc_id", "left_anti")
+    )
+
+    # Quality gate: map-only Gopher repetition metrics (same
+    # expressions gopher_repetition_filters certifies standalone).
+    dup = T.dup_token_frac(F.col("text"))
+    top = T.top_ngram_frac(F.col("text"), n=2)
+    admitted = survivors.filter((dup <= 0.65) & (top <= 0.06))
+
+    # Content-keyed split: exact duplicates co-assign determinist-
+    # ically on any engine/partitioning; 10% test / 10% val.
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % 10
+    )
+    assigned = admitted.select(
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.when(bucket == 0, "test")
+        .when(bucket == 1, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator calibration: estimated vs exact Jaccard per pair
 # ---------------------------------------------------------------------------
 

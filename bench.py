@@ -176,7 +176,12 @@ ROUND5: list[str] = [
     "isotonic_calibration_bins",
 ]
 
-HEADLINE = CORE + ROUND4 + ROUND5
+# Round-6 additions.
+ROUND6: list[str] = [
+    "daily_ingestion",
+]
+
+HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6
 
 
 def main() -> None:
@@ -217,7 +222,9 @@ def main() -> None:
     timings = {n: round(t, 4) for n, t in timings.items()}
     total = sum(timings.values())
     core_total = sum(t for n, t in timings.items() if n in set(CORE))
-    new_total = sum(t for n, t in timings.items() if n in set(ROUND5))
+    new_total = sum(
+        t for n, t in timings.items() if n in set(ROUND5) | set(ROUND6)
+    )
 
     # Line 1: full per-query map (human / diff audience).
     print(json.dumps({"metric": "headline_query_sec", "queries": timings}))

@@ -182,6 +182,8 @@ FAMILIES = [
     "glm_poisson_orders",
     "ivf_cell_balance",
     "isotonic_calibration_bins",
+    # round-6 operator families
+    "daily_ingestion",
 ]
 
 

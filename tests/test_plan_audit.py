@@ -759,6 +759,21 @@ def test_incremental_dedup_shares_signature_pipeline(spark):
     assert "CartesianProduct" not in f.text
 
 
+def test_daily_ingestion_gate_and_split_add_no_shuffle(spark):
+    """The composite's quality gate + split assignment + summary must
+    add exactly ONE wide edge (the 3-row per-split aggregate) beyond
+    the dedup screen it reuses: the gate metrics are sorted-array
+    folds and the split is a content-hash mod, both scalar
+    expressions over the surviving batch rows.  Pinned as the
+    exchange-count delta vs dedup_incremental_batch so the pin can't
+    rot if the shared screen's plan ever changes shape."""
+    screen = _facts(spark, "dedup_incremental_batch")
+    comp = _facts(spark, "daily_ingestion")
+    assert "CartesianProduct" not in comp.text
+    assert "BatchEvalPython" not in comp.text
+    assert comp.n_exchanges == screen.n_exchanges + 1
+
+
 # --------------------------------------------------------------------------
 # Registry-wide plan hygiene
 
