@@ -189,6 +189,13 @@ def main():
     args = sys.argv[1:]
     loose = "--loose" in args
     args = [a for a in args if a != "--loose"]
+    # --json PATH: write a committed-artifact summary (ADVICE r5 #4 —
+    # coverage claims need in-tree evidence, not prose).
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     names = [a for a in args if "/" not in a] or list(REGISTRY)
     spark = get_spark("parity", master="local[8]", extra_conf={"spark.sql.shuffle.partitions": "8"})
@@ -214,6 +221,22 @@ def main():
         cacheutil.release_caches()
         spark.catalog.clearCache()
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "mode": "loose" if loose else "strict",
+                    "n_checked": len(names),
+                    "n_passed": len(names) - len(failed),
+                    "failed": failed,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
     sys.exit(1 if failed else 0)
 
 
