@@ -5575,3 +5575,331 @@ def psm_caliper_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cal.select(F.col("caliper").cast("float").alias("caliper"))))
         .select("n_treated", "n_matched", "att", "caliper")
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 CART: level-synchronous histogram tree growth
+# ---------------------------------------------------------------------------
+
+_CART_BINS = 16
+_CART_FEATS = ("l_quantity", "l_extendedprice", "l_discount")
+
+#: One bin expression per feature, shared by the Spark plan and the
+#: oracle: global equal-width bins over [lo, hi], top edge clamped.
+_CART_BIN_SQL = (
+    "LEAST(CAST(FLOOR((CAST({x} AS DOUBLE) - lo_{x}) / (hi_{x} - lo_{x})"
+    f" * {_CART_BINS}) AS BIGINT), {_CART_BINS - 1})"
+)
+
+_CART_RNG_SQL = ", ".join(
+    f"MIN(CAST({x} AS DOUBLE)) AS lo_{x}, MAX(CAST({x} AS DOUBLE)) AS hi_{x}"
+    for x in _CART_FEATS
+)
+
+#: gini-style node score from exact integer counts: ONE division per
+#: node so the double result is a single correctly-rounded op in both
+#: engines (argmax over these scores is therefore engine-stable).
+_CART_SCORE = "({p} * {p} + ({n} - {p}) * ({n} - {p})) / CAST({n} AS DOUBLE)"
+
+_CART_LONG1_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT '{x}' AS feat, b_{x} AS bin, pos FROM binned"
+    for x in _CART_FEATS
+)
+
+_CART_LONG2_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT node, '{x}' AS feat, b_{x} AS bin, pos FROM noded"
+    for x in _CART_FEATS
+)
+
+_CART_THRESH_SQL = (
+    "CASE {feat} "
+    + " ".join(
+        f"WHEN '{x}' THEN lo_{x} + ({{bin}} + 1) * (hi_{x} - lo_{x})"
+        f" / {_CART_BINS}"
+        for x in _CART_FEATS
+    )
+    + " END"
+)
+
+
+@register(
+    "tree_depth2_cart",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_quantity, l_extendedprice, l_discount,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+    ),
+    rng AS (SELECT {_CART_RNG_SQL} FROM base),
+    binned AS (
+        SELECT pos,
+               {", ".join(_CART_BIN_SQL.format(x=x) + f" AS b_{x}"
+                          for x in _CART_FEATS)}
+        FROM base, rng
+    ),
+    long1 AS (
+        {_CART_LONG1_SQL}
+    ),
+    hist1 AS (
+        SELECT feat, bin, COUNT(*)::BIGINT AS n, SUM(pos)::BIGINT AS p
+        FROM long1 GROUP BY 1, 2
+    ),
+    cum1 AS (
+        SELECT feat, bin,
+               SUM(n) OVER w AS nl, SUM(p) OVER w AS pl,
+               SUM(n) OVER t AS nt, SUM(p) OVER t AS pt
+        FROM hist1
+        WINDOW w AS (PARTITION BY feat ORDER BY bin),
+               t AS (PARTITION BY feat)
+    ),
+    gains1 AS (
+        SELECT feat, bin, nl AS n_left, nt - nl AS n_right,
+               pl AS pos_left, pt - pl AS pos_right,
+               {_CART_SCORE.format(p="pl", n="nl")}
+               + {_CART_SCORE.format(p="(pt - pl)", n="(nt - nl)")}
+               - {_CART_SCORE.format(p="pt", n="nt")} AS gain
+        FROM cum1 WHERE nl > 0 AND nt - nl > 0
+    ),
+    best1 AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, feat, bin)
+                       AS rn
+            FROM gains1
+        ) WHERE rn = 1
+    ),
+    noded AS (
+        SELECT b.*,
+               CASE WHEN (CASE best1.feat
+                          {" ".join(f"WHEN '{x}' THEN b.b_{x}"
+                                    for x in _CART_FEATS)}
+                          END) <= best1.bin
+                    THEN 'L' ELSE 'R' END AS node
+        FROM binned b, best1
+    ),
+    long2 AS (
+        {_CART_LONG2_SQL}
+    ),
+    hist2 AS (
+        SELECT node, feat, bin, COUNT(*)::BIGINT AS n,
+               SUM(pos)::BIGINT AS p
+        FROM long2 GROUP BY 1, 2, 3
+    ),
+    cum2 AS (
+        SELECT node, feat, bin,
+               SUM(n) OVER w AS nl, SUM(p) OVER w AS pl,
+               SUM(n) OVER t AS nt, SUM(p) OVER t AS pt
+        FROM hist2
+        WINDOW w AS (PARTITION BY node, feat ORDER BY bin),
+               t AS (PARTITION BY node, feat)
+    ),
+    gains2 AS (
+        SELECT node, feat, bin, nl AS n_left, nt - nl AS n_right,
+               pl AS pos_left, pt - pl AS pos_right,
+               {_CART_SCORE.format(p="pl", n="nl")}
+               + {_CART_SCORE.format(p="(pt - pl)", n="(nt - nl)")}
+               - {_CART_SCORE.format(p="pt", n="nt")} AS gain
+        FROM cum2 WHERE nl > 0 AND nt - nl > 0
+    ),
+    best2 AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                                         ORDER BY gain DESC, feat, bin)
+                       AS rn
+            FROM gains2
+        ) WHERE rn = 1
+    )
+    SELECT 'root' AS node, feat, CAST(bin AS INT) AS split_bin,
+           ROUND({_CART_THRESH_SQL.format(feat="best1.feat",
+                                          bin="best1.bin")}, 6)
+               AS threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           CAST(gain AS REAL) AS gain
+    FROM best1, rng
+    UNION ALL
+    SELECT node, feat, CAST(bin AS INT) AS split_bin,
+           ROUND({_CART_THRESH_SQL.format(feat="best2.feat",
+                                          bin="best2.bin")}, 6)
+               AS threshold,
+           CAST(n_left AS BIGINT), CAST(n_right AS BIGINT),
+           CAST(pos_left AS BIGINT), CAST(pos_right AS BIGINT),
+           CAST(gain AS REAL)
+    FROM best2, rng
+    """,
+    tags=("cart", "decision-tree", "histogram-split", "ml-training",
+          "level-synchronous", "supervised"),
+)
+def tree_depth2_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy depth-2 CART (gini) on histogram bins — the
+    LEVEL-SYNCHRONOUS tree growth every distributed GBDT/forest
+    trainer uses (extends ``stump_split_search`` from one split to a
+    grown tree).  Classifies `l_returnflag = 'R'` from
+    quantity/extendedprice/discount.
+
+    The scale discipline is one fact-table pass PER LEVEL, never per
+    node: level 1 bins all features in one scan and aggregates
+    (feat, bin) histograms; the winning split is broadcast back, each
+    row gets its node in a map-only pass, and level 2 aggregates
+    (node, feat, bin) histograms — all nodes of the level share that
+    single shuffle.  Depth d costs d scans regardless of the 2^d
+    node count, which is why histogram trees train on 100 TB while
+    per-node sort-based CART cannot.  Split assignment compares BIN
+    indices (exact integers), never float thresholds, so the grown
+    tree is bit-identical across engines; node scores are
+    (p^2+q^2)/n with an exact-integer numerator and a SINGLE
+    division, making the argmax engine-stable (no accumulation-order
+    risk).  Thresholds are emitted for human consumption only.
+
+    Oracle: the full two-level greedy recursion in SQL CTEs — both
+    engines must pick the same root split, partition identically,
+    and pick the same two child splits."""
+    from axolotls_spark import cacheutil
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        *[F.col(x).cast("double").alias(x) for x in _CART_FEATS],
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    rng = base.agg(
+        *[
+            a
+            for x in _CART_FEATS
+            for a in (
+                F.min(x).alias(f"lo_{x}"),
+                F.max(x).alias(f"hi_{x}"),
+            )
+        ]
+    )
+    binned = cacheutil.track(
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            "pos",
+            *[
+                F.least(
+                    F.floor(
+                        (F.col(x) - F.col(f"lo_{x}"))
+                        / (F.col(f"hi_{x}") - F.col(f"lo_{x}"))
+                        * _CART_BINS
+                    ).cast("long"),
+                    F.lit(_CART_BINS - 1).cast("long"),
+                ).alias(f"b_{x}")
+                for x in _CART_FEATS
+            ],
+        )
+        .persist()  # level 1 AND the node-assignment pass read this
+    )
+
+    def explode_feats(df: DataFrame, extra: list[str]) -> DataFrame:
+        fx = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(x).alias("feat"),
+                        F.col(f"b_{x}").alias("bin"),
+                    )
+                    for x in _CART_FEATS
+                ]
+            )
+        ).alias("fx")
+        return df.select(fx, "pos", *extra).select(
+            "fx.feat", "fx.bin", "pos", *extra
+        )
+
+    def level_best(long: DataFrame, keys: list[str]) -> DataFrame:
+        hist = long.groupBy(*keys, "feat", "bin").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+        w = Window.partitionBy(*keys, "feat").orderBy("bin")
+        t = Window.partitionBy(*keys, "feat")
+        cum = hist.select(
+            *keys,
+            "feat",
+            "bin",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("p").over(w).alias("pl"),
+            F.sum("n").over(t).alias("nt"),
+            F.sum("p").over(t).alias("pt"),
+        )
+
+        def score(p, n):
+            return (p * p + (n - p) * (n - p)) / n.cast("double")
+
+        nl, pl = F.col("nl"), F.col("pl")
+        nt, pt = F.col("nt"), F.col("pt")
+        gains = cum.filter((nl > 0) & (nt - nl > 0)).select(
+            *keys,
+            "feat",
+            "bin",
+            nl.alias("n_left"),
+            (nt - nl).alias("n_right"),
+            pl.alias("pos_left"),
+            (pt - pl).alias("pos_right"),
+            (
+                score(pl, nl)
+                + score(pt - pl, nt - nl)
+                - score(pt, nt)
+            ).alias("gain"),
+        )
+        wb = Window.partitionBy(*keys).orderBy(
+            F.col("gain").desc(), "feat", "bin"
+        )
+        return (
+            gains.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    # level_best needs one key for its window; a constant group key
+    # makes the level-1 ROW_NUMBER a global argmax over a 48-row
+    # relation (never a window over data-sized input).
+    best1 = level_best(
+        explode_feats(binned.withColumn("_g", F.lit(1)), ["_g"]), ["_g"]
+    ).drop("_g")
+
+    b1 = F.broadcast(
+        best1.select(
+            F.col("feat").alias("s_feat"), F.col("bin").alias("s_bin")
+        )
+    )
+    rowbin = F.coalesce(
+        *[
+            F.when(F.col("s_feat") == x, F.col(f"b_{x}"))
+            for x in _CART_FEATS
+        ]
+    )
+    noded = binned.crossJoin(b1).withColumn(
+        "node", F.when(rowbin <= F.col("s_bin"), "L").otherwise("R")
+    )
+    best2 = level_best(explode_feats(noded, ["node"]), ["node"])
+
+    def with_threshold(df: DataFrame, node_col) -> DataFrame:
+        thr = F.coalesce(
+            *[
+                F.when(
+                    F.col("feat") == x,
+                    F.col(f"lo_{x}")
+                    + (F.col("bin") + 1)
+                    * (F.col(f"hi_{x}") - F.col(f"lo_{x}"))
+                    / _CART_BINS,
+                )
+                for x in _CART_FEATS
+            ]
+        )
+        return df.crossJoin(F.broadcast(rng)).select(
+            node_col.alias("node"),
+            "feat",
+            F.col("bin").cast("int").alias("split_bin"),
+            F.round(thr, 6).alias("threshold"),
+            "n_left",
+            "n_right",
+            "pos_left",
+            "pos_right",
+            F.col("gain").cast("float").alias("gain"),
+        )
+
+    return with_threshold(best1, F.lit("root")).unionAll(
+        with_threshold(best2, F.col("node"))
+    )

@@ -1912,3 +1912,137 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot([], cols, "metric", "value").select(
         "metric", F.round("value", 6).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: reproducible global training order
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 2
+_ORDER_SHARDS = 16
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               len({_SQL_TOKENS}) AS n_tok,
+               {_SQL_HASH.format(
+                   x="'epoch:' || e.epoch::VARCHAR || ':' "
+                     "|| d.doc_id::VARCHAR")} AS hkey
+        FROM documents d,
+             (SELECT UNNEST(range(0, {_EPOCHS})) AS epoch) e
+    ),
+    ranked AS (
+        SELECT epoch, doc_id, n_tok, hkey,
+               ROW_NUMBER() OVER (PARTITION BY epoch
+                                  ORDER BY hkey, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY epoch) AS n
+        FROM keyed
+    ),
+    placed AS (
+        SELECT epoch, doc_id, n_tok, hkey, rk,
+               CAST(FLOOR((rk - 1) * {_ORDER_SHARDS} / n) AS BIGINT)
+                   AS shard
+        FROM ranked
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(shard AS INT) AS shard,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok)::BIGINT AS total_tokens,
+           ARG_MIN(doc_id, rk) AS first_doc,
+           SUM(rk * (hkey % 100000))::BIGINT AS order_checksum
+    FROM placed
+    GROUP BY 1, 2
+    """,
+    tags=("epoch-shuffle", "training-order", "sharding",
+          "deterministic", "curation", "distributed-rank"),
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the reproducible
+    training-order primitive: every epoch re-orders the corpus by a
+    seeded hash (md5('epoch:<e>:<doc_id>')), the order is cut into
+    16 contiguous shard blocks, and the manifest
+    reports each (epoch, shard)'s load plus an ORDER CHECKSUM
+    (sum of rank x hash-residue — pins the within-shard sequence,
+    not just membership).  Any trainer replaying the manifest reads
+    identical shards in identical order; epoch 1's assignment is
+    statistically independent of epoch 0's (different seed string).
+
+    Scale shape: the global sort is the distributed-rank primitive
+    (operators/prefix.ranked_cumsum — range partitions + broadcast
+    per-partition offsets), NEVER ``row_number() OVER (PARTITION BY
+    epoch)``, which would funnel each epoch's entire corpus through
+    one task.  Per-epoch ranks fall out of the global (epoch, hkey)
+    order arithmetically (rank - epoch*N) because every epoch has
+    exactly N rows.  Everything after the rank is one hash aggregate
+    to epochs x shards = 32 rows.  All checksum arithmetic is exact
+    BIGINT."""
+    from axolotls_spark import cacheutil
+    from axolotls_spark.operators.prefix import ranked_cumsum
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    keyed = docs.select(
+        F.col("doc_id"),
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        F.explode(
+            F.array(*[F.lit(e).cast("int") for e in range(_EPOCHS)])
+        ).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        "n_tok",
+        token_hash(
+            F.concat(
+                F.lit("epoch:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("hkey"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked_cumsum(
+        keyed,
+        [F.asc("epoch"), F.asc("hkey"), F.asc("doc_id")],
+        "n_tok",
+        rank_name="grank",
+        cum_name="_cumtok",
+    )
+    placed = ranked.crossJoin(F.broadcast(n_docs)).select(
+        "epoch",
+        "doc_id",
+        "n_tok",
+        "hkey",
+        (F.col("grank") - F.col("epoch") * F.col("n")).alias("rk"),
+        # FLOOR, not a bare cast: DuckDB's double->BIGINT cast ROUNDS
+        # while Spark's truncates; floor of the identical IEEE
+        # division is engine-stable.
+        F.floor(
+            (F.col("grank") - F.col("epoch") * F.col("n") - 1)
+            * _ORDER_SHARDS
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        placed.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min_by("doc_id", "rk").alias("first_doc"),
+            F.sum(F.col("rk") * (F.col("hkey") % 100000))
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .select(
+            F.col("epoch").cast("int"),
+            F.col("shard").cast("int"),
+            "n_docs",
+            "total_tokens",
+            "first_doc",
+            "order_checksum",
+        )
+    )

@@ -1175,3 +1175,137 @@ def spearman_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b via contingency-cell pair counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_concordance",
+    oracle="""
+    WITH cells AS (
+        SELECT l_quantity AS x, l_discount AS y,
+               COUNT(*)::BIGINT AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+                   AS conc,
+               SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+                   AS disc
+        FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    marg AS (
+        SELECT SUM(c) AS n,
+               (SELECT SUM(tx * (tx - 1) / 2) FROM (
+                    SELECT SUM(c) AS tx FROM cells GROUP BY x)) AS n1,
+               (SELECT SUM(ty * (ty - 1) / 2) FROM (
+                    SELECT SUM(c) AS ty FROM cells GROUP BY y)) AS n2
+        FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(n1 AS BIGINT) AS ties_x,
+           CAST(n2 AS BIGINT) AS ties_y,
+           CAST((conc - disc)
+                / (SQRT(CAST(n * (n - 1) / 2 - n1 AS DOUBLE))
+                   * SQRT(CAST(n * (n - 1) / 2 - n2 AS DOUBLE)))
+                AS REAL) AS tau_b
+    FROM pairs, marg
+    """,
+    tags=("kendall", "rank-correlation", "nonparametric",
+          "contingency", "pair-counting"),
+)
+def kendall_tau_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and discount — the
+    pair-concordance complement to ``spearman_corr_qty_price``
+    (Spearman sees rank-linear association; Kendall counts inversion
+    pairs, the statistic behind trend tests and rank-agreement
+    metrics).
+
+    The naive definition is an O(n^2) all-pairs comparison — 1.8e11
+    pairs at sf0.1, forever at 100 TB.  Both variables are
+    low-cardinality (quantity has 50 distinct values, discount 11),
+    so the corpus collapses to a <=550-cell CONTINGENCY relation in
+    one hash aggregate, and every pair count is recovered from cell
+    products: concordant = sum c_a*c_b over cell pairs with
+    x_a<x_b, y_a<y_b; discordant with y_a>y_b; tie terms from the
+    marginals.  Work after the single fact-table scan is O(cells^2)
+    = 550^2 on a broadcast nested-loop self-join — data-size
+    independent.  (For continuous variables, discretize first —
+    ``discretize_equal_frequency`` — exactly as histogram GBDT does.)
+
+    Engine stability: all counts are exact BIGINTs; the only float
+    math is the final tau division.  n0-n1 and n0-n2 (~1.8e11) are
+    exact in double but their PRODUCT (~3e22) overflows both BIGINT
+    and the 2^53 double-exact range, so both engines compute
+    sqrt(a)*sqrt(b) — two correctly-rounded sqrts of exact integers,
+    then one rounded multiply — an identical op sequence, then
+    float32."""
+    from axolotls_spark import cacheutil
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # The <=550-row contingency relation feeds FIVE consumers (both
+    # sides of the pair join, two tie marginals, the total); persist
+    # so the fact table is scanned exactly once.
+    cells = cacheutil.track(
+        li.groupBy(
+            F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.y") < F.col("b.y"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("a.y") > F.col("b.y"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0))
+            ).alias("disc"),
+        )
+    )
+    n1 = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("tx"))
+        .agg(F.sum(F.col("tx") * (F.col("tx") - 1) / 2).cast("long").alias("n1"))
+    )
+    n2 = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("ty"))
+        .agg(F.sum(F.col("ty") * (F.col("ty") - 1) / 2).cast("long").alias("n2"))
+    )
+    n = cells.agg(F.sum("c").cast("long").alias("n"))
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n",
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.col("n1").alias("ties_x"),
+            F.col("n2").alias("ties_y"),
+            (
+                (F.col("conc") - F.col("disc"))
+                / (
+                    F.sqrt((n0 - F.col("n1")).cast("double"))
+                    * F.sqrt((n0 - F.col("n2")).cast("double"))
+                )
+            )
+            .cast("float")
+            .alias("tau_b"),
+        )
+    )

@@ -2130,3 +2130,173 @@ def wmh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_agree").cast("double") / 4).alias("est_jw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Production-path MinHash (xxhash64) with recall certification
+# ---------------------------------------------------------------------------
+
+_XXMH_K = 12          # permutation count (r=1, b=12 banding)
+_XXMH_TAU = (1, 2)    # Jaccard threshold 0.5 as an integer ratio
+
+
+@register(
+    "minhash_xxhash_production",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='s.shingle')} AS shash
+        FROM (
+            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
+            FROM documents
+        ) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    true_pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_shared * {_XXMH_TAU[1]}
+              >= (sa.n_sh + sb.n_sh - n_shared) * {_XXMH_TAU[0]}
+    )
+    SELECT (SELECT COUNT(*) FROM sizes)::BIGINT AS n_docs,
+           COUNT(*)::BIGINT AS n_true_pairs,
+           CAST(1 AS INT) AS recall_ok
+    FROM true_pairs
+    """,
+    tags=("dedup", "minhash", "xxhash64", "production-path",
+          "recall-bound", "bound-oracle"),
+)
+def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash path: signatures built with Spark's
+    native ``xxhash64`` (whole-stage-codegen JVM hashing) instead of
+    the md5-prefix hash every other dedup query uses for
+    DuckDB-replayability — certified by a RECALL bound against the
+    exact prefix-filtered Jaccard join rather than by value equality
+    (the signatures themselves are engine-specific by construction).
+
+    The production path touches NO md5 anywhere: raw shingle strings
+    are xxhash64'd ONCE, then the k permutations are the same affine
+    (a*h+b) mod 2^31-1 transforms the md5 path uses — the identical
+    plan shape with only the digest swapped, which is exactly the
+    seam SCALE.md documents (tools/hashbench.py carries the measured
+    gap; it is modest on this box because the shingle explode and
+    shuffle dominate, which is itself worth knowing).  The md5-hashed
+    shingle relation still exists in this query, but only on the
+    CERTIFICATION side (exact verify + ground truth).
+
+    Banding is r=1/b=12 (one band per permutation): a pair is a
+    candidate if ANY of the 12 min-hashes collide, so
+    P(candidate | J) = 1-(1-J)^12 >= 0.9998 at the tau=0.5
+    threshold — the 0.9 recall floor asserted here has ~3 nines of
+    headroom at the boundary and more above it.  Candidates are
+    verified with EXACT Jaccard (integer cross-multiplication, no
+    float threshold), so precision is 1 by construction and only
+    recall needs certifying.
+
+    Output is engine-comparable by design: n_docs and n_true_pairs
+    are exact corpus facts the oracle recomputes; recall_ok is the
+    integer bound flag (1 iff 10*found >= 9*true or no true pairs) —
+    the same bound-oracle pattern as ``sketch_mergeable_rollup``.
+
+    Scale shape: one shingle shuffle for signatures (k parallel MIN
+    aggregates, map-side combined); candidate generation is an
+    equi-join on (slot, minhash) buckets — never all-pairs; the
+    verify join is candidate-sized.  The exact-join ground truth is
+    the certification overhead, not the production path."""
+    from axolotls_spark import cacheutil
+    from axolotls_spark.operators import dedup as DD
+
+    tau_num, tau_den = _XXMH_TAU
+    docs = load_table(spark, sf_dir, "documents")
+    sh = cacheutil.track(
+        DD.doc_shingle_hashes(docs).persist()
+    )  # certification side only: exact verify sets + ground truth
+
+    # Production signatures: one xxhash64 per raw shingle, then the
+    # k frozen affine permutations over the 64-bit value — the md5
+    # plan shape with only the digest swapped.
+    shraw = spread_for_cpu(docs, "doc_id").select(
+        "doc_id",
+        F.explode(DD.shingles_col(F.col("text"))).alias("shingle"),
+    ).select(
+        "doc_id",
+        (
+            F.pmod(F.xxhash64(F.col("shingle")), F.lit(DD.MERSENNE_P))
+        ).alias("hx"),
+    )
+    params = DD.minhash_params(_XXMH_K)
+    sig = shraw.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("hx") + F.lit(b)) % DD.MERSENNE_P
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    slots = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("slot"),
+                        F.col(f"mh_{i}").alias("mh"),
+                    )
+                    for i in range(_XXMH_K)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.slot", "p.mh")
+    cand = (
+        slots.alias("a")
+        .join(
+            slots.alias("b"),
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    union = F.col("sa.n_sh") + F.col("sb.n_sh") - inter
+    found = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(inter * tau_den >= union * tau_num)
+        .select("doc_a", "doc_b")
+    )
+    truth = DD.jaccard_prefix_pairs(docs, tau_num=tau_num, tau_den=tau_den)
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_docs = sh.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            F.col("n_docs").cast("long"),
+            F.col("n_true_pairs").cast("long"),
+            (
+                (F.col("n_true_pairs") == 0)
+                | (F.col("n_found") * 10 >= F.col("n_true_pairs") * 9)
+            )
+            .cast("int")
+            .alias("recall_ok"),
+        )
+    )

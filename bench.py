@@ -179,6 +179,10 @@ ROUND5: list[str] = [
 # Round-6 additions.
 ROUND6: list[str] = [
     "daily_ingestion",
+    "kendall_tau_concordance",
+    "tree_depth2_cart",
+    "epoch_shuffle_order",
+    "minhash_xxhash_production",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -18,8 +18,10 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 330  # +daily_ingestion (round 6)
-N_ORACLE = 330
+N_EXPECTED = 334  # round 6: +daily_ingestion, +kendall_tau_concordance,
+#                   +tree_depth2_cart, +epoch_shuffle_order,
+#                   +minhash_xxhash_production
+N_ORACLE = 334
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

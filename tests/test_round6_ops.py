@@ -1,0 +1,154 @@
+"""Round-6 operators: independent third implementations so the Spark
+plan and the DuckDB oracle (which share formula text) can't share a
+misconception — Kendall tau-b against a brute-force O(n^2) numpy pair
+count, the depth-2 CART against a straight-line numpy greedy trainer,
+plus structural invariants for the epoch shuffle and the xxhash
+production MinHash recall gate."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from axolotls_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR).collect()
+
+
+def _duck(sql, tables=("lineitem",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchnumpy()
+
+
+def test_kendall_tau_vs_bruteforce(spark):
+    d = _duck("SELECT l_quantity AS x, l_discount AS y FROM lineitem")
+    x = np.asarray(d["x"], dtype=np.float64)
+    y = np.asarray(d["y"], dtype=np.float64)
+    n = len(x)
+    # Brute-force O(n^2) pair census — the definition, not the
+    # contingency shortcut the query uses.
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(n, k=1)
+    prod = sx[iu] * sy[iu]
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    ties_x = int((sx[iu] == 0).sum())
+    ties_y = int((sy[iu] == 0).sum())
+    n0 = n * (n - 1) // 2
+    tau_ref = (conc - disc) / (
+        np.sqrt(float(n0 - ties_x)) * np.sqrt(float(n0 - ties_y))
+    )
+
+    r = _rows(spark, "kendall_tau_concordance")[0]
+    assert r["n"] == n
+    assert r["concordant"] == conc
+    assert r["discordant"] == disc
+    assert r["ties_x"] == ties_x
+    assert r["ties_y"] == ties_y
+    assert abs(r["tau_b"] - tau_ref) < 1e-6
+
+
+def _np_best_split(bins, pos, node=None, nodes=("all",)):
+    """Straight-line greedy split search: returns
+    {node: (feat_idx, bin, n_left, n_right, pos_left, pos_right)}."""
+    n_feats = bins.shape[1]
+    out = {}
+    for nd in nodes:
+        mask = np.ones(len(pos), bool) if node is None else node == nd
+        best = None
+        for f in range(n_feats):
+            b = bins[mask, f]
+            p = pos[mask]
+            hist_n = np.bincount(b, minlength=16).astype(np.int64)
+            hist_p = np.bincount(b, weights=p, minlength=16).astype(np.int64)
+            nt, pt = hist_n.sum(), hist_p.sum()
+            nl = np.cumsum(hist_n)
+            pl = np.cumsum(hist_p)
+            for cut in range(16):
+                if nl[cut] == 0 or nt - nl[cut] == 0:
+                    continue
+
+                def sc(pp, nn):
+                    return (pp * pp + (nn - pp) * (nn - pp)) / float(nn)
+
+                gain = (
+                    sc(pl[cut], nl[cut])
+                    + sc(pt - pl[cut], nt - nl[cut])
+                    - sc(pt, nt)
+                )
+                key = (-gain, f, cut)
+                if best is None or key < best[0]:
+                    best = (
+                        key,
+                        (
+                            f,
+                            cut,
+                            int(nl[cut]),
+                            int(nt - nl[cut]),
+                            int(pl[cut]),
+                            int(pt - pl[cut]),
+                        ),
+                    )
+        out[nd] = best[1]
+    return out
+
+
+def test_tree_depth2_vs_numpy(spark):
+    feats = ("l_quantity", "l_extendedprice", "l_discount")
+    d = _duck(
+        "SELECT l_quantity, l_extendedprice, l_discount,"
+        " CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos"
+        " FROM lineitem"
+    )
+    X = np.column_stack([np.asarray(d[f], dtype=np.float64) for f in feats])
+    pos = np.asarray(d["pos"], dtype=np.int64)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    bins = np.minimum(
+        np.floor((X - lo) / (hi - lo) * 16).astype(np.int64), 15
+    )
+
+    root = _np_best_split(bins, pos)["all"]
+    node = np.where(bins[:, root[0]] <= root[1], "L", "R")
+    children = _np_best_split(bins, pos, node=node, nodes=("L", "R"))
+
+    got = {r["node"]: r for r in _rows(spark, "tree_depth2_cart")}
+    for nd, ref in [("root", root), ("L", children["L"]),
+                    ("R", children["R"])]:
+        r = got[nd]
+        assert r["feat"] == feats[ref[0]], (nd, r["feat"])
+        assert r["split_bin"] == ref[1], (nd, r["split_bin"])
+        assert (r["n_left"], r["n_right"]) == (ref[2], ref[3])
+        assert (r["pos_left"], r["pos_right"]) == (ref[4], ref[5])
+
+
+def test_epoch_shuffle_invariants(spark):
+    rows = _rows(spark, "epoch_shuffle_order")
+    per_epoch: dict[int, list] = {}
+    for r in rows:
+        per_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(per_epoch) == {0, 1}
+    n_total = {e: sum(r["n_docs"] for r in v) for e, v in per_epoch.items()}
+    # Both epochs place the identical corpus.
+    assert n_total[0] == n_total[1] > 0
+    for e, v in per_epoch.items():
+        assert len(v) == 16, f"epoch {e}: {len(v)} shards"
+        sizes = [r["n_docs"] for r in v]
+        # Contiguous-block placement: balanced within one doc.
+        assert max(sizes) - min(sizes) <= 1, (e, sizes)
+    # Different epoch seeds => different orders (checksums disagree).
+    ck0 = {(r["shard"], r["order_checksum"]) for r in per_epoch[0]}
+    ck1 = {(r["shard"], r["order_checksum"]) for r in per_epoch[1]}
+    assert ck0 != ck1
+
+
+def test_xxhash_minhash_recall(spark):
+    r = _rows(spark, "minhash_xxhash_production")[0]
+    assert r["n_true_pairs"] > 0, "threshold too high for this corpus"
+    assert r["recall_ok"] == 1
