@@ -1097,3 +1097,163 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_k").cast("float").alias("frac_positive"),
         F.col("iso_fit").cast("float").alias("iso_fit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DeLong AUC standard error from the binned score histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delong_auc_ci",
+    oracle=f"""
+    WITH feats AS ({_FEATS_SQL}),
+    seed AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN seed),
+    beta1 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m1),
+    m2 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN beta1),
+    beta2 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m2),
+    scored AS (
+        SELECT y, {_CAL_P} AS p FROM feats CROSS JOIN beta2
+    ),
+    b AS (
+        SELECT LEAST(CAST(FLOOR(p * 64) AS BIGINT), 63) AS bin,
+               SUM(y)::BIGINT AS npos,
+               (COUNT(*) - SUM(y))::BIGINT AS nneg
+        FROM scored GROUP BY 1
+    ),
+    t AS (SELECT SUM(npos)::DOUBLE AS m, SUM(nneg)::DOUBLE AS n FROM b),
+    c AS (
+        SELECT bin, npos, nneg,
+               COALESCE(SUM(npos) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cpos,
+               COALESCE(SUM(nneg) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cneg
+        FROM b
+    ),
+    v AS (
+        SELECT npos, nneg,
+               (cneg + 0.5 * nneg) / t.n AS v10,
+               (t.m - cpos - 0.5 * npos) / t.m AS v01
+        FROM c CROSS JOIN t
+    ),
+    a AS (SELECT SUM(npos * v10) / t.m AS auc FROM v CROSS JOIN t GROUP BY t.m),
+    s AS (
+        SELECT SUM(npos * (v10 - a.auc) * (v10 - a.auc)) / (t.m - 1) AS s10,
+               SUM(nneg * (v01 - a.auc) * (v01 - a.auc)) / (t.n - 1) AS s01
+        FROM v CROSS JOIN a CROSS JOIN t GROUP BY t.m, t.n
+    )
+    SELECT CAST(t.m AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n_neg,
+           CAST(a.auc AS REAL) AS auc,
+           CAST(SQRT(s.s10 / t.m + s.s01 / t.n) AS REAL) AS se,
+           CAST(a.auc - 1.959963984540054
+                        * SQRT(s.s10 / t.m + s.s01 / t.n) AS REAL) AS ci_lo,
+           CAST(a.auc + 1.959963984540054
+                        * SQRT(s.s10 / t.m + s.s01 / t.n) AS REAL) AS ci_hi
+    FROM a CROSS JOIN s CROSS JOIN t
+    """,
+    tags=("delong", "auc", "confidence-interval", "ml-eval",
+          "shared-algebra"),
+)
+def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong standard error and 95% CI for the SAME classifier AUC
+    that ``logreg_auc_roc`` reports — the uncertainty that decides
+    whether "model B's AUC is 0.003 higher" is signal or noise
+    (DeLong, DeLong & Clarke-Pearson 1988).  A point AUC without its
+    SE is not a model-comparison tool.
+
+    The estimator needs per-observation PLACEMENTS (for each
+    positive, the fraction of negatives ranked below it; vice versa
+    for negatives).  Computed naively that is a per-row rank — a
+    corpus sort.  On the 64-bin score histogram the placements are
+    CONSTANT within a bin (v10_b = (cneg_b + nneg_b/2)/n), so both
+    the AUC (the npos-weighted placement mean — identical to the
+    trapezoid over the binned ROC) and the two placement variances
+    S10/S01 are aggregates over the SAME fixed 64-row relation
+    logreg_auc_roc already builds: one map-side-combinable corpus
+    aggregate, then arithmetic on 64 rows.  Tie handling (0.5 per
+    tied pair) is exact by construction — bins ARE the tie groups.
+
+    Scale shape: identical to logreg_auc_roc — the corpus is touched
+    once to fill the histogram; every statistic including the
+    variance of 600k placements is recovered from 64 (bin, npos,
+    nneg) triples, which is what makes a bootstrap-free AUC CI
+    feasible at 100 TB (DeLong replaces 1000 bootstrap rescans with
+    closed-form placement algebra)."""
+    feats = _logreg_features(spark, sf_dir)
+    beta = _irls_beta(spark, feats, iters=2)
+    scored = feats.crossJoin(F.broadcast(beta)).select(
+        "y", F.expr(_P).alias("p")
+    )
+    b = scored.groupBy(
+        F.least(F.floor(F.col("p") * 64), F.lit(63)).cast("long").alias("bin")
+    ).agg(
+        F.sum("y").cast("long").alias("npos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nneg"),
+    )
+    t = b.agg(
+        F.sum("npos").cast("double").alias("m"),
+        F.sum("nneg").cast("double").alias("n"),
+    )
+    wprev = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = b.select(
+        "bin",
+        "npos",
+        "nneg",
+        F.coalesce(F.sum("npos").over(wprev), F.lit(0)).alias("cpos"),
+        F.coalesce(F.sum("nneg").over(wprev), F.lit(0)).alias("cneg"),
+    )
+    v = c.crossJoin(F.broadcast(t)).select(
+        "npos",
+        "nneg",
+        ((F.col("cneg") + 0.5 * F.col("nneg")) / F.col("n")).alias("v10"),
+        (
+            (F.col("m") - F.col("cpos") - 0.5 * F.col("npos")) / F.col("m")
+        ).alias("v01"),
+    )
+    a = v.crossJoin(F.broadcast(t)).groupBy("m").agg(
+        (F.sum(F.col("npos") * F.col("v10")) / F.col("m")).alias("auc")
+    ).select("auc")
+    s = (
+        v.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(t))
+        .groupBy("m", "n")
+        .agg(
+            (
+                F.sum(
+                    F.col("npos")
+                    * (F.col("v10") - F.col("auc"))
+                    * (F.col("v10") - F.col("auc"))
+                )
+                / (F.col("m") - 1)
+            ).alias("s10"),
+            (
+                F.sum(
+                    F.col("nneg")
+                    * (F.col("v01") - F.col("auc"))
+                    * (F.col("v01") - F.col("auc"))
+                )
+                / (F.col("n") - 1)
+            ).alias("s01"),
+        )
+        .select("s10", "s01")
+    )
+    z = 1.959963984540054
+    se = F.sqrt(F.col("s10") / F.col("m") + F.col("s01") / F.col("n"))
+    return (
+        a.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("m").cast("long").alias("n_pos"),
+            F.col("n").cast("long").alias("n_neg"),
+            F.col("auc").cast("float").alias("auc"),
+            se.cast("float").alias("se"),
+            (F.col("auc") - z * se).cast("float").alias("ci_lo"),
+            (F.col("auc") + z * se).cast("float").alias("ci_hi"),
+        )
+    )

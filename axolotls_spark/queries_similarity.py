@@ -1654,3 +1654,151 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("worst4_scan_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap profile between two rankings
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.5  # persistence: exactly representable, pow(p, d) exact-ish
+_RBO_YEARS = (1995, 1996)
+
+#: cents-exact revenue: extendedprice (2dp) x (1-discount) (2dp) is an
+#: exact 4-decimal number; x1e4 + round recovers the exact integer in
+#: BOTH engines, so rank ORDER never depends on float-sum ulps.
+_RBO_REV = (
+    "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+)
+
+
+@register(
+    "rbo_rank_agreement",
+    oracle=f"""
+    WITH rev AS (
+        SELECT YEAR(CAST(o.o_orderdate AS DATE)) AS yr,
+               n.n_name AS nation,
+               SUM({_RBO_REV}) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE YEAR(CAST(o.o_orderdate AS DATE)) IN {_RBO_YEARS}
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT yr, nation,
+               ROW_NUMBER() OVER (PARTITION BY yr
+                                  ORDER BY rev DESC, nation) AS rk
+        FROM rev
+    ),
+    ra AS (SELECT nation, rk FROM ranked WHERE yr = {_RBO_YEARS[0]}),
+    rb AS (SELECT nation, rk FROM ranked WHERE yr = {_RBO_YEARS[1]}),
+    depths AS (
+        SELECT UNNEST(range(1, (SELECT COUNT(*) FROM ra) + 1)) AS depth
+    ),
+    ov AS (
+        SELECT d.depth,
+               (SELECT COUNT(*) FROM ra JOIN rb USING (nation)
+                WHERE ra.rk <= d.depth AND rb.rk <= d.depth) AS overlap
+        FROM depths d
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(overlap AS BIGINT) AS overlap,
+           CAST(overlap / CAST(depth AS DOUBLE) AS REAL) AS agreement,
+           CAST(POW({_RBO_P}, depth - 1) AS REAL) AS weight,
+           CAST(POW({_RBO_P}, depth - 1)
+                * (overlap / CAST(depth AS DOUBLE)) AS REAL)
+               AS contribution
+    FROM ov ORDER BY depth
+    """,
+    tags=("rbo", "rank-agreement", "ir-eval", "top-k", "ranking"),
+)
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap PROFILE (Webber, Moffat & Zobel, TOIS'10)
+    between two rankings of the same items — here each nation ranked
+    by 1995 vs 1996 revenue — the top-weighted agreement measure IR
+    and retrieval-eval pipelines use where Kendall/Spearman treat
+    every rank position equally (a swap at rank 1 should matter more
+    than a swap at rank 24).
+
+    Emits one row per depth d: prefix overlap |A_1..d ∩ B_1..d|, the
+    agreement overlap/d, the geometric weight p^(d-1) (p = 0.5), and
+    the per-depth RBO contribution.  The scalar RBO is (1-p) x the
+    contribution sum — left to the consumer (and the numpy mirror
+    test) deliberately: a 25-term float sum's accumulation ORDER is
+    engine-specific, while every per-row value here is a short fixed
+    sequence of correctly-rounded ops, so the profile itself is
+    hash-exact.  Rank order can never diverge between engines
+    because revenue is aggregated in exact integer CENTS x 100
+    (2dp x 2dp = 4dp, recovered exactly by round(x*1e4)) — ranking
+    by a SUM(double) would let last-ulp accumulation differences
+    swap adjacent ranks.
+
+    Scale shape: one aggregate to (year, nation) — 50 rows; windows,
+    the depth spine, and the prefix-overlap join all run on
+    broadcast-sized relations.  For a 100 TB ranking (items = docs,
+    not nations) the same plan holds with the rank from the
+    distributed-rank primitive and depths capped at the evaluation
+    cutoff."""
+    from axolotls_spark import cacheutil
+
+    y0, y1 = _RBO_YEARS
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cst, o.o_custkey == cst.c_custkey)
+        .join(F.broadcast(nat), cst.c_nationkey == nat.n_nationkey)
+        .withColumn("yr", F.year(F.col("o_orderdate").cast("date")))
+        .filter(F.col("yr").isin(*_RBO_YEARS))
+        .groupBy("yr", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("rev")
+        )
+    )
+    ranked = cacheutil.track(
+        rev.select(
+            "yr",
+            "nation",
+            F.row_number()
+            .over(
+                Window.partitionBy("yr").orderBy(
+                    F.col("rev").desc(), "nation"
+                )
+            )
+            .alias("rk"),
+        ).persist()  # feeds both ranking sides and the depth count
+    )
+    ra = ranked.filter(F.col("yr") == y0).select("nation", F.col("rk").alias("rka"))
+    rb = ranked.filter(F.col("yr") == y1).select("nation", F.col("rk").alias("rkb"))
+    n_items = ra.agg(F.count(F.lit(1)).alias("n_items"))
+    depths = n_items.select(
+        F.explode(F.sequence(F.lit(1), F.col("n_items"))).alias("depth")
+    )
+    joined = ra.join(rb, "nation")
+    ov = (
+        depths.join(
+            F.broadcast(joined),
+            (F.col("rka") <= F.col("depth")) & (F.col("rkb") <= F.col("depth")),
+            "left",
+        )
+        .groupBy("depth")
+        .agg(F.count("nation").cast("long").alias("overlap"))
+    )
+    agreement = F.col("overlap") / F.col("depth").cast("double")
+    weight = F.pow(F.lit(_RBO_P), F.col("depth") - 1)
+    return ov.select(
+        F.col("depth").cast("int"),
+        "overlap",
+        agreement.cast("float").alias("agreement"),
+        weight.cast("float").alias("weight"),
+        (weight * agreement).cast("float").alias("contribution"),
+    ).orderBy("depth")

@@ -183,6 +183,8 @@ ROUND6: list[str] = [
     "tree_depth2_cart",
     "epoch_shuffle_order",
     "minhash_xxhash_production",
+    "delong_auc_ci",
+    "rbo_rank_agreement",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -811,6 +811,7 @@ def test_registry_wide_plan_hygiene(spark):
         "acf_ljung_box",            # 14-row lag relation cumsum
         "max_drawdown_revenue",     # per-day aggregate running peak
         "logreg_auc_roc",           # fixed 64-bin ROC relation
+        "delong_auc_ci",            # same fixed 64-bin ROC relation
         "bootstrap_ci_poisson",     # fixed 32-replicate relation
         "mixture_waterfill_rates",  # <=|languages|-row breakpoint walk
         "mom_revenue_growth",       # per-month aggregate

@@ -152,3 +152,52 @@ def test_xxhash_minhash_recall(spark):
     r = _rows(spark, "minhash_xxhash_production")[0]
     assert r["n_true_pairs"] > 0, "threshold too high for this corpus"
     assert r["recall_ok"] == 1
+
+
+def test_delong_auc_identities(spark):
+    """The DeLong placement AUC must equal logreg_auc_roc's trapezoid
+    AUC on the identical 64-bin histogram (a nontrivial algebraic
+    identity between two different formulas), and the CI must bracket
+    the point estimate with a positive width."""
+    d = _rows(spark, "delong_auc_ci")[0]
+    t = _rows(spark, "logreg_auc_roc")[0]
+    assert d["n_pos"] == t["n_pos"] and d["n_neg"] == t["n_neg"]
+    assert abs(d["auc"] - t["auc"]) < 1e-6
+    assert d["se"] > 0
+    assert d["ci_lo"] < d["auc"] < d["ci_hi"]
+    assert abs((d["ci_hi"] - d["ci_lo"]) / 2 - 1.959963984540054 * d["se"]) < 1e-6
+
+
+def test_rbo_vs_numpy(spark):
+    d = _duck(
+        """
+        SELECT YEAR(CAST(o.o_orderdate AS DATE)) AS yr, n.n_name AS nation,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE YEAR(CAST(o.o_orderdate AS DATE)) IN (1995, 1996)
+        GROUP BY 1, 2
+        """,
+        tables=("lineitem", "orders", "customer", "nation"),
+    )
+    by_year: dict[int, list] = {1995: [], 1996: []}
+    for yr, nation, rev in zip(d["yr"], d["nation"], d["rev"]):
+        by_year[int(yr)].append((-int(rev), str(nation)))
+    lists = {yr: [nm for _, nm in sorted(v)] for yr, v in by_year.items()}
+    a, b = lists[1995], lists[1996]
+    rows = sorted(_rows(spark, "rbo_rank_agreement"),
+                  key=lambda r: r["depth"])
+    assert len(rows) == len(a)
+    rbo_sum = 0.0
+    for r in rows:
+        depth = r["depth"]
+        ref_overlap = len(set(a[:depth]) & set(b[:depth]))
+        assert r["overlap"] == ref_overlap, (depth, r["overlap"], ref_overlap)
+        assert abs(r["agreement"] - ref_overlap / depth) < 1e-6
+        assert abs(r["weight"] - 0.5 ** (depth - 1)) < 1e-9
+        rbo_sum += r["contribution"]
+    # Truncated RBO (1-p) * sum is a proper agreement in [0, 1].
+    assert 0.0 <= (1 - 0.5) * rbo_sum <= 1.0
