@@ -2,6 +2,7 @@ from axolotls_spark.multimodal.ops import (  # noqa: F401
     MEDIA_META_SCHEMA,
     ahash64,
     attach_payload,
+    byte_count_histogram,
     byte_histogram_features,
     decode_media,
     frame_sample,

@@ -395,3 +395,50 @@ def ahash64(manifest: DataFrame) -> DataFrame:
     return manifest.select("doc_id", "payload").mapInPandas(
         run, AHASH_SCHEMA
     )
+
+
+COUNT_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def byte_count_histogram(
+    manifest: DataFrame, bins: int = 16, nibble: str = "high"
+) -> DataFrame:
+    """INTEGER nibble histogram per payload — the exact-count
+    sibling of :func:`byte_histogram_features` (which L1-normalizes
+    to floats).  Emitting raw counts keeps the Python stage's output
+    hash-exact across engines; any float statistic (entropy, norms)
+    is derived afterwards JVM-side where the op order can be pinned
+    against the oracle.  ``nibble="low"`` histograms the low 4 bits
+    (for ASCII text the discriminative half — high nibbles collapse
+    onto the 0x2/0x6/0x7 rows)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        shift = 8 - bins.bit_length() + 1
+        for pdf in batches:
+            ns, counts = [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                keyed = (arr & 0xF) if nibble == "low" else (arr >> shift)
+                hist = np.bincount(keyed, minlength=bins)[:bins]
+                ns.append(int(arr.size))
+                counts.append([int(x) for x in hist])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": ns,
+                    "counts": counts,
+                }
+            )
+
+    return manifest.select("doc_id", "payload").mapInPandas(
+        run, COUNT_HIST_SCHEMA
+    )

@@ -2046,3 +2046,142 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage subset selection (submodular curation)
+# ---------------------------------------------------------------------------
+
+_MC_K = 5
+
+#: word-trigram shingles — same fragment as queries_text._SQL_SHINGLES
+#: (restated here to keep this module's oracle self-contained).
+_SQL_MC_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len({t}) - 1, 1)),"
+    " i -> array_to_string({t}[i:i+2], ' ')))"
+).format(t=_SQL_TOKENS)
+
+
+def _mc_oracle(k: int) -> str:
+    parts = [
+        f"""sh AS (
+        SELECT DISTINCT doc_id, {_SQL_HASH.format(x="s.shingle")} AS sh
+        FROM (SELECT doc_id, UNNEST({_SQL_MC_SHINGLES}) AS shingle
+              FROM documents) s
+    ),
+    uni AS (SELECT COUNT(DISTINCT sh) AS u FROM sh)"""
+    ]
+    for r in range(1, k + 1):
+        not_cov = (
+            f"WHERE sh NOT IN (SELECT sh FROM cov{r - 1})" if r > 1 else ""
+        )
+        parts.append(f"""g{r} AS (
+        SELECT doc_id, COUNT(*) AS gain FROM sh {not_cov} GROUP BY doc_id
+    ),
+    s{r} AS (
+        SELECT {r} AS round, doc_id, gain FROM g{r}
+        ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    cov{r} AS (
+        {f"SELECT sh FROM cov{r - 1} UNION " if r > 1 else ""}
+        SELECT s.sh FROM sh s JOIN s{r} USING (doc_id)
+    )""")
+    sel = "\n        UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, k + 1)
+    )
+    cums = " + ".join(f"(SELECT gain FROM s{r})" for r in range(1, k + 1))
+    return f"""
+    WITH {", ".join(parts)},
+    allsel AS ({sel})
+    SELECT CAST(a.round AS INT) AS round, a.doc_id,
+           CAST(a.gain AS BIGINT) AS marginal_gain,
+           CAST((CASE a.round {" ".join(
+                    f"WHEN {r} THEN " + (" + ".join(
+                        f"(SELECT gain FROM s{j})" for j in range(1, r + 1)))
+                    for r in range(1, k + 1))} END) AS BIGINT)
+               AS covered_cum,
+           CAST((CASE a.round {" ".join(
+                    f"WHEN {r} THEN " + (" + ".join(
+                        f"(SELECT gain FROM s{j})" for j in range(1, r + 1)))
+                    for r in range(1, k + 1))} END)
+                / CAST(uni.u AS DOUBLE) AS REAL) AS coverage_frac
+    FROM allsel a CROSS JOIN uni
+    """
+
+
+@register(
+    "greedy_max_coverage",
+    oracle=_mc_oracle(_MC_K),
+    tags=("submodular", "max-coverage", "subset-selection", "curation",
+          "greedy", "facility-location"),
+)
+def greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage subset selection: pick 5 documents that
+    together cover the most distinct word-trigram shingles — the
+    submodular data-selection primitive (facility-location family)
+    behind "choose the k most complementary examples", with the
+    classic (1 - 1/e) greedy guarantee.  Where ``semdedup_prune``
+    REMOVES redundancy, this SELECTS for complementarity — the other
+    half of corpus curation.
+
+    Lazy-greedy at cluster scale is k rounds, each ONE hash aggregate
+    over the not-yet-covered shingle stream: the selected doc's
+    shingles (a broadcast-sized set) are anti-joined out, so round
+    r's input only shrinks.  No per-candidate rescans, no driver
+    collect — each round's winner is a 1-row relation broadcast into
+    the next round's plan, and the cumulative coverage rides along
+    by chaining those 1-row relations.  At 100 TB the same plan runs
+    with stochastic-greedy sampling (Mirzasoleiman et al., AAAI'15)
+    to cut rounds; documented here as the degrade path.
+
+    Everything emitted is exact integers except the final coverage
+    fraction (one division, float32); the per-round argmax is over
+    integer gains with a doc_id tie-break, so both engines must
+    select the identical subset in the identical order."""
+    from axolotls_spark import cacheutil
+    from axolotls_spark.operators.dedup import doc_shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = cacheutil.track(doc_shingle_hashes(docs).persist())
+    uni = sh.agg(F.countDistinct("sh").alias("u"))
+
+    remaining = sh
+    picks = []
+    prev_cum: DataFrame | None = None
+    for r in range(1, _MC_K + 1):
+        gains = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        pick = gains.orderBy(F.col("gain").desc(), "doc_id").limit(1).select(
+            F.lit(r).cast("int").alias("round"), "doc_id", "gain"
+        )
+        if prev_cum is None:
+            pick = pick.withColumn("covered_cum", F.col("gain"))
+        else:
+            pick = pick.crossJoin(F.broadcast(prev_cum)).withColumn(
+                "covered_cum", F.col("gain") + F.col("_pc")
+            ).drop("_pc")
+        pick = cacheutil.track(pick.persist())
+        prev_cum = pick.select(F.col("covered_cum").alias("_pc"))
+        picks.append(pick)
+        if r < _MC_K:
+            covered = remaining.join(
+                F.broadcast(pick.select("doc_id")), "doc_id"
+            ).select("sh")
+            remaining = cacheutil.track(
+                remaining.join(F.broadcast(covered), "sh", "left_anti")
+                .persist()
+            )
+
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.crossJoin(F.broadcast(uni)).select(
+        "round",
+        "doc_id",
+        F.col("gain").alias("marginal_gain"),
+        "covered_cum",
+        (F.col("covered_cum") / F.col("u").cast("double"))
+        .cast("float")
+        .alias("coverage_frac"),
+    )

@@ -1309,3 +1309,145 @@ def kendall_tau_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov via distributed prefix counts
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "BUILDING", "MACHINERY"
+
+
+@register(
+    "ks_two_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT o.o_totalprice AS v,
+               CASE WHEN c.c_mktsegment = '{_KS_A}' THEN 1 ELSE 0 END AS a
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{_KS_A}', '{_KS_B}')
+    ),
+    dv AS (
+        SELECT v, SUM(a)::BIGINT AS ca, (COUNT(*) - SUM(a))::BIGINT AS cb
+        FROM s GROUP BY v
+    ),
+    t AS (SELECT SUM(ca) AS n1, SUM(cb) AS n2 FROM dv),
+    cum AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v) AS c1,
+               SUM(cb) OVER (ORDER BY v) AS c2
+        FROM dv
+    ),
+    d AS (
+        SELECT ABS(c1 * t.n2 - c2 * t.n1) AS dnum, v
+        FROM cum CROSS JOIN t
+    ),
+    best AS (
+        SELECT dnum, v FROM d
+        ORDER BY dnum DESC, v LIMIT 1
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           CAST(best.dnum AS BIGINT) AS d_num,
+           CAST(best.dnum / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+                AS REAL) AS ks_d,
+           CAST(best.v AS REAL) AS d_at_value,
+           CAST(2 * EXP(-2.0
+                * (best.dnum / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)))
+                * (best.dnum / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)))
+                * (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+                   / (CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE))))
+                AS REAL) AS p_approx
+    FROM best CROSS JOIN t
+    """,
+    tags=("kolmogorov-smirnov", "two-sample", "nonparametric",
+          "distribution-drift", "distributed-rank", "prefix-sum"),
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between order
+    totals of two customer segments — the distribution-equality test
+    that complements ``distribution_drift_psi`` (PSI needs bins and a
+    reference snapshot; KS is binless and exact) and
+    ``kruskal_wallis_segments`` (which compares locations, not whole
+    CDFs).  The supremum gap D = max_v |F1(v) - F2(v)| is the
+    standard drift gate for "did this feature's distribution move
+    between two corpus snapshots".
+
+    Engine-exactness: D's argmax runs entirely on INTEGERS —
+    |c1*n2 - c2*n1| (cross-multiplied cumulative counts, <= ~4e11,
+    exact BIGINT) — so the engines cannot disagree on where the
+    supremum sits; the only float math is the final division and the
+    one-term Kolmogorov tail approximation p ~ 2 exp(-2 D^2 * n1*n2
+    / (n1+n2)), emitted float32.
+
+    Scale shape: one aggregate to the distinct-value relation, then
+    the cumulative counts come from the distributed-rank primitive
+    (range partitions + broadcast offsets — o_totalprice is
+    near-continuous, so the distinct relation is corpus-sized and a
+    global ORDER BY window would funnel it through one task); the
+    argmax is one TakeOrdered over that relation."""
+    from axolotls_spark import cacheutil
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(_KS_A, _KS_B))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == _KS_A, 1).otherwise(0).alias("a"),
+        )
+    )
+    dv = s.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a")).cast("long").alias("cb"),
+    )
+    t = dv.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("cb").cast("long").alias("n2"),
+    )
+    # Two cumulative counts from the prefix primitive (it carries ONE
+    # value column): first pass accumulates the combined count, the
+    # chained second pass accumulates cb; c1 falls out by subtraction
+    # — no join between the two prefix relations.
+    both = dv.select("v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("ct"))
+    rk = ranked_cumsum(both, [F.asc("v")], "ct", rank_name="_rn",
+                       cum_name="cboth").select("v", "cb", "cboth")
+    rk2 = ranked_cumsum(rk, [F.asc("v")], "cb", rank_name="_rn2",
+                        cum_name="c2")
+    cum = rk2.select(
+        "v",
+        (F.col("cboth") - F.col("c2")).alias("c1"),
+        "c2",
+    )
+    d = cum.crossJoin(F.broadcast(t)).select(
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "dnum"
+        ),
+        "v",
+    )
+    best = d.orderBy(F.col("dnum").desc(), "v").limit(1)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ksd = F.col("d_num") / (n1d * n2d)
+    return (
+        best.select(F.col("dnum").alias("d_num"), "v")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            ksd.cast("float").alias("ks_d"),
+            F.col("v").cast("float").alias("d_at_value"),
+            (
+                2
+                * F.exp(
+                    -2.0
+                    * ksd
+                    * ksd
+                    * (n1d * n2d / (n1d + n2d))
+                )
+            )
+            .cast("float")
+            .alias("p_approx"),
+        )
+    )

@@ -335,3 +335,97 @@ def image_ahash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _AHASH_TOPK)
         .select("probe_id", "cand_id", "hamming", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-entropy compressibility quality signal
+# ---------------------------------------------------------------------------
+
+_ENT_THRESHOLD = 3.5  # bits over the 16-nibble alphabet (max 4.0)
+
+#: entropy as an EXPLICIT fixed-order 16-term sum — both engines
+#: evaluate the identical op sequence left to right, so the only
+#: divergence channel is a 1-ulp log2 difference that the float32
+#: output cast absorbs (same discipline as the byte-histogram L2).
+_ENT_TERMS_SQL = " + ".join(
+    f"(CASE WHEN c{i} > 0 THEN -(c{i}/n) * log2(c{i}/n) ELSE 0.0 END)"
+    for i in range(16)
+)
+
+
+@register(
+    "multimodal_entropy_quality",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS n
+        FROM documents
+    ),
+    nib AS (
+        SELECT doc_id, n,
+               strpos('0123456789ABCDEF', substr(hx, 2 * i.i + 2, 1)) - 1
+                   AS v
+        FROM b CROSS JOIN UNNEST(range(0, CAST(n AS BIGINT))) AS i(i)
+    ),
+    agg AS (
+        SELECT doc_id, MAX(n) AS n,
+               {", ".join(f"SUM(CASE WHEN v = {i} THEN 1 ELSE 0 END)::DOUBLE AS c{i}" for i in range(16))}
+        FROM nib GROUP BY doc_id
+    ),
+    ent AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+               CAST(0.0 + {_ENT_TERMS_SQL} AS REAL) AS nibble_entropy
+        FROM agg
+    )
+    SELECT doc_id, n_bytes, nibble_entropy,
+           CAST(CASE WHEN nibble_entropy < {_ENT_THRESHOLD} THEN 1 ELSE 0 END
+                AS INT) AS low_entropy_flag
+    FROM ent
+    """,
+    tags=("multimodal", "entropy", "compressibility", "quality-signal",
+          "mapInPandas", "curation"),
+)
+def multimodal_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-0 byte-entropy compressibility per document — the
+    classic "is this content repetitive/degenerate" quality signal
+    (highly compressible payloads are boilerplate, padding, or
+    generator loops; curation pipelines gate on it next to the
+    Gopher filters).  Entropy is over the 16 LOW-nibble classes of
+    the payload bytes (max 4 bits) — for ASCII text the
+    discriminative half of each byte; high nibbles collapse onto the
+    space/lowercase rows — thresholded into a keep/drop flag.
+
+    Split of labor for engine-exactness: the Arrow-batched
+    mapInPandas stage (numpy bincount — the shape a real
+    zlib-ratio featurizer would take) emits only INTEGER counts;
+    the entropy itself is JVM-side arithmetic written as an explicit
+    fixed-order 16-term sum that the oracle restates verbatim, so
+    the Python stage stays hash-exact and the float path has a
+    pinned op order.  The flag compares the float32-cast entropy on
+    BOTH engines, so the comparison operands are bit-identical.
+
+    Scale shape: map-only — one pass over payloads, no shuffle at
+    all; 100 TB cost is the scan plus 16 adds per byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = M.byte_count_histogram(M.attach_payload(docs), nibble="low")
+    n = F.col("n_bytes").cast("double")
+    terms = F.lit(0.0)
+    for i in range(16):
+        c = F.element_at(F.col("counts"), i + 1).cast("double")
+        terms = terms + F.when(
+            c > 0, -(c / n) * F.log2(c / n)
+        ).otherwise(F.lit(0.0))
+    ent = hist.select(
+        "doc_id",
+        "n_bytes",
+        terms.cast("float").alias("nibble_entropy"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_bytes",
+        "nibble_entropy",
+        F.when(F.col("nibble_entropy") < _ENT_THRESHOLD, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("low_entropy_flag"),
+    )

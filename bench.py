@@ -185,6 +185,9 @@ ROUND6: list[str] = [
     "minhash_xxhash_production",
     "delong_auc_ci",
     "rbo_rank_agreement",
+    "ks_two_sample",
+    "greedy_max_coverage",
+    "multimodal_entropy_quality",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -201,3 +201,83 @@ def test_rbo_vs_numpy(spark):
         rbo_sum += r["contribution"]
     # Truncated RBO (1-p) * sum is a proper agreement in [0, 1].
     assert 0.0 <= (1 - 0.5) * rbo_sum <= 1.0
+
+
+def test_ks_two_sample_vs_numpy(spark):
+    d = _duck(
+        """
+        SELECT o.o_totalprice AS v, c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """,
+        tables=("orders", "customer"),
+    )
+    v = np.asarray(d["v"], dtype=np.float64)
+    seg = np.asarray(d["seg"])
+    a = np.sort(v[seg == "BUILDING"])
+    b = np.sort(v[seg == "MACHINERY"])
+    grid = np.unique(v)
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    d_ref = float(np.max(np.abs(f1 - f2)))
+
+    r = _rows(spark, "ks_two_sample")[0]
+    assert r["n1"] == len(a) and r["n2"] == len(b)
+    assert abs(r["ks_d"] - d_ref) < 1e-9
+    assert 0.0 < r["p_approx"] <= 2.0  # one-term tail approx can exceed 1
+
+
+def test_greedy_max_coverage_vs_python(spark):
+    d = _duck("SELECT doc_id, text FROM documents", tables=("documents",))
+    sets = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        toks = str(text).strip().split()
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if sh:
+            sets[int(doc_id)] = sh
+    covered: set = set()
+    expect = []
+    for _ in range(5):
+        best = max(
+            sets.items(),
+            key=lambda kv: (len(kv[1] - covered), -kv[0]),
+        )
+        gain = len(best[1] - covered)
+        covered |= best[1]
+        expect.append((best[0], gain, len(covered)))
+
+    rows = sorted(_rows(spark, "greedy_max_coverage"),
+                  key=lambda r: r["round"])
+    for r, (doc, gain, cum) in zip(rows, expect):
+        assert r["doc_id"] == doc, (r["round"], r["doc_id"], doc)
+        assert r["marginal_gain"] == gain
+        assert r["covered_cum"] == cum
+    uni = len(set().union(*sets.values()))
+    assert abs(rows[-1]["coverage_frac"] - expect[-1][2] / uni) < 1e-6
+
+
+def test_entropy_quality_vs_python(spark):
+    import math
+
+    d = _duck("SELECT doc_id, text FROM documents", tables=("documents",))
+    ref = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        bs = str(text).encode("utf-8")
+        counts = [0] * 16
+        for byte in bs:
+            counts[byte & 0xF] += 1
+        n = len(bs)
+        h = 0.0
+        for c in counts:
+            if c > 0:
+                h += -(c / n) * math.log2(c / n)
+        ref[int(doc_id)] = (n, h)
+
+    rows = _rows(spark, "multimodal_entropy_quality")
+    assert len(rows) == len(ref)
+    for r in rows:
+        n, h = ref[r["doc_id"]]
+        assert r["n_bytes"] == n
+        assert abs(r["nibble_entropy"] - h) < 1e-5
+        if abs(h - 3.5) > 1e-4:  # away from the flag threshold
+            assert r["low_entropy_flag"] == int(h < 3.5)
