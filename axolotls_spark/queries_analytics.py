@@ -5903,3 +5903,184 @@ def tree_depth2_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_threshold(best1, F.lit("root")).unionAll(
         with_threshold(best2, F.col("node"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Doubly-robust (AIPW) average treatment effect
+# ---------------------------------------------------------------------------
+
+_AIPW_CLIP = (0.05, 0.95)
+
+
+@register(
+    "aipw_doubly_robust_ate",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, SUM(o_totalprice) AS y FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT CAST(c.c_acctbal AS DOUBLE) AS x,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+               COALESCE(s.y, 0.0) AS y
+        FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    ),
+    pm AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(t)::DOUBLE AS st,
+               SUM(x * x) AS sxx, SUM(x * t) AS sxt
+        FROM base
+    ),
+    prop AS (
+        SELECT (n * sxt - sx * st) / (n * sxx - sx * sx) AS pb,
+               (st - (n * sxt - sx * st) / (n * sxx - sx * sx) * sx) / n
+                   AS pa
+        FROM pm
+    ),
+    om AS (
+        SELECT t, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM base GROUP BY t
+    ),
+    oc AS (
+        SELECT t, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS a
+        FROM om
+    ),
+    w AS (
+        SELECT b.t, b.y, b.x,
+               LEAST(GREATEST(p.pa + p.pb * b.x, {_AIPW_CLIP[0]}),
+                     {_AIPW_CLIP[1]}) AS e,
+               o1.a + o1.b * b.x AS m1,
+               o0.a + o0.b * b.x AS m0
+        FROM base b
+        CROSS JOIN prop p
+        CROSS JOIN (SELECT a, b FROM oc WHERE t = 1) o1
+        CROSS JOIN (SELECT a, b FROM oc WHERE t = 0) o0
+    )
+    SELECT CAST(SUM(t) AS BIGINT) AS n_treated,
+           CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_control,
+           CAST(SUM(CASE WHEN t = 1 THEN y END) / SUM(t)
+                - SUM(CASE WHEN t = 0 THEN y END) / (COUNT(*) - SUM(t))
+                AS REAL) AS naive_diff,
+           CAST(AVG(m1 - m0) AS REAL) AS reg_ate,
+           CAST(AVG(m1 - m0
+                    + t * (y - m1) / e
+                    - (1 - t) * (y - m0) / (1 - e)) AS REAL) AS aipw_ate
+    FROM w
+    """,
+    tags=("causal", "aipw", "doubly-robust", "ate", "propensity",
+          "shared-algebra"),
+)
+def aipw_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) average treatment effect — the estimator
+    that completes this repo's causal ladder (post-only diff → CUPED
+    → diff-in-diff → stratified → PSM-matched → randomization test):
+    augmented inverse-propensity weighting is consistent if EITHER
+    the propensity model OR the outcome model is right (Robins,
+    Rotnitzky & Zhao 1994), which is why it is the default modern
+    observational estimator.  Same frame as ``psm_caliper_att``:
+    units = customers, treatment = BUILDING segment, covariate =
+    account balance, outcome = total spend.
+
+    All three nuisance fits are CLOSED-FORM moment algebra on the
+    same scan — the linear-probability propensity e(x) (clipped to
+    [0.05, 0.95], the standard overlap trim) and per-arm outcome
+    regressions m1(x)/m0(x) from per-group (n, Σx, Σy, Σxx, Σxy).
+    The final AIPW mean is ONE corpus aggregate of the influence
+    expression; emitted next to the naive difference and the
+    regression-imputation ATE so the three estimators' divergence
+    (the confounding signal) is part of the result.
+
+    Scale shape: two moment aggregates (propensity + per-arm
+    outcome, both map-side combinable) and one final aggregate —
+    three passes, no joins bigger than broadcast 1-row coefficient
+    relations.  At 100 TB this is exactly three scans; cross-fitting
+    (the ML-nuisance variant) would reuse the hash-mod split
+    machinery."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("y"))
+    base = (
+        c.join(spend, c.c_custkey == spend.o_custkey, "left")
+        .select(
+            F.col("c_acctbal").cast("double").alias("x"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("t"),
+            F.coalesce(F.col("y"), F.lit(0.0)).alias("y"),
+        )
+    )
+    pm = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("t")).alias("sxt"),
+    )
+    pb = (F.col("n") * F.col("sxt") - F.col("sx") * F.col("st")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    prop = pm.select(
+        pb.alias("pb"),
+        ((F.col("st") - pb * F.col("sx")) / F.col("n")).alias("pa"),
+    )
+    om = base.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    ob = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    oc = om.select(
+        "t",
+        ob.alias("b"),
+        ((F.col("sy") - ob * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    o1 = oc.filter(F.col("t") == 1).select(
+        F.col("a").alias("a1"), F.col("b").alias("b1")
+    )
+    o0 = oc.filter(F.col("t") == 0).select(
+        F.col("a").alias("a0"), F.col("b").alias("b0")
+    )
+    lo, hi = _AIPW_CLIP
+    w = (
+        base.crossJoin(F.broadcast(prop))
+        .crossJoin(F.broadcast(o1))
+        .crossJoin(F.broadcast(o0))
+        .select(
+            "t",
+            "y",
+            F.least(
+                F.greatest(
+                    F.col("pa") + F.col("pb") * F.col("x"), F.lit(lo)
+                ),
+                F.lit(hi),
+            ).alias("e"),
+            (F.col("a1") + F.col("b1") * F.col("x")).alias("m1"),
+            (F.col("a0") + F.col("b0") * F.col("x")).alias("m0"),
+        )
+    )
+    t_ = F.col("t")
+    return w.agg(
+        F.sum("t").cast("long").alias("n_treated"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_control"),
+        (
+            F.sum(F.when(t_ == 1, F.col("y"))) / F.sum("t")
+            - F.sum(F.when(t_ == 0, F.col("y")))
+            / (F.count(F.lit(1)) - F.sum("t"))
+        )
+        .cast("float")
+        .alias("naive_diff"),
+        F.avg(F.col("m1") - F.col("m0")).cast("float").alias("reg_ate"),
+        F.avg(
+            F.col("m1")
+            - F.col("m0")
+            + t_ * (F.col("y") - F.col("m1")) / F.col("e")
+            - (1 - t_) * (F.col("y") - F.col("m0")) / (1 - F.col("e"))
+        )
+        .cast("float")
+        .alias("aipw_ate"),
+    )

@@ -188,6 +188,7 @@ ROUND6: list[str] = [
     "ks_two_sample",
     "greedy_max_coverage",
     "multimodal_entropy_quality",
+    "aipw_doubly_robust_ate",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -281,3 +281,45 @@ def test_entropy_quality_vs_python(spark):
         assert abs(r["nibble_entropy"] - h) < 1e-5
         if abs(h - 3.5) > 1e-4:  # away from the flag threshold
             assert r["low_entropy_flag"] == int(h < 3.5)
+
+
+def test_aipw_vs_numpy(spark):
+    d = _duck(
+        """
+        SELECT CAST(c.c_acctbal AS DOUBLE) AS x,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+               COALESCE(s.y, 0.0) AS y
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey, SUM(o_totalprice) AS y
+            FROM orders GROUP BY o_custkey) s
+          ON s.o_custkey = c.c_custkey
+        """,
+        tables=("orders", "customer"),
+    )
+    x = np.asarray(d["x"]); t = np.asarray(d["t"], dtype=np.float64)
+    y = np.asarray(d["y"])
+
+    def ols(xv, yv):
+        n = len(xv)
+        b = (n * (xv * yv).sum() - xv.sum() * yv.sum()) / (
+            n * (xv * xv).sum() - xv.sum() ** 2
+        )
+        return (yv.sum() - b * xv.sum()) / n, b
+
+    pa, pb = ols(x, t)
+    e = np.clip(pa + pb * x, 0.05, 0.95)
+    a1, b1 = ols(x[t == 1], y[t == 1])
+    a0, b0 = ols(x[t == 0], y[t == 0])
+    m1, m0 = a1 + b1 * x, a0 + b0 * x
+    aipw_ref = float(np.mean(
+        m1 - m0 + t * (y - m1) / e - (1 - t) * (y - m0) / (1 - e)
+    ))
+    reg_ref = float(np.mean(m1 - m0))
+    naive_ref = float(y[t == 1].mean() - y[t == 0].mean())
+
+    r = _rows(spark, "aipw_doubly_robust_ate")[0]
+    assert r["n_treated"] == int(t.sum())
+    scale = max(1.0, abs(aipw_ref))
+    assert abs(r["aipw_ate"] - aipw_ref) / scale < 1e-5
+    assert abs(r["reg_ate"] - reg_ref) / scale < 1e-5
+    assert abs(r["naive_diff"] - naive_ref) / scale < 1e-5
