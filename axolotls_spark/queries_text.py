@@ -2300,3 +2300,137 @@ def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two quality gates
+# ---------------------------------------------------------------------------
+
+#: gate A: type-token ratio < 45% (Gopher-style repetition filter);
+#: gate B: top-token dominance >= 8% (single-token spam filter).
+#: Both integer cross-multiplications — no float thresholds.
+_KAPPA_TTR = (45, 100)
+_KAPPA_DOM = (8, 100)
+
+
+@register(
+    "kappa_filter_agreement",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    per AS (
+        SELECT doc_id, SUM(c)::BIGINT AS nt, COUNT(*)::BIGINT AS nd,
+               MAX(c)::BIGINT AS topc
+        FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        GROUP BY doc_id
+    ),
+    g AS (
+        SELECT CASE WHEN nd * {_KAPPA_TTR[1]} < nt * {_KAPPA_TTR[0]}
+                    THEN 1 ELSE 0 END AS ga,
+               CASE WHEN topc * {_KAPPA_DOM[1]} >= nt * {_KAPPA_DOM[0]}
+                    THEN 1 ELSE 0 END AS gb
+        FROM per
+    ),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN ga = 1 AND gb = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n11,
+               SUM(CASE WHEN ga = 1 AND gb = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n10,
+               SUM(CASE WHEN ga = 0 AND gb = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n01,
+               SUM(CASE WHEN ga = 0 AND gb = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n00
+        FROM g
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(CAST((n11 + n00) * n
+                     - ((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                / CAST(n * n
+                       - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                AS REAL) AS kappa
+    FROM m
+    """,
+    tags=("kappa", "inter-rater", "agreement", "quality-gates",
+          "curation", "qa"),
+)
+def kappa_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two repetition-oriented quality gates —
+    the filter-redundancy audit a curation pipeline runs before
+    stacking another heuristic: chance-corrected agreement tells you
+    whether a new gate adds signal (low/negative kappa — it catches
+    DIFFERENT documents) or is redundant (kappa near 1).  On this
+    corpus the type-token-ratio gate and the top-token-dominance
+    gate, both nominally "repetition" filters, disagree beyond
+    chance (negative kappa): dominance fires on short documents
+    where one token is a large fraction, TTR on long ones — they
+    are complements, not substitutes, which is exactly what this
+    query exists to reveal.
+
+    Engine-exactness end to end: both gates are integer
+    cross-multiplications (no float thresholds), the confusion
+    matrix is four exact counts, and kappa itself is written as ONE
+    division of exact-integer expressions ((po-pe) and (1-pe) scaled
+    by n^2), so even the float column is a single correctly-rounded
+    op both engines agree on bit-for-bit.
+
+    Scale shape: one (doc, token) aggregate, one per-doc aggregate,
+    one 4-cell confusion aggregate — all map-side combinable; no
+    joins, no windows."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(D.tokens_col(F.col("text"))).alias("tok")
+    )
+    per = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("nt"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.max("c").cast("long").alias("topc"),
+        )
+    )
+    ga = F.when(
+        F.col("nd") * _KAPPA_TTR[1] < F.col("nt") * _KAPPA_TTR[0], 1
+    ).otherwise(0)
+    gb = F.when(
+        F.col("topc") * _KAPPA_DOM[1] >= F.col("nt") * _KAPPA_DOM[0], 1
+    ).otherwise(0)
+    g = per.select(ga.alias("ga"), gb.alias("gb"))
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("ga") == 1) & (F.col("gb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("ga") == 1) & (F.col("gb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("ga") == 0) & (F.col("gb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("ga") == 0) & (F.col("gb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return m.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (
+            ((F.col("n11") + F.col("n00")) * F.col("n") - pe_num).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n") - pe_num).cast("double")
+        )
+        .cast("float")
+        .alias("kappa"),
+    )

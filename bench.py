@@ -189,6 +189,7 @@ ROUND6: list[str] = [
     "greedy_max_coverage",
     "multimodal_entropy_quality",
     "aipw_doubly_robust_ate",
+    "kappa_filter_agreement",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -323,3 +323,29 @@ def test_aipw_vs_numpy(spark):
     assert abs(r["aipw_ate"] - aipw_ref) / scale < 1e-5
     assert abs(r["reg_ate"] - reg_ref) / scale < 1e-5
     assert abs(r["naive_diff"] - naive_ref) / scale < 1e-5
+
+
+def test_kappa_vs_python(spark):
+    d = _duck("SELECT doc_id, text FROM documents", tables=("documents",))
+    n11 = n10 = n01 = n00 = 0
+    for text in d["text"]:
+        toks = str(text).strip().split()
+        nt, nd = len(toks), len(set(toks))
+        topc = max(toks.count(t) for t in set(toks))
+        ga = int(nd * 100 < nt * 45)
+        gb = int(topc * 100 >= nt * 8)
+        if ga and gb:
+            n11 += 1
+        elif ga:
+            n10 += 1
+        elif gb:
+            n01 += 1
+        else:
+            n00 += 1
+    n = n11 + n10 + n01 + n00
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    kappa_ref = ((n11 + n00) * n - pe_num) / (n * n - pe_num)
+
+    r = _rows(spark, "kappa_filter_agreement")[0]
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (n11, n10, n01, n00)
+    assert abs(r["kappa"] - kappa_ref) < 1e-6
