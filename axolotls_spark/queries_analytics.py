@@ -6084,3 +6084,708 @@ def aipw_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("aipw_ate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity (sharp RDD, local linear)
+# ---------------------------------------------------------------------------
+
+_RDD_CUTOFF = 0.0
+_RDD_BANDWIDTH = 1000.0
+
+
+@register(
+    "rdd_local_linear",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, SUM(o_totalprice) AS y FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT CAST(c.c_acctbal AS DOUBLE) - {_RDD_CUTOFF} AS x,
+               COALESCE(s.y, 0.0) AS y
+        FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+        WHERE c.c_acctbal >= {_RDD_CUTOFF - _RDD_BANDWIDTH}
+          AND c.c_acctbal <  {_RDD_CUTOFF + _RDD_BANDWIDTH}
+    ),
+    m AS (
+        SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side,
+               COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM base GROUP BY 1
+    ),
+    fit AS (
+        SELECT side, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS a
+        FROM m
+    )
+    SELECT CAST(l.n AS BIGINT) AS n_left, CAST(r.n AS BIGINT) AS n_right,
+           CAST(l.a AS REAL) AS intercept_left,
+           CAST(r.a AS REAL) AS intercept_right,
+           CAST(l.b AS REAL) AS slope_left,
+           CAST(r.b AS REAL) AS slope_right,
+           CAST(r.a - l.a AS REAL) AS rdd_effect
+    FROM (SELECT * FROM fit WHERE side = 0) l
+    CROSS JOIN (SELECT * FROM fit WHERE side = 1) r
+    """,
+    tags=("causal", "rdd", "regression-discontinuity", "local-linear",
+          "shared-algebra"),
+)
+def rdd_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity effect at an account-balance
+    cutoff — the quasi-experimental design a growth team reaches for
+    when treatment is assigned by a threshold rule (here: customers
+    below balance 0 are treated as credit-restricted) and no
+    randomization exists.  Local linear regression on each side of
+    the cutoff within a fixed bandwidth (Imbens & Lemieux 2008,
+    Hahn-Todd-van der Klaauw identification); the causal estimate is
+    the intercept jump at the cutoff, and both side-fits are emitted
+    so a reader can check the standard falsification (wild slopes =
+    bandwidth too wide).
+
+    Same closed-form moment algebra as ``aipw_doubly_robust_ate``:
+    each side's OLS comes from one (n, Σx, Σy, Σxx, Σxy) aggregate
+    over the bandwidth window, and centering x at the cutoff makes
+    the intercept the boundary prediction directly — no matrix
+    solve, no iteration.
+
+    Scale shape: the bandwidth predicate is PUSHED to the parquet
+    scan (only the window near the cutoff is read — at 100 TB the
+    bandwidth filter is the difference between scanning everything
+    and scanning a sliver), then one grouped moment aggregate (two
+    groups, map-side combinable) and a 1x1 broadcast cross of the
+    two side-fits."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lo = _RDD_CUTOFF - _RDD_BANDWIDTH
+    hi = _RDD_CUTOFF + _RDD_BANDWIDTH
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("y"))
+    base = (
+        c.filter((F.col("c_acctbal") >= lo) & (F.col("c_acctbal") < hi))
+        .join(spend, c.c_custkey == spend.o_custkey, "left")
+        .select(
+            (F.col("c_acctbal").cast("double") - F.lit(_RDD_CUTOFF)).alias(
+                "x"
+            ),
+            F.coalesce(F.col("y"), F.lit(0.0)).alias("y"),
+        )
+    )
+    m = base.groupBy(
+        F.when(F.col("x") >= 0, 1).otherwise(0).alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = m.select(
+        "side",
+        "n",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    l = fit.filter(F.col("side") == 0).select(
+        F.col("n").alias("nl"), F.col("a").alias("al"), F.col("b").alias("bl")
+    )
+    r = fit.filter(F.col("side") == 1).select(
+        F.col("n").alias("nr"), F.col("a").alias("ar"), F.col("b").alias("br")
+    )
+    return l.crossJoin(F.broadcast(r)).select(
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.col("al").cast("float").alias("intercept_left"),
+        F.col("ar").cast("float").alias("intercept_right"),
+        F.col("bl").cast("float").alias("slope_left"),
+        F.col("br").cast("float").alias("slope_right"),
+        (F.col("ar") - F.col("al")).cast("float").alias("rdd_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald grouping estimator (errors-in-variables slope)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wald_grouping_slope",
+    oracle="""
+    WITH med AS (
+        SELECT quantile_cont(l_quantity, 0.5) AS m FROM lineitem
+    ),
+    g AS (
+        SELECT CASE WHEN l.l_quantity > med.m THEN 1 ELSE 0 END AS hi,
+               CAST(l.l_quantity AS DOUBLE) AS x,
+               CAST(l.l_extendedprice AS DOUBLE) AS y
+        FROM lineitem l CROSS JOIN med
+    ),
+    m AS (
+        SELECT hi, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM g GROUP BY hi
+    ),
+    t AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy,
+               SUM(CASE WHEN hi = 1 THEN sy END)
+                   / SUM(CASE WHEN hi = 1 THEN n END) AS yh,
+               SUM(CASE WHEN hi = 0 THEN sy END)
+                   / SUM(CASE WHEN hi = 0 THEN n END) AS yl,
+               SUM(CASE WHEN hi = 1 THEN sx END)
+                   / SUM(CASE WHEN hi = 1 THEN n END) AS xh,
+               SUM(CASE WHEN hi = 0 THEN sx END)
+                   / SUM(CASE WHEN hi = 0 THEN n END) AS xl,
+               SUM(CASE WHEN hi = 1 THEN n END)::BIGINT AS n_high,
+               SUM(CASE WHEN hi = 0 THEN n END)::BIGINT AS n_low
+        FROM m
+    )
+    SELECT n_high, n_low,
+           CAST((yh - yl) / (xh - xl) AS REAL) AS wald_slope,
+           CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS REAL)
+               AS ols_slope,
+           CAST((sy - (yh - yl) / (xh - xl) * sx) / n AS REAL)
+               AS wald_intercept
+    FROM t
+    """,
+    tags=("causal", "errors-in-variables", "wald", "grouping-estimator",
+          "robust-regression"),
+)
+def wald_grouping_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's grouping estimator for the quantity→price slope — the
+    original (Wald 1940) errors-in-variables fix that modern IV
+    generalizes: split on the median of the regressor and take the
+    slope of the line through the two group means,
+    (ȳ_hi − ȳ_lo)/(x̄_hi − x̄_lo).  Under classical measurement
+    error in x, OLS attenuates toward zero while the grouping
+    estimator stays consistent (group membership is robust to noise
+    that rarely crosses the median), so emitting BOTH slopes makes
+    the attenuation diagnostic part of the result.
+
+    Numerically self-conditioning on any data: the denominator is
+    the gap between the above- and below-median regressor means —
+    large by construction — so the ratio is stable even when the
+    true slope is ~0 (as in this synthetic corpus, where quantity
+    and price are independent; the estimator's value here is the
+    certified algebra, and the near-agreement of the two slopes is
+    itself the no-measurement-error readout).
+
+    Scale shape: one exact-median pass (single-column scan), then
+    ONE grouped moment aggregate over {{hi, lo}} — both map-side
+    combinable (two groups); the median rides as a 1-row broadcast.
+    At 100 TB the median would come from the same bottom-k /
+    approx-quantile sketch machinery as ``exact_quantiles_totalprice``
+    with the grouping threshold unchanged in spirit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    med = li.agg(F.expr("percentile(x, 0.5)").alias("m"))
+    g = li.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("hi"),
+        "x",
+        "y",
+    )
+    m = g.groupBy("hi").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    hi1 = F.col("hi") == 1
+    t = m.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        (F.sum(F.when(hi1, F.col("sy"))) / F.sum(F.when(hi1, F.col("n"))))
+        .alias("yh"),
+        (F.sum(F.when(~hi1, F.col("sy"))) / F.sum(F.when(~hi1, F.col("n"))))
+        .alias("yl"),
+        (F.sum(F.when(hi1, F.col("sx"))) / F.sum(F.when(hi1, F.col("n"))))
+        .alias("xh"),
+        (F.sum(F.when(~hi1, F.col("sx"))) / F.sum(F.when(~hi1, F.col("n"))))
+        .alias("xl"),
+        F.sum(F.when(hi1, F.col("n"))).cast("long").alias("n_high"),
+        F.sum(F.when(~hi1, F.col("n"))).cast("long").alias("n_low"),
+    )
+    wald = (F.col("yh") - F.col("yl")) / (F.col("xh") - F.col("xl"))
+    return t.select(
+        "n_high",
+        "n_low",
+        wald.cast("float").alias("wald_slope"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .cast("float")
+        .alias("ols_slope"),
+        ((F.col("sy") - wald * F.col("sx")) / F.col("n"))
+        .cast("float")
+        .alias("wald_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian A/B test (exact Beta-Binomial P(B beats A))
+# ---------------------------------------------------------------------------
+
+#: per-user conversion = at least this many purchase events (the
+#: corpus-median purchase count, so both arms are non-degenerate at
+#: every SF); arm = user_id parity (the deterministic assignment).
+_BAYES_CONV_MIN = 14
+
+
+@register(
+    "bayes_ab_beta_binomial",
+    oracle=f"""
+    WITH per_user AS MATERIALIZED (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        FROM events GROUP BY user_id
+    ),
+    arms AS MATERIALIZED (
+        SELECT user_id % 2 AS arm,
+               CASE WHEN c >= {_BAYES_CONV_MIN} THEN 1 ELSE 0 END AS conv
+        FROM per_user
+    ),
+    p AS MATERIALIZED (
+        SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+               SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS sa,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb,
+               SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS sb
+        FROM arms
+    ),
+    ab AS MATERIALIZED (
+        SELECT na, sa, nb, sb,
+               sa + 1 AS a1, na - sa + 1 AS b1,
+               sb + 1 AS a2, nb - sb + 1 AS b2
+        FROM p
+    ),
+    lf AS MATERIALIZED (
+        SELECT g.n,
+               SUM(CASE WHEN g.n > 0 THEN ln(CAST(g.n AS DOUBLE))
+                        ELSE 0.0 END)
+                   OVER (ORDER BY g.n ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS lf
+        FROM (SELECT UNNEST(generate_series(0, a1 + b1 + a2 + b2)) AS n
+              FROM ab) g
+    ),
+    consts AS MATERIALIZED (
+        SELECT
+            SUM(CASE WHEN lf.n = ab.b1 + ab.b2 - 1 THEN lf.lf END) AS c1,
+            SUM(CASE WHEN lf.n = ab.b2 - 1 THEN lf.lf END) AS c2,
+            SUM(CASE WHEN lf.n = ab.a1 - 1 THEN lf.lf END)
+            + SUM(CASE WHEN lf.n = ab.b1 - 1 THEN lf.lf END)
+            - SUM(CASE WHEN lf.n = ab.a1 + ab.b1 - 1 THEN lf.lf END)
+                AS lnb_ab
+        FROM lf CROSS JOIN ab
+    ),
+    terms AS MATERIALIZED (
+        SELECT ab.a1, ab.b1, ab.b2,
+               UNNEST(generate_series(0, ab.a2 - 1)) AS i
+        FROM ab
+    ),
+    summed AS MATERIALIZED (
+        SELECT SUM(exp(
+            l1.lf + k.c1 - l2.lf
+            - ln(CAST(t.b2 + t.i AS DOUBLE))
+            - (l3.lf + k.c2 - l4.lf)
+            - k.lnb_ab)) AS prob
+        FROM terms t
+        CROSS JOIN consts k
+        JOIN lf l1 ON l1.n = t.a1 + t.i - 1
+        JOIN lf l2 ON l2.n = t.a1 + t.i + t.b1 + t.b2 - 1
+        JOIN lf l3 ON l3.n = t.i
+        JOIN lf l4 ON l4.n = t.i + t.b2
+    )
+    SELECT ab.na AS n_a, ab.sa AS s_a, ab.nb AS n_b, ab.sb AS s_b,
+           CAST(CAST(ab.sa AS DOUBLE) / ab.na AS REAL) AS rate_a,
+           CAST(CAST(ab.sb AS DOUBLE) / ab.nb AS REAL) AS rate_b,
+           CAST(summed.prob AS REAL) AS prob_b_beats_a
+    FROM ab CROSS JOIN summed
+    """,
+    tags=("ab-test", "bayesian", "beta-binomial", "experimentation",
+          "closed-form"),
+)
+def bayes_ab_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Bayesian A/B readout: P(conversion_B > conversion_A)
+    under independent Beta posteriors with uniform priors — the
+    decision-ready number a Bayesian experimentation stack reports
+    instead of a p-value, computed by the exact closed-form sum
+    P(B>A) = Σ_{{i<α_B}} B(α_A+i, β_A+β_B) / ((β_B+i)·B(1+i, β_B)·
+    B(α_A, β_A)) (Evan Miller's formula; all α, β are integers, so
+    every log-Beta reduces to log-factorials).
+
+    Engine-independence strategy: NO libm lgamma — both engines
+    build the SAME log-factorial relation (a number spine with a
+    running Σ ln k prefix sum), so the only cross-engine FP drift is
+    ulp-level summation order, absorbed by the float32 emit.  The
+    mirror test recomputes the probability with ``math.lgamma`` —
+    a genuinely independent special-function path.
+
+    Scale shape: conversion flags are one per-user aggregate; the
+    posterior parameters are ONE 4-cell aggregate; the spine and the
+    term sum are proportional to the number of CONVERSIONS in arm B
+    (not events), built with sequence→explode and reduced by one
+    aggregate — at 100 TB the heavy side stays two map-side-
+    combinable passes over events, and the Beta sum would remain
+    thousands of rows (or flip to the normal approximation the same
+    relation already carries the moments for).  The prefix sum runs
+    single-partition on the ~10^3-row spine; the range-partitioned
+    prefix machinery in ``operators/prefix.py`` is the documented
+    degrade path if the spine ever grew corpus-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c")
+    )
+    arms = per_user.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("c") >= _BAYES_CONV_MIN, 1).otherwise(0).alias("conv"),
+    )
+    a0, a1_ = F.col("arm") == 0, F.col("arm") == 1
+    p = arms.agg(
+        F.sum(F.when(a0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(a0, F.col("conv")).otherwise(0)).cast("long")
+        .alias("sa"),
+        F.sum(F.when(a1_, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(a1_, F.col("conv")).otherwise(0)).cast("long")
+        .alias("sb"),
+    )
+    ab = p.select(
+        "na",
+        "sa",
+        "nb",
+        "sb",
+        (F.col("sa") + 1).alias("a1"),
+        (F.col("na") - F.col("sa") + 1).alias("b1"),
+        (F.col("sb") + 1).alias("a2"),
+        (F.col("nb") - F.col("sb") + 1).alias("b2"),
+    )
+    # log-factorial relation lf(n) = ln(n!) for n = 0..a1+b1+a2+b2,
+    # via one ordered prefix sum over the ~10^3-row spine (documented
+    # single-partition window; see docstring for the degrade path).
+    spine = ab.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.col("a1") + F.col("b1") + F.col("a2") + F.col("b2"),
+            )
+        ).alias("n")
+    )
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    lf = spine.select(
+        "n",
+        F.sum(
+            F.when(F.col("n") > 0, F.log(F.col("n").cast("double")))
+            .otherwise(0.0)
+        )
+        .over(w)
+        .alias("lf"),
+    )
+    consts = (
+        lf.crossJoin(F.broadcast(ab))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n") == F.col("b1") + F.col("b2") - 1, F.col("lf")
+                )
+            ).alias("c1"),
+            F.sum(
+                F.when(F.col("n") == F.col("b2") - 1, F.col("lf"))
+            ).alias("c2"),
+            (
+                F.sum(F.when(F.col("n") == F.col("a1") - 1, F.col("lf")))
+                + F.sum(F.when(F.col("n") == F.col("b1") - 1, F.col("lf")))
+                - F.sum(
+                    F.when(
+                        F.col("n") == F.col("a1") + F.col("b1") - 1,
+                        F.col("lf"),
+                    )
+                )
+            ).alias("lnb_ab"),
+        )
+    )
+    terms = ab.select(
+        "a1",
+        "b1",
+        "b2",
+        F.explode(F.sequence(F.lit(0), F.col("a2") - 1)).alias("i"),
+    )
+    l1, l2, l3, l4 = (lf.alias(x) for x in ("l1", "l2", "l3", "l4"))
+    summed = (
+        terms.crossJoin(F.broadcast(consts))
+        .join(
+            F.broadcast(l1),
+            F.col("l1.n") == F.col("a1") + F.col("i") - 1,
+        )
+        .join(
+            F.broadcast(l2),
+            F.col("l2.n")
+            == F.col("a1") + F.col("i") + F.col("b1") + F.col("b2") - 1,
+        )
+        .join(F.broadcast(l3), F.col("l3.n") == F.col("i"))
+        .join(F.broadcast(l4), F.col("l4.n") == F.col("i") + F.col("b2"))
+        .agg(
+            F.sum(
+                F.exp(
+                    F.col("l1.lf")
+                    + F.col("c1")
+                    - F.col("l2.lf")
+                    - F.log((F.col("b2") + F.col("i")).cast("double"))
+                    - (F.col("l3.lf") + F.col("c2") - F.col("l4.lf"))
+                    - F.col("lnb_ab")
+                )
+            ).alias("prob")
+        )
+    )
+    return ab.crossJoin(F.broadcast(summed)).select(
+        F.col("na").alias("n_a"),
+        F.col("sa").alias("s_a"),
+        F.col("nb").alias("n_b"),
+        F.col("sb").alias("s_b"),
+        (F.col("sa").cast("double") / F.col("na"))
+        .cast("float")
+        .alias("rate_a"),
+        (F.col("sb").cast("double") / F.col("nb"))
+        .cast("float")
+        .alias("rate_b"),
+        F.col("prob").cast("float").alias("prob_b_beats_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Directed weighted modularity of the region partition on the trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_modularity_regions",
+    oracle="""
+    WITH edges AS (
+        SELECT ns.n_regionkey AS src_r, nc.n_regionkey AS dst_r,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (SELECT SUM(w) AS m FROM edges),
+    comm AS (
+        SELECT r.r_name,
+               COALESCE(i.w, 0.0) AS internal_w,
+               COALESCE(o.w, 0.0) AS out_w,
+               COALESCE(d.w, 0.0) AS in_w
+        FROM region r
+        LEFT JOIN (SELECT src_r, SUM(w) AS w FROM edges
+                   WHERE src_r = dst_r GROUP BY 1) i
+               ON i.src_r = r.r_regionkey
+        LEFT JOIN (SELECT src_r, SUM(w) AS w FROM edges GROUP BY 1) o
+               ON o.src_r = r.r_regionkey
+        LEFT JOIN (SELECT dst_r, SUM(w) AS w FROM edges GROUP BY 1) d
+               ON d.dst_r = r.r_regionkey
+    )
+    SELECT c.r_name AS region,
+           CAST(c.internal_w / m.m AS REAL) AS internal_frac,
+           CAST(c.out_w / m.m AS REAL) AS out_frac,
+           CAST(c.in_w / m.m AS REAL) AS in_frac,
+           CAST(c.internal_w / m.m
+                - (c.out_w / m.m) * (c.in_w / m.m) AS REAL)
+               AS q_contribution
+    FROM comm c CROSS JOIN m
+    ORDER BY region
+    """,
+    tags=("graph", "modularity", "community", "partition-quality"),
+)
+def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted modularity (Leicht & Newman 2008) of the
+    REGION partition on the nation-to-nation trade graph — the
+    partition-quality score that tells you whether a community
+    assignment (here: geography; in practice the output of
+    ``label_propagation_communities``) explains the edge mass:
+    Q = Σ_c (e_c/m − (out_c/m)(in_c/m)), per-community contributions
+    emitted so the reader sees WHICH communities trade internally
+    versus across the cut (on this uniform synthetic corpus each
+    region's contribution ≈ 0 — flow is geography-blind — which is
+    the honest readout, and exactly what the statistic is for).
+
+    Scale shape: the ONLY corpus-sized work is the one edge
+    aggregation (same broadcast-dimension join tree as
+    ``pagerank_trade_graph``); modularity itself runs on the ≤ 25²
+    edge relation — three tiny grouped sums and a broadcast total.
+    Community assignment is a relation, not a constant: swap the
+    region map for any (node → community) table and the plan shape
+    is unchanged."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("ck"),
+                    F.col("n_regionkey").alias("dst_r"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("sk"),
+                    F.col("n_regionkey").alias("src_r"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src_r", "dst_r")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("w")
+        )
+    )
+    m = edges.agg(F.sum("w").alias("m"))
+    internal = (
+        edges.filter(F.col("src_r") == F.col("dst_r"))
+        .groupBy("src_r")
+        .agg(F.sum("w").alias("iw"))
+    )
+    outw = edges.groupBy("src_r").agg(F.sum("w").alias("ow"))
+    inw = edges.groupBy("dst_r").agg(F.sum("w").alias("dw"))
+    comm = (
+        r.join(
+            F.broadcast(internal), r.r_regionkey == internal.src_r, "left"
+        )
+        .drop("src_r")
+        .join(F.broadcast(outw), r.r_regionkey == outw.src_r, "left")
+        .drop("src_r")
+        .join(F.broadcast(inw), r.r_regionkey == inw.dst_r, "left")
+        .drop("dst_r")
+        .select(
+            "r_name",
+            F.coalesce(F.col("iw"), F.lit(0.0)).alias("internal_w"),
+            F.coalesce(F.col("ow"), F.lit(0.0)).alias("out_w"),
+            F.coalesce(F.col("dw"), F.lit(0.0)).alias("in_w"),
+        )
+    )
+    return (
+        comm.crossJoin(F.broadcast(m))
+        .select(
+            F.col("r_name").alias("region"),
+            (F.col("internal_w") / F.col("m"))
+            .cast("float")
+            .alias("internal_frac"),
+            (F.col("out_w") / F.col("m")).cast("float").alias("out_frac"),
+            (F.col("in_w") / F.col("m")).cast("float").alias("in_frac"),
+            (
+                F.col("internal_w") / F.col("m")
+                - (F.col("out_w") / F.col("m")) * (F.col("in_w") / F.col("m"))
+            )
+            .cast("float")
+            .alias("q_contribution"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson overdispersion test (order counts per customer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "overdispersion_poisson",
+    oracle="""
+    WITH y AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey)::DOUBLE AS y
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(y) AS s, SUM(y * y) AS ss
+        FROM y
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s / n AS REAL) AS mean_orders,
+           CAST((ss - s * s / n) / (n - 1) AS REAL) AS var_orders,
+           CAST(((ss - s * s / n) / (n - 1)) / (s / n) AS REAL)
+               AS dispersion_index,
+           CAST(sqrt((n - 1) / 2.0)
+                * (((ss - s * s / n) / (n - 1)) / (s / n) - 1) AS REAL)
+               AS z_score,
+           CASE WHEN sqrt((n - 1) / 2.0)
+                     * (((ss - s * s / n) / (n - 1)) / (s / n) - 1)
+                     > 1.6449
+                THEN 1 ELSE 0 END AS overdispersed
+    FROM m
+    """,
+    tags=("overdispersion", "poisson", "count-model", "diagnostics",
+          "shared-algebra"),
+)
+def overdispersion_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion test on per-customer order counts —
+    the diagnostic that must run BEFORE trusting
+    ``glm_poisson_orders``'s standard errors: if Var(y) > E[y] the
+    Poisson likelihood understates uncertainty and a
+    negative-binomial / quasi-Poisson refit is needed.  Statistic:
+    dispersion index s²/ȳ and its normal-approximation z-score
+    √((n−1)/2)·(s²/ȳ − 1) (Böhning 1994's standardization of the
+    χ² dispersion statistic); on this corpus order placement is
+    binomial-uniform, so the index sits at ≈ 1 and the test
+    correctly does not fire — the honest negative readout.
+
+    Scale shape: one per-customer count aggregate (the same frame
+    as the GLM), one 3-cell moment aggregate, both map-side
+    combinable; the statistic is closed-form moment algebra on the
+    1-row moment relation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    y = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("double").alias("y"))
+    )
+    m = y.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    mean = F.col("s") / F.col("n")
+    z = F.sqrt((F.col("n") - 1) / 2.0) * (var / mean - 1)
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        mean.cast("float").alias("mean_orders"),
+        var.cast("float").alias("var_orders"),
+        (var / mean).cast("float").alias("dispersion_index"),
+        z.cast("float").alias("z_score"),
+        F.when(z > 1.6449, 1).otherwise(0).alias("overdispersed"),
+    )

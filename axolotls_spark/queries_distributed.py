@@ -1451,3 +1451,199 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_approx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (two-sample rank test) via distributed average ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_whitney_u",
+    oracle="""
+    WITH j AS (
+        SELECT l_linestatus AS grp, l_extendedprice AS v FROM lineitem
+    ),
+    r AS (
+        SELECT grp,
+               RANK() OVER (ORDER BY v)
+                 + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS ar,
+               v
+        FROM j
+    ),
+    g AS (
+        SELECT SUM(CASE WHEN grp = 'F' THEN ar END) AS ra,
+               SUM(CASE WHEN grp = 'F' THEN 1 ELSE 0 END)::DOUBLE AS na,
+               SUM(CASE WHEN grp <> 'F' THEN 1 ELSE 0 END)::DOUBLE AS nb
+        FROM r
+    ),
+    ties AS (
+        SELECT COALESCE(SUM(t*t*t - t), 0)::DOUBLE AS tie
+        FROM (SELECT COUNT(*)::DOUBLE AS t FROM j GROUP BY v)
+    ),
+    s AS (
+        SELECT na, nb, na + nb AS n,
+               ra - na * (na + 1) / 2 AS u
+        FROM g
+    )
+    SELECT CAST(s.na AS BIGINT) AS n_a, CAST(s.nb AS BIGINT) AS n_b,
+           CAST(s.u AS REAL) AS u_stat,
+           CAST(s.u / (s.na * s.nb) AS REAL) AS cles,
+           CAST((s.u - s.na * s.nb / 2)
+                / sqrt(s.na * s.nb / 12.0
+                       * ((s.n + 1) - t.tie / (s.n * (s.n - 1))))
+                AS REAL) AS z_score
+    FROM s CROSS JOIN ties t
+    """,
+    tags=("mann-whitney", "rank-test", "nonparametric", "two-sample",
+          "distributed-rank", "prefix-sum"),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) comparing extended price
+    between the two line statuses — the two-sample member of the
+    nonparametric family (``kruskal_wallis_segments`` is its k-group
+    generalization, ``ks_two_sample`` its distribution-shape
+    sibling): U with exact midranks for ties, the tie-corrected
+    normal z (no continuity correction — documented), and the
+    common-language effect size U/(n_A·n_B) = P(random A > random B),
+    which is what a reviewer should read instead of the p-value at
+    this sample size.
+
+    Scale shape: identical to Kruskal–Wallis — global average ranks
+    come from the distributed prefix sum over the DISTINCT-VALUE
+    relation (operators/prefix.ranked_cumsum: avg_rank(v) =
+    C_<v + (t_v+1)/2), so there is no corpus-wide sort and no
+    single-partition window; one equi-join back on value, one 2-cell
+    aggregate, and the tie term rides the same distinct-value
+    relation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    dv = li.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("t"))
+    rc = ranked_cumsum(
+        dv, [F.asc("v")], "t", rank_name="_rn", cum_name="cumt"
+    ).select(
+        "v",
+        (F.col("cumt") - F.col("t") + (F.col("t") + 1) / 2).alias("ar"),
+    )
+    isa = F.col("grp") == "F"
+    g = li.join(rc, "v").agg(
+        F.sum(F.when(isa, F.col("ar"))).alias("ra"),
+        F.sum(F.when(isa, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~isa, 1).otherwise(0)).cast("double").alias("nb"),
+    )
+    ties = dv.agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            F.lit(0.0),
+        ).alias("tie")
+    )
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    n = F.col("na") + F.col("nb")
+    return g.crossJoin(F.broadcast(ties)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        u.cast("float").alias("u_stat"),
+        (u / (F.col("na") * F.col("nb"))).cast("float").alias("cles"),
+        (
+            (u - F.col("na") * F.col("nb") / 2)
+            / F.sqrt(
+                F.col("na")
+                * F.col("nb")
+                / 12.0
+                * ((n + 1) - F.col("tie") / (n * (n - 1)))
+            )
+        )
+        .cast("float")
+        .alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-equality test (ANOVA on |y - group median|)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brown_forsythe_variance",
+    oracle="""
+    WITH base AS (
+        SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS y
+        FROM customer
+    ),
+    med AS (
+        SELECT seg, quantile_cont(y, 0.5) AS md FROM base GROUP BY seg
+    ),
+    z AS (
+        SELECT b.seg, ABS(b.y - m.md) AS z
+        FROM base b JOIN med m ON b.seg = m.seg
+    ),
+    g AS (
+        SELECT seg, COUNT(*)::DOUBLE AS ng, SUM(z) AS sz,
+               SUM(z * z) AS szz
+        FROM z GROUP BY seg
+    ),
+    t AS (
+        SELECT COUNT(*)::DOUBLE AS k, SUM(ng) AS n, SUM(sz) AS s,
+               SUM(sz * sz / ng) AS sgm,
+               SUM(szz) AS ss
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+           CAST(((sgm - s * s / n) / (k - 1))
+                / ((ss - sgm) / (n - k)) AS REAL) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within
+    FROM t
+    """,
+    tags=("brown-forsythe", "levene", "variance-equality", "anova",
+          "diagnostics", "shared-algebra"),
+)
+def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test for equal variances across market
+    segments — the robust (median-centered) Levene variant, and the
+    diagnostic that must pass BEFORE ``anova_oneway_segments``'s
+    pooled-variance F is trustworthy: it is literally a one-way
+    ANOVA on the absolute deviations z = |y − median_g|, so unequal
+    spread shows up as a mean shift in z.  Median centering (not
+    mean) is what makes it robust to the heavy tails that break
+    classic Levene.
+
+    Scale shape: one exact per-group median pass (5 groups), one
+    broadcast join of the 5-row median relation back onto the scan,
+    then the standard ANOVA moment algebra — two grouped aggregates,
+    all map-side combinable, no windows."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("y"),
+    )
+    med = base.groupBy("seg").agg(F.expr("percentile(y, 0.5)").alias("md"))
+    z = base.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("y") - F.col("md")).alias("z")
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sz").alias("s"),
+        F.sum(F.col("sz") * F.col("sz") / F.col("ng")).alias("sgm"),
+        F.sum("szz").alias("ss"),
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("k_groups"),
+        (
+            ((F.col("sgm") - F.col("s") * F.col("s") / F.col("n"))
+             / (F.col("k") - 1))
+            / ((F.col("ss") - F.col("sgm")) / (F.col("n") - F.col("k")))
+        )
+        .cast("float")
+        .alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+    )

@@ -1495,3 +1495,129 @@ def hll_rollup_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("long").alias("n_exact"),
         F.round(corrected, 4).alias("n_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable bottom-k quantile sketch with rollup
+# ---------------------------------------------------------------------------
+
+_BK_K = 1024
+_BK_TOL = (10, 100)  # |est - exact| <= 10% of exact
+
+
+@register(
+    "quantile_sketch_rollup",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM orders
+    ),
+    sk AS (
+        SELECT grp, v, h FROM (
+            SELECT grp, v, h,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h, v) AS rn
+            FROM ranked
+        ) WHERE rn <= {_BK_K}
+    ),
+    msk AS (SELECT v FROM sk ORDER BY h, v LIMIT {_BK_K}),
+    est AS (
+        SELECT grp, quantile_cont(v, 0.5) AS est,
+               COUNT(*)::BIGINT AS sketch_rows
+        FROM sk GROUP BY grp
+        UNION ALL
+        SELECT 'ALL', quantile_cont(v, 0.5), COUNT(*)::BIGINT FROM msk
+    ),
+    ex AS (
+        SELECT o_orderpriority AS grp,
+               quantile_cont(o_totalprice, 0.5) AS exact
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', quantile_cont(o_totalprice, 0.5) FROM orders
+    )
+    SELECT e.grp, e.sketch_rows,
+           CAST(e.est AS REAL) AS est_median,
+           CAST(x.exact AS REAL) AS exact_median,
+           CASE WHEN ABS(e.est - x.exact) * {_BK_TOL[1]}
+                     <= {_BK_TOL[0]} * x.exact
+                THEN 1 ELSE 0 END AS within_tol
+    FROM est e JOIN ex x USING (grp)
+    ORDER BY grp
+    """,
+    tags=("sketch", "quantile", "bottom-k", "mergeable", "rollup",
+          "bound-oracle"),
+)
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch with a rollup merge — the
+    quantile member of the sketch family (``hll_rollup_priorities``
+    merges distinct-count registers, ``kmv_set_algebra`` merges KMV
+    samples; this merges uniform samples for ORDER STATISTICS): keep
+    the k rows with the lowest content hash per group (a
+    deterministic uniform sample), estimate the median from the
+    sample, and — the mergeability proof — build the ALL-level
+    sketch FROM the per-group sketches (bottom-k of a union equals
+    bottom-k of the union's bottom-k's), never rescanning the fact
+    table.  Relative rank error is O(1/√k) ≈ 3.1% at k=1024; the
+    oracle pins |est − exact| ≤ 10% of exact as an integer bound
+    column, plus the exact float32 sample medians (the sample is
+    content-addressed, so both engines pick IDENTICAL rows).
+
+    Scale shape: the per-group sketch is one partitioned window
+    (top-k by hash within each of the 5 priority groups); the merge
+    level is TakeOrderedAndProject over the ≤ 5k sketch rows — no
+    single-partition funnel over corpus data, and at 100 TB each
+    rollup level costs only sketch-sized work, the same contract as
+    the HLL rollup.  The exact medians exist only to certify the
+    bound and would be dropped in production."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        token_hash(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("grp").orderBy("h", "v")
+    sk = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BK_K)
+        .drop("rn")
+    )
+    msk = sk.orderBy("h", "v").limit(_BK_K).select("v")
+    est = sk.groupBy("grp").agg(
+        F.expr("percentile(v, 0.5)").alias("est"),
+        F.count(F.lit(1)).cast("long").alias("sketch_rows"),
+    ).unionAll(
+        msk.agg(
+            F.lit("ALL").alias("grp"),
+            F.expr("percentile(v, 0.5)").alias("est"),
+            F.count(F.lit(1)).cast("long").alias("sketch_rows"),
+        )
+    )
+    ex = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact")
+    ).unionAll(
+        o.agg(
+            F.lit("ALL").alias("grp"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        )
+    )
+    tol_n, tol_d = _BK_TOL
+    return (
+        est.join(ex, "grp")
+        .select(
+            "grp",
+            "sketch_rows",
+            F.col("est").cast("float").alias("est_median"),
+            F.col("exact").cast("float").alias("exact_median"),
+            F.when(
+                F.abs(F.col("est") - F.col("exact")) * tol_d
+                <= tol_n * F.col("exact"),
+                1,
+            )
+            .otherwise(0)
+            .alias("within_tol"),
+        )
+        .orderBy("grp")
+    )

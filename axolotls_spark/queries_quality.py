@@ -780,3 +780,138 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("risk_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HBOS — histogram-based outlier score (top anomalies)
+# ---------------------------------------------------------------------------
+
+_HBOS_BINS = 16
+_HBOS_TOPK = 20
+_HBOS_FEATURES = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _hbos_bin_sql(col: str) -> str:
+    b = _HBOS_BINS
+    return (
+        f"CAST(LEAST(FLOOR((CAST({col} AS DOUBLE) - mn_{col}) * {b}.0"
+        f" / (mx_{col} - mn_{col})), {b - 1}) AS INTEGER)"
+    )
+
+
+@register(
+    "hbos_outlier_scores",
+    oracle=f"""
+    WITH stats AS (
+        SELECT {', '.join(f'MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}'
+                          for c in _HBOS_FEATURES)},
+               COUNT(*)::BIGINT AS n
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               {', '.join(f'{_hbos_bin_sql(c)} AS b_{c}'
+                          for c in _HBOS_FEATURES)}
+        FROM lineitem l CROSS JOIN stats
+    ),
+    {', '.join(f'''h_{c} AS (
+        SELECT b_{c} AS b, COUNT(*)::BIGINT AS c_{c}
+        FROM binned GROUP BY 1
+    )''' for c in _HBOS_FEATURES)}
+    SELECT x.l_orderkey, x.l_linenumber,
+           {', '.join(f'x.b_{c} AS bin_{i}'
+                      for i, c in enumerate(_HBOS_FEATURES))},
+           {' * '.join(f'h_{c}.c_{c}' for c in _HBOS_FEATURES)}
+               AS rarity_product,
+           CAST(3.0 * ln(CAST(s.n AS DOUBLE))
+                - {' - '.join(f'ln(CAST(h_{c}.c_{c} AS DOUBLE))'
+                              for c in _HBOS_FEATURES)} AS REAL)
+               AS hbos_score
+    FROM binned x
+    {' '.join(f'JOIN h_{c} ON h_{c}.b = x.b_{c}' for c in _HBOS_FEATURES)}
+    CROSS JOIN stats s
+    ORDER BY rarity_product, x.l_orderkey, x.l_linenumber
+    LIMIT {_HBOS_TOPK}
+    """,
+    tags=("anomaly", "hbos", "outlier", "histogram", "unsupervised"),
+)
+def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012) — the
+    linear-time unsupervised anomaly detector: per-feature
+    equal-width histograms, score = Σ_f −log(density_f(x)), top-k
+    most anomalous line items.  The multivariate sibling of
+    ``anomaly_zscore_orders`` (z-score assumes unimodal Gaussian;
+    HBOS only assumes feature independence and handles multimodal
+    marginals).
+
+    Engine-exact ranking trick: −Σ log(count) is monotone in the
+    PRODUCT of the three bin counts, so the top-k ORDER BY runs on
+    ``rarity_product`` — an exact BIGINT (counts ≤ 6·10^5 cubed
+    < 2^63) with an integer (orderkey, linenumber) tiebreak — and
+    the float score is emitted for display only; no float ever
+    decides the ranking, so libm ulp differences cannot flip rows
+    in or out of the result.
+
+    Scale shape: ONE stats pass (min/max, map-combinable), bin ids
+    from a broadcast 1-row stats relation, three ≤16-row histogram
+    aggregates broadcast-joined back, and the top-k is
+    TakeOrderedAndProject — no global sort, no shuffle of the
+    corpus beyond the three tiny histogram aggregates."""
+    b, feats = _HBOS_BINS, list(_HBOS_FEATURES)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *feats
+    )
+    stats = li.agg(
+        *[
+            agg
+            for c in feats
+            for agg in (
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            )
+        ],
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    binned = li.crossJoin(F.broadcast(stats))
+    for c in feats:
+        binned = binned.withColumn(
+            f"b_{c}",
+            F.least(
+                F.floor(
+                    (F.col(c).cast("double") - F.col(f"mn_{c}"))
+                    * float(b)
+                    / (F.col(f"mx_{c}") - F.col(f"mn_{c}"))
+                ),
+                F.lit(b - 1).cast("bigint"),
+            ).cast("int"),
+        )
+    binned = binned.select(
+        "l_orderkey", "l_linenumber", "n", *[f"b_{c}" for c in feats]
+    )
+    out = binned
+    for c in feats:
+        h = (
+            binned.groupBy(F.col(f"b_{c}").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{c}"))
+        )
+        out = out.join(F.broadcast(h), out[f"b_{c}"] == h["b"]).drop("b")
+    prod = F.col(f"c_{feats[0]}")
+    for c in feats[1:]:
+        prod = prod * F.col(f"c_{c}")
+    score = F.lit(3.0) * F.log(F.col("n").cast("double"))
+    for c in feats:
+        score = score - F.log(F.col(f"c_{c}").cast("double"))
+    return (
+        out.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[
+                F.col(f"b_{c}").alias(f"bin_{i}")
+                for i, c in enumerate(feats)
+            ],
+            prod.alias("rarity_product"),
+            score.cast("float").alias("hbos_score"),
+        )
+        .orderBy("rarity_product", "l_orderkey", "l_linenumber")
+        .limit(_HBOS_TOPK)
+    )

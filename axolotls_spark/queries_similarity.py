@@ -1802,3 +1802,177 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.cast("float").alias("weight"),
         (weight * agreement).cast("float").alias("contribution"),
     ).orderBy("depth")
+
+
+# ---------------------------------------------------------------------------
+# Linear CKA — representation alignment between two feature blocks
+# ---------------------------------------------------------------------------
+
+_CKA_D = 16  # block size: dims 1..16 vs 17..32
+
+
+@register(
+    "cka_embedding_alignment",
+    oracle=f"""
+    WITH long AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    xl AS (SELECT vec_id, pos AS i, val AS xv FROM long
+           WHERE pos <= {_CKA_D}),
+    yl AS (SELECT vec_id, pos - {_CKA_D} AS j, val AS yv FROM long
+           WHERE pos > {_CKA_D} AND pos <= {2 * _CKA_D}),
+    mx AS (SELECT i, SUM(xv) AS sx, COUNT(*)::DOUBLE AS n
+           FROM xl GROUP BY i),
+    my AS (SELECT j, SUM(yv) AS sy FROM yl GROUP BY j),
+    sxy AS (
+        SELECT x.i, y.j, SUM(x.xv * y.yv) AS s
+        FROM xl x JOIN yl y ON x.vec_id = y.vec_id GROUP BY x.i, y.j
+    ),
+    sxx AS (
+        SELECT a.i, b.i AS i2, SUM(a.xv * b.xv) AS s
+        FROM xl a JOIN xl b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+    ),
+    syy AS (
+        SELECT a.j, b.j AS j2, SUM(a.yv * b.yv) AS s
+        FROM yl a JOIN yl b ON a.vec_id = b.vec_id GROUP BY a.j, b.j
+    ),
+    hxy AS (
+        SELECT SUM(POW(sxy.s - mxa.sx * mya.sy / mxa.n, 2)) AS h
+        FROM sxy JOIN mx mxa ON mxa.i = sxy.i
+                 JOIN my mya ON mya.j = sxy.j
+    ),
+    hxx AS (
+        SELECT SUM(POW(sxx.s - a.sx * b.sx / a.n, 2)) AS h
+        FROM sxx JOIN mx a ON a.i = sxx.i JOIN mx b ON b.i = sxx.i2
+    ),
+    hyy AS (
+        SELECT SUM(POW(syy.s - a.sy * b.sy / mn.n, 2)) AS h
+        FROM syy JOIN my a ON a.j = syy.j JOIN my b ON b.j = syy.j2
+        CROSS JOIN (SELECT MAX(n) AS n FROM mx) mn
+    )
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM mx) AS n_rows,
+           {_CKA_D} AS d_x, {_CKA_D} AS d_y,
+           CAST(hxy.h / (sqrt(hxx.h) * sqrt(hyy.h)) AS REAL)
+               AS cka_linear
+    FROM hxy CROSS JOIN hxx CROSS JOIN hyy
+    """,
+    tags=("cka", "representation-similarity", "embedding", "alignment",
+          "second-moment"),
+)
+def cka_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Centered Kernel Alignment (Kornblith et al. 2019)
+    between two feature blocks of the embedding space (dims 1..16 vs
+    17..32) — the standard representation-similarity statistic for
+    questions like "does the projected/quantized/new-checkpoint
+    space preserve the geometry of the old one".  Linear CKA =
+    ‖Cov(X,Y)‖²_F / (‖Cov(X,X)‖_F · ‖Cov(Y,Y)‖_F); a value near 0
+    says the blocks carry independent directions (as expected on
+    this synthetic corpus), near 1 says they are rotations of each
+    other.
+
+    The covariances are computed the distributed way: ONE long-form
+    explode, then (i,j)-keyed co-moment aggregates Σ x_i·y_j — the
+    N×d corpus is reduced to d² co-moment cells by an equi-join on
+    vec_id (each row meets only its own d² feature pairs — work is
+    N·d², never N²), and the centering term subtracts the broadcast
+    per-dim means.  At 100 TB this is the same Gram-partial pattern
+    ``pca_project_embeddings`` uses, with the d×d result tiny by
+    construction; the mirror test recomputes CKA from raw NumPy
+    matrices (centering first, then one matmul — a genuinely
+    different evaluation order)."""
+    d = _CKA_D
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("val"),
+    )
+    xl = emb.filter(F.col("pos") <= d).select(
+        "vec_id", F.col("pos").alias("i"), F.col("val").alias("xv")
+    )
+    yl = emb.filter((F.col("pos") > d) & (F.col("pos") <= 2 * d)).select(
+        "vec_id", (F.col("pos") - d).alias("j"), F.col("val").alias("yv")
+    )
+    mx = xl.groupBy("i").agg(
+        F.sum("xv").alias("sx"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    my = yl.groupBy("j").agg(F.sum("yv").alias("sy"))
+    sxy = (
+        xl.alias("x")
+        .join(yl.alias("y"), "vec_id")
+        .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
+        .agg(F.sum(F.col("x.xv") * F.col("y.yv")).alias("s"))
+    )
+    sxx = (
+        xl.alias("a")
+        .join(xl.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("i2"))
+        .agg(F.sum(F.col("a.xv") * F.col("b.xv")).alias("s"))
+    )
+    syy = (
+        yl.alias("a")
+        .join(yl.alias("b"), "vec_id")
+        .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("j2"))
+        .agg(F.sum(F.col("a.yv") * F.col("b.yv")).alias("s"))
+    )
+    hxy = (
+        sxy.join(F.broadcast(mx), "i")
+        .join(F.broadcast(my), "j")
+        .agg(
+            F.sum(
+                F.pow(
+                    F.col("s") - F.col("sx") * F.col("sy") / F.col("n"), 2
+                )
+            ).alias("hxy")
+        )
+    )
+    mxa = mx.select(F.col("i"), F.col("sx").alias("sxa"), F.col("n"))
+    mxb = mx.select(F.col("i").alias("i2"), F.col("sx").alias("sxb"))
+    hxx = (
+        sxx.join(F.broadcast(mxa), "i")
+        .join(F.broadcast(mxb), "i2")
+        .agg(
+            F.sum(
+                F.pow(
+                    F.col("s") - F.col("sxa") * F.col("sxb") / F.col("n"),
+                    2,
+                )
+            ).alias("hxx")
+        )
+    )
+    mya = my.select(F.col("j"), F.col("sy").alias("sya"))
+    myb = my.select(F.col("j").alias("j2"), F.col("sy").alias("syb"))
+    nrow = mx.agg(F.max("n").alias("n"))
+    hyy = (
+        syy.join(F.broadcast(mya), "j")
+        .join(F.broadcast(myb), "j2")
+        .crossJoin(F.broadcast(nrow))
+        .agg(
+            F.sum(
+                F.pow(
+                    F.col("s") - F.col("sya") * F.col("syb") / F.col("n"),
+                    2,
+                )
+            ).alias("hyy")
+        )
+    )
+    return (
+        hxy.crossJoin(F.broadcast(hxx))
+        .crossJoin(F.broadcast(hyy))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.lit(d).alias("d_x"),
+            F.lit(d).alias("d_y"),
+            (
+                F.col("hxy")
+                / (F.sqrt(F.col("hxx")) * F.sqrt(F.col("hyy")))
+            )
+            .cast("float")
+            .alias("cka_linear"),
+        )
+    )

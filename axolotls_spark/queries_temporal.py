@@ -1455,3 +1455,122 @@ def max_drawdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("float").alias("trough_rev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest (naive / seasonal-naive / MA-7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_backtest_metrics",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, y,
+               LAG(y, 1) OVER (ORDER BY day) AS f_naive,
+               LAG(y, 7) OVER (ORDER BY day) AS f_snaive,
+               AVG(y) OVER (ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS f_ma7,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    eval_rows AS (SELECT * FROM lagged WHERE rn > 7),
+    scale AS (
+        SELECT AVG(ABS(y - f_snaive)) AS mae_snaive FROM eval_rows
+    ),
+    m AS (
+        SELECT 'naive' AS method, COUNT(*)::BIGINT AS n_days,
+               AVG(ABS(y - f_naive)) AS mae,
+               AVG(2.0 * ABS(y - f_naive) / (ABS(y) + ABS(f_naive)))
+                   AS smape
+        FROM eval_rows
+        UNION ALL
+        SELECT 'seasonal_naive', COUNT(*)::BIGINT,
+               AVG(ABS(y - f_snaive)),
+               AVG(2.0 * ABS(y - f_snaive) / (ABS(y) + ABS(f_snaive)))
+        FROM eval_rows
+        UNION ALL
+        SELECT 'moving_avg_7', COUNT(*)::BIGINT,
+               AVG(ABS(y - f_ma7)),
+               AVG(2.0 * ABS(y - f_ma7) / (ABS(y) + ABS(f_ma7)))
+        FROM eval_rows
+    )
+    SELECT m.method, m.n_days,
+           CAST(m.mae AS REAL) AS mae,
+           CAST(m.smape AS REAL) AS smape,
+           CAST(m.mae / s.mae_snaive AS REAL) AS mase
+    FROM m CROSS JOIN scale s
+    ORDER BY m.method
+    """,
+    tags=("forecast", "backtest", "smape", "mase", "timeseries",
+          "evaluation"),
+)
+def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step backtest of three baseline
+    forecasters over daily revenue — the evaluation harness that
+    belongs NEXT TO any forecaster (``forecast_linear_28d``,
+    ``forecast_conformal_interval``): naive (yesterday),
+    seasonal-naive (same weekday last week), and a trailing 7-day
+    moving average, scored with MAE, sMAPE, and MASE (Hyndman &
+    Koehler 2006 — MAE scaled by the seasonal-naive MAE, so values
+    < 1 mean "beats the seasonal baseline").  Every day after the
+    first week is a fold: each row's forecast uses only strictly
+    earlier days (LAG / trailing frame), which is what makes this a
+    genuine out-of-sample backtest rather than a fit statistic.
+
+    Scale shape: identical to ``ewma_daily_revenue`` — the windowed
+    relation is the calendar-bounded daily aggregate (~10^3 rows
+    regardless of fact volume; the one corpus-sized shuffle is the
+    groupBy(day)), then three metric aggregates over it.  Per-SKU /
+    per-entity backtests partition the same windows by the entity
+    key."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 7).over(w).alias("f_snaive"),
+        F.avg("y").over(w.rowsBetween(-7, -1)).alias("f_ma7"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") > 7)
+    scale = lagged.agg(
+        F.avg(F.abs(F.col("y") - F.col("f_snaive"))).alias("mae_snaive")
+    )
+
+    def metrics(fcol: str, label: str) -> DataFrame:
+        err = F.abs(F.col("y") - F.col(fcol))
+        return lagged.agg(
+            F.lit(label).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.avg(err).alias("mae"),
+            F.avg(
+                2.0 * err / (F.abs(F.col("y")) + F.abs(F.col(fcol)))
+            ).alias("smape"),
+        )
+
+    m = (
+        metrics("f_naive", "naive")
+        .unionAll(metrics("f_snaive", "seasonal_naive"))
+        .unionAll(metrics("f_ma7", "moving_avg_7"))
+    )
+    return (
+        m.crossJoin(F.broadcast(scale))
+        .select(
+            "method",
+            "n_days",
+            F.col("mae").cast("float").alias("mae"),
+            F.col("smape").cast("float").alias("smape"),
+            (F.col("mae") / F.col("mae_snaive")).cast("float").alias("mase"),
+        )
+        .orderBy("method")
+    )

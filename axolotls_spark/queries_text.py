@@ -2434,3 +2434,149 @@ def kappa_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (corpus-level)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+_RAKE_TOPK = 15
+
+
+@register(
+    "rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts({_SQL_TOKENS}, 1) AS pos,
+               unnest({_SQL_TOKENS}) AS tok
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, pos, tok,
+               tok IN {_RAKE_STOPWORDS} AS stop,
+               SUM(CASE WHEN tok IN {_RAKE_STOPWORDS} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seg
+        FROM toks
+    ),
+    members AS (SELECT doc_id, seg, pos, tok FROM seg WHERE NOT stop),
+    phrases AS (
+        SELECT doc_id, seg,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               COUNT(*)::BIGINT AS len
+        FROM members GROUP BY doc_id, seg
+    ),
+    wstat AS (
+        SELECT m.tok,
+               COUNT(*)::BIGINT AS freq,
+               SUM(p.len)::BIGINT AS deg
+        FROM members m JOIN phrases p USING (doc_id, seg)
+        GROUP BY m.tok
+    ),
+    occ AS (
+        SELECT p.phrase, p.len, p.doc_id, p.seg,
+               SUM(w.deg)::BIGINT AS sum_deg,
+               SUM(CAST(w.deg AS DOUBLE) / w.freq) AS score
+        FROM members m
+        JOIN phrases p USING (doc_id, seg)
+        JOIN wstat w ON w.tok = m.tok
+        GROUP BY p.phrase, p.len, p.doc_id, p.seg
+    )
+    SELECT phrase, MIN(len) AS n_words,
+           COUNT(*)::BIGINT AS n_occurrences,
+           MIN(sum_deg) AS sum_deg,
+           CAST(MIN(score) AS REAL) AS rake_score
+    FROM occ
+    GROUP BY phrase
+    ORDER BY sum_deg DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """,
+    tags=("rake", "keywords", "text-analysis", "phrases", "window"),
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) at corpus level —
+    candidate phrases are maximal stopword-free token runs (the
+    stopword-segmentation trick: a running count of stopwords is the
+    phrase id, one window per document), words are scored by
+    degree = Σ len(phrase) over their occurrences, and a phrase's
+    rank is the sum of its words' degrees.  The phrase-mining
+    sibling of ``textrank_keywords`` (graph centrality) and
+    ``tf_top_terms`` (frequency): RAKE is the one that surfaces
+    multi-word candidates without an n-gram explosion, because
+    phrases come from segmentation, not enumeration.
+
+    Engine-exact ranking: degree and the per-phrase degree sum are
+    exact BIGINTs, so ORDER BY (sum_deg, phrase) never consults a
+    float; the classic deg/freq score is emitted float32 for
+    display.  Identical phrase texts are grouped once (their scores
+    are equal by construction — same multiset of words — pinned by
+    MIN aggregates).
+
+    Scale shape: one posexplode, one per-document window (partitioned
+    by doc_id — no global ordering), one phrase aggregate, one word
+    aggregate, one broadcast-ish join back (word stats relation is
+    vocabulary-sized), and a TakeOrderedAndProject top-k.  Work is
+    Σ tokens end to end; nothing is quadratic in document count or
+    phrase length."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(D.tokens_col(F.col("text"))).alias("pos", "tok"),
+    )
+    stop = F.col("tok").isin(*_RAKE_STOPWORDS)
+    w_seg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        stop.alias("stop"),
+        F.sum(F.when(stop, 1).otherwise(0)).over(w_seg).alias("seg"),
+    )
+    members = seg.filter(~F.col("stop")).select("doc_id", "seg", "pos", "tok")
+    phrases = members.groupBy("doc_id", "seg").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("len"),
+    )
+    wstat = (
+        members.join(phrases, ["doc_id", "seg"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("len").cast("long").alias("deg"),
+        )
+    )
+    occ = (
+        members.join(phrases, ["doc_id", "seg"])
+        .join(F.broadcast(wstat), "tok")
+        .groupBy("phrase", "len", "doc_id", "seg")
+        .agg(
+            F.sum("deg").cast("long").alias("sum_deg"),
+            F.sum(F.col("deg").cast("double") / F.col("freq")).alias(
+                "score"
+            ),
+        )
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.min("len").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("sum_deg").alias("sum_deg"),
+            F.min("score").cast("float").alias("rake_score"),
+        )
+        .orderBy(F.desc("sum_deg"), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -190,6 +190,18 @@ ROUND6: list[str] = [
     "multimodal_entropy_quality",
     "aipw_doubly_robust_ate",
     "kappa_filter_agreement",
+    "rdd_local_linear",
+    "wald_grouping_slope",
+    "bayes_ab_beta_binomial",
+    "hbos_outlier_scores",
+    "cka_embedding_alignment",
+    "forecast_backtest_metrics",
+    "graph_modularity_regions",
+    "rake_keywords",
+    "quantile_sketch_rollup",
+    "overdispersion_poisson",
+    "mann_whitney_u",
+    "brown_forsythe_variance",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -820,6 +820,12 @@ def test_registry_wide_plan_hygiene(spark):
                                     # degrade path
         "seasonal_decompose_weekly",  # 7-row day-of-week relation
         "shard_balance_report",     # fixed shard-count relation
+        "bayes_ab_beta_binomial",   # ~10^3-row log-factorial spine
+                                    # prefix sum (size ∝ conversions,
+                                    # not events; prefix.py degrade
+                                    # path documented)
+        "forecast_backtest_metrics",  # per-day aggregate (calendar-
+                                    # bounded, same as ewma)
         "window_range_frame",       # deliberate RANGE-frame API demo;
                                     # docstring warns it is single-node
     }

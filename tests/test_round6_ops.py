@@ -349,3 +349,353 @@ def test_kappa_vs_python(spark):
     r = _rows(spark, "kappa_filter_agreement")[0]
     assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (n11, n10, n01, n00)
     assert abs(r["kappa"] - kappa_ref) < 1e-6
+
+
+def test_rdd_local_linear_vs_numpy(spark):
+    d = _duck(
+        """
+        SELECT CAST(c.c_acctbal AS DOUBLE) AS x, COALESCE(s.y, 0.0) AS y
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey, SUM(o_totalprice) AS y
+            FROM orders GROUP BY o_custkey) s
+          ON s.o_custkey = c.c_custkey
+        WHERE c.c_acctbal >= -1000 AND c.c_acctbal < 1000
+        """,
+        tables=("orders", "customer"),
+    )
+    x = np.asarray(d["x"], dtype=np.float64)
+    y = np.asarray(d["y"], dtype=np.float64)
+
+    def fit(xs, ys):
+        # np.polyfit as the independent solver (QR, not moment algebra)
+        b, a = np.polyfit(xs, ys, 1)
+        return a, b
+
+    al, bl = fit(x[x < 0], y[x < 0])
+    ar, br = fit(x[x >= 0], y[x >= 0])
+
+    r = _rows(spark, "rdd_local_linear")[0]
+    assert (r["n_left"], r["n_right"]) == (int((x < 0).sum()),
+                                           int((x >= 0).sum()))
+    assert abs(r["intercept_left"] - al) / max(1.0, abs(al)) < 1e-5
+    assert abs(r["intercept_right"] - ar) / max(1.0, abs(ar)) < 1e-5
+    assert abs(r["slope_left"] - bl) / max(1.0, abs(bl)) < 1e-5
+    assert abs(r["slope_right"] - br) / max(1.0, abs(br)) < 1e-5
+    assert abs(r["rdd_effect"] - (ar - al)) / max(1.0, abs(ar - al)) < 1e-5
+
+
+def test_wald_grouping_vs_numpy(spark):
+    d = _duck("SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem")
+    x = np.asarray(d["x"], dtype=np.float64)
+    y = np.asarray(d["y"], dtype=np.float64)
+    m = np.quantile(x, 0.5, method="linear")
+    hi, lo = x > m, x <= m
+    wald = (y[hi].mean() - y[lo].mean()) / (x[hi].mean() - x[lo].mean())
+    ols = np.polyfit(x, y, 1)[0]
+
+    r = _rows(spark, "wald_grouping_slope")[0]
+    assert (r["n_high"], r["n_low"]) == (int(hi.sum()), int(lo.sum()))
+    assert abs(r["wald_slope"] - wald) / max(1.0, abs(wald)) < 1e-5
+    assert abs(r["ols_slope"] - ols) / max(1.0, abs(ols)) < 1e-5
+    assert abs(
+        r["wald_intercept"] - (y.mean() - wald * x.mean())
+    ) / max(1.0, abs(y.mean())) < 1e-5
+
+
+def test_bayes_ab_vs_lgamma(spark):
+    # Independent special-function path: math.lgamma instead of the
+    # query's shared prefix-sum log-factorial relation.
+    import math
+
+    r = _rows(spark, "bayes_ab_beta_binomial")[0]
+    a1, b1 = r["s_a"] + 1, r["n_a"] - r["s_a"] + 1
+    a2, b2 = r["s_b"] + 1, r["n_b"] - r["s_b"] + 1
+
+    def lnb(a, b):
+        return math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+
+    p_ref = sum(
+        math.exp(
+            lnb(a1 + i, b1 + b2)
+            - math.log(b2 + i)
+            - lnb(1 + i, b2)
+            - lnb(a1, b1)
+        )
+        for i in range(a2)
+    )
+    assert 0.0 <= r["prob_b_beats_a"] <= 1.0
+    assert abs(r["prob_b_beats_a"] - p_ref) < 1e-6
+
+
+def test_hbos_vs_numpy(spark):
+    d = _duck(
+        """SELECT l_orderkey, l_linenumber, l_quantity,
+                  l_extendedprice, l_discount FROM lineitem"""
+    )
+    feats = ["l_quantity", "l_extendedprice", "l_discount"]
+    cols = {c: np.asarray(d[c], dtype=np.float64) for c in feats}
+    n = len(cols[feats[0]])
+    bins, counts = {}, {}
+    for c in feats:
+        x = cols[c]
+        mn, mx = x.min(), x.max()
+        b = np.minimum(np.floor((x - mn) * 16.0 / (mx - mn)), 15).astype(int)
+        bins[c] = b
+        counts[c] = np.bincount(b, minlength=16)
+    prod = np.ones(n, dtype=np.int64)
+    for c in feats:
+        prod *= counts[c][bins[c]]
+    order = np.lexsort(
+        (np.asarray(d["l_linenumber"]), np.asarray(d["l_orderkey"]), prod)
+    )[:20]
+    ref = sorted(
+        (int(prod[i]), int(d["l_orderkey"][i]), int(d["l_linenumber"][i]))
+        for i in order
+    )
+    got = sorted(
+        (r["rarity_product"], r["l_orderkey"], r["l_linenumber"])
+        for r in _rows(spark, "hbos_outlier_scores")
+    )
+    assert got == ref
+    for r in _rows(spark, "hbos_outlier_scores"):
+        score_ref = 3.0 * np.log(n) - sum(
+            np.log(counts[c][r[f"bin_{i}"]]) for i, c in enumerate(feats)
+        )
+        assert abs(r["hbos_score"] - score_ref) < 1e-5
+
+
+def test_cka_vs_numpy(spark):
+    d = _duck(
+        "SELECT embedding FROM embeddings ORDER BY vec_id",
+        tables=("embeddings",),
+    )
+    E = np.vstack(d["embedding"]).astype(np.float64)
+    X, Y = E[:, :16], E[:, 16:32]
+    Xc, Yc = X - X.mean(0), Y - Y.mean(0)
+    hxy = np.linalg.norm(Xc.T @ Yc, "fro") ** 2
+    hxx = np.linalg.norm(Xc.T @ Xc, "fro") ** 2
+    hyy = np.linalg.norm(Yc.T @ Yc, "fro") ** 2
+    cka_ref = hxy / np.sqrt(hxx * hyy)
+
+    r = _rows(spark, "cka_embedding_alignment")[0]
+    assert r["n_rows"] == E.shape[0]
+    assert abs(r["cka_linear"] - cka_ref) < 1e-6
+
+
+def test_forecast_backtest_vs_numpy(spark):
+    d = _duck(
+        """SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS y
+           FROM orders GROUP BY 1 ORDER BY 1""",
+        tables=("orders",),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    f_naive = y[6:-1]
+    f_snaive = y[:-7]
+    f_ma7 = np.array(
+        [y[max(0, t - 7):t].mean() for t in range(7, len(y))]
+    )
+    a = y[7:]
+    mae_sn = np.abs(a - f_snaive).mean()
+    refs = {}
+    for name, f in [("naive", f_naive), ("seasonal_naive", f_snaive),
+                    ("moving_avg_7", f_ma7)]:
+        mae = np.abs(a - f).mean()
+        smape = (2 * np.abs(a - f) / (np.abs(a) + np.abs(f))).mean()
+        refs[name] = (len(a), mae, smape, mae / mae_sn)
+    for r in _rows(spark, "forecast_backtest_metrics"):
+        n, mae, smape, mase = refs[r["method"]]
+        assert r["n_days"] == n
+        assert abs(r["mae"] - mae) / mae < 1e-5
+        assert abs(r["smape"] - smape) / smape < 1e-5
+        assert abs(r["mase"] - mase) / mase < 1e-5
+
+
+def test_modularity_vs_numpy(spark):
+    d = _duck(
+        """
+        SELECT ns.n_regionkey AS sr, nc.n_regionkey AS dr,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        GROUP BY 1, 2
+        """,
+        tables=("lineitem", "orders", "customer", "nation", "supplier"),
+    )
+    sr = np.asarray(d["sr"]); dr = np.asarray(d["dr"])
+    w = np.asarray(d["w"], dtype=np.float64)
+    m = w.sum()
+    rows = _rows(spark, "graph_modularity_regions")
+    # region names sorted lexicographically == regionkey order? map via
+    # region table instead.
+    reg = _duck("SELECT r_regionkey, r_name FROM region ORDER BY 1",
+                tables=("region",))
+    name_of = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    q_total = 0.0
+    for k in name_of:
+        internal = w[(sr == k) & (dr == k)].sum()
+        outw, inw = w[sr == k].sum(), w[dr == k].sum()
+        contrib = internal / m - (outw / m) * (inw / m)
+        q_total += contrib
+        row = next(r for r in rows if r["region"] == str(name_of[k]))
+        assert abs(row["q_contribution"] - contrib) < 1e-6
+        assert abs(row["internal_frac"] - internal / m) < 1e-6
+    # sanity: Q is bounded
+    assert -1.0 <= q_total <= 1.0
+
+
+def test_rake_vs_python(spark):
+    d = _duck("SELECT doc_id, text FROM documents", tables=("documents",))
+    stop = {"the", "a", "of", "and", "to", "in", "is", "on"}
+    from collections import defaultdict
+
+    phrases = []  # (phrase tuple)
+    for text in d["text"]:
+        cur = []
+        for tok in str(text).strip().split():
+            if tok in stop:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            phrases.append(tuple(cur))
+    freq, deg = defaultdict(int), defaultdict(int)
+    for p in phrases:
+        for tok in p:
+            freq[tok] += 1
+            deg[tok] += len(p)
+    from collections import Counter
+
+    occ = Counter(phrases)
+    scored = sorted(
+        (
+            (-sum(deg[t] for t in p), " ".join(p), len(p), c,
+             sum(deg[t] for t in p),
+             sum(deg[t] / freq[t] for t in p))
+            for p, c in occ.items()
+        )
+    )[:15]
+    rows = _rows(spark, "rake_keywords")
+    assert len(rows) == 15
+    for r, (_, phrase, ln, c, sdeg, score) in zip(rows, scored):
+        assert r["phrase"] == phrase
+        assert r["n_words"] == ln
+        assert r["n_occurrences"] == c
+        assert r["sum_deg"] == sdeg
+        assert abs(r["rake_score"] - score) < 1e-4
+
+
+def test_quantile_sketch_vs_python(spark):
+    import hashlib
+
+    d = _duck(
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders",
+        tables=("orders",),
+    )
+    keys = d["o_orderkey"]; grps = d["o_orderpriority"]
+    vals = np.asarray(d["o_totalprice"], dtype=np.float64)
+    h = np.array(
+        [int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+         for k in keys]
+    )
+    rows = {r["grp"]: r for r in _rows(spark, "quantile_sketch_rollup")}
+    all_pool = []
+    for g in sorted(set(map(str, grps))):
+        mask = np.array([str(x) == g for x in grps])
+        order = np.lexsort((vals[mask], h[mask]))[:1024]
+        sample = vals[mask][order]
+        all_pool.append((h[mask][order], sample))
+        est = np.quantile(np.sort(sample), 0.5, method="linear")
+        assert abs(rows[g]["est_median"] - est) / est < 1e-6
+        assert rows[g]["sketch_rows"] == len(sample)
+        exact = np.quantile(vals[mask], 0.5, method="linear")
+        assert abs(rows[g]["exact_median"] - exact) / exact < 1e-6
+        assert rows[g]["within_tol"] == int(
+            abs(est - exact) * 100 <= 10 * exact
+        )
+    hs = np.concatenate([p[0] for p in all_pool])
+    vs = np.concatenate([p[1] for p in all_pool])
+    order = np.lexsort((vs, hs))[:1024]
+    est_all = np.quantile(np.sort(vs[order]), 0.5, method="linear")
+    assert abs(rows["ALL"]["est_median"] - est_all) / est_all < 1e-6
+
+
+def test_overdispersion_vs_numpy(spark):
+    d = _duck(
+        """SELECT c.c_custkey, COUNT(o.o_orderkey) AS y
+           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           GROUP BY 1""",
+        tables=("orders", "customer"),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    n, mean, var = len(y), y.mean(), y.var(ddof=1)
+    disp = var / mean
+    z = np.sqrt((n - 1) / 2.0) * (disp - 1)
+    r = _rows(spark, "overdispersion_poisson")[0]
+    assert r["n_customers"] == n
+    assert abs(r["mean_orders"] - mean) < 1e-5
+    assert abs(r["var_orders"] - var) / var < 1e-5
+    assert abs(r["dispersion_index"] - disp) < 1e-5
+    assert abs(r["z_score"] - z) < 1e-4
+    assert r["overdispersed"] == int(z > 1.6449)
+
+
+def test_mann_whitney_vs_scipy_formula(spark):
+    d = _duck("SELECT l_linestatus AS g, l_extendedprice AS v FROM lineitem")
+    g = np.asarray([str(x) for x in d["g"]])
+    v = np.asarray(d["v"], dtype=np.float64)
+    # Independent midrank path: scipy-free rankdata via argsort
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v))
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1
+        i = j + 1
+    na, nb = int((g == "F").sum()), int((g != "F").sum())
+    ra = ranks[g == "F"].sum()
+    u = ra - na * (na + 1) / 2
+    _, t = np.unique(v, return_counts=True)
+    tie = (t.astype(np.float64) ** 3 - t).sum()
+    n = na + nb
+    sigma = np.sqrt(na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1))))
+    z = (u - na * nb / 2) / sigma
+
+    r = _rows(spark, "mann_whitney_u")[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["u_stat"] - u) / u < 1e-6
+    assert abs(r["cles"] - u / (na * nb)) < 1e-6
+    assert abs(r["z_score"] - z) < 1e-4
+
+
+def test_brown_forsythe_vs_numpy(spark):
+    d = _duck("SELECT c_mktsegment AS g, c_acctbal AS y FROM customer",
+              tables=("customer",))
+    g = np.asarray([str(x) for x in d["g"]])
+    y = np.asarray(d["y"], dtype=np.float64)
+    zs, labels = [], []
+    for seg in np.unique(g):
+        yy = y[g == seg]
+        zs.append(np.abs(yy - np.quantile(yy, 0.5, method="linear")))
+        labels.append(np.full(len(yy), seg))
+    z = np.concatenate(zs); lab = np.concatenate(labels)
+    k, n = len(np.unique(lab)), len(z)
+    grand = z.mean()
+    ssb = sum(len(z[lab == s]) * (z[lab == s].mean() - grand) ** 2
+              for s in np.unique(lab))
+    ssw = sum(((z[lab == s] - z[lab == s].mean()) ** 2).sum()
+              for s in np.unique(lab))
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+
+    r = _rows(spark, "brown_forsythe_variance")[0]
+    assert (r["n_total"], r["k_groups"]) == (n, k)
+    assert (r["df_between"], r["df_within"]) == (k - 1, n - k)
+    assert abs(r["f_stat"] - f_ref) / max(1.0, f_ref) < 1e-5
