@@ -6789,3 +6789,182 @@ def overdispersion_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.cast("float").alias("z_score"),
         F.when(z > 1.6449, 1).otherwise(0).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mediation analysis (Baron-Kenny product of coefficients + Sobel z)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mediation_sobel",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c.c_acctbal AS DOUBLE) AS x,
+               CAST(COUNT(o.o_orderkey) AS DOUBLE) AS m,
+               COALESCE(SUM(o.o_totalprice), 0.0) AS y
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    mo AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(x) AS sx, SUM(m) AS sm, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(m*m) AS smm, SUM(y*y) AS syy,
+               SUM(x*m) AS sxm, SUM(x*y) AS sxy, SUM(m*y) AS smy
+        FROM base
+    ),
+    c_ AS (
+        SELECT n,
+               sxx - sx*sx/n AS cxx, smm - sm*sm/n AS cmm,
+               syy - sy*sy/n AS cyy, sxm - sx*sm/n AS cxm,
+               sxy - sx*sy/n AS cxy, smy - sm*sy/n AS cmy
+        FROM mo
+    ),
+    fit AS (
+        SELECT n, cxx, cmm, cyy, cxm, cxy, cmy,
+               cxm / cxx AS a,
+               (cxx*cmy - cxm*cxy) / (cxx*cmm - cxm*cxm) AS b,
+               (cmm*cxy - cxm*cmy) / (cxx*cmm - cxm*cxm) AS c_prime,
+               cxy / cxx AS c
+        FROM c_
+    ),
+    se AS (
+        SELECT n, a, b, c, c_prime,
+               sqrt(((cmm - a*a*cxx) / (n - 2)) / cxx) AS se_a,
+               sqrt(((cyy - c_prime*cxy - b*cmy) / (n - 3))
+                    * cxx / (cxx*cmm - cxm*cxm)) AS se_b
+        FROM fit
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(a AS REAL) AS a_path,
+           CAST(se_a AS REAL) AS se_a,
+           CAST(b AS REAL) AS b_path,
+           CAST(se_b AS REAL) AS se_b,
+           CAST(c AS REAL) AS total_effect,
+           CAST(c_prime AS REAL) AS direct_effect,
+           CAST(a * b AS REAL) AS indirect_effect,
+           CAST(a * b / sqrt(a*a*se_b*se_b + b*b*se_a*se_a) AS REAL)
+               AS sobel_z
+    FROM se
+    """,
+    tags=("causal", "mediation", "sobel", "baron-kenny",
+          "shared-algebra"),
+)
+def mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baron–Kenny mediation decomposition with the Sobel test —
+    does account balance (X) drive total spend (Y) THROUGH order
+    frequency (M)?  Three regressions, all closed-form on ONE
+    centered-moment relation: a = slope(M~X); (b, c') from the
+    two-regressor fit Y ~ X + M via the 2×2 normal equations in
+    centered co-moments; c = slope(Y~X).  The indirect effect a·b,
+    the direct effect c', and Sobel's z = a·b/√(a²σ_b²+b²σ_a²)
+    (first-order delta method) are all emitted, so total = direct +
+    indirect is checkable by eye.  On this synthetic corpus balance
+    does not move order counts (a ≈ 0) while order counts strongly
+    move spend (b ≫ 0), so the z denominator is dominated by the
+    |b|·σ_a term — numerically stable — and the verdict is
+    "no mediation", the honest null.
+
+    Scale shape: one per-customer aggregate (the same frame as
+    ``overdispersion_poisson``), then ONE 10-cell moment aggregate;
+    every coefficient and standard error is scalar algebra on the
+    1-row moment relation.  Three regressions, one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer")
+    base = (
+        cst.join(o, cst.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").cast("double").alias("m"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("y"),
+        )
+        .select(F.col("c_acctbal").cast("double").alias("x"), "m", "y")
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("m") * F.col("y")).alias("smy"),
+    )
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cmm = F.col("smm") - F.col("sm") * F.col("sm") / F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    cxm = F.col("sxm") - F.col("sx") * F.col("sm") / F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    cmy = F.col("smy") - F.col("sm") * F.col("sy") / F.col("n")
+    cen = mo.select(
+        "n",
+        cxx.alias("cxx"),
+        cmm.alias("cmm"),
+        cyy.alias("cyy"),
+        cxm.alias("cxm"),
+        cxy.alias("cxy"),
+        cmy.alias("cmy"),
+    )
+    det = F.col("cxx") * F.col("cmm") - F.col("cxm") * F.col("cxm")
+    fit = cen.select(
+        "n",
+        "cxx",
+        "cmm",
+        "cyy",
+        "cxm",
+        "cxy",
+        "cmy",
+        (F.col("cxm") / F.col("cxx")).alias("a"),
+        ((F.col("cxx") * F.col("cmy") - F.col("cxm") * F.col("cxy")) / det)
+        .alias("b"),
+        ((F.col("cmm") * F.col("cxy") - F.col("cxm") * F.col("cmy")) / det)
+        .alias("c_prime"),
+        (F.col("cxy") / F.col("cxx")).alias("c"),
+    )
+    se = fit.select(
+        "n",
+        "a",
+        "b",
+        "c",
+        "c_prime",
+        F.sqrt(
+            ((F.col("cmm") - F.col("a") * F.col("a") * F.col("cxx"))
+             / (F.col("n") - 2))
+            / F.col("cxx")
+        ).alias("se_a"),
+        F.sqrt(
+            (
+                (
+                    F.col("cyy")
+                    - F.col("c_prime") * F.col("cxy")
+                    - F.col("b") * F.col("cmy")
+                )
+                / (F.col("n") - 3)
+            )
+            * F.col("cxx")
+            / (F.col("cxx") * F.col("cmm") - F.col("cxm") * F.col("cxm"))
+        ).alias("se_b"),
+    )
+    ab = F.col("a") * F.col("b")
+    return se.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a").cast("float").alias("a_path"),
+        F.col("se_a").cast("float").alias("se_a"),
+        F.col("b").cast("float").alias("b_path"),
+        F.col("se_b").cast("float").alias("se_b"),
+        F.col("c").cast("float").alias("total_effect"),
+        F.col("c_prime").cast("float").alias("direct_effect"),
+        ab.cast("float").alias("indirect_effect"),
+        (
+            ab
+            / F.sqrt(
+                F.col("a") * F.col("a") * F.col("se_b") * F.col("se_b")
+                + F.col("b") * F.col("b") * F.col("se_a") * F.col("se_a")
+            )
+        )
+        .cast("float")
+        .alias("sobel_z"),
+    )

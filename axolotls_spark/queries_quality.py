@@ -915,3 +915,99 @@ def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rarity_product", "l_orderkey", "l_linenumber")
         .limit(_HBOS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (deterministic Laplace via hash)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5
+_DP_SEED = "dp-release-r6"  # release identifier: part of the noise hash
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_orderpriority AS grp, COUNT(*)::BIGINT AS n
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', COUNT(*)::BIGINT FROM orders
+    ),
+    u AS (
+        SELECT grp, n,
+               CAST(('0x' || substr(md5('{_DP_SEED}|' || grp), 1, 15))
+                    ::BIGINT AS DOUBLE) / 1152921504606846976.0 - 0.5
+                   AS u
+        FROM counts
+    ),
+    noise AS (
+        SELECT grp, n,
+               -(1.0 / {_DP_EPS})
+                 * CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END
+                 * ln(1.0 - 2.0 * ABS(u)) AS lap
+        FROM u
+    )
+    SELECT grp, n AS true_count,
+           CAST(n + lap AS REAL) AS noisy_count,
+           CAST(ABS(lap) AS REAL) AS abs_noise,
+           CASE WHEN ABS(lap) <= (1.0 / {_DP_EPS}) * ln(1000.0)
+                THEN 1 ELSE 0 END AS within_999_bound
+    FROM noise
+    ORDER BY grp
+    """,
+    tags=("privacy", "differential-privacy", "laplace", "noisy-counts",
+          "governance"),
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    ε=0.5, sensitivity 1) over order priorities plus the ALL rollup
+    — the privacy-release sibling of the k-anonymity / l-diversity /
+    t-closeness AUDITS: those measure re-identification risk, this
+    actually perturbs the published statistic.  The Laplace draw is
+    the inverse-CDF transform −(1/ε)·sgn(u)·ln(1−2|u|) of a
+    uniform u ∈ [−½,½) derived from the md5 of (release-id | group)
+    — deterministic, engine-independent, and keyed by a release
+    identifier so re-releasing under a new id draws fresh noise
+    (the accountant's ε budget is spent per release-id).  True
+    counts ride along ONLY because this is a certification query;
+    a production release would drop them, and the 99.9%-quantile
+    noise-bound flag is what the utility contract checks.
+
+    Scale shape: one grouped count (map-side combinable), noise is
+    per-GROUP scalar arithmetic on the ≤6-row release relation —
+    the mechanism adds zero distributed work at any corpus size."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).unionAll(
+        o.agg(
+            F.lit("ALL").alias("grp"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    u = (
+        token_hash(F.concat(F.lit(_DP_SEED + "|"), F.col("grp"))).cast(
+            "double"
+        )
+        / F.lit(1152921504606846976.0)
+        - 0.5
+    )
+    lap = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.when(u >= 0, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    import math
+
+    bound = (1.0 / _DP_EPS) * math.log(1000.0)
+    return counts.select(
+        "grp",
+        F.col("n").alias("true_count"),
+        (F.col("n") + lap).cast("float").alias("noisy_count"),
+        F.abs(lap).cast("float").alias("abs_noise"),
+        F.when(F.abs(lap) <= bound, 1).otherwise(0)
+        .alias("within_999_bound"),
+    ).orderBy("grp")

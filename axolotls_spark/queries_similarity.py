@@ -1976,3 +1976,121 @@ def cka_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cka_linear"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-representation quality: alignment & uniformity (Wang-Isola)
+# ---------------------------------------------------------------------------
+
+_AU_BUCKETS = 16  # uniformity pair sample: unordered pair inclusion p=1/B
+
+
+@register(
+    "alignment_uniformity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {_SQL_NORM.format(v='embedding')} AS nrm,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % {_AU_BUCKETS} AS bkt
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT 2.0 - 2.0 * ({_SQL_DOT.format(a='a.embedding',
+                                             b='b.embedding')}
+                            / (a.nrm * b.nrm)) AS d2
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    unif AS (
+        SELECT 2.0 - 2.0 * ({_SQL_DOT.format(a='a.embedding',
+                                             b='b.embedding')}
+                            / (a.nrm * b.nrm)) AS d2
+        FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM e) AS n_vecs,
+           (SELECT COUNT(*)::BIGINT FROM pos) AS n_pos_pairs,
+           (SELECT COUNT(*)::BIGINT FROM unif) AS n_sample_pairs,
+           CAST((SELECT AVG(d2) FROM pos) AS REAL) AS alignment,
+           CAST((SELECT ln(AVG(exp(-2.0 * d2))) FROM unif) AS REAL)
+               AS uniformity
+    """,
+    tags=("embedding", "contrastive", "alignment", "uniformity",
+          "representation-quality"),
+)
+def alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment & uniformity (Wang & Isola 2020) — the two numbers
+    that summarize a contrastive embedding space: alignment = mean
+    squared distance between SAME-LABEL pairs on the unit sphere
+    (smaller = positives cluster), uniformity = log E[exp(−2·d²)]
+    over ALL pairs (more negative = features spread over the
+    sphere).  Good encoders push both down; a collapsed encoder has
+    perfect alignment and catastrophic uniformity, which is exactly
+    the failure this query exists to catch before a retrieval index
+    is built on the embeddings.
+
+    Distributed pair discipline: positive pairs are a LABEL-keyed
+    equi-join (work Σ|label|², never N²); the uniformity expectation
+    is estimated on a hash-bucket pair sample — every unordered pair
+    collides in the same md5 bucket with probability exactly 1/B, a
+    uniform inclusion probability, so the bucket-join relation is an
+    unbiased pair sample at 1/B the cost and the estimator is the
+    plain average over it (B=16, documented; the full-pair oracle
+    would be N² and is exactly what this query refuses to do).
+    Distances come from the left-fold dot product both engines
+    compute bit-identically (the ``cosine_topk`` property), so even
+    the sampled pair set matches exactly."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        (token_hash(F.col("vec_id").cast("string")) % _AU_BUCKETS).alias(
+            "bkt"
+        ),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+
+    def d2() -> F.Column:
+        return 2.0 - 2.0 * (
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        )
+
+    pos = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(d2().alias("d2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pos_pairs"),
+            F.avg("d2").alias("alignment"),
+        )
+    )
+    unif = (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(d2().alias("d2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample_pairs"),
+            F.log(F.avg(F.exp(-2.0 * F.col("d2")))).alias("uniformity"),
+        )
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    return (
+        nv.crossJoin(F.broadcast(pos))
+        .crossJoin(F.broadcast(unif))
+        .select(
+            "n_vecs",
+            "n_pos_pairs",
+            "n_sample_pairs",
+            F.col("alignment").cast("float").alias("alignment"),
+            F.col("uniformity").cast("float").alias("uniformity"),
+        )
+    )

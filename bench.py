@@ -202,6 +202,9 @@ ROUND6: list[str] = [
     "overdispersion_poisson",
     "mann_whitney_u",
     "brown_forsythe_variance",
+    "mediation_sobel",
+    "dp_noisy_counts",
+    "alignment_uniformity",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

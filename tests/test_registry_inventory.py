@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 353  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 356  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -29,8 +29,10 @@ N_EXPECTED = 353  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +cka_embedding_alignment, +forecast_backtest_metrics,
 #                   +graph_modularity_regions, +rake_keywords,
 #                   +quantile_sketch_rollup, +overdispersion_poisson,
-#                   +mann_whitney_u, +brown_forsythe_variance
-N_ORACLE = 353
+#                   +mann_whitney_u, +brown_forsythe_variance,
+#                   +mediation_sobel, +dp_noisy_counts,
+#                   +alignment_uniformity
+N_ORACLE = 356
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

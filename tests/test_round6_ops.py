@@ -699,3 +699,103 @@ def test_brown_forsythe_vs_numpy(spark):
     assert (r["n_total"], r["k_groups"]) == (n, k)
     assert (r["df_between"], r["df_within"]) == (k - 1, n - k)
     assert abs(r["f_stat"] - f_ref) / max(1.0, f_ref) < 1e-5
+
+
+def test_mediation_vs_numpy(spark):
+    d = _duck(
+        """SELECT c.c_acctbal AS x, COUNT(o.o_orderkey) AS m,
+                  COALESCE(SUM(o.o_totalprice), 0.0) AS y
+           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_custkey, c.c_acctbal""",
+        tables=("orders", "customer"),
+    )
+    x = np.asarray(d["x"], dtype=np.float64)
+    m = np.asarray(d["m"], dtype=np.float64)
+    y = np.asarray(d["y"], dtype=np.float64)
+    n = len(x)
+    # Independent solver: lstsq on design matrices, not moment algebra
+    A1 = np.column_stack([np.ones(n), x])
+    a = np.linalg.lstsq(A1, m, rcond=None)[0][1]
+    res_a = m - A1 @ np.linalg.lstsq(A1, m, rcond=None)[0]
+    se_a = np.sqrt(
+        (res_a @ res_a / (n - 2)) / ((x - x.mean()) ** 2).sum()
+    )
+    A2 = np.column_stack([np.ones(n), x, m])
+    coef2, *_ = np.linalg.lstsq(A2, y, rcond=None)
+    c_prime, b = coef2[1], coef2[2]
+    res2 = y - A2 @ coef2
+    sigma2 = res2 @ res2 / (n - 3)
+    cov = sigma2 * np.linalg.inv(A2.T @ A2)
+    se_b = np.sqrt(cov[2, 2])
+    c = np.linalg.lstsq(A1, y, rcond=None)[0][1]
+    sobel = a * b / np.sqrt(a * a * se_b**2 + b * b * se_a**2)
+
+    r = _rows(spark, "mediation_sobel")[0]
+    assert r["n"] == n
+    for k, v in [("a_path", a), ("se_a", se_a), ("b_path", b),
+                 ("se_b", se_b), ("total_effect", c),
+                 ("direct_effect", c_prime), ("indirect_effect", a * b),
+                 ("sobel_z", sobel)]:
+        assert abs(r[k] - v) / max(1e-9, abs(v)) < 1e-4, (k, r[k], v)
+
+
+def test_dp_noisy_counts_vs_python(spark):
+    import hashlib, math
+
+    d = _duck(
+        "SELECT o_orderpriority AS g, COUNT(*) AS n FROM orders GROUP BY 1",
+        tables=("orders",),
+    )
+    true = dict(zip([str(g) for g in d["g"]], [int(v) for v in d["n"]]))
+    true["ALL"] = sum(true.values())
+    rows = {r["grp"]: r for r in _rows(spark, "dp_noisy_counts")}
+    assert set(rows) == set(true)
+    for g, n in true.items():
+        h = int(hashlib.md5(f"dp-release-r6|{g}".encode())
+                .hexdigest()[:15], 16)
+        u = h / 2**60 - 0.5
+        lap = -(1 / 0.5) * (1.0 if u >= 0 else -1.0) * math.log(1 - 2 * abs(u))
+        r = rows[g]
+        assert r["true_count"] == n
+        assert abs(r["noisy_count"] - (n + lap)) < 1e-3
+        assert abs(r["abs_noise"] - abs(lap)) < 1e-5
+        assert r["within_999_bound"] == int(abs(lap) <= 2 * math.log(1000))
+
+
+def test_alignment_uniformity_vs_numpy(spark):
+    import hashlib
+
+    d = _duck(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id",
+        tables=("embeddings",),
+    )
+    E = np.vstack(d["embedding"]).astype(np.float64)
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    labels = np.asarray(d["label"])
+    ids = np.asarray(d["vec_id"])
+    # positives
+    d2s = []
+    for lb in np.unique(labels):
+        X = E[labels == lb]
+        G = X @ X.T
+        iu = np.triu_indices(len(X), k=1)
+        d2s.append(2 - 2 * G[iu])
+    pos = np.concatenate(d2s)
+    # uniformity sample: md5 bucket join
+    bkt = np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 16
+         for i in ids]
+    )
+    u2 = []
+    for bk in range(16):
+        X = E[bkt == bk]
+        G = X @ X.T
+        iu = np.triu_indices(len(X), k=1)
+        u2.append(2 - 2 * G[iu])
+    usamp = np.concatenate(u2)
+    r = _rows(spark, "alignment_uniformity")[0]
+    assert r["n_vecs"] == len(E)
+    assert r["n_pos_pairs"] == len(pos)
+    assert r["n_sample_pairs"] == len(usamp)
+    assert abs(r["alignment"] - pos.mean()) < 1e-5
+    assert abs(r["uniformity"] - np.log(np.exp(-2 * usamp).mean())) < 1e-5
