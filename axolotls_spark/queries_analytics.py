@@ -6968,3 +6968,99 @@ def mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("sobel_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector (pooled vs per-group regression signs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simpsons_paradox_check",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS grp,
+               CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+    ),
+    g AS (
+        SELECT grp, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        FROM base GROUP BY grp
+    ),
+    fit AS (
+        SELECT grp, n,
+               (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope
+        FROM g
+    ),
+    pooled AS (
+        SELECT (SUM(n)*SUM(sxy) - SUM(sx)*SUM(sy))
+               / (SUM(n)*SUM(sxx) - SUM(sx)*SUM(sx)) AS pooled_slope
+        FROM g
+    )
+    SELECT f.grp, CAST(f.n AS BIGINT) AS n,
+           CAST(f.slope AS REAL) AS group_slope,
+           CAST(p.pooled_slope AS REAL) AS pooled_slope,
+           CASE WHEN f.slope * p.pooled_slope < 0 THEN 1 ELSE 0 END
+               AS sign_reversal
+    FROM fit f CROSS JOIN pooled p
+    ORDER BY f.grp
+    """,
+    tags=("simpson", "confounding", "regression", "diagnostics",
+          "shared-algebra"),
+)
+def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the pooled quantity→price slope
+    next to each return-flag group's own slope, with a sign-reversal
+    flag — the one-query confounding audit an analyst runs before
+    trusting ANY pooled regression readout (if group slopes and the
+    pooled slope disagree in sign, the grouping variable is a
+    confounder and the pooled number is an artifact of group
+    composition).  The k-group sibling of ``chow_test_break``
+    (which tests coefficient EQUALITY at a known break; this one
+    tests sign coherence across a partition).
+
+    Scale shape: ONE grouped moment aggregate; the pooled fit is
+    re-derived by SUMMING the same per-group moments (no second
+    scan — the moments are additive), and the compare is a 3-row
+    broadcast cross.  One pass, no windows, no joins on facts."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    fit = g.select(
+        "grp",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+    )
+    pooled = g.agg(
+        (
+            (F.sum("n") * F.sum("sxy") - F.sum("sx") * F.sum("sy"))
+            / (F.sum("n") * F.sum("sxx") - F.sum("sx") * F.sum("sx"))
+        ).alias("pooled_slope")
+    )
+    return (
+        fit.crossJoin(F.broadcast(pooled))
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.col("slope").cast("float").alias("group_slope"),
+            F.col("pooled_slope").cast("float").alias("pooled_slope"),
+            F.when(F.col("slope") * F.col("pooled_slope") < 0, 1)
+            .otherwise(0)
+            .alias("sign_reversal"),
+        )
+        .orderBy("grp")
+    )

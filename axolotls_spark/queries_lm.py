@@ -1257,3 +1257,159 @@ def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("auc") + z * se).cast("float").alias("ci_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit (vocabulary growth exponent) at doc-count checkpoints
+# ---------------------------------------------------------------------------
+
+_HEAPS_K = 32  # corpus-prefix checkpoints
+
+_SQL_TRIGRAMS = (
+    "list_transform(range(1, greatest(len({t}) - 1, 1)),"
+    " i -> array_to_string({t}[i:i+2], ' '))"
+)
+_SQL_TRIGRAMS_TEXT = _SQL_TRIGRAMS.format(
+    t=r"string_split_regex(trim(text), '\s+')"
+)
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH tri AS (
+        SELECT doc_id,
+               unnest({_SQL_TRIGRAMS_TEXT}) AS g
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS c FROM tri GROUP BY doc_id
+    ),
+    fd AS (SELECT g, MIN(doc_id) AS fdoc FROM tri GROUP BY g),
+    nn AS (SELECT MAX(doc_id) + 1 AS n FROM per_doc),
+    cuts AS (
+        SELECT k, CAST(FLOOR(n * k / {_HEAPS_K}.0) AS BIGINT) AS cut
+        FROM (SELECT UNNEST(generate_series(1, {_HEAPS_K})) AS k
+              FROM nn), nn
+    ),
+    nk AS (
+        SELECT c2.k, SUM(p.c)::BIGINT AS n_tokens
+        FROM per_doc p JOIN cuts c2 ON p.doc_id < c2.cut
+        GROUP BY c2.k
+    ),
+    vk AS (
+        SELECT c2.k, COUNT(*)::BIGINT AS v_types
+        FROM fd JOIN cuts c2 ON fd.fdoc < c2.cut
+        GROUP BY c2.k
+    ),
+    pts AS (
+        SELECT ln(CAST(nk.n_tokens AS DOUBLE)) AS x,
+               ln(CAST(vk.v_types AS DOUBLE)) AS y
+        FROM nk JOIN vk ON nk.k = vk.k
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST((n*sxy - sx*sy) / (n*sxx - sx*sx) AS REAL) AS beta,
+           CAST((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n
+                AS REAL) AS ln_k,
+           CAST((n*sxy - sx*sy) * (n*sxy - sx*sy)
+                / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS REAL) AS r2
+    FROM m
+    """,
+    tags=("heaps-law", "vocabulary-growth", "corpus-statistics",
+          "text-analysis", "power-law"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V(N) = K·N^β — the vocabulary-growth exponent
+    that predicts how a tokenizer's open-vocabulary burden scales
+    with corpus size (the prefix-growth sibling of ``zipf_slope``,
+    which fits the static rank-frequency law).  Types here are token
+    TRIGRAMS (this synthetic corpus has a ~30-word closed vocabulary,
+    so unigram V saturates instantly and the unigram fit would be
+    0/0-degenerate; trigram space is large enough to still be
+    filling — on natural text you would pass unigrams).
+
+    Distributed prefix trick: V at a corpus-prefix checkpoint needs
+    NO re-scan per checkpoint — each type contributes to every
+    prefix after its FIRST document, so one MIN(doc_id) aggregate
+    per type plus a 32-row broadcast checkpoint relation gives all
+    32 (N_k, V_k) points; the log-log OLS then runs on 32 rows.
+    Work is Σ tokens + |types|, independent of checkpoint count's
+    naive |checkpoints|·corpus cost.
+
+    Scale shape: two grouped aggregates (per-doc token counts,
+    per-type first-doc), two broadcast-checkpoint conditional
+    aggregates, one 6-cell moment aggregate."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    tri = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN"
+                " transform(sequence(1, size(toks) - 2),"
+                "  i -> concat_ws(' ', element_at(toks, i),"
+                "   element_at(toks, i + 1), element_at(toks, i + 2)))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("g"),
+    )
+    per_doc = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    fd = tri.groupBy("g").agg(F.min("doc_id").alias("fdoc"))
+    nn = per_doc.agg((F.max("doc_id") + 1).alias("n"))
+    cuts = nn.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_HEAPS_K))).alias("k"),
+        "n",
+    ).select(
+        "k",
+        F.floor(F.col("n") * F.col("k") / float(_HEAPS_K))
+        .cast("long")
+        .alias("cut"),
+    )
+    nk = (
+        per_doc.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") < F.col("cut"))
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("n_tokens"))
+    )
+    vk = (
+        fd.crossJoin(F.broadcast(cuts))
+        .filter(F.col("fdoc") < F.col("cut"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("v_types"))
+    )
+    pts = nk.join(vk, "k").select(
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("v_types").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    b_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        (b_num / b_den).cast("float").alias("beta"),
+        ((F.col("sy") - b_num / b_den * F.col("sx")) / F.col("n"))
+        .cast("float")
+        .alias("ln_k"),
+        (
+            b_num
+            * b_num
+            / (b_den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+        )
+        .cast("float")
+        .alias("r2"),
+    )

@@ -2094,3 +2094,240 @@ def alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("uniformity").cast("float").alias("uniformity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective rank of the embedding covariance (representation collapse)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_effective_rank",
+    oracle="""
+    WITH long AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    mu AS (
+        SELECT pos, SUM(val) AS s, COUNT(*)::DOUBLE AS n
+        FROM long GROUP BY pos
+    ),
+    cov AS (
+        SELECT a.pos AS i, b.pos AS j,
+               (SUM(a.val * b.val)
+                - ma.s * mb.s / ma.n) / (ma.n - 1) AS c
+        FROM long a
+        JOIN long b ON a.vec_id = b.vec_id
+        JOIN mu ma ON ma.pos = a.pos
+        JOIN mu mb ON mb.pos = b.pos
+        GROUP BY a.pos, b.pos, ma.s, mb.s, ma.n
+    ),
+    tr AS (
+        SELECT SUM(CASE WHEN i = j THEN c ELSE 0 END) AS trc,
+               SUM(c * c) AS trc2,
+               COUNT(DISTINCT i)::BIGINT AS d
+        FROM cov
+    )
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM mu) AS n_rows,
+           d AS n_dims,
+           CAST(trc AS REAL) AS total_variance,
+           CAST(trc * trc / trc2 AS REAL) AS effective_rank,
+           CAST(trc * trc / trc2 / d AS REAL) AS rank_fraction
+    FROM tr
+    """,
+    tags=("embedding", "effective-rank", "collapse", "rankme",
+          "second-moment"),
+)
+def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective rank (participation ratio) of the embedding
+    covariance, erank = tr(C)²/tr(C²) = (Σλ)²/Σλ² — the
+    dimensional-collapse detector for representation spaces
+    (RankMe-family diagnostic): an encoder whose 64-dim output
+    really uses ~5 directions scores erank ≈ 5 and will bottleneck
+    retrieval no matter how the index is built.  Complements
+    ``alignment_uniformity`` (pairwise geometry) and
+    ``pca_project_embeddings`` (which extracts the directions; this
+    scores their spread WITHOUT any eigendecomposition — both traces
+    are pure covariance algebra, because Σλ = tr(C) and
+    Σλ² = ‖C‖²_F).
+
+    Scale shape: same (i,j)-keyed co-moment pattern as
+    ``cka_embedding_alignment`` — the vec_id equi-join meets each
+    row with its own d² feature pairs (work N·d², never N²), the
+    d×d covariance is broadcast-sized, and the traces are one
+    aggregate over it."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("val"),
+    )
+    mu = emb.groupBy("pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum(F.col("a.val") * F.col("b.val")).alias("sab"))
+        .join(
+            F.broadcast(
+                mu.select(F.col("pos").alias("i"), F.col("s").alias("sa"),
+                          "n")
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                mu.select(F.col("pos").alias("j"), F.col("s").alias("sb"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("sab") - F.col("sa") * F.col("sb") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("c"),
+        )
+    )
+    tr = cov.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(0.0))
+        .alias("trc"),
+        F.sum(F.col("c") * F.col("c")).alias("trc2"),
+        F.countDistinct("i").cast("long").alias("d"),
+    )
+    nrow = mu.agg(F.max("n").cast("long").alias("n_rows"))
+    return tr.crossJoin(F.broadcast(nrow)).select(
+        "n_rows",
+        F.col("d").alias("n_dims"),
+        F.col("trc").cast("float").alias("total_variance"),
+        (F.col("trc") * F.col("trc") / F.col("trc2"))
+        .cast("float")
+        .alias("effective_rank"),
+        (F.col("trc") * F.col("trc") / F.col("trc2") / F.col("d"))
+        .cast("float")
+        .alias("rank_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-label agreement: normalized mutual information
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cluster_label_nmi",
+    oracle=_KMEANS_CTE + """
+    , lab AS (
+        SELECT e.vec_id, a2.cid, e.label FROM embeddings e
+        JOIN a2 ON a2.vec_id = e.vec_id
+    ),
+    cont AS (
+        SELECT cid, label, COUNT(*)::DOUBLE AS nij FROM lab GROUP BY 1, 2
+    ),
+    margc AS (SELECT cid, SUM(nij) AS ni FROM cont GROUP BY cid),
+    margl AS (SELECT label, SUM(nij) AS nj FROM cont GROUP BY label),
+    tot AS (SELECT SUM(nij) AS n FROM cont),
+    mi AS (
+        SELECT SUM(c.nij / t.n
+                   * ln(c.nij * t.n / (mc.ni * ml.nj))) AS mi
+        FROM cont c
+        JOIN margc mc USING (cid)
+        JOIN margl ml USING (label)
+        CROSS JOIN tot t
+    ),
+    hc AS (
+        SELECT -SUM(ni / t.n * ln(ni / t.n)) AS h
+        FROM margc CROSS JOIN tot t
+    ),
+    hl AS (
+        SELECT -SUM(nj / t.n * ln(nj / t.n)) AS h
+        FROM margl CROSS JOIN tot t
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_vecs,
+           (SELECT COUNT(*)::BIGINT FROM margc) AS n_clusters,
+           (SELECT COUNT(*)::BIGINT FROM margl) AS n_labels,
+           CAST(mi.mi AS REAL) AS mutual_info,
+           CAST(mi.mi / sqrt(hc.h * hl.h) AS REAL) AS nmi
+    FROM mi CROSS JOIN hc CROSS JOIN hl
+    """,
+    tags=("clustering", "nmi", "evaluation", "mutual-information",
+          "external-validity"),
+)
+def cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the k-means clusters
+    and the ground-truth labels — the EXTERNAL cluster-validity
+    score (``silhouette_kmeans`` is the internal one: geometry only;
+    NMI asks whether the clusters recover the labeling): NMI =
+    I(C;L)/√(H(C)·H(L)), all from the k×|labels| contingency
+    relation.  Near 0 on this corpus — the synthetic embeddings
+    carry no label structure — which is the honest readout and
+    exactly what the score exists to reveal before anyone ships
+    "clusters ≈ topics".
+
+    Scale shape: the k-means assignment is the shared broadcast-
+    Lloyd operator (one corpus pass per iteration, cached, same
+    relation every kmeans_* query certifies); NMI itself is one
+    contingency aggregate (≤ k·|labels| cells) plus scalar entropy
+    algebra on it."""
+    from axolotls_spark.operators import clustering as CLU
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    assign, _ = CLU.kmeans(emb.select("vec_id", "embedding"), k=8, iters=2)
+    lab = assign.select("vec_id", "cid").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cont = lab.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).cast("double").alias("nij")
+    )
+    margc = cont.groupBy("cid").agg(F.sum("nij").alias("ni"))
+    margl = cont.groupBy("label").agg(F.sum("nij").alias("nj"))
+    tot = cont.agg(F.sum("nij").alias("n"))
+    mi = (
+        cont.join(F.broadcast(margc), "cid")
+        .join(F.broadcast(margl), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("nij")
+                / F.col("n")
+                * F.log(
+                    F.col("nij") * F.col("n") / (F.col("ni") * F.col("nj"))
+                )
+            ).alias("mi")
+        )
+    )
+    hc = margc.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(F.col("ni") / F.col("n")
+                * F.log(F.col("ni") / F.col("n")))).alias("hc")
+    )
+    hl = margl.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(F.col("nj") / F.col("n")
+                * F.log(F.col("nj") / F.col("n")))).alias("hl")
+    )
+    counts = tot.crossJoin(
+        F.broadcast(margc.agg(F.count(F.lit(1)).cast("long").alias("nc")))
+    ).crossJoin(
+        F.broadcast(margl.agg(F.count(F.lit(1)).cast("long").alias("nl")))
+    )
+    return (
+        counts.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("n").cast("long").alias("n_vecs"),
+            F.col("nc").alias("n_clusters"),
+            F.col("nl").alias("n_labels"),
+            F.col("mi").cast("float").alias("mutual_info"),
+            (F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")))
+            .cast("float")
+            .alias("nmi"),
+        )
+    )

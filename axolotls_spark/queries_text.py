@@ -2580,3 +2580,137 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sum_deg"), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Term dispersion across sources (Gries' DP)
+# ---------------------------------------------------------------------------
+
+_DP_MIN_FREQ = 100
+_DP_TOPK = 20
+
+
+@register(
+    "term_dispersion_dp",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    part_sizes AS (
+        SELECT source, COUNT(*)::BIGINT AS tp FROM toks GROUP BY source
+    ),
+    tot AS (SELECT SUM(tp)::BIGINT AS t FROM part_sizes),
+    tf AS (
+        SELECT tok, source, COUNT(*)::BIGINT AS f
+        FROM toks GROUP BY tok, source
+    ),
+    cf AS (
+        SELECT tok, SUM(f)::BIGINT AS ft FROM tf GROUP BY tok
+        HAVING SUM(f) >= {_DP_MIN_FREQ}
+    ),
+    cells AS (
+        SELECT cf.tok, cf.ft,
+               ABS(COALESCE(tf.f, 0) * tot.t - cf.ft * p.tp)::BIGINT
+                   AS num
+        FROM cf
+        CROSS JOIN part_sizes p
+        CROSS JOIN tot
+        LEFT JOIN tf ON tf.tok = cf.tok AND tf.source = p.source
+    ),
+    dp AS (
+        SELECT tok, MIN(ft) AS corpus_freq,
+               SUM(num)::BIGINT AS num_sum
+        FROM cells GROUP BY tok
+    )
+    SELECT d.tok AS term, d.corpus_freq,
+           CAST(CAST(d.num_sum AS DOUBLE)
+                / (2.0 * d.corpus_freq * t.t) AS REAL) AS dp
+    FROM dp d CROSS JOIN tot t
+    ORDER BY dp DESC, term
+    LIMIT {_DP_TOPK}
+    """,
+    tags=("dispersion", "corpus-linguistics", "burstiness",
+          "text-analysis", "quality"),
+)
+def term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP (deviation of proportions) dispersion of each term
+    across sources — the corpus-linguistics burstiness measure a
+    curation pipeline uses to tell GENERAL vocabulary (evenly spread,
+    DP ≈ 0) from source-specific jargon or boilerplate (concentrated,
+    DP → 1): DP(t) = ½ Σ_sources |observed share − expected share|.
+    Complements ``tfidf_top_terms`` (which scores doc-level
+    specificity; this scores SOURCE-level concentration) and
+    ``distribution_drift_psi`` (same L1 geometry, different
+    question).
+
+    Engine-exactness: each cell's deviation is computed as the
+    INTEGER |f_ts·T − F_t·T_s| (common denominator F_t·T pulled
+    out), so the per-term sum is exact BIGINT arithmetic and the
+    emitted DP is ONE division of exact integers — the ranking
+    float is identical on both engines because its inputs are.
+    Bounds: f·T ≤ 10^14 at sf0.1 and Σ over 5 sources stays far
+    under 2^63 (documented; at 10^4× the corpus switch the cells to
+    DOUBLE and round).
+
+    Scale shape: one (term, source) aggregate, one term aggregate
+    with a HAVING floor that prunes the long tail before the
+    5-sources-per-term expansion (a broadcast cross with the 5-row
+    source-size relation), one top-k.  Work is Σ tokens + |vocab
+    above floor|·|sources|."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source", F.explode(D.tokens_col(F.col("text"))).alias("tok")
+    )
+    part_sizes = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    tot = part_sizes.agg(F.sum("tp").cast("long").alias("t"))
+    tf = toks.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    cf = (
+        tf.groupBy("tok")
+        .agg(F.sum("f").cast("long").alias("ft"))
+        .filter(F.col("ft") >= _DP_MIN_FREQ)
+    )
+    cells = (
+        cf.crossJoin(F.broadcast(part_sizes))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            tf.select(
+                F.col("tok").alias("tok2"),
+                F.col("source").alias("source2"),
+                "f",
+            ),
+            (F.col("tok") == F.col("tok2"))
+            & (F.col("source") == F.col("source2")),
+            "left",
+        )
+        .select(
+            "tok",
+            "ft",
+            F.abs(
+                F.coalesce(F.col("f"), F.lit(0)) * F.col("t")
+                - F.col("ft") * F.col("tp")
+            )
+            .cast("long")
+            .alias("num"),
+        )
+    )
+    dp = cells.groupBy("tok").agg(
+        F.min("ft").alias("corpus_freq"),
+        F.sum("num").cast("long").alias("num_sum"),
+    )
+    dp_val = F.col("num_sum").cast("double") / (
+        2.0 * F.col("corpus_freq") * F.col("t")
+    )
+    return (
+        dp.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tok").alias("term"),
+            "corpus_freq",
+            dp_val.cast("float").alias("dp"),
+        )
+        .orderBy(F.desc("dp"), "term")
+        .limit(_DP_TOPK)
+    )

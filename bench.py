@@ -205,6 +205,11 @@ ROUND6: list[str] = [
     "mediation_sobel",
     "dp_noisy_counts",
     "alignment_uniformity",
+    "simpsons_paradox_check",
+    "term_dispersion_dp",
+    "heaps_law_fit",
+    "embedding_effective_rank",
+    "cluster_label_nmi",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 356  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 361  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -31,8 +31,10 @@ N_EXPECTED = 356  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +quantile_sketch_rollup, +overdispersion_poisson,
 #                   +mann_whitney_u, +brown_forsythe_variance,
 #                   +mediation_sobel, +dp_noisy_counts,
-#                   +alignment_uniformity
-N_ORACLE = 356
+#                   +alignment_uniformity, +simpsons_paradox_check,
+#                   +term_dispersion_dp, +heaps_law_fit,
+#                   +embedding_effective_rank, +cluster_label_nmi
+N_ORACLE = 361
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

@@ -799,3 +799,139 @@ def test_alignment_uniformity_vs_numpy(spark):
     assert r["n_sample_pairs"] == len(usamp)
     assert abs(r["alignment"] - pos.mean()) < 1e-5
     assert abs(r["uniformity"] - np.log(np.exp(-2 * usamp).mean())) < 1e-5
+
+
+def test_simpsons_check_vs_numpy(spark):
+    d = _duck(
+        "SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y "
+        "FROM lineitem"
+    )
+    g = np.asarray([str(v) for v in d["g"]])
+    x = np.asarray(d["x"], dtype=np.float64)
+    y = np.asarray(d["y"], dtype=np.float64)
+    pooled = np.polyfit(x, y, 1)[0]
+    rows = {r["grp"]: r for r in _rows(spark, "simpsons_paradox_check")}
+    assert set(rows) == set(np.unique(g))
+    for grp in np.unique(g):
+        sl = np.polyfit(x[g == grp], y[g == grp], 1)[0]
+        r = rows[str(grp)]
+        assert r["n"] == int((g == grp).sum())
+        assert abs(r["group_slope"] - sl) / max(1.0, abs(sl)) < 1e-5
+        assert abs(r["pooled_slope"] - pooled) / max(1.0, abs(pooled)) < 1e-5
+        assert r["sign_reversal"] == int(sl * pooled < 0)
+
+
+def test_term_dispersion_vs_python(spark):
+    from collections import Counter, defaultdict
+
+    d = _duck("SELECT source, text FROM documents", tables=("documents",))
+    part = Counter()
+    tf = defaultdict(Counter)
+    for src, text in zip(d["source"], d["text"]):
+        toks = str(text).strip().split()
+        part[str(src)] += len(toks)
+        tf[str(src)].update(toks)
+    T = sum(part.values())
+    cf = Counter()
+    for src in tf:
+        cf.update(tf[src])
+    scored = []
+    for t, ft in cf.items():
+        if ft < 100:
+            continue
+        num = sum(
+            abs(tf[src][t] * T - ft * part[src]) for src in part
+        )
+        scored.append((num / (2.0 * ft * T), t, ft))
+    top = sorted(scored, key=lambda z: (-z[0], z[1]))[:20]
+    rows = _rows(spark, "term_dispersion_dp")
+    assert len(rows) == len(top)
+    for r, (dp, t, ft) in zip(rows, top):
+        assert r["term"] == t
+        assert r["corpus_freq"] == ft
+        assert abs(r["dp"] - dp) < 1e-6
+
+
+def test_heaps_law_vs_python(spark):
+    d = _duck("SELECT doc_id, text FROM documents ORDER BY doc_id",
+              tables=("documents",))
+    tris_by_doc = []
+    for text in d["text"]:
+        toks = str(text).strip().split()
+        tris_by_doc.append(
+            [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        )
+    n = int(max(d["doc_id"])) + 1
+    xs, ys = [], []
+    # straightforward recompute per cut
+    for k in range(1, 33):
+        cut = int(np.floor(n * k / 32.0))
+        seen = set()
+        counts = 0
+        for doc_id, tris in zip(d["doc_id"], tris_by_doc):
+            if int(doc_id) < cut:
+                counts += len(tris)
+                seen.update(tris)
+        if counts > 0:
+            xs.append(np.log(counts))
+            ys.append(np.log(len(seen)))
+    beta, lnk = np.polyfit(xs, ys, 1)
+    r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+
+    r = _rows(spark, "heaps_law_fit")[0]
+    assert r["n_points"] == len(xs)
+    assert abs(r["beta"] - beta) < 1e-5
+    assert abs(r["ln_k"] - lnk) < 1e-4
+    assert abs(r["r2"] - r2) < 1e-5
+    assert 0.0 < r["beta"] < 1.0
+
+
+def test_effective_rank_vs_numpy(spark):
+    d = _duck("SELECT embedding FROM embeddings ORDER BY vec_id",
+              tables=("embeddings",))
+    E = np.vstack(d["embedding"]).astype(np.float64)
+    C = np.cov(E, rowvar=False, ddof=1)
+    lam = np.linalg.eigvalsh(C)
+    erank_ref = lam.sum() ** 2 / (lam**2).sum()
+
+    r = _rows(spark, "embedding_effective_rank")[0]
+    assert r["n_rows"] == E.shape[0]
+    assert r["n_dims"] == E.shape[1]
+    assert abs(r["total_variance"] - np.trace(C)) / np.trace(C) < 1e-6
+    assert abs(r["effective_rank"] - erank_ref) / erank_ref < 1e-6
+    assert abs(r["rank_fraction"] - erank_ref / E.shape[1]) < 1e-6
+
+
+def test_cluster_label_nmi_vs_numpy(spark):
+    # contingency recomputed from the query's OWN assignment relation
+    # (the kmeans operator is certified elsewhere); the entropy/MI
+    # algebra here is the independent path.
+    from axolotls_spark.operators import clustering as CLU
+    from axolotls_spark.io.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assign, _ = CLU.kmeans(emb.select("vec_id", "embedding"), k=8, iters=2)
+    rows = (
+        assign.select("vec_id", "cid")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .collect()
+    )
+    from collections import Counter
+
+    cont = Counter((r["cid"], r["label"]) for r in rows)
+    n = sum(cont.values())
+    ni = Counter(); nj = Counter()
+    for (c, l), v in cont.items():
+        ni[c] += v; nj[l] += v
+    mi = sum(
+        v / n * np.log(v * n / (ni[c] * nj[l]))
+        for (c, l), v in cont.items()
+    )
+    hc = -sum(v / n * np.log(v / n) for v in ni.values())
+    hl = -sum(v / n * np.log(v / n) for v in nj.values())
+    r = _rows(spark, "cluster_label_nmi")[0]
+    assert r["n_vecs"] == n
+    assert (r["n_clusters"], r["n_labels"]) == (len(ni), len(nj))
+    assert abs(r["mutual_info"] - mi) < 1e-6
+    assert abs(r["nmi"] - mi / np.sqrt(hc * hl)) < 1e-6
+    assert 0.0 <= r["nmi"] <= 1.0
