@@ -7064,3 +7064,376 @@ def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (area under the KM curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rmst_retention",
+    oracle=f"""
+    WITH g AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS gmax FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               DATEDIFF('day', CAST(MIN(o_orderdate) AS DATE),
+                        CAST(MAX(o_orderdate) AS DATE)) AS duration,
+               CASE WHEN DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                                  (SELECT gmax FROM g)) > {_KM_CHURN_DAYS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM orders GROUP BY 1
+    ),
+    tbl AS (
+        SELECT duration, SUM(churned) AS d, COUNT(*) AS c
+        FROM cust GROUP BY 1
+    ),
+    risk AS (
+        SELECT duration, d, c,
+               SUM(c) OVER (ORDER BY duration DESC
+                            ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM tbl
+    ),
+    km AS (
+        SELECT duration,
+               EXP(SUM(LN(GREATEST(1.0 - CAST(d AS DOUBLE) / n_risk,
+                                   1e-12)))
+                   OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING))
+                   AS s,
+               LAG(duration) OVER (ORDER BY duration) AS prev_t,
+               EXP(SUM(LN(GREATEST(1.0 - CAST(d AS DOUBLE) / n_risk,
+                                   1e-12)))
+                   OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING))
+                 / GREATEST(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-12)
+                   AS s_prev
+        FROM risk
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM cust) AS n_customers,
+           CAST(MAX(duration) AS BIGINT) AS tau_days,
+           CAST(SUM(s_prev * (duration - COALESCE(prev_t, 0))) AS REAL)
+               AS rmst_days
+    FROM km
+    """,
+    tags=("survival", "rmst", "kaplan-meier", "retention",
+          "shared-algebra"),
+)
+def rmst_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time — the area under the
+    Kaplan-Meier retention curve up to the longest observed
+    duration: the single "expected retained days per customer"
+    number a lifecycle team reports instead of eyeballing the curve
+    (and the estimand of choice when hazards are non-proportional
+    and a Cox hazard ratio would be misleading; Royston & Parmar
+    2013).  Built on the SAME life table as
+    ``kaplan_meier_retention``/``logrank_test_retention``: RMST =
+    Σ S(t_{{i-1}})·(t_i − t_{{i-1}}) with S left-continuous, so the
+    integral is one aggregate over the distinct-duration relation —
+    S before each drop recovered by DIVIDING the running product by
+    the current factor rather than a second window.
+
+    Scale shape: one per-customer aggregate, one distinct-duration
+    life table (calendar-bounded), the KM running product, one
+    final sum — identical cost to the KM query it annotates."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("first"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.datediff("last", "first").alias("duration"),
+            F.when(
+                F.datediff("gmax", "last") > _KM_CHURN_DAYS, 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    tbl = cust.groupBy("duration").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_desc = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tbl.select(
+        "duration", "d", F.sum("c").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    factor = F.greatest(
+        1.0 - F.col("d").cast("double") / F.col("n_risk"), F.lit(1e-12)
+    )
+    km = risk.select(
+        "duration",
+        (F.exp(F.sum(F.log(factor)).over(w_asc)) / factor).alias("s_prev"),
+        F.lag("duration").over(Window.orderBy("duration")).alias("prev_t"),
+    )
+    n = cust.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    return (
+        km.agg(
+            F.max("duration").cast("long").alias("tau_days"),
+            F.sum(
+                F.col("s_prev")
+                * (F.col("duration") - F.coalesce(F.col("prev_t"), F.lit(0)))
+            )
+            .cast("float")
+            .alias("rmst_days"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select("n_customers", "tau_days", "rmst_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with between/within decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_index_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS seg, SUM(o.o_totalprice) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_mktsegment
+    ),
+    tot AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(y) AS sy FROM spend
+    ),
+    t_total AS (
+        SELECT SUM((y / (tot.sy / tot.n))
+                   * ln(y / (tot.sy / tot.n))) / MAX(tot.n) AS t
+        FROM spend CROSS JOIN tot
+    ),
+    g AS (
+        SELECT seg, COUNT(*)::DOUBLE AS ng, SUM(y) AS sg
+        FROM spend GROUP BY seg
+    ),
+    tg AS (
+        SELECT s.seg,
+               SUM((s.y / (g.sg / g.ng)) * ln(s.y / (g.sg / g.ng)))
+                   / MAX(g.ng) AS t_g,
+               MAX(g.ng) AS ng, MAX(g.sg) AS sg
+        FROM spend s JOIN g ON g.seg = s.seg
+        GROUP BY s.seg
+    ),
+    dec AS (
+        SELECT
+            SUM((tg.sg / tot.sy)
+                * ln((tg.sg / tg.ng) / (tot.sy / tot.n))) AS t_between,
+            SUM((tg.sg / tot.sy) * tg.t_g) AS t_within
+        FROM tg CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_customers,
+           CAST(t_total.t AS REAL) AS theil_total,
+           CAST(dec.t_between AS REAL) AS theil_between,
+           CAST(dec.t_within AS REAL) AS theil_within,
+           CAST(dec.t_between / t_total.t AS REAL) AS between_share
+    FROM t_total CROSS JOIN dec
+    """,
+    tags=("inequality", "theil", "decomposition", "gini-sibling",
+          "analytics"),
+)
+def theil_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of customer spend with the exact
+    between/within-segment decomposition — the property
+    ``gini_customer_spend`` cannot offer (Gini does not decompose
+    additively): T_total = T_between + Σ_g share_g·T_g, so the
+    between-share column answers "how much of the spend inequality
+    is explained by market segment" in one number.  Spenders only
+    (y > 0 by construction here — every order has positive price),
+    natural-log formulation.
+
+    Scale shape: one per-customer aggregate; the total and per-group
+    entropy sums are each ONE aggregate against broadcast 1-row /
+    5-row mean relations; the decomposition is scalar algebra on the
+    5-row group relation.  No windows over the corpus, no sort (the
+    advantage over Gini, whose exact form needs a global rank)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("y"))
+        .select(F.col("c_mktsegment").alias("seg"), "y")
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("sy"),
+    )
+    t_total = (
+        spend.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    (F.col("y") / (F.col("sy") / F.col("n")))
+                    * F.log(F.col("y") / (F.col("sy") / F.col("n")))
+                )
+                / F.max("n")
+            ).alias("t")
+        )
+    )
+    g = spend.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum("y").alias("sg"),
+    )
+    tg = (
+        spend.join(F.broadcast(g), "seg")
+        .groupBy("seg")
+        .agg(
+            (
+                F.sum(
+                    (F.col("y") / (F.col("sg") / F.col("ng")))
+                    * F.log(F.col("y") / (F.col("sg") / F.col("ng")))
+                )
+                / F.max("ng")
+            ).alias("t_g"),
+            F.max("ng").alias("ng"),
+            F.max("sg").alias("sg"),
+        )
+    )
+    dec = tg.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("sg") / F.col("sy"))
+            * F.log(
+                (F.col("sg") / F.col("ng")) / (F.col("sy") / F.col("n"))
+            )
+        ).alias("t_between"),
+        F.sum((F.col("sg") / F.col("sy")) * F.col("t_g")).alias("t_within"),
+    )
+    nrow = tot.select(F.col("n").cast("long").alias("n_customers"))
+    return (
+        nrow.crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(dec))
+        .select(
+            "n_customers",
+            F.col("t").cast("float").alias("theil_total"),
+            F.col("t_between").cast("float").alias("theil_between"),
+            F.col("t_within").cast("float").alias("theil_within"),
+            (F.col("t_between") / F.col("t")).cast("float")
+            .alias("between_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH edges AS (
+        SELECT ns.n_name AS src, nc.n_name AS dst,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        GROUP BY 1, 2
+    ),
+    outs AS (SELECT src, SUM(w) AS os FROM edges GROUP BY src),
+    ins AS (SELECT dst, SUM(w) AS isv FROM edges GROUP BY dst),
+    j AS (
+        SELECT e.w, o2.os AS x, i.isv AS y
+        FROM edges e JOIN outs o2 ON o2.src = e.src
+                     JOIN ins i ON i.dst = e.dst
+    ),
+    m AS (
+        SELECT SUM(w) AS sw, SUM(w*x) AS swx, SUM(w*y) AS swy,
+               SUM(w*x*x) AS swxx, SUM(w*y*y) AS swyy,
+               SUM(w*x*y) AS swxy, COUNT(*)::BIGINT AS n_edges
+        FROM j
+    )
+    SELECT n_edges,
+           CAST((sw*swxy - swx*swy)
+                / (sqrt(sw*swxx - swx*swx) * sqrt(sw*swyy - swy*swy))
+                AS REAL) AS assortativity
+    FROM m
+    """,
+    tags=("graph", "assortativity", "degree-correlation", "topology"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted strength assortativity of the nation trade graph —
+    the edge-weighted Pearson correlation between the out-strength
+    of an edge's source and the in-strength of its destination
+    (Newman 2002 generalized to weights): positive = heavy exporters
+    ship to heavy importers (rich-club flow), negative = hub-spoke.
+    Completes the trade-graph topology suite (pagerank/HITS rank
+    nodes, k-core finds the mass, modularity scores a partition;
+    assortativity characterizes the MIXING pattern).
+
+    Scale shape: the one corpus-sized edge aggregation shared by the
+    whole graph family, then strengths and the weighted-moment
+    correlation all on the ≤ 25² edge relation — two tiny grouped
+    sums, one 6-cell weighted moment aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                 F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("w")
+        )
+    )
+    outs = edges.groupBy("src").agg(F.sum("w").alias("os"))
+    ins = edges.groupBy("dst").agg(F.sum("w").alias("isv"))
+    j = (
+        edges.join(F.broadcast(outs), "src")
+        .join(F.broadcast(ins), "dst")
+        .select("w", F.col("os").alias("x"), F.col("isv").alias("y"))
+    )
+    m = j.agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).alias("swyy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
+    return m.select(
+        "n_edges",
+        (
+            (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy"))
+            / (
+                F.sqrt(
+                    F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+                )
+                * F.sqrt(
+                    F.col("sw") * F.col("swyy") - F.col("swy") * F.col("swy")
+                )
+            )
+        )
+        .cast("float")
+        .alias("assortativity"),
+    )

@@ -1647,3 +1647,82 @@ def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).cast("long").alias("df_between"),
         (F.col("n") - F.col("k")).cast("long").alias("df_within"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median via the distributed prefix sum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_unit_price",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) / l_quantity AS v,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    dv AS (SELECT v, SUM(wt)::BIGINT AS w FROM base GROUP BY v),
+    tot AS (SELECT SUM(w)::BIGINT AS tw FROM dv),
+    cum AS (
+        SELECT v, w,
+               SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+        FROM dv
+    ),
+    med AS (
+        SELECT MIN(v) AS wmed FROM cum CROSS JOIN tot
+        WHERE 2 * cw >= tw
+    ),
+    unw AS (SELECT quantile_cont(v, 0.5) AS umed FROM base)
+    SELECT (SELECT tw FROM tot) AS total_weight,
+           CAST(med.wmed AS REAL) AS weighted_median,
+           CAST(unw.umed AS REAL) AS unweighted_median
+    FROM med CROSS JOIN unw
+    """,
+    tags=("weighted-median", "order-statistics", "prefix-sum",
+          "distributed-rank"),
+)
+def weighted_median_unit_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median unit price — the order statistic a
+    pricing analysis actually wants (each line item votes with its
+    units, so a 50-unit line moves the median 50× more than a
+    1-unit line), emitted beside the unweighted median so the gap
+    IS the volume-mix readout.  Selection rule: the smallest value
+    whose cumulative weight reaches half the total, with the
+    half-total test written as the INTEGER comparison 2·cum ≥ W
+    (quantities are integers) — no float ever decides which value
+    is the median.
+
+    Scale shape: the Kruskal–Wallis machinery pointed at a weighted
+    quantile — one distinct-value aggregate, one distributed prefix
+    sum (operators/prefix.ranked_cumsum: range shuffle, no
+    single-partition window), one filtered MIN.  Generalizes to any
+    weighted quantile q by replacing 2·cum ≥ W with
+    denom·cum ≥ q·W·denom."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("double") / F.col("l_quantity"))
+        .alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    dv = base.groupBy("v").agg(F.sum("wt").cast("long").alias("w"))
+    tot = dv.agg(F.sum("w").cast("long").alias("tw"))
+    cum = ranked_cumsum(
+        dv, [F.asc("v")], "w", rank_name="_rn", cum_name="cw"
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .agg(F.min("v").alias("wmed"))
+    )
+    unw = base.agg(F.expr("percentile(v, 0.5)").alias("umed"))
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(unw))
+        .select(
+            F.col("tw").alias("total_weight"),
+            F.col("wmed").cast("float").alias("weighted_median"),
+            F.col("umed").cast("float").alias("unweighted_median"),
+        )
+    )

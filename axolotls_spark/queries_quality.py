@@ -1011,3 +1011,112 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(lap) <= bound, 1).otherwise(0)
         .alias("within_999_bound"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Local DP: randomized response with debiased estimator
+# ---------------------------------------------------------------------------
+
+_RR_F = 0.5  # probability a respondent answers at random
+_RR_SEED = "rr-release-r6"
+
+
+@register(
+    "local_dp_randomized_response",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS truth,
+               CAST(('0x' || substr(md5('{_RR_SEED}|coin|'
+                                        || CAST(c_custkey AS VARCHAR)),
+                                    1, 15))::BIGINT AS DOUBLE)
+                   / 1152921504606846976.0 AS u1,
+               ('0x' || substr(md5('{_RR_SEED}|bit|'
+                                   || CAST(c_custkey AS VARCHAR)),
+                               1, 15))::BIGINT % 2 AS rbit
+        FROM customer
+    ),
+    reported AS (
+        SELECT truth,
+               CASE WHEN u1 < {_RR_F} THEN rbit ELSE truth END AS resp
+        FROM base
+    ),
+    agg AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(truth)::DOUBLE AS nt,
+               SUM(resp)::DOUBLE AS nr
+        FROM reported
+    )
+    SELECT CAST(n AS BIGINT) AS n_respondents,
+           CAST(nt AS BIGINT) AS n_true_holders,
+           CAST(nr AS BIGINT) AS n_yes_reports,
+           CAST(nr / n AS REAL) AS p_observed,
+           CAST((nr / n - {_RR_F} / 2) / (1 - {_RR_F}) AS REAL)
+               AS p_debiased,
+           CAST(nt / n AS REAL) AS p_true,
+           CASE WHEN ABS((nr / n - {_RR_F} / 2) / (1 - {_RR_F}) - nt / n)
+                     <= 3 * sqrt((nr / n) * (1 - nr / n) / n)
+                        / (1 - {_RR_F})
+                THEN 1 ELSE 0 END AS within_3se
+    FROM agg
+    """,
+    tags=("privacy", "local-dp", "randomized-response", "debiasing",
+          "governance"),
+)
+def local_dp_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warner's randomized response — the LOCAL differential-privacy
+    mechanism (each record is perturbed BEFORE aggregation, so the
+    engine never holds the true bit) next to ``dp_noisy_counts``'s
+    central Laplace release: with probability f=½ a respondent
+    answers a fair coin instead of the truth (ε = ln 3 per response
+    for this f), and the population rate is recovered by the
+    debiasing identity p̂ = (p_obs − f/2)/(1 − f).  Both coins are
+    md5-derived from (release-id | role | key) — deterministic and
+    engine-independent, the same discipline as every sampler in this
+    repo — and the true rate rides along ONLY as certification, with
+    a 3-standard-error bound flag as the utility contract.
+
+    Scale shape: per-row scalar perturbation (no shuffle added),
+    ONE 3-cell aggregate; the mechanism is free at any corpus
+    size."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    c = load_table(spark, sf_dir, "customer")
+    truth = F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+    u1 = (
+        token_hash(
+            F.concat(
+                F.lit(_RR_SEED + "|coin|"), F.col("c_custkey").cast("string")
+            )
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    rbit = token_hash(
+        F.concat(F.lit(_RR_SEED + "|bit|"), F.col("c_custkey").cast("string"))
+    ) % 2
+    reported = c.select(
+        truth.alias("truth"),
+        F.when(u1 < _RR_F, rbit).otherwise(truth).alias("resp"),
+    )
+    agg = reported.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("truth").cast("double").alias("nt"),
+        F.sum("resp").cast("double").alias("nr"),
+    )
+    p_obs = F.col("nr") / F.col("n")
+    p_deb = (p_obs - _RR_F / 2) / (1 - _RR_F)
+    p_true = F.col("nt") / F.col("n")
+    se3 = 3 * F.sqrt(p_obs * (1 - p_obs) / F.col("n")) / (1 - _RR_F)
+    return agg.select(
+        F.col("n").cast("long").alias("n_respondents"),
+        F.col("nt").cast("long").alias("n_true_holders"),
+        F.col("nr").cast("long").alias("n_yes_reports"),
+        p_obs.cast("float").alias("p_observed"),
+        p_deb.cast("float").alias("p_debiased"),
+        p_true.cast("float").alias("p_true"),
+        F.when(F.abs(p_deb - p_true) <= se3, 1).otherwise(0)
+        .alias("within_3se"),
+    )

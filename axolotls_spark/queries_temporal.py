@@ -1574,3 +1574,106 @@ def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event burstiness (Goh-Barabási B index) per user
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_GAPS = 10
+
+
+@register(
+    "burstiness_interevent",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               CAST(DATEDIFF('second', prev_ts, ts) AS DOUBLE) AS g
+        FROM ordered WHERE prev_ts IS NOT NULL
+    ),
+    per_user AS (
+        SELECT user_id, COUNT(*)::DOUBLE AS n, SUM(g) AS s,
+               SUM(g * g) AS ss
+        FROM gaps GROUP BY user_id
+        HAVING COUNT(*) >= {_BURST_MIN_GAPS}
+    ),
+    b AS (
+        SELECT user_id, s / n AS mu,
+               sqrt((ss - s * s / n) / (n - 1)) AS sigma,
+               (sqrt((ss - s * s / n) / (n - 1)) - s / n)
+               / (sqrt((ss - s * s / n) / (n - 1)) + s / n) AS bi
+        FROM per_user
+    )
+    SELECT COUNT(*)::BIGINT AS n_users,
+           CAST(AVG(mu) AS REAL) AS mean_gap_seconds,
+           CAST(AVG(bi) AS REAL) AS mean_burstiness,
+           CAST(MIN(bi) AS REAL) AS min_burstiness,
+           CAST(MAX(bi) AS REAL) AS max_burstiness
+    FROM b
+    """,
+    tags=("burstiness", "interevent", "temporal", "goh-barabasi",
+          "behavioral"),
+)
+def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    inter-event times — the temporal-pattern classifier behind
+    bot/anomaly triage and retention modeling: B→−1 is a metronome
+    (scheduled job), B≈0 is Poisson (memoryless humans at scale),
+    B→+1 is bursty sessions.  Sibling of
+    ``sessionize_events_batch`` (which CUTS at a gap threshold;
+    burstiness characterizes the whole gap distribution without
+    choosing one) and ``burst_detection_hourly`` (corpus-level rate
+    spikes vs per-user temporal texture).
+
+    Scale shape: one per-user LAG window (partitioned by user — no
+    global ordering), one per-user moment aggregate with a
+    min-gap-count floor, one corpus summary aggregate.  Gaps are
+    exact integer seconds (DATEDIFF both engines), so per-user
+    moments are exact and B is the same few-op float on both
+    sides."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            )
+            .cast("double")
+            .alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.col("g") * F.col("g")).alias("ss"),
+        )
+        .filter(F.col("n") >= _BURST_MIN_GAPS)
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    b = per_user.select(
+        mu.alias("mu"), ((sigma - mu) / (sigma + mu)).alias("bi")
+    )
+    return b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.avg("mu").cast("float").alias("mean_gap_seconds"),
+        F.avg("bi").cast("float").alias("mean_burstiness"),
+        F.min("bi").cast("float").alias("min_burstiness"),
+        F.max("bi").cast("float").alias("max_burstiness"),
+    )

@@ -2714,3 +2714,123 @@ def term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dp"), "term")
         .limit(_DP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing
+# ---------------------------------------------------------------------------
+
+_QL_MU = 100.0
+
+
+@register(
+    "lm_dirichlet_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    coll AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+    tot AS (SELECT SUM(cf) AS t FROM coll),
+    q(query_id, term) AS (
+        VALUES {", ".join(f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts)}
+    ),
+    scored AS (
+        SELECT q.query_id, dl.doc_id,
+               SUM(LN((COALESCE(tf.tf, 0.0)
+                       + {_QL_MU} * coll.cf / tot.t)
+                      / (dl.dl + {_QL_MU}))) AS score
+        FROM q
+        JOIN coll ON coll.term = q.term
+        CROSS JOIN tot
+        CROSS JOIN dl
+        LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = dl.doc_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT query_id, doc_id, CAST(score AS REAL) AS score
+    FROM ranked WHERE rn <= 10
+    """,
+    tags=("query-likelihood", "dirichlet", "language-model-retrieval",
+          "sparse-retrieval", "topk"),
+)
+def lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001), μ=100 — the OTHER classic sparse scorer next to
+    ``bm25_search`` (same query set, same inverted relations): rank
+    by Σ_t ln((tf + μ·P(t|C)) / (|d| + μ)).  The structural
+    difference this query certifies: QL scores EVERY document for
+    every query term (absent terms contribute the smoothed
+    background mass, not zero), so the scored relation is the
+    |docs|×|query-terms| broadcast expansion with a LEFT join onto
+    the postings — where BM25's is postings-sized — and document
+    length enters through the smoothing denominator rather than a
+    b/k1 saturation curve.
+
+    Scale shape: the same one (doc, term) aggregate as BM25; query
+    terms and collection statistics are broadcast; per-query top-10
+    is rank over a partitioned window keyed by query_id (bounded
+    per-query relation).  At 100 TB the docs×terms expansion is
+    |corpus|×|query| — linear in the corpus, same as any scoring
+    sweep — and impact-ordered pruning would drop never-competitive
+    docs before the rank, same as the BM25 plan note."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(D.tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    coll = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = coll.agg(F.sum("cf").alias("t"))
+    qrows = [
+        (qid, t) for qid, ts in _BM25_QUERIES for t in ts
+    ]
+    q = docs.sparkSession.createDataFrame(qrows, ["query_id", "qterm"])
+    scored = (
+        q.join(F.broadcast(coll), F.col("term") == F.col("qterm"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(dl)
+        .join(
+            tf.select(
+                F.col("doc_id").alias("tdoc"),
+                F.col("term").alias("tterm"),
+                "tf",
+            ),
+            (F.col("tterm") == F.col("qterm"))
+            & (F.col("tdoc") == F.col("doc_id")),
+            "left",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0.0))
+                        + _QL_MU * F.col("cf") / F.col("t")
+                    )
+                    / (F.col("dl") + _QL_MU)
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id", F.col("score").cast("float")
+                .alias("score"))
+    )

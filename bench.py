@@ -210,6 +210,13 @@ ROUND6: list[str] = [
     "heaps_law_fit",
     "embedding_effective_rank",
     "cluster_label_nmi",
+    "rmst_retention",
+    "local_dp_randomized_response",
+    "lm_dirichlet_search",
+    "theil_index_spend",
+    "graph_assortativity",
+    "burstiness_interevent",
+    "weighted_median_unit_price",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

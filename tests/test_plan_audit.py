@@ -806,6 +806,7 @@ def test_registry_wide_plan_hygiene(spark):
         "hits_trade_graph",         # <=25-row nation score vector
                                     # L1-normalized per half-step
         "kaplan_meier_retention",   # distinct-duration life table
+        "rmst_retention",           # same distinct-duration life table
         "logrank_test_retention",   # distinct-duration life table
         "fdr_bh_nation_tests",      # 25-row test family
         "acf_ljung_box",            # 14-row lag relation cumsum

@@ -935,3 +935,206 @@ def test_cluster_label_nmi_vs_numpy(spark):
     assert abs(r["mutual_info"] - mi) < 1e-6
     assert abs(r["nmi"] - mi / np.sqrt(hc * hl)) < 1e-6
     assert 0.0 <= r["nmi"] <= 1.0
+
+
+def test_rmst_vs_numpy(spark):
+    d = _duck(
+        """
+        WITH g AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS gmax FROM orders)
+        SELECT DATEDIFF('day', CAST(MIN(o_orderdate) AS DATE),
+                        CAST(MAX(o_orderdate) AS DATE)) AS dur,
+               CASE WHEN DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                                  (SELECT gmax FROM g)) > 90
+                    THEN 1 ELSE 0 END AS ev
+        FROM orders GROUP BY o_custkey
+        """,
+        tables=("orders",),
+    )
+    dur = np.asarray(d["dur"]); ev = np.asarray(d["ev"])
+    ts = np.unique(dur)
+    # straight-line KM + trapezoid-free step integral
+    s, rmst, prev_t, n_at_risk = 1.0, 0.0, 0, len(dur)
+    for t in ts:
+        rmst += s * (t - prev_t)
+        dth = int(ev[dur == t].sum())
+        s *= max(1 - dth / n_at_risk, 1e-12)
+        n_at_risk -= int((dur == t).sum())
+        prev_t = t
+    r = _rows(spark, "rmst_retention")[0]
+    assert r["n_customers"] == len(dur)
+    assert r["tau_days"] == int(ts.max())
+    assert abs(r["rmst_days"] - rmst) / rmst < 1e-5
+
+
+def test_randomized_response_vs_python(spark):
+    import hashlib
+
+    d = _duck("SELECT c_custkey, c_mktsegment FROM customer",
+              tables=("customer",))
+    n = nt = nr = 0
+    for key, seg in zip(d["c_custkey"], d["c_mktsegment"]):
+        truth = int(str(seg) == "BUILDING")
+        u1 = int(hashlib.md5(f"rr-release-r6|coin|{key}".encode())
+                 .hexdigest()[:15], 16) / 2**60
+        rbit = int(hashlib.md5(f"rr-release-r6|bit|{key}".encode())
+                   .hexdigest()[:15], 16) % 2
+        resp = rbit if u1 < 0.5 else truth
+        n += 1; nt += truth; nr += resp
+    r = _rows(spark, "local_dp_randomized_response")[0]
+    assert (r["n_respondents"], r["n_true_holders"],
+            r["n_yes_reports"]) == (n, nt, nr)
+    p_deb = (nr / n - 0.25) / 0.5
+    assert abs(r["p_debiased"] - p_deb) < 1e-6
+    se3 = 3 * np.sqrt((nr / n) * (1 - nr / n) / n) / 0.5
+    assert r["within_3se"] == int(abs(p_deb - nt / n) <= se3)
+
+
+def test_lm_dirichlet_vs_python(spark):
+    from collections import Counter, defaultdict
+
+    d = _duck("SELECT doc_id, text FROM documents", tables=("documents",))
+    tf = defaultdict(Counter)
+    for did, text in zip(d["doc_id"], d["text"]):
+        tf[int(did)].update(str(text).strip().split())
+    dl = {did: sum(c.values()) for did, c in tf.items()}
+    coll = Counter()
+    for c in tf.values():
+        coll.update(c)
+    T = sum(coll.values())
+    from axolotls_spark.queries_text import _BM25_QUERIES
+
+    got = defaultdict(list)
+    for r in _rows(spark, "lm_dirichlet_search"):
+        got[r["query_id"]].append((r["doc_id"], r["score"]))
+    for qid, terms in _BM25_QUERIES:
+        # terms absent from the collection are dropped by the coll
+        # join in both engines; a query with no present terms scores
+        # no documents.
+        present = [t for t in terms if coll[t] > 0]
+        if not present:
+            assert got[qid] == []
+            continue
+        scores = {}
+        for did in tf:
+            s = 0.0
+            for t in present:
+                s += np.log(
+                    (tf[did][t] + 100.0 * coll[t] / T) / (dl[did] + 100.0)
+                )
+            scores[did] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [g[0] for g in sorted(got[qid],
+                                     key=lambda g: (-g[1], g[0]))] == [
+            t[0] for t in top
+        ]
+        for (gd, gs), (td, ts_) in zip(
+            sorted(got[qid], key=lambda g: (-g[1], g[0])), top
+        ):
+            assert abs(gs - ts_) < 1e-5
+
+
+def test_theil_vs_numpy(spark):
+    d = _duck(
+        """SELECT c.c_mktsegment AS seg, SUM(o.o_totalprice) AS y
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY o.o_custkey, c.c_mktsegment""",
+        tables=("orders", "customer"),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    seg = np.asarray([str(s) for s in d["seg"]])
+    mu = y.mean()
+    t_total = np.mean((y / mu) * np.log(y / mu))
+    t_between = t_within = 0.0
+    for s in np.unique(seg):
+        yy = y[seg == s]
+        mg = yy.mean()
+        share = yy.sum() / y.sum()
+        t_between += share * np.log(mg / mu)
+        t_within += share * np.mean((yy / mg) * np.log(yy / mg))
+    r = _rows(spark, "theil_index_spend")[0]
+    assert r["n_customers"] == len(y)
+    assert abs(r["theil_total"] - t_total) < 1e-6
+    assert abs(r["theil_between"] - t_between) < 1e-6
+    assert abs(r["theil_within"] - t_within) < 1e-6
+    # additive decomposition: total = between + within
+    assert abs(r["theil_total"]
+               - (r["theil_between"] + r["theil_within"])) < 1e-5
+
+
+def test_assortativity_vs_numpy(spark):
+    d = _duck(
+        """
+        SELECT ns.n_name AS src, nc.n_name AS dst,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        GROUP BY 1, 2
+        """,
+        tables=("lineitem", "orders", "customer", "nation", "supplier"),
+    )
+    src = np.asarray([str(x) for x in d["src"]])
+    dst = np.asarray([str(x) for x in d["dst"]])
+    w = np.asarray(d["w"], dtype=np.float64)
+    outs = {s: w[src == s].sum() for s in np.unique(src)}
+    ins = {t: w[dst == t].sum() for t in np.unique(dst)}
+    x = np.array([outs[s] for s in src])
+    yv = np.array([ins[t] for t in dst])
+    sw = w.sum()
+    mx, my = (w * x).sum() / sw, (w * yv).sum() / sw
+    cov = (w * (x - mx) * (yv - my)).sum()
+    vx = (w * (x - mx) ** 2).sum()
+    vy = (w * (yv - my) ** 2).sum()
+    r_ref = cov / np.sqrt(vx * vy)
+    r = _rows(spark, "graph_assortativity")[0]
+    assert r["n_edges"] == len(w)
+    assert abs(r["assortativity"] - r_ref) < 1e-6
+    assert -1.0 <= r["assortativity"] <= 1.0
+
+
+def test_burstiness_vs_numpy(spark):
+    d = _duck(
+        "SELECT user_id, ts, event_id FROM events ORDER BY user_id, ts,"
+        " event_id",
+        tables=("events",),
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, t in zip(d["user_id"], d["ts"]):
+        per[int(u)].append(np.datetime64(t, "s").astype(np.int64))
+    bis, mus = [], []
+    for u, ts in per.items():
+        g = np.diff(np.asarray(sorted(ts), dtype=np.float64))
+        if len(g) < 10:
+            continue
+        mu, sd = g.mean(), g.std(ddof=1)
+        mus.append(mu)
+        bis.append((sd - mu) / (sd + mu))
+    r = _rows(spark, "burstiness_interevent")[0]
+    assert r["n_users"] == len(bis)
+    assert abs(r["mean_gap_seconds"] - np.mean(mus)) / np.mean(mus) < 1e-5
+    assert abs(r["mean_burstiness"] - np.mean(bis)) < 1e-5
+    assert abs(r["min_burstiness"] - min(bis)) < 1e-6
+    assert abs(r["max_burstiness"] - max(bis)) < 1e-6
+
+
+def test_weighted_median_vs_numpy(spark):
+    d = _duck(
+        "SELECT l_extendedprice / l_quantity AS v, l_quantity AS wt"
+        " FROM lineitem"
+    )
+    v = np.asarray(d["v"], dtype=np.float64)
+    wt = np.asarray(d["wt"], dtype=np.int64)
+    order = np.argsort(v, kind="stable")
+    vs, ws = v[order], wt[order]
+    cw = np.cumsum(ws)
+    wmed = vs[np.searchsorted(2 * cw, ws.sum(), side="left")]
+    r = _rows(spark, "weighted_median_unit_price")[0]
+    assert r["total_weight"] == int(wt.sum())
+    assert abs(r["weighted_median"] - wmed) / wmed < 1e-6
+    umed = np.quantile(v, 0.5, method="linear")
+    assert abs(r["unweighted_median"] - umed) / umed < 1e-6
