@@ -7437,3 +7437,281 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fisher price index (Laspeyres/Paasche) between two years
+# ---------------------------------------------------------------------------
+
+_IDX_Y0, _IDX_Y1 = 1995, 1996
+
+
+@register(
+    "price_index_fisher",
+    oracle=f"""
+    WITH li AS (
+        SELECT l.l_partkey AS pk,
+               YEAR(CAST(o.o_orderdate AS DATE)) AS yr,
+               SUM(l.l_quantity) AS q,
+               SUM(l.l_extendedprice) / SUM(l.l_quantity) AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE YEAR(CAST(o.o_orderdate AS DATE))
+                  IN ({_IDX_Y0}, {_IDX_Y1})
+        GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT a.pk, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+        FROM (SELECT * FROM li WHERE yr = {_IDX_Y0}) a
+        JOIN (SELECT * FROM li WHERE yr = {_IDX_Y1}) b ON a.pk = b.pk
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n_parts,
+               SUM(p1 * q0) AS p1q0, SUM(p0 * q0) AS p0q0,
+               SUM(p1 * q1) AS p1q1, SUM(p0 * q1) AS p0q1
+        FROM matched
+    )
+    SELECT n_parts,
+           CAST(p1q0 / p0q0 AS REAL) AS laspeyres,
+           CAST(p1q1 / p0q1 AS REAL) AS paasche,
+           CAST(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)) AS REAL) AS fisher
+    FROM s
+    """,
+    tags=("price-index", "laspeyres", "paasche", "fisher", "economics"),
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher ideal price indices between
+    two years over the common part basket — the index-number
+    toolkit behind any "how much did prices move, holding the
+    basket fixed" dashboard: Laspeyres weights by base-year
+    quantities (overstates inflation under substitution), Paasche
+    by current-year (understates), Fisher is their geometric mean
+    and the superlative index national statistics agencies publish.
+    Unit prices are revenue/quantity per (part, year); only parts
+    traded in BOTH years enter (the matched-model rule).
+
+    Scale shape: one (part, year) aggregate on the date-filtered
+    scan (predicate pushed to parquet), a self-equi-join on partkey
+    of the two year slices, one 4-cell weighted-sum aggregate —
+    the indices are scalar algebra on the 1-row relation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    ).filter(F.col("yr").isin(_IDX_Y0, _IDX_Y1))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), "yr")
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        )
+    )
+    a = li.filter(F.col("yr") == _IDX_Y0).select(
+        "pk", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    b = li.filter(F.col("yr") == _IDX_Y1).select(
+        "pk", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    s = a.join(b, "pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).alias("p1q0"),
+        F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p1q1"),
+        F.sum(F.col("p0") * F.col("q1")).alias("p0q1"),
+    )
+    lasp = F.col("p1q0") / F.col("p0q0")
+    paas = F.col("p1q1") / F.col("p0q1")
+    return s.select(
+        "n_parts",
+        lasp.cast("float").alias("laspeyres"),
+        paas.cast("float").alias("paasche"),
+        F.sqrt(lasp * paas).cast("float").alias("fisher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate (Chapman)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "capture_recapture_chapman",
+    oracle=f"""
+    WITH y0 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE YEAR(CAST(o_orderdate AS DATE)) = {_IDX_Y0}
+    ),
+    y1 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE YEAR(CAST(o_orderdate AS DATE)) = {_IDX_Y1}
+    ),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM y0)::DOUBLE AS n1,
+               (SELECT COUNT(*) FROM y1)::DOUBLE AS n2,
+               (SELECT COUNT(*) FROM y0 JOIN y1 USING (o_custkey))::DOUBLE
+                   AS m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_capture_1,
+           CAST(n2 AS BIGINT) AS n_capture_2,
+           CAST(m AS BIGINT) AS n_recaptured,
+           CAST((n1 + 1) * (n2 + 1) / (m + 1) - 1 AS REAL)
+               AS chapman_estimate,
+           CAST(sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+                     / ((m + 1) * (m + 1) * (m + 2))) AS REAL)
+               AS chapman_se,
+           (SELECT COUNT(*)::BIGINT FROM customer) AS true_population
+    FROM s
+    """,
+    tags=("capture-recapture", "chapman", "population-estimate",
+          "census", "dedup-adjacent"),
+)
+def capture_recapture_chapman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the customer universe
+    from two overlapping activity snapshots (customers ordering in
+    1995 vs 1996): N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with its closed-form
+    standard error — the mark-recapture estimator a data platform
+    uses to size an entity universe it never observes completely
+    (total distinct users across partially-overlapping crawls or
+    logs; the census-side cousin of the dedup family, which removes
+    overlap rather than extrapolating from it).  The true customer
+    count rides along as certification; the gap is the
+    equal-catchability bias, which is the documented caveat.
+
+    Scale shape: two year-filtered DISTINCT aggregates (predicate
+    pushed), one equi-join for the overlap, scalar algebra on a
+    1-row relation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+    )
+    y0 = o.filter(F.col("yr") == _IDX_Y0).select("o_custkey").distinct()
+    y1 = o.filter(F.col("yr") == _IDX_Y1).select("o_custkey").distinct()
+    n1 = y0.agg(F.count(F.lit(1)).cast("double").alias("n1"))
+    n2 = y1.agg(F.count(F.lit(1)).cast("double").alias("n2"))
+    m = y0.join(y1, "o_custkey").agg(
+        F.count(F.lit(1)).cast("double").alias("m")
+    )
+    pop = load_table(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).cast("long").alias("true_population")
+    )
+    s = (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(pop))
+    )
+    est = (F.col("n1") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    se = F.sqrt(
+        (F.col("n1") + 1)
+        * (F.col("n2") + 1)
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / (
+            (F.col("m") + 1)
+            * (F.col("m") + 1)
+            * (F.col("m") + 2)
+        )
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_capture_1"),
+        F.col("n2").cast("long").alias("n_capture_2"),
+        F.col("m").cast("long").alias("n_recaptured"),
+        est.cast("float").alias("chapman_estimate"),
+        se.cast("float").alias("chapman_se"),
+        "true_population",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the user-behavior Markov chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*)::DOUBLE AS c
+        FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    marg AS (SELECT src, SUM(c) AS cs FROM trans GROUP BY src),
+    tot AS (SELECT SUM(c) AS t FROM trans),
+    h AS (
+        SELECT SUM((tr.c / tot.t) * ln(mg.cs / tr.c)) AS rate
+        FROM trans tr JOIN marg mg USING (src) CROSS JOIN tot
+    ),
+    h0 AS (
+        SELECT ln(COUNT(*)::DOUBLE) AS hmax FROM marg
+    )
+    SELECT (SELECT CAST(t AS BIGINT) FROM tot) AS n_transitions,
+           (SELECT COUNT(*)::BIGINT FROM marg) AS n_states,
+           CAST(h.rate AS REAL) AS entropy_rate_nats,
+           CAST(h.rate / h0.hmax AS REAL) AS normalized_rate
+    FROM h CROSS JOIN h0
+    """,
+    tags=("entropy-rate", "markov", "predictability", "behavioral",
+          "information-theory"),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain —
+    how PREDICTABLE the next user action is given the current one:
+    H = Σ_ij π̂_i p_ij ln(1/p_ij), with the stationary weights
+    estimated by the empirical source frequencies (the MLE for an
+    observed chain: π̂_i p_ij = count_ij / total, so the whole
+    statistic collapses to one pass over the transition-count
+    relation ``event_transition_matrix`` already certifies).
+    Normalized by ln|states| it is the 0–1 unpredictability score
+    behind session-quality and bot heuristics (a scripted agent's
+    rate ≈ 0, uniform noise ≈ 1).
+
+    Scale shape: one per-user LEAD window (partitioned), one
+    transition-count aggregate (≤ |event types|² rows), scalar
+    entropy algebra on it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    marg = trans.groupBy("src").agg(F.sum("c").alias("cs"))
+    tot = trans.agg(F.sum("c").alias("t"))
+    h = (
+        trans.join(F.broadcast(marg), "src")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("t"))
+                * F.log(F.col("cs") / F.col("c"))
+            ).alias("rate")
+        )
+    )
+    h0 = marg.agg(
+        F.log(F.count(F.lit(1)).cast("double")).alias("hmax"),
+        F.count(F.lit(1)).cast("long").alias("n_states"),
+    )
+    ntr = tot.select(F.col("t").cast("long").alias("n_transitions"))
+    return (
+        ntr.crossJoin(F.broadcast(h0))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_transitions",
+            "n_states",
+            F.col("rate").cast("float").alias("entropy_rate_nats"),
+            (F.col("rate") / F.col("hmax")).cast("float")
+            .alias("normalized_rate"),
+        )
+    )

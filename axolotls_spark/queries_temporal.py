@@ -1677,3 +1677,170 @@ def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bi").cast("float").alias("min_burstiness"),
         F.max("bi").cast("float").alias("max_burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent of daily revenue (rescaled-range analysis)
+# ---------------------------------------------------------------------------
+
+_HURST_NS = (8, 16, 32, 64)
+
+
+@register(
+    "hurst_exponent_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    rn AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS r FROM daily
+    ),
+    blocks AS (
+        SELECT ns.n, CAST(FLOOR((r - 1) / ns.n) AS BIGINT) AS blk,
+               r, y
+        FROM rn CROSS JOIN (
+            SELECT UNNEST([{', '.join(str(n) for n in _HURST_NS)}]) AS n
+        ) ns
+    ),
+    stats AS (
+        SELECT n, blk, COUNT(*)::DOUBLE AS cnt, AVG(y) AS mu,
+               sqrt((SUM(y*y) - SUM(y)*SUM(y)/COUNT(*))
+                    / (COUNT(*) - 1)) AS s
+        FROM blocks GROUP BY n, blk
+    ),
+    cum AS (
+        SELECT b.n, b.blk,
+               SUM(b.y - st.mu) OVER (
+                   PARTITION BY b.n, b.blk ORDER BY b.r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cd
+        FROM blocks b JOIN stats st ON st.n = b.n AND st.blk = b.blk
+        WHERE st.cnt = st.n
+    ),
+    rs AS (
+        SELECT c.n, c.blk,
+               (MAX(c.cd) - MIN(c.cd)) AS rng
+        FROM cum c GROUP BY c.n, c.blk
+    ),
+    pern AS (
+        SELECT rs.n, AVG(rs.rng / st.s) AS rs_avg,
+               COUNT(*)::BIGINT AS n_blocks
+        FROM rs JOIN stats st ON st.n = rs.n AND st.blk = rs.blk
+        WHERE st.s > 0 AND st.cnt = rs.n
+        GROUP BY rs.n
+    ),
+    pts AS (
+        SELECT ln(CAST(n AS DOUBLE)) AS x, ln(rs_avg) AS y FROM pern
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS k, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        FROM pts
+    )
+    SELECT (SELECT CAST(SUM(n_blocks) AS BIGINT) FROM pern)
+               AS n_blocks_total,
+           CAST(k AS BIGINT) AS n_scales,
+           CAST((k*sxy - sx*sy) / (k*sxx - sx*sx) AS REAL)
+               AS hurst_exponent
+    FROM m
+    """,
+    tags=("hurst", "rescaled-range", "long-memory", "timeseries",
+          "fractal"),
+)
+def hurst_exponent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range analysis
+    (Hurst 1951 / Mandelbrot-Wallis R/S): split the series into
+    blocks of n ∈ {8,16,32,64} days, compute each block's range of
+    cumulative deviations over its standard deviation, and fit
+    ln E[R/S] ~ H·ln n.  H ≈ 0.5 is a memoryless series, H > 0.5
+    persistent long-memory (trends compound), H < 0.5
+    mean-reverting — the long-memory diagnostic that says whether
+    ``forecast_linear_28d``-style extrapolation is even plausible,
+    complementing ``acf_ljung_box`` (fixed-lag correlation) with a
+    scale-free readout.
+
+    Scale shape: the windowed relation is the calendar-bounded
+    daily aggregate (the ewma contract); blocks come from a 4-row
+    broadcast scale spine, per-block moments are one grouped
+    aggregate, the within-block cumulative deviation is a window
+    PARTITIONED by (scale, block), and the final fit is OLS on 4
+    points.  Incomplete trailing blocks are excluded (cnt = n)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    rn = daily.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("r")
+    )
+    ns = rn.sparkSession.createDataFrame(
+        [(n,) for n in _HURST_NS], ["n"]
+    )
+    blocks = rn.crossJoin(F.broadcast(ns)).select(
+        "n",
+        F.floor((F.col("r") - 1) / F.col("n")).cast("long").alias("blk"),
+        "r",
+        "y",
+    )
+    stats = blocks.groupBy("n", "blk").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.avg("y").alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("y") * F.col("y"))
+                - F.sum("y") * F.sum("y") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s"),
+    )
+    w = (
+        Window.partitionBy("n", "blk")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        blocks.join(F.broadcast(stats), ["n", "blk"])
+        .filter(F.col("cnt") == F.col("n").cast("double"))
+        .select(
+            "n",
+            "blk",
+            F.sum(F.col("y") - F.col("mu")).over(w).alias("cd"),
+        )
+    )
+    rs = cum.groupBy("n", "blk").agg(
+        (F.max("cd") - F.min("cd")).alias("rng")
+    )
+    pern = (
+        rs.join(F.broadcast(stats), ["n", "blk"])
+        .filter((F.col("s") > 0) & (F.col("cnt") == F.col("n")))
+        .groupBy("n")
+        .agg(
+            F.avg(F.col("rng") / F.col("s")).alias("rs_avg"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        )
+    )
+    pts = pern.select(
+        F.log(F.col("n").cast("double")).alias("x"),
+        F.log("rs_avg").alias("y"),
+        "n_blocks",
+    )
+    m = pts.agg(
+        F.sum("n_blocks").cast("long").alias("n_blocks_total"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        "n_blocks_total",
+        F.col("k").cast("long").alias("n_scales"),
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .cast("float")
+        .alias("hurst_exponent"),
+    )

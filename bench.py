@@ -217,6 +217,10 @@ ROUND6: list[str] = [
     "graph_assortativity",
     "burstiness_interevent",
     "weighted_median_unit_price",
+    "price_index_fisher",
+    "capture_recapture_chapman",
+    "markov_entropy_rate",
+    "hurst_exponent_revenue",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -827,6 +827,8 @@ def test_registry_wide_plan_hygiene(spark):
                                     # path documented)
         "forecast_backtest_metrics",  # per-day aggregate (calendar-
                                     # bounded, same as ewma)
+        "hurst_exponent_revenue",   # per-day aggregate row_number
+                                    # (block windows are partitioned)
         "window_range_frame",       # deliberate RANGE-frame API demo;
                                     # docstring warns it is single-node
     }

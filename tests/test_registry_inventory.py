@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 368  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 372  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -37,8 +37,10 @@ N_EXPECTED = 368  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +rmst_retention, +local_dp_randomized_response,
 #                   +lm_dirichlet_search, +theil_index_spend,
 #                   +graph_assortativity, +burstiness_interevent,
-#                   +weighted_median_unit_price
-N_ORACLE = 368
+#                   +weighted_median_unit_price, +price_index_fisher,
+#                   +capture_recapture_chapman, +markov_entropy_rate,
+#                   +hurst_exponent_revenue
+N_ORACLE = 372
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

@@ -1138,3 +1138,114 @@ def test_weighted_median_vs_numpy(spark):
     assert abs(r["weighted_median"] - wmed) / wmed < 1e-6
     umed = np.quantile(v, 0.5, method="linear")
     assert abs(r["unweighted_median"] - umed) / umed < 1e-6
+
+
+def test_price_index_vs_numpy(spark):
+    d = _duck(
+        """
+        SELECT l.l_partkey AS pk, YEAR(CAST(o.o_orderdate AS DATE)) AS yr,
+               SUM(l.l_quantity) AS q,
+               SUM(l.l_extendedprice) / SUM(l.l_quantity) AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE YEAR(CAST(o.o_orderdate AS DATE)) IN (1995, 1996)
+        GROUP BY 1, 2
+        """,
+        tables=("lineitem", "orders"),
+    )
+    rows = {}
+    for pk, yr, q, p in zip(d["pk"], d["yr"], d["q"], d["p"]):
+        rows.setdefault(int(pk), {})[int(yr)] = (float(p), float(q))
+    p1q0 = p0q0 = p1q1 = p0q1 = 0.0
+    n = 0
+    for pk, years in rows.items():
+        if 1995 in years and 1996 in years:
+            (p0, q0), (p1, q1) = years[1995], years[1996]
+            n += 1
+            p1q0 += p1 * q0; p0q0 += p0 * q0
+            p1q1 += p1 * q1; p0q1 += p0 * q1
+    lasp, paas = p1q0 / p0q0, p1q1 / p0q1
+    r = _rows(spark, "price_index_fisher")[0]
+    assert r["n_parts"] == n
+    assert abs(r["laspeyres"] - lasp) < 1e-6
+    assert abs(r["paasche"] - paas) < 1e-6
+    assert abs(r["fisher"] - np.sqrt(lasp * paas)) < 1e-6
+
+
+def test_chapman_vs_python(spark):
+    d = _duck(
+        """SELECT DISTINCT o_custkey, YEAR(CAST(o_orderdate AS DATE)) AS yr
+           FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        """,
+        tables=("orders",),
+    )
+    s1 = {int(k) for k, y in zip(d["o_custkey"], d["yr"]) if y == 1995}
+    s2 = {int(k) for k, y in zip(d["o_custkey"], d["yr"]) if y == 1996}
+    n1, n2, m = len(s1), len(s2), len(s1 & s2)
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    se = np.sqrt(
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) ** 2 * (m + 2))
+    )
+    r = _rows(spark, "capture_recapture_chapman")[0]
+    assert (r["n_capture_1"], r["n_capture_2"], r["n_recaptured"]) == (
+        n1, n2, m,
+    )
+    assert abs(r["chapman_estimate"] - est) / est < 1e-6
+    assert abs(r["chapman_se"] - se) / max(1.0, se) < 1e-5
+
+
+def test_entropy_rate_vs_python(spark):
+    from collections import Counter, defaultdict
+
+    d = _duck(
+        "SELECT user_id, event_type, ts, event_id FROM events"
+        " ORDER BY user_id, ts, event_id",
+        tables=("events",),
+    )
+    seq = defaultdict(list)
+    for u, e in zip(d["user_id"], d["event_type"]):
+        seq[int(u)].append(str(e))
+    trans = Counter()
+    for u, evs in seq.items():
+        for a, b in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    tot = sum(trans.values())
+    marg = Counter()
+    for (a, _), c in trans.items():
+        marg[a] += c
+    rate = sum(
+        (c / tot) * np.log(marg[a] / c) for (a, _), c in trans.items()
+    )
+    r = _rows(spark, "markov_entropy_rate")[0]
+    assert r["n_transitions"] == tot
+    assert r["n_states"] == len(marg)
+    assert abs(r["entropy_rate_nats"] - rate) < 1e-6
+    assert abs(r["normalized_rate"] - rate / np.log(len(marg))) < 1e-6
+
+
+def test_hurst_vs_numpy(spark):
+    d = _duck(
+        """SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS y
+           FROM orders GROUP BY 1 ORDER BY 1""",
+        tables=("orders",),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    xs, ys, nblocks = [], [], 0
+    for n in (8, 16, 32, 64):
+        rss = []
+        for b in range(len(y) // n):
+            seg = y[b * n:(b + 1) * n]
+            s = seg.std(ddof=1)
+            if s <= 0:
+                continue
+            cd = np.cumsum(seg - seg.mean())
+            rss.append((cd.max() - cd.min()) / s)
+        if rss:
+            xs.append(np.log(n)); ys.append(np.log(np.mean(rss)))
+            nblocks += len(rss)
+    h_ref = np.polyfit(xs, ys, 1)[0]
+    r = _rows(spark, "hurst_exponent_revenue")[0]
+    assert r["n_scales"] == len(xs)
+    assert r["n_blocks_total"] == nblocks
+    assert abs(r["hurst_exponent"] - h_ref) < 1e-5
+    assert 0.0 < r["hurst_exponent"] < 1.0
