@@ -2834,3 +2834,206 @@ def lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", F.col("score").cast("float")
                 .alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band design calculator (b, r selection for a target threshold)
+# ---------------------------------------------------------------------------
+
+_LSH_DESIGN_K = 128  # signature length to partition into b bands of r rows
+_LSH_TAU = (80, 100)  # target Jaccard threshold 0.80 as a ratio
+
+
+@register(
+    "lsh_band_design",
+    oracle=f"""
+    WITH designs AS (
+        SELECT b, {_LSH_DESIGN_K} / b AS r
+        FROM (SELECT UNNEST(generate_series(1, {_LSH_DESIGN_K})) AS b)
+        WHERE {_LSH_DESIGN_K} % b = 0
+    ),
+    scored AS (
+        SELECT b, r,
+               POW(CAST(b AS DOUBLE), -1.0 / r) AS threshold,
+               1 - POW(1 - POW({_LSH_TAU[0]} / {_LSH_TAU[1]}.0, r),
+                       CAST(b AS DOUBLE)) AS p_catch_at_tau,
+               1 - POW(1 - POW({_LSH_TAU[0]} / {_LSH_TAU[1]}.0 - 0.3, r),
+                       CAST(b AS DOUBLE)) AS p_false_at_tau_minus_30
+        FROM designs
+    )
+    SELECT b, CAST(r AS INTEGER) AS r,
+           CAST(threshold AS REAL) AS threshold,
+           CAST(p_catch_at_tau AS REAL) AS p_catch_at_tau,
+           CAST(p_false_at_tau_minus_30 AS REAL)
+               AS p_false_at_tau_minus_30,
+           CASE WHEN p_catch_at_tau >= 0.90
+                     AND p_false_at_tau_minus_30 <= 0.10
+                THEN 1 ELSE 0 END AS meets_spec
+    FROM scored
+    ORDER BY b
+    """,
+    tags=("lsh", "band-design", "index-design", "dedup",
+          "s-curve"),
+)
+def lsh_band_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (b, r) band-design table for a 128-hash MinHash-LSH index
+    — the calculator an engineer consults BEFORE building the index
+    that ``minhash_near_dup_pairs`` / ``lsh_quality_report`` then
+    certify: for every factorization k = b·r it emits the S-curve
+    threshold (1/b)^(1/r), the catch probability
+    1 − (1 − τ^r)^b at the target Jaccard τ=0.8, the false-positive
+    probability at τ−0.3, and a meets-spec flag (≥90% catch, ≤10%
+    noise; with k=128 the b=16, r=8 design meets it at 94.7%/6.1% —
+    the table also SHOWS that no factorization of 128 reaches 95/5,
+    which is itself the design readout: hit that spec by raising k,
+    not by searching b).  At 100 TB the wrong (b, r) is the difference between a
+    bucket join that prunes and one that floods — this table is the
+    design artifact that decision should cite.
+
+    Pure closed-form math on a ≤k-row divisor spine (the corpus is
+    not touched — data-independent by design, which is exactly the
+    point: the S-curve holds at any scale); deterministic POW both
+    engines."""
+    k = _LSH_DESIGN_K
+    tau = _LSH_TAU[0] / _LSH_TAU[1]
+    spark_range = spark.range(1, k + 1).select(
+        F.col("id").cast("int").alias("b")
+    )
+    designs = spark_range.filter(F.lit(k) % F.col("b") == 0).select(
+        "b", (F.lit(k) / F.col("b")).cast("int").alias("r")
+    )
+    thr = F.pow(F.col("b").cast("double"), -1.0 / F.col("r"))
+    catch = 1 - F.pow(
+        1 - F.pow(F.lit(tau), F.col("r")), F.col("b").cast("double")
+    )
+    false_ = 1 - F.pow(
+        1 - F.pow(F.lit(tau - 0.3), F.col("r")),
+        F.col("b").cast("double"),
+    )
+    return designs.select(
+        "b",
+        "r",
+        thr.cast("float").alias("threshold"),
+        catch.cast("float").alias("p_catch_at_tau"),
+        false_.cast("float").alias("p_false_at_tau_minus_30"),
+        F.when((catch >= 0.90) & (false_ <= 0.10), 1)
+        .otherwise(0)
+        .alias("meets_spec"),
+    ).orderBy("b")
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source token distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "js_divergence_sources",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT source, tok, COUNT(*)::DOUBLE AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, SUM(c) AS t FROM tf GROUP BY source),
+    p AS (
+        SELECT tf.source, tf.tok, tf.c / tot.t AS p
+        FROM tf JOIN tot USING (source)
+    ),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               SUM(0.5 * a.p * ln(2 * a.p / (a.p + b.p))
+                   + 0.5 * b.p * ln(2 * b.p / (a.p + b.p))) AS js_shared,
+               SUM(a.p) AS mass_a, SUM(b.p) AS mass_b,
+               COUNT(*)::BIGINT AS n_shared_terms
+        FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared_terms,
+           CAST(js_shared
+                + 0.5 * ln(2.0) * (1 - mass_a)
+                + 0.5 * ln(2.0) * (1 - mass_b) AS REAL) AS js_divergence
+    FROM shared
+    ORDER BY src_a, src_b
+    """,
+    tags=("js-divergence", "drift", "distribution", "text-analysis",
+          "monitoring"),
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources' token
+    distributions — the bounded, symmetric drift measure (0 =
+    identical, ln 2 = disjoint) a corpus monitor uses to compare
+    slices where KL is undefined (zero-frequency tokens) and PSI
+    needs arbitrary bins; `distribution_drift_psi` is the scalar-
+    column sibling, `term_dispersion_dp` the per-TERM view of the
+    same geometry.
+
+    Out-of-vocabulary algebra, not an outer join: tokens present in
+    only one source contribute exactly ½p·ln2 to JS, so the pairwise
+    sum needs only the INNER join over shared tokens plus
+    ½ln2·(1−shared_mass) per side — the |V_a ∪ V_b| outer-join
+    expansion is replaced by one closed-form correction from masses
+    the shared relation already carries.
+
+    Scale shape: one (source, token) aggregate, one vocabulary
+    self-join keyed on token (vocabulary-sized, not corpus-sized),
+    one 10-row pair aggregate."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source", F.explode(D.tokens_col(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("t"))
+    p = tf.join(F.broadcast(tot), "source").select(
+        "source", "tok", (F.col("c") / F.col("t")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("src_a"),
+        F.col("tok"),
+        F.col("p").alias("pa"),
+    )
+    b = p.select(
+        F.col("source").alias("src_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("p").alias("pb"),
+    )
+    import math
+
+    shared = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                0.5
+                * F.col("pa")
+                * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + 0.5
+                * F.col("pb")
+                * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("js_shared"),
+            F.sum("pa").alias("mass_a"),
+            F.sum("pb").alias("mass_b"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        )
+    )
+    ln2 = math.log(2.0)
+    return shared.select(
+        "src_a",
+        "src_b",
+        "n_shared_terms",
+        (
+            F.col("js_shared")
+            + 0.5 * ln2 * (1 - F.col("mass_a"))
+            + 0.5 * ln2 * (1 - F.col("mass_b"))
+        )
+        .cast("float")
+        .alias("js_divergence"),
+    ).orderBy("src_a", "src_b")

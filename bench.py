@@ -221,6 +221,8 @@ ROUND6: list[str] = [
     "capture_recapture_chapman",
     "markov_entropy_rate",
     "hurst_exponent_revenue",
+    "lsh_band_design",
+    "js_divergence_sources",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

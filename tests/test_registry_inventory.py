@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 372  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 374  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -39,8 +39,9 @@ N_EXPECTED = 372  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +graph_assortativity, +burstiness_interevent,
 #                   +weighted_median_unit_price, +price_index_fisher,
 #                   +capture_recapture_chapman, +markov_entropy_rate,
-#                   +hurst_exponent_revenue
-N_ORACLE = 372
+#                   +hurst_exponent_revenue, +lsh_band_design,
+#                   +js_divergence_sources
+N_ORACLE = 374
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

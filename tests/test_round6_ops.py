@@ -1249,3 +1249,53 @@ def test_hurst_vs_numpy(spark):
     assert r["n_blocks_total"] == nblocks
     assert abs(r["hurst_exponent"] - h_ref) < 1e-5
     assert 0.0 < r["hurst_exponent"] < 1.0
+
+
+def test_lsh_band_design_vs_python(spark):
+    rows = {r["b"]: r for r in _rows(spark, "lsh_band_design")}
+    divisors = [b for b in range(1, 129) if 128 % b == 0]
+    assert sorted(rows) == divisors
+    for b in divisors:
+        r_ = 128 // b
+        thr = b ** (-1.0 / r_)
+        catch = 1 - (1 - 0.8**r_) ** b
+        false = 1 - (1 - 0.5**r_) ** b
+        row = rows[b]
+        assert row["r"] == r_
+        assert abs(row["threshold"] - thr) < 1e-6
+        assert abs(row["p_catch_at_tau"] - catch) < 1e-6
+        assert abs(row["p_false_at_tau_minus_30"] - false) < 1e-6
+        assert row["meets_spec"] == int(catch >= 0.90 and false <= 0.10)
+    # b=16, r=8 meets the 90/10 spec for k=128, tau=0.8
+    assert any(r["meets_spec"] for r in rows.values())
+
+
+def test_js_divergence_vs_python(spark):
+    from collections import Counter, defaultdict
+
+    d = _duck("SELECT source, text FROM documents", tables=("documents",))
+    tf = defaultdict(Counter)
+    for src, text in zip(d["source"], d["text"]):
+        tf[str(src)].update(str(text).strip().split())
+    dist = {
+        s: {t: c / sum(cnt.values()) for t, c in cnt.items()}
+        for s, cnt in tf.items()
+    }
+    got = {(r["src_a"], r["src_b"]): r
+           for r in _rows(spark, "js_divergence_sources")}
+    srcs = sorted(dist)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            pa, pb = dist[sa], dist[sb]
+            js = 0.0
+            for t in set(pa) | set(pb):
+                p, q = pa.get(t, 0.0), pb.get(t, 0.0)
+                m = (p + q) / 2
+                if p > 0:
+                    js += 0.5 * p * np.log(p / m)
+                if q > 0:
+                    js += 0.5 * q * np.log(q / m)
+            r = got[(sa, sb)]
+            assert abs(r["js_divergence"] - js) < 1e-6
+            assert 0.0 <= r["js_divergence"] <= np.log(2) + 1e-9
