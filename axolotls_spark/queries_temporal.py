@@ -1844,3 +1844,227 @@ def hurst_exponent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("hurst_exponent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy of daily revenue (ordinal-pattern complexity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "permutation_entropy_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT y,
+               LEAD(y, 1) OVER (ORDER BY day) AS y1,
+               LEAD(y, 2) OVER (ORDER BY day) AS y2
+        FROM daily
+    ),
+    pat AS (
+        SELECT CASE
+                 WHEN y <= y1 AND y1 <= y2 THEN 0
+                 WHEN y <= y2 AND y2 < y1 THEN 1
+                 WHEN y1 < y AND y <= y2 THEN 2
+                 WHEN y2 < y AND y <= y1 THEN 3
+                 WHEN y1 <= y2 AND y2 < y THEN 4
+                 ELSE 5
+               END AS p
+        FROM lagged WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+    ),
+    cnt AS (SELECT p, COUNT(*)::DOUBLE AS c FROM pat GROUP BY p),
+    tot AS (SELECT SUM(c) AS t FROM cnt)
+    SELECT CAST(tot.t AS BIGINT) AS n_windows,
+           (SELECT COUNT(*)::BIGINT FROM cnt) AS n_patterns_seen,
+           CAST(SUM((c / tot.t) * ln(tot.t / c)) AS REAL)
+               AS perm_entropy_nats,
+           CAST(SUM((c / tot.t) * ln(tot.t / c)) / ln(6.0) AS REAL)
+               AS normalized
+    FROM cnt CROSS JOIN tot
+    GROUP BY tot.t
+    """,
+    tags=("permutation-entropy", "ordinal-patterns", "complexity",
+          "timeseries"),
+)
+def permutation_entropy_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002) of daily revenue,
+    order 3: classify every 3-day window by the ORDINAL pattern of
+    its values (6 possible orderings, ties broken toward the
+    earlier day — the standard convention) and take the entropy of
+    the pattern distribution.  Normalized to [0,1] it is the
+    model-free complexity score that separates trending/seasonal
+    structure (low) from noise (≈1) — the ordinal complement of
+    ``acf_ljung_box`` (linear correlation) and
+    ``hurst_exponent_revenue`` (scale-free memory): PE sees any
+    monotone structure, not just linear.
+
+    Ordinal robustness is the engine-exactness story: patterns are
+    decided by COMPARISONS of money sums, not arithmetic on them,
+    so a last-ulp cross-engine difference in a revenue sum flips a
+    pattern only when two days are within one ulp of EQUAL — and
+    the ≤-convention makes exact ties deterministic too.
+
+    Scale shape: per-day aggregate (calendar-bounded), two LEADs on
+    the ordered day relation, one ≤6-row pattern count, scalar
+    entropy."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+    ).filter(F.col("y1").isNotNull() & F.col("y2").isNotNull())
+    y, y1, y2 = F.col("y"), F.col("y1"), F.col("y2")
+    pat = lagged.select(
+        F.when((y <= y1) & (y1 <= y2), 0)
+        .when((y <= y2) & (y2 < y1), 1)
+        .when((y1 < y) & (y <= y2), 2)
+        .when((y2 < y) & (y <= y1), 3)
+        .when((y1 <= y2) & (y2 < y), 4)
+        .otherwise(5)
+        .alias("p")
+    )
+    cnt = pat.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    npat = cnt.agg(F.count(F.lit(1)).cast("long").alias("n_patterns_seen"))
+    ent = cnt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("c") / F.col("t")) * F.log(F.col("t") / F.col("c"))
+        ).alias("h")
+    )
+    import math
+
+    return (
+        tot.crossJoin(F.broadcast(npat))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            F.col("t").cast("long").alias("n_windows"),
+            "n_patterns_seen",
+            F.col("h").cast("float").alias("perm_entropy_nats"),
+            (F.col("h") / math.log(6.0)).cast("float").alias("normalized"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram power at candidate seasonal periods
+# ---------------------------------------------------------------------------
+
+_PERIODS = (7, 30, 365)
+
+
+@register(
+    "periodogram_seasonal_power",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    rn AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily
+    ),
+    m AS (
+        SELECT AVG(y) AS mu, COUNT(*)::DOUBLE AS n,
+               SUM(y*y) - SUM(y)*SUM(y)/COUNT(*) AS ss
+        FROM rn
+    ),
+    terms AS (
+        SELECT p.per, rn.t, rn.y - m.mu AS yc
+        FROM rn CROSS JOIN m
+        CROSS JOIN (SELECT UNNEST([{', '.join(str(p) for p in _PERIODS)}])
+                        AS per) p
+    ),
+    ft AS (
+        SELECT per,
+               SUM(yc * cos(2 * pi() * t / per)) AS re,
+               SUM(yc * sin(2 * pi() * t / per)) AS im
+        FROM terms GROUP BY per
+    )
+    SELECT ft.per AS period_days,
+           CAST((re*re + im*im) * 2.0 / (m.n * m.ss / m.n) / m.n AS REAL)
+               AS power_share
+    FROM ft CROSS JOIN m
+    ORDER BY period_days
+    """,
+    tags=("periodogram", "spectral", "seasonality", "fourier",
+          "timeseries"),
+)
+def periodogram_seasonal_power(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Periodogram power of daily revenue at the three candidate
+    seasonal periods (weekly, monthly, yearly) — the Fourier probe
+    that answers "is there a 7-day cycle worth modeling" BEFORE
+    ``seasonal_decompose_weekly`` assumes one: for each period the
+    single-frequency DFT coefficient is two plain aggregates
+    (Σ y·cos(2πt/P), Σ y·sin(2πt/P)) on the mean-centered series,
+    and the emitted share is its power normalized by total variance
+    (the fraction of variance a pure sinusoid at that period would
+    explain, ×2 for the conjugate frequency).
+
+    Scale shape: per-day aggregate, a row number on the
+    calendar-bounded relation, a 3-row broadcast period spine, one
+    grouped trig aggregate — no FFT machinery needed when only
+    named frequencies are on trial, and at 100 TB the daily relation
+    this runs on is still calendar-sized."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    rn = daily.select(
+        "y", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    m = rn.agg(
+        F.avg("y").alias("mu"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y") / F.count(F.lit(1))
+        ).alias("ss"),
+    )
+    pers = rn.sparkSession.createDataFrame(
+        [(p,) for p in _PERIODS], ["per"]
+    )
+    import math
+
+    terms = rn.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(pers)).select(
+        "per",
+        "t",
+        (F.col("y") - F.col("mu")).alias("yc"),
+    )
+    two_pi = 2 * math.pi
+    ft = terms.groupBy("per").agg(
+        F.sum(
+            F.col("yc") * F.cos(F.lit(two_pi) * F.col("t") / F.col("per"))
+        ).alias("re"),
+        F.sum(
+            F.col("yc") * F.sin(F.lit(two_pi) * F.col("t") / F.col("per"))
+        ).alias("im"),
+    )
+    return (
+        ft.crossJoin(F.broadcast(m))
+        .select(
+            F.col("per").alias("period_days"),
+            (
+                (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+                * 2.0
+                / (F.col("n") * F.col("ss") / F.col("n"))
+                / F.col("n")
+            )
+            .cast("float")
+            .alias("power_share"),
+        )
+        .orderBy("period_days")
+    )

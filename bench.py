@@ -223,6 +223,8 @@ ROUND6: list[str] = [
     "hurst_exponent_revenue",
     "lsh_band_design",
     "js_divergence_sources",
+    "permutation_entropy_revenue",
+    "periodogram_seasonal_power",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

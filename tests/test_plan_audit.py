@@ -829,6 +829,8 @@ def test_registry_wide_plan_hygiene(spark):
                                     # bounded, same as ewma)
         "hurst_exponent_revenue",   # per-day aggregate row_number
                                     # (block windows are partitioned)
+        "permutation_entropy_revenue",  # per-day aggregate LEADs
+        "periodogram_seasonal_power",   # per-day aggregate row_number
         "window_range_frame",       # deliberate RANGE-frame API demo;
                                     # docstring warns it is single-node
     }

@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 374  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 376  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -40,8 +40,9 @@ N_EXPECTED = 374  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +weighted_median_unit_price, +price_index_fisher,
 #                   +capture_recapture_chapman, +markov_entropy_rate,
 #                   +hurst_exponent_revenue, +lsh_band_design,
-#                   +js_divergence_sources
-N_ORACLE = 374
+#                   +js_divergence_sources, +permutation_entropy_revenue,
+#                   +periodogram_seasonal_power
+N_ORACLE = 376
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

@@ -1299,3 +1299,60 @@ def test_js_divergence_vs_python(spark):
             r = got[(sa, sb)]
             assert abs(r["js_divergence"] - js) < 1e-6
             assert 0.0 <= r["js_divergence"] <= np.log(2) + 1e-9
+
+
+def test_permutation_entropy_vs_numpy(spark):
+    d = _duck(
+        """SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS y
+           FROM orders GROUP BY 1 ORDER BY 1""",
+        tables=("orders",),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    pats = []
+    for i in range(len(y) - 2):
+        a, b, c = y[i], y[i + 1], y[i + 2]
+        if a <= b <= c:
+            p = 0
+        elif a <= c < b:
+            p = 1
+        elif b < a <= c:
+            p = 2
+        elif c < a <= b:
+            p = 3
+        elif b <= c < a:
+            p = 4
+        else:
+            p = 5
+        pats.append(p)
+    from collections import Counter
+
+    cnt = Counter(pats)
+    t = len(pats)
+    h = sum((c / t) * np.log(t / c) for c in cnt.values())
+    r = _rows(spark, "permutation_entropy_revenue")[0]
+    assert r["n_windows"] == t
+    assert r["n_patterns_seen"] == len(cnt)
+    assert abs(r["perm_entropy_nats"] - h) < 1e-6
+    assert abs(r["normalized"] - h / np.log(6)) < 1e-6
+
+
+def test_periodogram_vs_numpy(spark):
+    d = _duck(
+        """SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS y
+           FROM orders GROUP BY 1 ORDER BY 1""",
+        tables=("orders",),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    n = len(y)
+    t = np.arange(n)
+    yc = y - y.mean()
+    ss = ((y - y.mean()) ** 2).sum()
+    rows = {r["period_days"]: r
+            for r in _rows(spark, "periodogram_seasonal_power")}
+    assert sorted(rows) == [7, 30, 365]
+    for per in (7, 30, 365):
+        re = (yc * np.cos(2 * np.pi * t / per)).sum()
+        im = (yc * np.sin(2 * np.pi * t / per)).sum()
+        share = 2 * (re**2 + im**2) / (ss * n)
+        assert abs(rows[per]["power_share"] - share) < 1e-6
+        assert 0.0 <= rows[per]["power_share"] <= 1.0 + 1e-9
