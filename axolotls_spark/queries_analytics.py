@@ -7715,3 +7715,90 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("normalized_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis: minimum detectable effect
+# ---------------------------------------------------------------------------
+
+#: z_{alpha/2} for two-sided alpha=0.05 and z_beta for 80% power —
+#: fixed literals so both engines share the exact constants.
+_MDE_Z_ALPHA = 1.959963984540054
+_MDE_Z_BETA = 0.8416212335729143
+
+
+@register(
+    "power_analysis_mde",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c.c_custkey,
+               COALESCE(SUM(o.o_totalprice), 0.0) AS y
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(y) AS mu,
+               sqrt((SUM(y*y) - SUM(y)*SUM(y)/COUNT(*))
+                    / (COUNT(*) - 1)) AS sigma
+        FROM spend
+    )
+    SELECT CAST(n AS BIGINT) AS n_units,
+           CAST(mu AS REAL) AS mean_outcome,
+           CAST(sigma AS REAL) AS sd_outcome,
+           CAST(({_MDE_Z_ALPHA} + {_MDE_Z_BETA}) * sigma
+                * sqrt(2.0 / (n / 2.0)) AS REAL) AS mde_abs,
+           CAST(({_MDE_Z_ALPHA} + {_MDE_Z_BETA}) * sigma
+                * sqrt(2.0 / (n / 2.0)) / mu AS REAL) AS mde_rel
+    FROM m
+    """,
+    tags=("power-analysis", "mde", "experiment-design",
+          "ab-test", "closed-form"),
+)
+def power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for a 50/50 experiment on customer
+    spend — the DESIGN-time calculator that belongs in front of
+    every estimator in the causal family (``ab_test_welch``,
+    ``cuped_adjusted_lift``, …): with all current customers split
+    into two arms, the smallest true lift a two-sided α=0.05 test
+    detects with 80% power is (z_{{α/2}}+z_β)·σ·√(2/(N/2)).
+    Emitted absolute and relative to the mean, with σ estimated
+    from the very population the experiment would randomize — the
+    honest input, not a guess.  The experiment-design twin of
+    ``lsh_band_design`` (design tables before builds, power before
+    tests); CUPED's variance reduction would shrink σ and this
+    number with it.
+
+    Scale shape: one per-customer aggregate, one 3-cell moment
+    aggregate, scalar algebra.  The z constants are shared literals
+    so both engines compute the identical few-op float."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("y"))
+    )
+    m = spend.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("y") * F.col("y"))
+                - F.sum("y") * F.sum("y") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma"),
+    )
+    mde = (
+        F.lit(_MDE_Z_ALPHA + _MDE_Z_BETA)
+        * F.col("sigma")
+        * F.sqrt(2.0 / (F.col("n") / 2.0))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_units"),
+        F.col("mu").cast("float").alias("mean_outcome"),
+        F.col("sigma").cast("float").alias("sd_outcome"),
+        mde.cast("float").alias("mde_abs"),
+        (mde / F.col("mu")).cast("float").alias("mde_rel"),
+    )

@@ -1413,3 +1413,84 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error (ECE / MCE) of the quality classifier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expected_calibration_error",
+    oracle=f"""
+    WITH feats AS ({_FEATS_SQL}),
+    seed AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN seed),
+    beta1 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2
+              FROM m1),
+    m2 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN beta1),
+    beta2 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2
+              FROM m2),
+    scored AS (
+        SELECT y, {_CAL_P} AS p,
+               LEAST(CAST(FLOOR({_CAL_P} * 10) AS BIGINT), 9) AS bin
+        FROM feats CROSS JOIN beta2
+    ),
+    bins AS (
+        SELECT bin, COUNT(*)::DOUBLE AS n_k, AVG(p) AS p_k, AVG(y) AS o_k
+        FROM scored GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_k) AS n FROM bins)
+    SELECT CAST(tot.n AS BIGINT) AS n_docs,
+           (SELECT COUNT(*)::BIGINT FROM bins) AS n_bins,
+           CAST(SUM((n_k / tot.n) * ABS(o_k - p_k)) AS REAL) AS ece,
+           CAST(MAX(ABS(o_k - p_k)) AS REAL) AS mce
+    FROM bins CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+    tags=("calibration", "ece", "ml-eval", "reliability",
+          "shared-algebra"),
+)
+def expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected calibration error (and max calibration error) of the
+    IRLS quality classifier — the ONE-NUMBER summary of the
+    reliability diagram ``logreg_calibration_bins`` draws:
+    ECE = Σ_k (n_k/N)·|observed_k − predicted_k| over the same
+    fixed-width deciles, MCE the worst bin.  This is the metric
+    model cards report and the acceptance gate before a classifier's
+    scores are used as probabilities (e.g., as sampling weights in
+    ``dsir_importance_weights``-style pipelines).
+
+    Scale shape: identical to the reliability diagram — shared
+    persisted feature relation, two IRLS moment aggregates, one
+    scoring pass, a ≤10-row bin aggregate, then scalar algebra on
+    it.  Fixed-width bins, not ntile, for engine-stable binning."""
+    feats = _logreg_features(spark, sf_dir)
+    beta = _irls_beta(spark, feats, iters=2)
+    scored = feats.crossJoin(F.broadcast(beta)).select(
+        "y",
+        F.expr(_P).alias("p"),
+    ).select(
+        "y",
+        "p",
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long")
+        .alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("n_k"),
+        F.avg("p").alias("p_k"),
+        F.avg("y").alias("o_k"),
+    )
+    tot = bins.agg(F.sum("n_k").alias("n"))
+    return bins.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(
+            (F.col("n_k") / F.col("n")) * F.abs(F.col("o_k") - F.col("p_k"))
+        )
+        .cast("float")
+        .alias("ece"),
+        F.max(F.abs(F.col("o_k") - F.col("p_k"))).cast("float").alias("mce"),
+    )

@@ -3037,3 +3037,76 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("js_divergence"),
     ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# Hill diversity profile of the token distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hill_diversity_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*)::DOUBLE AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t FROM tf),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS vocab,
+               SUM((c / tot.t) * ln(tot.t / c)) AS shannon,
+               SUM((c / tot.t) * (c / tot.t)) AS simpson,
+               MAX(c / tot.t) AS pmax
+        FROM tf CROSS JOIN tot
+    )
+    SELECT vocab AS hill_q0,
+           CAST(EXP(shannon) AS REAL) AS hill_q1,
+           CAST(1.0 / simpson AS REAL) AS hill_q2,
+           CAST(1.0 / pmax AS REAL) AS hill_qinf,
+           CAST(shannon / ln(CAST(vocab AS DOUBLE)) AS REAL) AS evenness
+    FROM s
+    """,
+    tags=("diversity", "hill-numbers", "entropy", "text-analysis",
+          "corpus-statistics"),
+)
+def hill_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity profile of the corpus token
+    distribution — the ecology-standard way (Jost 2006) to report
+    "how many effectively distinct tokens does this corpus use" at
+    increasing sensitivity to dominance: q=0 is raw richness
+    (vocabulary size), q=1 = exp(Shannon) the perplexity-like
+    effective vocabulary, q=2 = 1/Σp² the inverse-Simpson
+    (collision) diversity, q=∞ = 1/max p the Berger-Parker
+    dominance inverse.  All four on one axis — a corpus whose
+    profile drops steeply from q0 to q1 is dominated by few tokens
+    (boilerplate flag); Pielou evenness H/ln|V| rides along.  The
+    single-readout sibling of ``token_entropy_by_lang`` (per-slice
+    entropy) and ``zipf_slope`` (the law those numbers obey).
+
+    Scale shape: one token aggregate, one 4-cell aggregate against
+    a broadcast total — two passes over the vocabulary relation,
+    nothing corpus-sized after the first groupBy."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    tf = docs.select(
+        F.explode(D.tokens_col(F.col("text"))).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = tf.agg(F.sum("c").alias("t"))
+    s = tf.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(
+            (F.col("c") / F.col("t")) * F.log(F.col("t") / F.col("c"))
+        ).alias("shannon"),
+        F.sum(
+            (F.col("c") / F.col("t")) * (F.col("c") / F.col("t"))
+        ).alias("simpson"),
+        F.max(F.col("c") / F.col("t")).alias("pmax"),
+    )
+    return s.select(
+        F.col("vocab").alias("hill_q0"),
+        F.exp(F.col("shannon")).cast("float").alias("hill_q1"),
+        (1.0 / F.col("simpson")).cast("float").alias("hill_q2"),
+        (1.0 / F.col("pmax")).cast("float").alias("hill_qinf"),
+        (F.col("shannon") / F.log(F.col("vocab").cast("double")))
+        .cast("float")
+        .alias("evenness"),
+    )

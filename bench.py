@@ -225,6 +225,9 @@ ROUND6: list[str] = [
     "js_divergence_sources",
     "permutation_entropy_revenue",
     "periodogram_seasonal_power",
+    "expected_calibration_error",
+    "hill_diversity_profile",
+    "power_analysis_mde",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -1356,3 +1356,60 @@ def test_periodogram_vs_numpy(spark):
         share = 2 * (re**2 + im**2) / (ss * n)
         assert abs(rows[per]["power_share"] - share) < 1e-6
         assert 0.0 <= rows[per]["power_share"] <= 1.0 + 1e-9
+
+
+def test_ece_consistency_with_bins(spark):
+    """ECE recomputed from logreg_calibration_bins' own output (the
+    two queries share the scoring relation; this pins the summary
+    to the diagram)."""
+    bins = _rows(spark, "logreg_calibration_bins")
+    n = sum(b["n_docs"] for b in bins)
+    ece = sum(
+        (b["n_docs"] / n) * abs(b["frac_positive"] - b["avg_pred"])
+        for b in bins
+    )
+    mce = max(abs(b["frac_positive"] - b["avg_pred"]) for b in bins)
+    r = _rows(spark, "expected_calibration_error")[0]
+    assert r["n_docs"] == n
+    assert r["n_bins"] == len(bins)
+    assert abs(r["ece"] - ece) < 1e-6
+    assert abs(r["mce"] - mce) < 1e-6
+
+
+def test_hill_profile_vs_python(spark):
+    from collections import Counter
+
+    d = _duck("SELECT text FROM documents", tables=("documents",))
+    cnt = Counter()
+    for text in d["text"]:
+        cnt.update(str(text).strip().split())
+    t = sum(cnt.values())
+    p = np.array([c / t for c in cnt.values()])
+    shannon = -(p * np.log(p)).sum()
+    r = _rows(spark, "hill_diversity_profile")[0]
+    assert r["hill_q0"] == len(cnt)
+    assert abs(r["hill_q1"] - np.exp(shannon)) / np.exp(shannon) < 1e-5
+    assert abs(r["hill_q2"] - 1 / (p**2).sum()) / r["hill_q2"] < 1e-5
+    assert abs(r["hill_qinf"] - 1 / p.max()) / r["hill_qinf"] < 1e-6
+    assert abs(r["evenness"] - shannon / np.log(len(cnt))) < 1e-6
+    # Hill numbers are monotone nonincreasing in q
+    assert r["hill_q0"] >= r["hill_q1"] >= r["hill_q2"] >= r["hill_qinf"]
+
+
+def test_mde_vs_numpy(spark):
+    d = _duck(
+        """SELECT COALESCE(SUM(o.o_totalprice), 0.0) AS y
+           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_custkey""",
+        tables=("orders", "customer"),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    n, mu, sd = len(y), y.mean(), y.std(ddof=1)
+    mde = (1.959963984540054 + 0.8416212335729143) * sd * np.sqrt(
+        2 / (n / 2)
+    )
+    r = _rows(spark, "power_analysis_mde")[0]
+    assert r["n_units"] == n
+    assert abs(r["sd_outcome"] - sd) / sd < 1e-6
+    assert abs(r["mde_abs"] - mde) / mde < 1e-6
+    assert abs(r["mde_rel"] - mde / mu) < 1e-6
