@@ -1195,3 +1195,63 @@ def test_bucketed_join_is_exchange_free_under_the_join(spark):
     below_join = final.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join
     assert final.count("Exchange") <= 1
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: targeted plan pins
+
+
+def test_rdd_bandwidth_filter_pushed(spark):
+    """The RDD bandwidth predicate must reach the customer parquet
+    scan — at 100 TB this is the difference between scanning the
+    sliver near the cutoff and scanning everything."""
+    f = _facts(spark, "rdd_local_linear")
+    assert any("c_acctbal" in p for p in f.pushed_filters), f.pushed_filters
+
+
+def test_hbos_topk_is_distributed(spark):
+    """HBOS top-20 must plan as TakeOrderedAndProject (per-partition
+    top-k), never a global sort or a single-partition rank window;
+    histograms ride as broadcasts."""
+    f = _facts(spark, "hbos_outlier_scores")
+    assert "TakeOrderedAndProject" in f.text
+    assert f.n_broadcast_hash_joins >= 3  # three <=16-row histograms
+
+
+def test_cka_comoment_join_is_shuffled_equi(spark):
+    """CKA's three co-moment joins are vec_id equi-joins (N*d^2 work)
+    — the plan must contain NO cartesian product and NO broadcast of
+    the exploded long relation (it is corpus-sized)."""
+    f = _facts(spark, "cka_embedding_alignment")
+    assert "CartesianProduct" not in f.text
+
+
+def test_quantile_sketch_merge_is_topk(spark):
+    """The ALL-level sketch merge is a bottom-k by hash: plan must
+    contain TakeOrderedAndProject (the mergeability path), and the
+    per-group sketch is a partitioned window, not a global one."""
+    f = _facts(spark, "quantile_sketch_rollup")
+    assert "TakeOrderedAndProject" in f.text
+
+
+def test_capture_recapture_year_filters_pushed(spark):
+    """Both snapshot year filters must prune the orders scan."""
+    f = _facts(spark, "capture_recapture_chapman")
+    assert any("o_orderdate" in p for p in f.pushed_filters), (
+        f.pushed_filters
+    )
+
+
+def test_price_index_year_filter_pushed(spark):
+    f = _facts(spark, "price_index_fisher")
+    assert any("o_orderdate" in p for p in f.pushed_filters), (
+        f.pushed_filters
+    )
+
+
+def test_lsh_band_design_touches_no_table(spark):
+    """The design table is data-independent: the plan must read NO
+    parquet at all (a Range leaf only)."""
+    f = _facts(spark, "lsh_band_design")
+    assert "InMemoryFileIndex" not in f.text
+    assert "Range" in f.text
