@@ -7802,3 +7802,417 @@ def power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.cast("float").alias("mde_abs"),
         (mde / F.col("mu")).cast("float").alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V: association strength between two categoricals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cramers_v_association",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               COUNT(*)::BIGINT AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT pri, SUM(o)::BIGINT AS r FROM cells GROUP BY pri),
+    cm AS (SELECT st, SUM(o)::BIGINT AS c FROM cells GROUP BY st),
+    tot AS (SELECT SUM(o)::BIGINT AS n,
+                   COUNT(DISTINCT pri)::BIGINT AS nr,
+                   COUNT(DISTINCT st)::BIGINT AS nc
+            FROM cells),
+    chi AS (
+        SELECT ROUND(SUM(
+                   (cells.o - CAST(rm.r * cm.c AS DOUBLE) / tot.n)
+                   * (cells.o - CAST(rm.r * cm.c AS DOUBLE) / tot.n)
+                   / (CAST(rm.r * cm.c AS DOUBLE) / tot.n)), 6) AS chi2,
+               MAX(tot.n) AS n, MAX(tot.nr) AS nr, MAX(tot.nc) AS nc
+        FROM cells
+        JOIN rm ON rm.pri = cells.pri
+        JOIN cm ON cm.st = cells.st
+        CROSS JOIN tot
+    )
+    SELECT n, nr AS n_rows, nc AS n_cols,
+           CAST(chi2 AS REAL) AS chi2,
+           CAST(ROUND(sqrt(chi2 / (n * (LEAST(nr, nc) - 1))), 6) AS REAL)
+               AS cramers_v,
+           CAST(ROUND(sqrt(
+               GREATEST(0.0, chi2 / n
+                             - CAST((nr - 1) * (nc - 1) AS DOUBLE)
+                               / (n - 1))
+               / LEAST(nr - CAST((nr - 1) * (nr - 1) AS DOUBLE) / (n - 1),
+                       nc - CAST((nc - 1) * (nc - 1) AS DOUBLE) / (n - 1))
+               ), 6) AS REAL) AS cramers_v_corrected
+    FROM chi
+    """,
+    tags=("association", "chi-square", "cramers-v", "categorical",
+          "statistics"),
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (plain + Bergsma bias-corrected) between order
+    priority and order status — the effect-size companion to the
+    chi-square independence test (`chisq_lang_source` reports the
+    statistic; V normalizes it to [0,1] so association strengths are
+    comparable across tables of different shape and size).  The
+    bias-corrected variant subtracts the expected chance inflation
+    (r−1)(c−1)/(n−1) — the version a feature-selection pass should
+    rank categorical pairs by.
+
+    Scale shape: ONE corpus aggregate to the r×c contingency cells
+    (map-side combinable; 15 cells here), then margins and the χ²
+    fold run on the bounded cell relation with broadcast joins —
+    the corpus is scanned once regardless of r×c."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rm = cells.groupBy("pri").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("st").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("pri").cast("long").alias("nr"),
+        F.countDistinct("st").cast("long").alias("nc"),
+    )
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(rm), "pri")
+        .join(F.broadcast(cm), "st")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6
+            ).alias("chi2"),
+            F.max("n").alias("n"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    phi2 = F.col("chi2") / F.col("n")
+    bias = ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("double") / (
+        F.col("n") - 1
+    )
+    rcor = F.col("nr") - ((F.col("nr") - 1) * (F.col("nr") - 1)).cast(
+        "double"
+    ) / (F.col("n") - 1)
+    ccor = F.col("nc") - ((F.col("nc") - 1) * (F.col("nc") - 1)).cast(
+        "double"
+    ) / (F.col("n") - 1)
+    return chi.select(
+        "n",
+        F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        F.col("chi2").cast("float").alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("nr", "nc") - 1))
+            ),
+            6,
+        ).cast("float").alias("cramers_v"),
+        F.round(
+            F.sqrt(
+                F.greatest(F.lit(0.0), phi2 - bias)
+                / F.least(rcor, ccor)
+            ),
+            6,
+        ).cast("float").alias("cramers_v_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test across ordered groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS w,
+               COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+                   AS r
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT SUM(n)::DOUBLE AS nn, SUM(r)::DOUBLE AS rr,
+               SUM(w * r)::DOUBLE AS swr, SUM(w * n)::DOUBLE AS swn,
+               SUM(w * w * n)::DOUBLE AS swwn,
+               COUNT(*)::BIGINT AS k
+        FROM g
+    )
+    SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_total,
+           CAST(rr AS BIGINT) AS n_events,
+           CAST(ROUND((swr - rr / nn * swn)
+                / sqrt(rr / nn * (1.0 - rr / nn)
+                       * (swwn - swn * swn / nn)), 6) AS REAL) AS z_trend
+    FROM s
+    """,
+    tags=("trend-test", "cochran-armitage", "ordered-groups",
+          "statistics", "closed-form"),
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage test for a linear trend in a binary rate
+    across ORDERED groups — here, P(order finalized) across the five
+    priority ranks.  The k-sample chi-square (`chisq_lang_source`,
+    `cramers_v_association`) asks "any association?"; this asks the
+    sharper monotone question a dose-response or priority-SLA audit
+    needs, with scores w=1..5 parsed from the priority label.
+    T = Σw·r − p̄·Σw·n, Var = p̄(1−p̄)(Σw²n − (Σwn)²/N), z = T/√Var.
+
+    Scale shape: ONE corpus aggregate to 5 (w, n, r) rows, one
+    5-row moment fold, scalar algebra — a map-side-combinable
+    single scan, no joins."""
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("long")
+            .alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).cast("long").alias("r"),
+        )
+    )
+    s = g.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("r").cast("double").alias("rr"),
+        F.sum(F.col("w") * F.col("r")).cast("double").alias("swr"),
+        F.sum(F.col("w") * F.col("n")).cast("double").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n"))
+        .cast("double")
+        .alias("swwn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    pbar = F.col("rr") / F.col("nn")
+    return s.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.col("rr").cast("long").alias("n_events"),
+        F.round(
+            (F.col("swr") - pbar * F.col("swn"))
+            / F.sqrt(
+                pbar
+                * (F.lit(1.0) - pbar)
+                * (
+                    F.col("swwn")
+                    - F.col("swn") * F.col("swn") / F.col("nn")
+                )
+            ),
+            6,
+        ).cast("float").alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD: which segment pairs differ, after the ANOVA says "some do"
+# ---------------------------------------------------------------------------
+
+#: Studentized range critical value q_{0.05, k=5, df=inf} (standard
+#: table value) — shared literal so both engines use the identical
+#: threshold.  With N-k in the tens of thousands the df=inf row is
+#: the correct one to three decimals.
+_TUKEY_Q_05_K5 = 3.858
+
+
+@register(
+    "tukey_hsd_pairs",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT seg, COUNT(*)::DOUBLE AS n, SUM(y) AS s, SUM(y*y) AS ss
+        FROM joined GROUP BY seg
+    ),
+    msw AS (
+        SELECT (SUM(ss) - SUM(s * s / n)) / (SUM(n) - COUNT(*)) AS msw
+        FROM g
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           CAST(ROUND(a.s / a.n - b.s / b.n, 4) AS REAL) AS mean_diff,
+           CAST(ROUND({_TUKEY_Q_05_K5}
+                      * sqrt(msw.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)),
+                      4) AS REAL) AS hsd_threshold,
+           CASE WHEN ABS(a.s / a.n - b.s / b.n)
+                     > {_TUKEY_Q_05_K5}
+                       * sqrt(msw.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))
+                THEN 1 ELSE 0 END AS significant
+    FROM g a JOIN g b ON a.seg < b.seg CROSS JOIN msw
+    """,
+    tags=("tukey-hsd", "post-hoc", "multiple-comparison", "anova",
+          "statistics"),
+)
+def tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey–Kramer HSD post-hoc pairwise comparisons across the 5
+    market segments — the follow-up `anova_oneway_segments` demands:
+    the F-test only says SOME means differ; HSD controls the
+    familywise error across all 10 pairs via the studentized-range
+    critical value, the honest alternative to running 10 Welch tests
+    and pretending α still means 0.05 (`fdr_bh_nation_tests` is the
+    other standard answer when the tests aren't all-pairs-of-means).
+    Unequal group sizes use the Kramer form √(MSW/2·(1/nᵢ+1/nⱼ)).
+
+    Scale shape: the corpus work is identical to the ANOVA (one
+    fact-dim equi-join + one 5-row moment aggregate); the all-pairs
+    self-join runs on the bounded 5-row group relation — broadcast,
+    never corpus-sized."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias(
+                "ss"
+            ),
+        )
+    )
+    msw = g.agg(
+        (
+            (
+                F.sum("ss")
+                - F.sum(F.col("s") * F.col("s") / F.col("n"))
+            )
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("msw")
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    diff = F.col("a.s") / F.col("a.n") - F.col("b.s") / F.col("b.n")
+    hsd = F.lit(_TUKEY_Q_05_K5) * F.sqrt(
+        F.col("msw")
+        / 2.0
+        * (F.lit(1.0) / F.col("a.n") + F.lit(1.0) / F.col("b.n"))
+    )
+    return (
+        a.join(b, F.col("a.seg") < F.col("b.seg"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.round(diff, 4).cast("float").alias("mean_diff"),
+            F.round(hsd, 4).cast("float").alias("hsd_threshold"),
+            F.when(F.abs(diff) > hsd, 1).otherwise(0).alias(
+                "significant"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lift / cumulative-gain decile table for a scored ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lift_gain_deciles",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(pos)::BIGINT AS p
+            FROM scored),
+    dec AS (
+        SELECT ((rn - 1) * 10 // tot.n)::BIGINT AS decile,
+               COUNT(*)::BIGINT AS n_docs, SUM(pos)::BIGINT AS positives
+        FROM scored CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT decile, n_docs, positives,
+           CAST(positives AS DOUBLE) / n_docs AS response_rate,
+           CAST(CAST(positives AS DOUBLE) * tot.n
+                / (CAST(n_docs AS DOUBLE) * tot.p) AS REAL) AS lift,
+           CAST(SUM(positives) OVER (ORDER BY decile) AS DOUBLE)
+               / tot.p AS cum_gain
+    FROM dec CROSS JOIN tot
+    """,
+    tags=("lift-curve", "gain-chart", "ranking-eval", "deciles",
+          "model-eval"),
+)
+def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift and cumulative-gain decile table for a scored ranking —
+    the campaign-targeting readout beside `logreg_auc_roc` (AUC is
+    one number; the decile table says WHERE the ranker earns it):
+    documents ranked by length, label = is-English, so the table
+    reads "the top decile by length contains lift× the base rate of
+    English documents".  Decile assignment is pure integer
+    arithmetic ((rn−1)·10/N) with a (score, id) tiebreak, so both
+    engines bucket identically — no ntile edge-case semantics, no
+    float quantile boundaries.
+
+    Scale shape: the global rank comes from the distributed-prefix
+    machinery (`operators/prefix.ranked_cumsum` — range partition +
+    broadcast offsets), so the corpus is never funneled through one
+    task; then one 10-row aggregate and a window cum-sum on the
+    bounded 10-row decile relation.  Every emitted float is a single
+    division of exact integers — bit-identical cross-engine."""
+    from axolotls_spark.operators.prefix import ranked_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = ranked_cumsum(
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        ),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        "pos",
+        rank_name="rn",
+        cum_name="__cum_unused",
+    ).drop("__cum_unused")
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    dec = (
+        scored.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.floor((F.col("rn") - 1) * 10 / F.col("n"))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("positives"),
+        )
+    )
+    wc = Window.orderBy("decile")
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "positives",
+            (F.col("positives").cast("double") / F.col("n_docs")).alias(
+                "response_rate"
+            ),
+            (
+                F.col("positives").cast("double")
+                * F.col("n")
+                / (F.col("n_docs").cast("double") * F.col("p"))
+            ).cast("float").alias("lift"),
+            (
+                F.sum("positives").over(wc).cast("double") / F.col("p")
+            ).alias("cum_gain"),
+        )
+    )

@@ -833,6 +833,8 @@ def test_registry_wide_plan_hygiene(spark):
         "periodogram_seasonal_power",   # per-day aggregate row_number
         "window_range_frame",       # deliberate RANGE-frame API demo;
                                     # docstring warns it is single-node
+        "lift_gain_deciles",        # 10-row decile relation cum-sum
+                                    # (corpus rank uses prefix.py)
     }
     offenders = []
     for name, spec in sorted(REGISTRY.items()):

@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 379  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 383  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -42,8 +42,10 @@ N_EXPECTED = 379  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +hurst_exponent_revenue, +lsh_band_design,
 #                   +js_divergence_sources, +permutation_entropy_revenue,
 #                   +periodogram_seasonal_power, +expected_calibration_error,
-#                   +hill_diversity_profile, +power_analysis_mde
-N_ORACLE = 379
+#                   +hill_diversity_profile, +power_analysis_mde,
+#                   +cramers_v_association, +cochran_armitage_trend,
+#                   +tukey_hsd_pairs, +lift_gain_deciles
+N_ORACLE = 383
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

@@ -1413,3 +1413,109 @@ def test_mde_vs_numpy(spark):
     assert abs(r["sd_outcome"] - sd) / sd < 1e-6
     assert abs(r["mde_abs"] - mde) / mde < 1e-6
     assert abs(r["mde_rel"] - mde / mu) < 1e-6
+
+
+def test_cramers_v_vs_numpy(spark):
+    d = _duck(
+        """SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS c
+           FROM orders GROUP BY 1, 2""",
+        tables=("orders",),
+    )
+    pris = sorted(set(d["a"]))
+    sts = sorted(set(d["b"]))
+    tab = np.zeros((len(pris), len(sts)))
+    for a, b, c in zip(d["a"], d["b"], d["c"]):
+        tab[pris.index(a), sts.index(b)] = c
+    n = tab.sum()
+    e = np.outer(tab.sum(1), tab.sum(0)) / n
+    chi2 = ((tab - e) ** 2 / e).sum()
+    r_, c_ = tab.shape
+    v = np.sqrt(chi2 / (n * (min(r_, c_) - 1)))
+    phi2c = max(0.0, chi2 / n - (r_ - 1) * (c_ - 1) / (n - 1))
+    vc = np.sqrt(
+        phi2c
+        / min(r_ - (r_ - 1) ** 2 / (n - 1), c_ - (c_ - 1) ** 2 / (n - 1))
+    )
+    row = _rows(spark, "cramers_v_association")[0]
+    assert row["n"] == int(n)
+    assert abs(row["chi2"] - chi2) < 1e-4
+    assert abs(row["cramers_v"] - v) < 1e-5
+    assert abs(row["cramers_v_corrected"] - vc) < 1e-5
+
+
+def test_cochran_armitage_vs_numpy(spark):
+    d = _duck(
+        """SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                  COUNT(*) AS n,
+                  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r
+           FROM orders GROUP BY 1""",
+        tables=("orders",),
+    )
+    w = np.asarray(d["w"], dtype=np.float64)
+    n = np.asarray(d["n"], dtype=np.float64)
+    r = np.asarray(d["r"], dtype=np.float64)
+    nn, rr = n.sum(), r.sum()
+    pbar = rr / nn
+    t = (w * r).sum() - pbar * (w * n).sum()
+    var = pbar * (1 - pbar) * ((w * w * n).sum() - (w * n).sum() ** 2 / nn)
+    row = _rows(spark, "cochran_armitage_trend")[0]
+    assert row["n_total"] == int(nn)
+    assert row["n_events"] == int(rr)
+    assert abs(row["z_trend"] - t / np.sqrt(var)) < 1e-5
+
+
+def test_tukey_hsd_vs_numpy(spark):
+    d = _duck(
+        """SELECT c.c_mktsegment AS seg, o.o_totalprice AS y
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        tables=("orders", "customer"),
+    )
+    segs = sorted(set(d["seg"]))
+    ys = {s: np.asarray(
+        [y for g, y in zip(d["seg"], d["y"]) if g == s], dtype=np.float64
+    ) for s in segs}
+    nn = sum(len(v) for v in ys.values())
+    msw = sum(((v - v.mean()) ** 2).sum() for v in ys.values()) / (
+        nn - len(segs)
+    )
+    rows = {(r["seg_a"], r["seg_b"]): r
+            for r in _rows(spark, "tukey_hsd_pairs")}
+    assert len(rows) == len(segs) * (len(segs) - 1) // 2
+    for i, a in enumerate(segs):
+        for b in segs[i + 1:]:
+            diff = ys[a].mean() - ys[b].mean()
+            hsd = 3.858 * np.sqrt(
+                msw / 2 * (1 / len(ys[a]) + 1 / len(ys[b]))
+            )
+            r = rows[(a, b)]
+            assert abs(r["mean_diff"] - diff) < 2e-3
+            assert abs(r["hsd_threshold"] - hsd) < 2e-3
+            assert r["significant"] == int(abs(diff) > hsd)
+
+
+def test_lift_gain_vs_numpy(spark):
+    d = _duck(
+        "SELECT doc_id, n_chars, lang FROM documents",
+        tables=("documents",),
+    )
+    order = sorted(
+        range(len(d["doc_id"])),
+        key=lambda i: (-int(d["n_chars"][i]), int(d["doc_id"][i])),
+    )
+    pos = np.asarray(
+        [1 if d["lang"][i] == "en" else 0 for i in order], dtype=np.int64
+    )
+    n, p = len(pos), int(pos.sum())
+    dec = np.asarray([(k * 10) // n for k in range(n)])
+    rows = sorted(_rows(spark, "lift_gain_deciles"),
+                  key=lambda r: r["decile"])
+    assert len(rows) == 10
+    cum = 0
+    for r in rows:
+        mask = dec == r["decile"]
+        nd, pd_ = int(mask.sum()), int(pos[mask].sum())
+        cum += pd_
+        assert (r["n_docs"], r["positives"]) == (nd, pd_)
+        assert abs(r["response_rate"] - pd_ / nd) < 1e-9
+        assert abs(r["lift"] - pd_ * n / (nd * p)) < 1e-5
+        assert abs(r["cum_gain"] - cum / p) < 1e-9
