@@ -2331,3 +2331,126 @@ def cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nmi"),
         )
     )
+
+
+@register(
+    "retrieval_mrr_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_lab
+               FROM embeddings WHERE vec_id % 25 = 0),
+    nrel AS (
+        SELECT label, COUNT(*)::BIGINT AS n_lab FROM embeddings GROUP BY label
+    ),
+    ranked AS (
+        SELECT q.query_id, q.q_lab, c.label AS c_lab,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQL_DOT.format(a='q.q_vec', b='c.embedding')}
+                            / NULLIF({_SQL_NORM.format(v='q.q_vec')}
+                                     * {_SQL_NORM.format(v='c.embedding')},
+                                     0) DESC,
+                            c.vec_id) AS rn
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    per AS (
+        SELECT r.query_id,
+               MIN(CASE WHEN r.c_lab = r.q_lab THEN r.rn END) AS first_rel,
+               SUM(CASE WHEN r.c_lab = r.q_lab THEN 1 ELSE 0 END)::BIGINT
+                   AS hits,
+               MAX(nrel.n_lab - 1) AS n_rel
+        FROM ranked r
+        JOIN nrel ON nrel.label = r.q_lab
+        WHERE r.rn <= 10
+        GROUP BY r.query_id
+    )
+    SELECT COUNT(*)::BIGINT AS n_queries,
+           CAST(ROUND(AVG(COALESCE(1.0 / first_rel, 0.0)), 6) AS REAL)
+               AS mrr_at_10,
+           CAST(ROUND(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS REAL) AS hit_rate_at_10,
+           CAST(ROUND(AVG(CAST(hits AS DOUBLE) / LEAST(10, n_rel)), 6)
+               AS REAL) AS recall_at_10,
+           CAST(ROUND(AVG(CAST(hits AS DOUBLE) / 10.0), 6) AS REAL)
+               AS precision_at_10
+    FROM per
+    """,
+    tags=("retrieval-eval", "mrr", "recall", "ranking", "similarity",
+          "embedding"),
+)
+def retrieval_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 / hit-rate@10 / recall@10 / precision@10 for the exact
+    cosine ranking, with same-``label`` as the relevance oracle — the
+    standard retrieval-eval scorecard (`retrieval_ndcg` grades one
+    graded ranking; this is the binary-relevance battery every ANN
+    build gets judged by before its recall knob is trusted).  Every
+    1-in-25 vector plays query; relevant = the other members of its
+    label; ranks are (sim DESC, vec_id) so cross-engine float ties
+    cannot reorder — the same left-fold bit-exact dot product
+    ``cosine_topk`` relies on.
+
+    Scale shape: the corpus is never shuffled — queries broadcast
+    across it, the per-query ranking window is PARTITIONED by
+    query_id (hash exchange of scored rows only), the per-label
+    counts relation is |labels| rows broadcast back, and the final
+    scorecard is one fold over |Q| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_lab"),
+    )
+    nrel = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lab")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_lab",
+            F.col("c.label").alias("c_lab"),
+            F.col("c.vec_id").alias("cand_id"),
+            cosine(F.col("q_vec"), F.col("c.embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    per = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .join(
+            F.broadcast(nrel),
+            F.col("label") == F.col("q_lab"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("c_lab") == F.col("q_lab"), F.col("rn"))
+            ).alias("first_rel"),
+            F.sum(
+                F.when(F.col("c_lab") == F.col("q_lab"), 1).otherwise(0)
+            ).cast("long").alias("hits"),
+            (F.max("n_lab") - 1).alias("n_rel"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.avg(F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0))),
+            6,
+        ).cast("float").alias("mrr_at_10"),
+        F.round(
+            F.avg(F.when(F.col("hits") > 0, 1.0).otherwise(0.0)), 6
+        ).cast("float").alias("hit_rate_at_10"),
+        F.round(
+            F.avg(
+                F.col("hits").cast("double")
+                / F.least(F.lit(10), F.col("n_rel"))
+            ),
+            6,
+        ).cast("float").alias("recall_at_10"),
+        F.round(
+            F.avg(F.col("hits").cast("double") / 10.0), 6
+        ).cast("float").alias("precision_at_10"),
+    )

@@ -3110,3 +3110,318 @@ def hill_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("evenness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test: do two quality gates disagree asymmetrically?
+# ---------------------------------------------------------------------------
+
+#: Paired gates for the McNemar audit: a char-length floor and a
+#: word-count floor.  36 words ~ 200 chars on this corpus, so the
+#: discordant cells isolate documents with unusually long/short
+#: words — exactly the asymmetry the test quantifies.
+_MCNEMAR_CHARS = 200
+_MCNEMAR_WORDS = 36
+
+
+@register(
+    "mcnemar_gate_flip",
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN n_chars >= {_MCNEMAR_CHARS} THEN 1 ELSE 0 END AS ga,
+               CASE WHEN len({_SQL_TOKENS}) >= {_MCNEMAR_WORDS}
+                    THEN 1 ELSE 0 END AS gb
+        FROM documents
+    ),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN ga = 1 AND gb = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n11,
+               SUM(CASE WHEN ga = 1 AND gb = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS b,
+               SUM(CASE WHEN ga = 0 AND gb = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS c,
+               SUM(CASE WHEN ga = 0 AND gb = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n00
+        FROM g
+    )
+    SELECT n, n11, b AS only_chars, c AS only_words, n00,
+           CAST(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+                / (b + c) AS REAL) AS mcnemar_chi2
+    FROM m
+    """,
+    tags=("mcnemar", "paired-test", "quality-gates", "curation",
+          "statistics"),
+)
+def mcnemar_gate_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) between two paired
+    quality gates — the third leg of the gate-audit family:
+    `kappa_filter_agreement` asks "do they agree beyond chance?",
+    the chi-square asks "are they associated?", McNemar asks the
+    DIRECTIONAL question a threshold-migration needs: when the gates
+    disagree, does one systematically pass documents the other
+    rejects?  Only the discordant cells b, c enter the statistic
+    ((|b−c|−1)²/(b+c)) — concordant documents are irrelevant to
+    which gate is stricter.
+
+    Engine-exactness: both gates are integer comparisons, the
+    confusion matrix is four exact counts, and the statistic is one
+    division of exact integers — bit-identical cross-engine.
+
+    Scale shape: one map-only pass to per-doc gate bits, one 4-cell
+    aggregate; no joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.when(F.col("n_chars") >= _MCNEMAR_CHARS, 1)
+        .otherwise(0)
+        .alias("ga"),
+        F.when(
+            F.size(D.tokens_col(F.col("text"))) >= _MCNEMAR_WORDS, 1
+        )
+        .otherwise(0)
+        .alias("gb"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("ga") == 1) & (F.col("gb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("ga") == 1) & (F.col("gb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("ga") == 0) & (F.col("gb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("ga") == 0) & (F.col("gb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    bc = F.abs(F.col("b") - F.col("c")) - 1
+    return m.select(
+        "n",
+        "n11",
+        F.col("b").alias("only_chars"),
+        F.col("c").alias("only_words"),
+        "n00",
+        ((bc * bc).cast("double") / (F.col("b") + F.col("c")))
+        .cast("float")
+        .alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPF raking: reweight lang x source cells to uniform target margins
+# ---------------------------------------------------------------------------
+
+_IPF_ITERS = 3
+
+
+@register(
+    "raking_ipf_weights",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, COUNT(*)::BIGINT AS n,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT SUM(n)::DOUBLE AS nn,
+               COUNT(DISTINCT lang)::DOUBLE AS nl,
+               COUNT(DISTINCT source)::DOUBLE AS ns
+        FROM cells
+    ),
+    it1r AS (
+        SELECT lang, source, n,
+               w * (tot.nn / tot.nl)
+                 / SUM(w) OVER (PARTITION BY lang) AS w
+        FROM cells CROSS JOIN tot
+    ),
+    it1 AS (
+        SELECT lang, source, n,
+               w * ((SELECT nn / ns FROM tot))
+                 / SUM(w) OVER (PARTITION BY source) AS w
+        FROM it1r
+    ),
+    it2r AS (
+        SELECT lang, source, n,
+               w * ((SELECT nn / nl FROM tot))
+                 / SUM(w) OVER (PARTITION BY lang) AS w
+        FROM it1
+    ),
+    it2 AS (
+        SELECT lang, source, n,
+               w * ((SELECT nn / ns FROM tot))
+                 / SUM(w) OVER (PARTITION BY source) AS w
+        FROM it2r
+    ),
+    it3r AS (
+        SELECT lang, source, n,
+               w * ((SELECT nn / nl FROM tot))
+                 / SUM(w) OVER (PARTITION BY lang) AS w
+        FROM it2
+    ),
+    it3 AS (
+        SELECT lang, source, n,
+               w * ((SELECT nn / ns FROM tot))
+                 / SUM(w) OVER (PARTITION BY source) AS w
+        FROM it3r
+    )
+    SELECT lang, source, n AS n_docs,
+           CAST(ROUND(w, 4) AS REAL) AS raked_mass,
+           CAST(ROUND(w / n, 4) AS REAL) AS unit_weight
+    FROM it3
+    """,
+    tags=("raking", "ipf", "survey-weights", "rebalancing",
+          "iterative", "curation"),
+)
+def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the lang×source
+    contingency toward UNIFORM language and source margins — the
+    classic survey-reweighting move, and the exact mechanism a
+    training-mix rebalance uses when the target is "equal mass per
+    language AND equal mass per source" but only the joint cells are
+    observed (3 unrolled row/column sweeps; Sinkhorn on a
+    count matrix).  `mixture_waterfill_rates` solves the 1-margin
+    version with a cap; this is the 2-margin generalization.
+
+    Scale shape: ONE corpus aggregate to the ≤|L|·|S| cell relation
+    (100 cells here); every IPF sweep is a margin re-aggregate +
+    broadcast join on that bounded relation — the corpus is scanned
+    once no matter how many sweeps run.  At 100 TB the cells arrive
+    map-side-combined; the iteration never touches raw rows.  Each
+    sweep ends in an eager ``localCheckpoint`` so the iteration's
+    lineage stays flat (without it the plan re-derives the corpus
+    aggregate per sweep and the DAG doubles every iteration — the
+    same discipline as the connected-components and ALS loops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("w", F.col("n").cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.countDistinct("lang").cast("double").alias("nl"),
+        F.countDistinct("source").cast("double").alias("ns"),
+    )
+    cells = cells.crossJoin(F.broadcast(tot))
+    for _ in range(_IPF_ITERS):
+        rm = cells.groupBy(F.col("lang").alias("__l")).agg(
+            F.sum("w").alias("rs")
+        )
+        cells = (
+            cells.join(F.broadcast(rm), cells.lang == F.col("__l"))
+            .withColumn(
+                "w", F.col("w") * (F.col("nn") / F.col("nl")) / F.col("rs")
+            )
+            .drop("__l", "rs")
+        )
+        cm = cells.groupBy(F.col("source").alias("__s")).agg(
+            F.sum("w").alias("cs")
+        )
+        cells = (
+            cells.join(F.broadcast(cm), cells.source == F.col("__s"))
+            .withColumn(
+                "w", F.col("w") * (F.col("nn") / F.col("ns")) / F.col("cs")
+            )
+            .drop("__s", "cs")
+            .localCheckpoint(eager=True)
+        )
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round("w", 4).cast("float").alias("raked_mass"),
+        F.round(F.col("w") / F.col("n"), 4).cast("float").alias(
+            "unit_weight"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of a per-group score distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_normalize_chars",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS ng
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, lang, n_chars,
+               ((rn - 1) * 100 // ng)::BIGINT AS bin
+        FROM ranked
+    ),
+    ref AS (
+        SELECT bin, SUM(n_chars)::DOUBLE / COUNT(*) AS ref_val
+        FROM binned GROUP BY bin
+    )
+    SELECT b.lang,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(b.n_chars) AS DOUBLE) / COUNT(*) AS mean_raw,
+           CAST(ROUND(AVG(ref.ref_val), 4) AS REAL) AS mean_normalized
+    FROM binned b JOIN ref ON ref.bin = b.bin
+    GROUP BY b.lang
+    """,
+    tags=("quantile-normalization", "distribution-matching",
+          "feature-engineering", "percentile-bins", "curation"),
+)
+def quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length ACROSS languages —
+    the microarray-era distribution-matching trick a multilingual
+    curation pass uses so a length-based quality threshold means the
+    same thing in every language: each document's length is replaced
+    by the cross-language average length at its within-language
+    percentile, making every language's normalized distribution
+    identical by construction (the per-lang normalized means emitted
+    here collapse toward each other while the raw means stay apart —
+    that convergence is the point, and the oracle certifies it).
+    Percentile assignment is pure integer arithmetic
+    ((rn−1)·100//n_g) with a (value, id) tiebreak — no float quantile
+    boundaries to drift cross-engine.
+
+    Scale shape: one PARTITIONED ranking window per language (hash
+    exchange on lang; no global funnel), one 100-row reference-bin
+    aggregate, one broadcast join back, one per-lang fold.  The
+    reference relation is bounded by the bin count regardless of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wg = Window.partitionBy("lang")
+    binned = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(
+            (F.row_number().over(w) - 1)
+            * 100
+            / F.count(F.lit(1)).over(wg)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    ref = binned.groupBy("bin").agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "ref_val"
+        )
+    )
+    return (
+        binned.join(F.broadcast(ref), "bin")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "mean_raw"
+            ),
+            F.round(F.avg("ref_val"), 4).cast("float").alias(
+                "mean_normalized"
+            ),
+        )
+    )

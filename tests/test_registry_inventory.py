@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 383  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 387  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -44,8 +44,10 @@ N_EXPECTED = 383  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +periodogram_seasonal_power, +expected_calibration_error,
 #                   +hill_diversity_profile, +power_analysis_mde,
 #                   +cramers_v_association, +cochran_armitage_trend,
-#                   +tukey_hsd_pairs, +lift_gain_deciles
-N_ORACLE = 383
+#                   +tukey_hsd_pairs, +lift_gain_deciles,
+#                   +retrieval_mrr_recall, +mcnemar_gate_flip,
+#                   +raking_ipf_weights, +quantile_normalize_chars
+N_ORACLE = 387
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

@@ -1519,3 +1519,115 @@ def test_lift_gain_vs_numpy(spark):
         assert abs(r["response_rate"] - pd_ / nd) < 1e-9
         assert abs(r["lift"] - pd_ * n / (nd * p)) < 1e-5
         assert abs(r["cum_gain"] - cum / p) < 1e-9
+
+
+def test_mcnemar_vs_python(spark):
+    d = _duck(
+        r"""SELECT n_chars,
+                   len(string_split_regex(trim(text), '\s+')) AS nw
+            FROM documents""",
+        tables=("documents",),
+    )
+    ga = np.asarray(d["n_chars"]) >= 200
+    gb = np.asarray(d["nw"]) >= 36
+    b = int((ga & ~gb).sum())
+    c = int((~ga & gb).sum())
+    row = _rows(spark, "mcnemar_gate_flip")[0]
+    assert (row["only_chars"], row["only_words"]) == (b, c)
+    assert abs(
+        row["mcnemar_chi2"] - (abs(b - c) - 1) ** 2 / (b + c)
+    ) < 1e-6
+
+
+def test_raking_ipf_vs_numpy(spark):
+    d = _duck(
+        "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2",
+        tables=("documents",),
+    )
+    langs = sorted(set(d["lang"]))
+    srcs = sorted(set(d["source"]))
+    tab = np.zeros((len(langs), len(srcs)))
+    for l, s, n in zip(d["lang"], d["source"], d["n"]):
+        tab[langs.index(l), srcs.index(s)] = n
+    w = tab.astype(np.float64).copy()
+    nn = tab.sum()
+    rt, ct = nn / len(langs), nn / len(srcs)
+    for _ in range(3):
+        w *= rt / w.sum(axis=1, keepdims=True)
+        w *= ct / w.sum(axis=0, keepdims=True)
+    rows = _rows(spark, "raking_ipf_weights")
+    assert len(rows) == int((tab > 0).sum())
+    for r in rows:
+        i, j = langs.index(r["lang"]), srcs.index(r["source"])
+        assert abs(r["raked_mass"] - w[i, j]) < 1e-3
+        assert abs(r["unit_weight"] - w[i, j] / tab[i, j]) < 1e-3
+    # After 3 sweeps the column margins are EXACT (last sweep scales
+    # them) and row margins nearly so — the convergence IPF promises.
+    assert np.abs(w.sum(axis=0) - ct).max() < 1e-9
+    assert np.abs(w.sum(axis=1) - rt).max() / rt < 0.02
+
+
+def test_quantile_normalize_vs_numpy(spark):
+    d = _duck(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        tables=("documents",),
+    )
+    recs = sorted(
+        zip(d["lang"], d["n_chars"], d["doc_id"]),
+        key=lambda t: (str(t[0]), int(t[1]), int(t[2])),
+    )
+    bins = {}
+    by_lang = {}
+    i = 0
+    while i < len(recs):
+        j = i
+        while j < len(recs) and recs[j][0] == recs[i][0]:
+            j += 1
+        ng = j - i
+        for k in range(i, j):
+            b = (k - i) * 100 // ng
+            bins.setdefault(b, []).append(int(recs[k][1]))
+            by_lang.setdefault(str(recs[k][0]), []).append(b)
+        i = j
+    ref = {b: sum(v) / len(v) for b, v in bins.items()}
+    rows = {r["lang"]: r for r in _rows(spark, "quantile_normalize_chars")}
+    means = []
+    for lang, bl in by_lang.items():
+        exp = sum(ref[b] for b in bl) / len(bl)
+        assert abs(rows[lang]["mean_normalized"] - exp) < 1e-3
+        means.append(exp)
+    # Normalized means are pulled together relative to raw means.
+    raw = [rows[lg]["mean_raw"] for lg in by_lang]
+    assert (max(means) - min(means)) < (max(raw) - min(raw))
+
+
+def test_retrieval_mrr_vs_numpy(spark):
+    d = _duck(
+        "SELECT vec_id, embedding, label FROM embeddings",
+        tables=("embeddings",),
+    )
+    ids = np.asarray(d["vec_id"], dtype=np.int64)
+    labs = np.asarray([str(x) for x in d["label"]])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in d["embedding"]])
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qidx = np.where(ids % 25 == 0)[0]
+    mrr, hit, rec, prec = [], [], [], []
+    for qi in qidx:
+        sims = mat_n @ mat_n[qi]
+        mask = ids != ids[qi]
+        order = sorted(
+            np.where(mask)[0], key=lambda i: (-sims[i], ids[i])
+        )[:10]
+        rel = [labs[i] == labs[qi] for i in order]
+        n_rel = int((labs == labs[qi]).sum()) - 1
+        first = next((k + 1 for k, r in enumerate(rel) if r), None)
+        mrr.append(1 / first if first else 0.0)
+        hit.append(1.0 if first else 0.0)
+        rec.append(sum(rel) / min(10, n_rel))
+        prec.append(sum(rel) / 10)
+    row = _rows(spark, "retrieval_mrr_recall")[0]
+    assert row["n_queries"] == len(qidx)
+    assert abs(row["mrr_at_10"] - np.mean(mrr)) < 1e-5
+    assert abs(row["hit_rate_at_10"] - np.mean(hit)) < 1e-5
+    assert abs(row["recall_at_10"] - np.mean(rec)) < 1e-5
+    assert abs(row["precision_at_10"] - np.mean(prec)) < 1e-5
