@@ -8216,3 +8216,295 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution: removal effects over an absorbing chain
+# ---------------------------------------------------------------------------
+
+_MARKOV_CHANNELS = ("click", "signup", "view")
+_MARKOV_ITERS = 48
+
+
+def _markov_oracle() -> str:
+    """Unroll the absorbing-chain value iteration as a CTE chain —
+    the SQL mirror of the Spark loop, generated from the same
+    iteration count so both engines compute the identical truncated
+    fixpoint (parity needs same-structure arithmetic, not
+    convergence)."""
+    chans = ", ".join(f"'{c}'" for c in _MARKOV_CHANNELS)
+    head = f"""
+    WITH firstp AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS p_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    seq AS (
+        SELECT e.user_id, e.event_type AS ch,
+               CAST(e.ts AS TIMESTAMP) AS ts, e.event_id,
+               f.p_ts IS NOT NULL AS conv
+        FROM events e LEFT JOIN firstp f ON f.user_id = e.user_id
+        WHERE e.event_type IN ({chans})
+          AND (f.p_ts IS NULL OR CAST(e.ts AS TIMESTAMP) < f.p_ts)
+    ),
+    hops AS (
+        SELECT user_id, ch AS src,
+               COALESCE(LEAD(ch) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        CASE WHEN conv THEN 'CONV' ELSE 'NULL' END) AS dst,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM seq
+    ),
+    starts AS (
+        SELECT 'START' AS src,
+               COALESCE(MIN(CASE WHEN h.rn = 1 THEN h.src END),
+                        CASE WHEN MAX(CASE WHEN f.user_id IS NOT NULL
+                                           THEN 1 ELSE 0 END) = 1
+                             THEN 'CONV' ELSE 'NULL' END) AS dst
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN hops h ON h.user_id = u.user_id
+        LEFT JOIN firstp f ON f.user_id = u.user_id
+        GROUP BY u.user_id
+    ),
+    trans AS (
+        SELECT src, dst, COUNT(*)::DOUBLE AS c
+        FROM (SELECT src, dst FROM hops UNION ALL
+              SELECT src, dst FROM starts)
+        GROUP BY 1, 2
+    ),
+    probs AS (
+        SELECT src, dst,
+               c / SUM(c) OVER (PARTITION BY src) AS p
+        FROM trans
+    ),
+    variants AS (
+        SELECT * FROM (VALUES ('BASE'), ({chans.replace(", ", "), (")}))
+        AS t(variant)
+    ),
+    vedges AS (
+        SELECT v.variant, p.src, p.dst, p.p
+        FROM probs p CROSS JOIN variants v
+        WHERE v.variant = 'BASE'
+           OR (p.src <> v.variant AND p.dst <> v.variant)
+    ),
+    v0 AS (
+        SELECT v.variant, c.ch AS state, 0.0::DOUBLE AS val
+        FROM variants v
+        CROSS JOIN (SELECT UNNEST([{chans}]) AS ch) c
+    )"""
+    steps = []
+    for k in range(_MARKOV_ITERS):
+        steps.append(f""",
+    v{k + 1} AS MATERIALIZED (
+        SELECT e.variant, e.src AS state,
+               SUM(CASE WHEN e.dst = 'CONV' THEN e.p
+                        ELSE e.p * COALESCE(v.val, 0.0) END) AS val
+        FROM vedges e
+        LEFT JOIN v{k} v ON v.variant = e.variant AND v.state = e.dst
+        WHERE e.src IN ({chans})
+        GROUP BY e.variant, e.src
+    )""")
+    tail = f""",
+    conv AS (
+        SELECT e.variant,
+               SUM(CASE WHEN e.dst = 'CONV' THEN e.p
+                        ELSE e.p * COALESCE(v.val, 0.0) END) AS big_v
+        FROM vedges e
+        LEFT JOIN v{_MARKOV_ITERS} v
+               ON v.variant = e.variant AND v.state = e.dst
+        WHERE e.src = 'START'
+        GROUP BY e.variant
+    ),
+    eff AS (
+        SELECT r.variant AS channel,
+               (b.big_v - r.big_v) / b.big_v AS removal
+        FROM conv r CROSS JOIN (SELECT big_v FROM conv
+                                WHERE variant = 'BASE') b
+        WHERE r.variant <> 'BASE'
+    )
+    SELECT channel,
+           CAST(ROUND((SELECT big_v FROM conv WHERE variant = 'BASE'),
+                      6) AS REAL) AS base_conv_prob,
+           CAST(ROUND(removal, 6) AS REAL) AS removal_effect,
+           CAST(ROUND(removal / SUM(removal) OVER (), 6) AS REAL)
+               AS attribution_share
+    FROM eff"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "markov_attribution_removal",
+    oracle=_markov_oracle(),
+    tags=("attribution", "markov-chain", "removal-effect", "marketing",
+          "absorbing-chain", "iterative"),
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to `multitouch_attribution`'s positional rules: fit
+    a first-order chain over each user's pre-purchase channel path
+    (START → channels → CONV/NULL), compute the absorbing conversion
+    probability by value iteration, then re-compute it with each
+    channel's node REMOVED (its in- and out-edges lost to NULL); a
+    channel's credit is the conversion probability it cannot be
+    replaced for.  All five variants (base + 4 removals) iterate
+    jointly as one (variant, state) relation.
+
+    Engine parity: both sides run the SAME 48 truncated iterations
+    (the oracle unrolls them as CTEs from the shared constant), so
+    agreement is structural, not asymptotic; the NumPy mirror also
+    checks the exact linear solve to confirm 48 iterations converged
+    (mean path ~4 hops → residual mass ~0.75^48).
+
+    Scale shape: journey extraction is one user-partitioned window
+    over channel events (no self-join); the chain is a bounded
+    ≤(|C|+2)² relation, and all 48 iterations run inside ONE
+    Arrow-batched pandas UDF over that single-partition relation
+    (operators/pca.py's eigh-on-one-row pattern — never a driver
+    collect, zero iteration shuffles).  At 100 TB only the
+    transition-count aggregate touches the corpus.  The oracle
+    unrolls the same iterations as MATERIALIZED CTEs (inlined, the
+    48-deep join nest explodes DuckDB's planner)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("p_ts"))
+    )
+    seq = (
+        ev.filter(F.col("event_type").isin(*_MARKOV_CHANNELS))
+        .join(F.broadcast(firstp), "user_id", "left")
+        .filter(
+            F.col("p_ts").isNull()
+            | (F.col("ts").cast("timestamp") < F.col("p_ts"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("ch"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            F.col("p_ts").isNotNull().alias("conv"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = seq.select(
+        "user_id",
+        F.col("ch").alias("src"),
+        F.coalesce(
+            F.lead("ch").over(w),
+            F.when(F.col("conv"), F.lit("CONV")).otherwise(F.lit("NULL")),
+        ).alias("dst"),
+        F.row_number().over(w).alias("rn"),
+    )
+    users = ev.select("user_id").distinct()
+    starts = (
+        users.join(hops, "user_id", "left")
+        .join(F.broadcast(firstp), "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("rn") == 1, F.col("src"))),
+                F.when(
+                    F.max(
+                        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+                    )
+                    == 1,
+                    F.lit("CONV"),
+                ).otherwise(F.lit("NULL")),
+            ).alias("dst")
+        )
+        .select(F.lit("START").alias("src"), "dst")
+    )
+    trans = (
+        hops.select("src", "dst")
+        .unionAll(starts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    ws = Window.partitionBy("src")
+    probs = trans.select(
+        "src", "dst", (F.col("c") / F.sum("c").over(ws)).alias("p")
+    )
+    variants = spark.createDataFrame(
+        [("BASE",)] + [(c,) for c in _MARKOV_CHANNELS], ["variant"]
+    )
+    vedges = (
+        probs.crossJoin(F.broadcast(variants))
+        .filter(
+            (F.col("variant") == "BASE")
+            | (
+                (F.col("src") != F.col("variant"))
+                & (F.col("dst") != F.col("variant"))
+            )
+        )
+        # <=30-row relation pinned to one partition before the
+        # one-row pivot (documented bounded-relation repartition(1)).
+        .repartition(1)
+        .localCheckpoint(eager=True)
+    )
+    # The chain is a bounded ≤(|C|+2)² relation; the truncated value
+    # iteration runs inside ONE Arrow-batched pandas UDF over that
+    # single-partition relation — the same never-a-driver-collect
+    # pattern as operators/pca.py's eigh-on-one-row: transitions are
+    # computed distributed, the 4-variant × 3-state solve costs
+    # microseconds, and the result stays a DataFrame.
+    chan_lit = list(_MARKOV_CHANNELS)
+    iters = _MARKOV_ITERS
+
+    def _solve(batches):
+        import pandas as pd
+
+        # One bounded partition, but Arrow may still split batches:
+        # fold them back together before solving.
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            out_ch, out_base, out_rem = [], [], []
+            probs_by_var = {}
+            for vr, g in pdf.groupby("variant"):
+                probs_by_var[vr] = {
+                    (r.src, r.dst): r.p for r in g.itertuples()
+                }
+            base_v = None
+            for vr in ["BASE"] + [
+                c for c in chan_lit if c in probs_by_var
+            ]:
+                t = probs_by_var[vr]
+                v = {c: 0.0 for c in chan_lit}
+                for _ in range(iters):
+                    v = {
+                        c: t.get((c, "CONV"), 0.0)
+                        + sum(
+                            t.get((c, d), 0.0) * v[d] for d in chan_lit
+                        )
+                        for c in chan_lit
+                    }
+                big_v = t.get(("START", "CONV"), 0.0) + sum(
+                    t.get(("START", d), 0.0) * v[d] for d in chan_lit
+                )
+                if vr == "BASE":
+                    base_v = big_v
+                else:
+                    out_ch.append(vr)
+                    out_base.append(base_v)
+                    out_rem.append((base_v - big_v) / base_v)
+            yield pd.DataFrame(
+                {
+                    "channel": out_ch,
+                    "base_v": out_base,
+                    "removal": out_rem,
+                }
+            )
+
+    eff = vedges.mapInPandas(
+        _solve, "channel STRING, base_v DOUBLE, removal DOUBLE"
+    )
+    eff = eff.localCheckpoint(eager=True)
+    tot = eff.agg(F.sum("removal").alias("tot_removal"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round("base_v", 6).cast("float").alias("base_conv_prob"),
+        F.round("removal", 6).cast("float").alias("removal_effect"),
+        F.round(F.col("removal") / F.col("tot_removal"), 6)
+        .cast("float")
+        .alias("attribution_share"),
+    )

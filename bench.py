@@ -228,6 +228,15 @@ ROUND6: list[str] = [
     "expected_calibration_error",
     "hill_diversity_profile",
     "power_analysis_mde",
+    "cramers_v_association",
+    "cochran_armitage_trend",
+    "tukey_hsd_pairs",
+    "lift_gain_deciles",
+    "retrieval_mrr_recall",
+    "mcnemar_gate_flip",
+    "raking_ipf_weights",
+    "quantile_normalize_chars",
+    "markov_attribution_removal",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -1631,3 +1631,72 @@ def test_retrieval_mrr_vs_numpy(spark):
     assert abs(row["hit_rate_at_10"] - np.mean(hit)) < 1e-5
     assert abs(row["recall_at_10"] - np.mean(rec)) < 1e-5
     assert abs(row["precision_at_10"] - np.mean(prec)) < 1e-5
+
+
+def test_markov_attribution_vs_numpy(spark):
+    # Independent journey extraction + transition fit in pure Python.
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS FROM '{SF_DIR}/events.parquet'")
+    ev = con.execute(
+        """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                  event_id
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    chans = ("click", "signup", "view")
+    by_user = {}
+    for u, et, ts, eid in ev:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    trans = {}
+    for u, evs in by_user.items():
+        p_ts = min(
+            (t for t, _, e in evs if e == "purchase"), default=None
+        )
+        path = [
+            e for t, _, e in sorted(evs)
+            if e in chans and (p_ts is None or t < p_ts)
+        ]
+        end = "CONV" if p_ts is not None else "NULL"
+        nodes = ["START"] + path + [end]
+        for a, b in zip(nodes, nodes[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    out = {}
+    for (a, b), c in trans.items():
+        out[a] = out.get(a, 0) + c
+    t = {k: c / out[k[0]] for k, c in trans.items()}
+
+    def value_iter(t, removed=None, iters=48):
+        keep = [c for c in chans if c != removed]
+        v = {c: 0.0 for c in keep}
+        for _ in range(iters):
+            v = {
+                c: t.get((c, "CONV"), 0.0)
+                + sum(t.get((c, d), 0.0) * v[d] for d in keep)
+                for c in keep
+            }
+        return t.get(("START", "CONV"), 0.0) + sum(
+            t.get(("START", d), 0.0) * v[d] for d in keep
+        )
+
+    base = value_iter(t)
+    rem = {c: (base - value_iter(t, removed=c)) / base for c in chans}
+    tot = sum(rem.values())
+    rows = {r["channel"]: r for r in _rows(spark, "markov_attribution_removal")}
+    assert set(rows) == set(chans)
+    for c in chans:
+        assert abs(rows[c]["base_conv_prob"] - base) < 1e-5
+        assert abs(rows[c]["removal_effect"] - rem[c]) < 1e-5
+        assert abs(rows[c]["attribution_share"] - rem[c] / tot) < 1e-5
+    # 48 truncated iterations converged: exact absorbing-chain solve
+    # (linear system) agrees to well under the 6dp rounding.
+    q = np.zeros((len(chans), len(chans)))
+    r_vec = np.zeros(len(chans))
+    for i, c in enumerate(chans):
+        r_vec[i] = t.get((c, "CONV"), 0.0)
+        for j, d in enumerate(chans):
+            q[i, j] = t.get((c, d), 0.0)
+    v_exact = np.linalg.solve(np.eye(len(chans)) - q, r_vec)
+    base_exact = t.get(("START", "CONV"), 0.0) + sum(
+        t.get(("START", d), 0.0) * v_exact[j]
+        for j, d in enumerate(chans)
+    )
+    assert abs(base - base_exact) < 1e-6
