@@ -8508,3 +8508,357 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("attribution_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient boosting: two exact-greedy stump rounds on residuals
+# ---------------------------------------------------------------------------
+
+_GBDT_ROUNDS = 2
+
+
+def _gbdt_oracle() -> str:
+    """Unrolled 2-round boosting oracle.  Each round: exact-greedy
+    split search from cumulative (n, Σtarget) over the distinct-value
+    histogram, then residual update.  Gains are compared after ROUND
+    to 4dp with a (feat, threshold) tie-break so both engines pick
+    the identical split even at last-ulp gain drift."""
+    best = """
+        SELECT feat, x AS threshold,
+               sl / nl AS left_pred,
+               (st - sl) / (nt - nl) AS right_pred,
+               sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+                 - st * st / nt AS gain
+        FROM (
+            SELECT feat, x,
+                   SUM(n) OVER w AS nl, SUM(s) OVER w AS sl,
+                   SUM(n) OVER p AS nt, SUM(s) OVER p AS st
+            FROM {hist}
+            WINDOW w AS (PARTITION BY feat ORDER BY x),
+                   p AS (PARTITION BY feat)
+        )
+        WHERE nl > 0 AND nt - nl > 0
+        ORDER BY ROUND(sl * sl / nl
+                       + (st - sl) * (st - sl) / (nt - nl)
+                       - st * st / nt, 4) DESC, feat, x
+        LIMIT 1
+    """
+    return f"""
+    WITH base AS (
+        SELECT l_quantity AS q, l_discount AS d,
+               l_extendedprice * (1 - l_discount) AS y
+        FROM lineitem
+    ),
+    long1 AS (
+        SELECT 'l_quantity' AS feat, q AS x, y AS t FROM base
+        UNION ALL
+        SELECT 'l_discount' AS feat, d AS x, y AS t FROM base
+    ),
+    hist1 AS (
+        SELECT feat, x, COUNT(*)::DOUBLE AS n, SUM(t) AS s
+        FROM long1 GROUP BY 1, 2
+    ),
+    spec1 AS MATERIALIZED ({best.format(hist='hist1')}),
+    resid1 AS (
+        SELECT b.q, b.d,
+               b.y - CASE WHEN s.feat = 'l_quantity'
+                          THEN CASE WHEN b.q <= s.threshold
+                                    THEN s.left_pred ELSE s.right_pred END
+                          ELSE CASE WHEN b.d <= s.threshold
+                                    THEN s.left_pred ELSE s.right_pred END
+                     END AS r
+        FROM base b CROSS JOIN spec1 s
+    ),
+    rmse1 AS (SELECT sqrt(AVG(r * r)) AS rmse FROM resid1),
+    long2 AS (
+        SELECT 'l_quantity' AS feat, q AS x, r AS t FROM resid1
+        UNION ALL
+        SELECT 'l_discount' AS feat, d AS x, r AS t FROM resid1
+    ),
+    hist2 AS (
+        SELECT feat, x, COUNT(*)::DOUBLE AS n, SUM(t) AS s
+        FROM long2 GROUP BY 1, 2
+    ),
+    spec2 AS MATERIALIZED ({best.format(hist='hist2')}),
+    resid2 AS (
+        SELECT b.r - CASE WHEN s.feat = 'l_quantity'
+                          THEN CASE WHEN b.q <= s.threshold
+                                    THEN s.left_pred ELSE s.right_pred END
+                          ELSE CASE WHEN b.d <= s.threshold
+                                    THEN s.left_pred ELSE s.right_pred END
+                     END AS r
+        FROM resid1 b CROSS JOIN spec2 s
+    ),
+    rmse2 AS (SELECT sqrt(AVG(r * r)) AS rmse FROM resid2)
+    SELECT 1::BIGINT AS round, s.feat,
+           CAST(ROUND(s.threshold, 6) AS REAL) AS threshold,
+           CAST(ROUND(s.left_pred, 4) AS REAL) AS left_pred,
+           CAST(ROUND(s.right_pred, 4) AS REAL) AS right_pred,
+           CAST(ROUND(s.gain, 2) AS DOUBLE) AS gain,
+           CAST(ROUND(m.rmse, 4) AS REAL) AS rmse_after
+    FROM spec1 s CROSS JOIN rmse1 m
+    UNION ALL
+    SELECT 2::BIGINT, s.feat,
+           CAST(ROUND(s.threshold, 6) AS REAL),
+           CAST(ROUND(s.left_pred, 4) AS REAL),
+           CAST(ROUND(s.right_pred, 4) AS REAL),
+           CAST(ROUND(s.gain, 2) AS DOUBLE),
+           CAST(ROUND(m.rmse, 4) AS REAL)
+    FROM spec2 s CROSS JOIN rmse2 m
+    """
+
+
+@register(
+    "gbdt_boost_rounds",
+    oracle=_gbdt_oracle(),
+    tags=("gbdt", "boosting", "residual-fit", "exact-greedy",
+          "ml-training", "iterative"),
+)
+def gbdt_boost_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of gradient boosting with exact-greedy regression
+    stumps — the SEQUENTIAL-ensemble pattern the single-tree queries
+    don't cover (`stump_split_search` is the histogram inner loop,
+    `tree_depth2_cart` the greedy tree; boosting refits the next
+    learner on the RESIDUALS of the ensemble so far, which is what
+    XGBoost/LightGBM actually iterate).  Exact-greedy mode: every
+    distinct feature value is a candidate threshold, gains come from
+    cumulative (n, Σtarget) prefix sums over the value-ordered
+    histogram — one corpus pass per round, no per-threshold rescan.
+    Emits each round's split spec and the train RMSE after applying
+    it (strictly decreasing — the mirror test pins that).
+
+    Engine determinism: the winning split is chosen by (ROUND(gain,4)
+    DESC, feat, threshold), so a last-ulp gain difference cannot make
+    the engines pick different splits; predictions are single
+    divisions of money sums.
+
+    Scale shape: per round, ONE corpus aggregate to the ≤Σ|values|
+    histogram (map-side combinable), prefix sums on the bounded
+    per-feature relation (partitioned window), and the argmax as
+    orderBy().limit(1) — TakeOrderedAndProject, never a global rank
+    window.  The corpus relation is persisted once and reused by
+    both rounds and both RMSE folds (caller-owned cache contract)."""
+    from axolotls_spark import cacheutil
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = cacheutil.track(
+        li.select(
+            F.col("l_quantity").alias("q"),
+            F.col("l_discount").alias("d"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("y"),
+        ).persist()
+    )
+
+    def long_form(rel: DataFrame, target: str) -> DataFrame:
+        return rel.selectExpr(
+            "stack(2, 'l_quantity', q, 'l_discount', d) AS (feat, x)",
+            f"{target} AS t",
+        )
+
+    def best_split(rel: DataFrame) -> DataFrame:
+        hist = rel.groupBy("feat", "x").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("t").alias("s"),
+        )
+        wc = Window.partitionBy("feat").orderBy("x")
+        wp = Window.partitionBy("feat")
+        cum = hist.select(
+            "feat",
+            "x",
+            F.sum("n").over(wc).alias("nl"),
+            F.sum("s").over(wc).alias("sl"),
+            F.sum("n").over(wp).alias("nt"),
+            F.sum("s").over(wp).alias("st"),
+        ).filter(
+            (F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)
+        )
+        gain = (
+            F.col("sl") * F.col("sl") / F.col("nl")
+            + (F.col("st") - F.col("sl"))
+            * (F.col("st") - F.col("sl"))
+            / (F.col("nt") - F.col("nl"))
+            - F.col("st") * F.col("st") / F.col("nt")
+        )
+        return (
+            cum.select(
+                "feat",
+                F.col("x").alias("threshold"),
+                (F.col("sl") / F.col("nl")).alias("left_pred"),
+                (
+                    (F.col("st") - F.col("sl"))
+                    / (F.col("nt") - F.col("nl"))
+                ).alias("right_pred"),
+                gain.alias("gain"),
+            )
+            .orderBy(
+                F.round("gain", 4).desc(), "feat", "threshold"
+            )
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+
+    def pred(spec_prefix: str = "") -> "F.Column":
+        t, lp, rp = (
+            F.col("threshold"),
+            F.col("left_pred"),
+            F.col("right_pred"),
+        )
+        return F.when(
+            F.col("feat") == "l_quantity",
+            F.when(F.col("q") <= t, lp).otherwise(rp),
+        ).otherwise(F.when(F.col("d") <= t, lp).otherwise(rp))
+
+    rows = []
+    cur = base.withColumn("r", F.col("y"))
+    for rnd in range(1, _GBDT_ROUNDS + 1):
+        spec = best_split(long_form(cur, "r"))
+        nxt = (
+            cur.crossJoin(F.broadcast(spec))
+            .withColumn("r", F.col("r") - pred())
+            .select("q", "d", "y", "r")
+        )
+        rmse = nxt.agg(F.sqrt(F.avg(F.col("r") * F.col("r"))).alias("rmse"))
+        rows.append(
+            spec.crossJoin(F.broadcast(rmse)).select(
+                F.lit(rnd).cast("long").alias("round"),
+                "feat",
+                F.round("threshold", 6).cast("float").alias("threshold"),
+                F.round("left_pred", 4).cast("float").alias("left_pred"),
+                F.round("right_pred", 4).cast("float").alias("right_pred"),
+                F.round("gain", 2).cast("double").alias("gain"),
+                F.round("rmse", 4).cast("float").alias("rmse_after"),
+            )
+        )
+        cur = nxt
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# k-truss: edges supported by enough triangles, with iterative peeling
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 3
+
+_KTRUSS_EDGES_SQL = """
+    te0 AS (
+        SELECT DISTINCT LEAST(s_nationkey, c_nationkey) AS a,
+                        GREATEST(s_nationkey, c_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+    )
+"""
+
+
+def _ktruss_round_sql(i: int) -> str:
+    return f""",
+    tadj{i} AS (
+        SELECT a AS u, b AS v FROM te{i - 1}
+        UNION ALL
+        SELECT b AS u, a AS v FROM te{i - 1}
+    ),
+    tsup{i} AS (
+        SELECT e.a, e.b, COUNT(*)::BIGINT AS sup
+        FROM te{i - 1} e
+        JOIN tadj{i} x ON x.u = e.a
+        JOIN tadj{i} y ON y.u = e.b AND y.v = x.v
+        GROUP BY e.a, e.b
+    ),
+    te{i} AS (
+        SELECT e.a, e.b, COALESCE(s.sup, 0) AS sup
+        FROM te{i - 1} e
+        LEFT JOIN tsup{i} s ON s.a = e.a AND s.b = e.b
+        WHERE COALESCE(s.sup, 0) >= {_KTRUSS_K - 2}
+    )"""
+
+
+@register(
+    "ktruss_trade_edges",
+    oracle="WITH "
+    + _KTRUSS_EDGES_SQL
+    + "".join(_ktruss_round_sql(i) for i in range(1, _KTRUSS_ROUNDS + 1))
+    + f"""
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           CAST(e.sup AS BIGINT) AS support
+    FROM te{_KTRUSS_ROUNDS} e
+    JOIN nation na ON e.a = na.n_nationkey
+    JOIN nation nb ON e.b = nb.n_nationkey
+    """,
+    tags=("graph", "k-truss", "triangle-support", "iterative", "peel"),
+)
+def ktruss_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=4) of the undirected nation trade graph: keep the
+    edges supported by ≥ k−2 triangles, recompute support on the
+    survivors, repeat — the EDGE-cohesion analogue of
+    `kcore_trade_graph`'s node peeling (a k-truss is strictly
+    stronger than a (k−1)-core: every surviving edge sits in enough
+    triangles among surviving edges, the standard community-backbone
+    extractor).  Three unrolled peel rounds; support per edge is
+    the |N(a)∩N(b)| two-hop join over the canonical a<b edge set,
+    the same pattern `graph_triangle_count` counts once globally.
+
+    Scale shape: aggregate-then-iterate — one corpus pass to the
+    distinct ≤|nations|² edge relation, then every round is a
+    bounded self-join + aggregate with an eager localCheckpoint
+    (the kcore discipline).  At 100 TB the edge relation is still
+    dimension-sized; production k-truss on billion-edge graphs runs
+    the identical rounds with shuffled joins."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .withColumn("sup", F.lit(0).cast("long"))
+        .repartition(1)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KTRUSS_ROUNDS):
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        sup = (
+            e.alias("e")
+            .join(adj.alias("x"), F.col("x.u") == F.col("e.a"))
+            .join(
+                adj.alias("y"),
+                (F.col("y.u") == F.col("e.b"))
+                & (F.col("y.v") == F.col("x.v")),
+            )
+            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        )
+        e = (
+            e.select("a", "b")
+            .join(sup, ["a", "b"], "left")
+            .select(
+                "a", "b", F.coalesce(F.col("sup"), F.lit(0)).alias("sup")
+            )
+            .filter(F.col("sup") >= _KTRUSS_K - 2)
+            .repartition(1)
+            .localCheckpoint(eager=True)
+        )
+    na = n.select(F.col("n_nationkey").alias("a"), F.col("n_name").alias("nation_a"))
+    nb = n.select(F.col("n_nationkey").alias("b"), F.col("n_name").alias("nation_b"))
+    return (
+        e.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select("nation_a", "nation_b", F.col("sup").alias("support"))
+    )

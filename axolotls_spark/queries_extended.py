@@ -1621,3 +1621,188 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set intersection via inclusion-exclusion on mergeable registers
+# ---------------------------------------------------------------------------
+
+_HLL_EST_SQL = f"""CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / {{z}}
+                             <= 2.5 * {_HLL_M}
+                        AND {{zeros}} > 0
+                   THEN {_HLL_M} * LN({_HLL_M} / {{zeros}})
+                   ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / {{z}} END"""
+
+
+@register(
+    "hll_intersection_estimate",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT 'A' AS s,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'B' AS s,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    split AS (
+        SELECT s, h % {_HLL_M} AS reg, h // {_HLL_M} AS rest FROM tagged
+    ),
+    rhod AS (
+        SELECT t.s, t.reg, COALESCE(p.rho, 55) AS rho
+        FROM split t
+        LEFT JOIN {_HLL_POW_SQL} p ON (t.rest & -t.rest) = p.pv
+    ),
+    regs AS (
+        SELECT s, reg, MAX(rho) AS max_rho FROM rhod GROUP BY s, reg
+    ),
+    states AS (
+        SELECT s, reg, max_rho FROM regs
+        UNION ALL
+        SELECT 'U' AS s, reg, MAX(max_rho) FROM regs GROUP BY reg
+    ),
+    dense AS (
+        SELECT g.s, gs.reg, COALESCE(r.max_rho, 0) AS max_rho
+        FROM (SELECT DISTINCT s FROM states) g
+        CROSS JOIN (SELECT unnest(range({_HLL_M})) AS reg) gs
+        LEFT JOIN states r ON r.s = g.s AND r.reg = gs.reg
+    ),
+    est AS (
+        SELECT s, SUM(POWER(2.0, -max_rho)) AS z,
+               SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS zeros
+        FROM dense GROUP BY s
+    ),
+    vals AS (
+        SELECT s, {_HLL_EST_SQL.format(z='z', zeros='zeros')} AS v
+        FROM est
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN s = 'A' THEN v END) AS va,
+               MAX(CASE WHEN s = 'B' THEN v END) AS vb,
+               MAX(CASE WHEN s = 'U' THEN v END) AS vu
+        FROM vals
+    ),
+    ex AS (
+        SELECT COUNT(*)::BIGINT AS n_exact FROM (
+            SELECT o_custkey FROM orders GROUP BY o_custkey
+            HAVING MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) = 1
+               AND MAX(CASE WHEN o_orderstatus = 'F'
+                            THEN 1 ELSE 0 END) = 1
+        )
+    )
+    SELECT ROUND(va, 4) AS est_a, ROUND(vb, 4) AS est_b,
+           ROUND(vu, 4) AS est_union,
+           ROUND(va + vb - vu, 4) AS est_intersection,
+           ex.n_exact AS exact_intersection,
+           CAST(ROUND(ABS(va + vb - vu - ex.n_exact)
+                      / ex.n_exact, 4) AS REAL) AS rel_err
+    FROM wide CROSS JOIN ex
+    """,
+    tags=("sketch", "hll", "intersection", "inclusion-exclusion",
+          "mergeable", "exact-oracle"),
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality from HLL sketches by
+    inclusion–exclusion — the audience-overlap question
+    (`audience_overlap_exact`) answered the way a 100 TB system
+    must: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union
+    sketch is the register-wise MAX of the two sketches (the merge
+    that makes HLL mergeable; KMV answers the same question via
+    ``kmv_set_algebra`` with better intersection error).  A = urgent
+    -priority customers, B = finalized-status customers.  The exact
+    intersection rides along as the audit column, with the relative
+    error — honestly large for HLL intersections of similar sets,
+    which is WHY the KMV path exists.
+
+    Engine exactness: registers are integer md5 arithmetic (the
+    ``hll_registers`` machinery), the estimator is the same
+    few-op float both engines round at 4dp.
+
+    Scale shape: ONE corpus scan fans into both set taggings
+    (union of two filters of the same relation — Spark plans one
+    exchange per branch of the grouped register aggregate);
+    register states are 3×64 rows; estimator algebra is bounded.
+    The exact-count audit is a deliberate second pass, exactly as
+    documented on ``hll_distinct_by_priority``."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    h = token_hash(F.col("o_custkey").cast("string"))
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("A").alias("s"), h.alias("h")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("B").alias("s"), h.alias("h")
+    )
+    pow_rows = [(1 << i, i + 1) for i in range(55)]
+    powers = spark.createDataFrame(pow_rows, "pv long, rho int")
+    split = a.unionAll(b).select(
+        "s", (F.col("h") % _HLL_M).alias("reg"),
+        F.shiftright(F.col("h"), 6).alias("rest"),
+    )
+    rhod = split.join(
+        F.broadcast(powers),
+        split.rest.bitwiseAND(-split.rest) == powers.pv,
+        "left",
+    ).select("s", "reg", F.coalesce(F.col("rho"), F.lit(55)).alias("rho"))
+    regs = (
+        rhod.groupBy("s", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+        .persist()
+    )
+    from axolotls_spark import cacheutil
+
+    cacheutil.track(regs)
+    states = regs.unionAll(
+        regs.groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+        .select(F.lit("U").alias("s"), "reg", "max_rho")
+    )
+    spine = spark.range(_HLL_M).select(F.col("id").alias("reg"))
+    sets = spark.createDataFrame([("A",), ("B",), ("U",)], ["s"])
+    dense = (
+        sets.crossJoin(F.broadcast(spine))
+        .join(states, ["s", "reg"], "left")
+        .select("s", F.coalesce(F.col("max_rho"), F.lit(0)).alias("max_rho"))
+    )
+    est = dense.groupBy("s").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z"),
+        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z")
+    v = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    wide = est.select("s", v.alias("v")).agg(
+        F.max(F.when(F.col("s") == "A", F.col("v"))).alias("va"),
+        F.max(F.when(F.col("s") == "B", F.col("v"))).alias("vb"),
+        F.max(F.when(F.col("s") == "U", F.col("v"))).alias("vu"),
+    )
+    ex = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("ina"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("inb"),
+        )
+        .filter((F.col("ina") == 1) & (F.col("inb") == 1))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    inter = F.col("va") + F.col("vb") - F.col("vu")
+    return wide.crossJoin(F.broadcast(ex)).select(
+        F.round("va", 4).alias("est_a"),
+        F.round("vb", 4).alias("est_b"),
+        F.round("vu", 4).alias("est_union"),
+        F.round(inter, 4).alias("est_intersection"),
+        F.col("n_exact").alias("exact_intersection"),
+        F.round(F.abs(inter - F.col("n_exact")) / F.col("n_exact"), 4)
+        .cast("float")
+        .alias("rel_err"),
+    )

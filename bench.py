@@ -237,6 +237,9 @@ ROUND6: list[str] = [
     "raking_ipf_weights",
     "quantile_normalize_chars",
     "markov_attribution_removal",
+    "gbdt_boost_rounds",
+    "hll_intersection_estimate",
+    "ktruss_trade_edges",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

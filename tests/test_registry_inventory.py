@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 388  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 391  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -47,8 +47,9 @@ N_EXPECTED = 388  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tukey_hsd_pairs, +lift_gain_deciles,
 #                   +retrieval_mrr_recall, +mcnemar_gate_flip,
 #                   +raking_ipf_weights, +quantile_normalize_chars,
-#                   +markov_attribution_removal
-N_ORACLE = 388
+#                   +markov_attribution_removal, +gbdt_boost_rounds,
+#                   +hll_intersection_estimate, +ktruss_trade_edges
+N_ORACLE = 391
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

@@ -1700,3 +1700,127 @@ def test_markov_attribution_vs_numpy(spark):
         for j, d in enumerate(chans)
     )
     assert abs(base - base_exact) < 1e-6
+
+
+def test_gbdt_boost_vs_numpy(spark):
+    d = _duck(
+        """SELECT l_quantity AS q, l_discount AS dd,
+                  l_extendedprice * (1 - l_discount) AS y
+           FROM lineitem"""
+    )
+    q = np.asarray(d["q"], dtype=np.float64)
+    dd = np.asarray(d["dd"], dtype=np.float64)
+    t = np.asarray(d["y"], dtype=np.float64).copy()
+
+    def best(feats, t):
+        cands = []
+        for name, x in feats:
+            for v in np.unique(x)[:-1]:
+                m = x <= v
+                nl, nr = int(m.sum()), int((~m).sum())
+                sl, sr = t[m].sum(), t[~m].sum()
+                gain = (
+                    sl * sl / nl + sr * sr / nr
+                    - (sl + sr) ** 2 / (nl + nr)
+                )
+                cands.append((round(gain, 4), name, v,
+                              sl / nl, sr / nr, gain))
+        cands.sort(key=lambda c: (-c[0], c[1], c[2]))
+        return cands[0]
+
+    feats = [("l_discount", dd), ("l_quantity", q)]
+    rows = sorted(_rows(spark, "gbdt_boost_rounds"),
+                  key=lambda r: r["round"])
+    assert len(rows) == 2
+    prev_rmse = float("inf")
+    for r in rows:
+        _, name, v, lp, rp, gain = best(feats, t)
+        assert r["feat"] == name
+        assert abs(r["threshold"] - v) < 1e-6
+        assert abs(r["left_pred"] - lp) < 1e-2
+        assert abs(r["right_pred"] - rp) < 1e-2
+        assert abs(r["gain"] - gain) / gain < 1e-6
+        x = dd if name == "l_discount" else q
+        t = t - np.where(x <= v, lp, rp)
+        rmse = float(np.sqrt((t * t).mean()))
+        assert abs(r["rmse_after"] - rmse) < 1e-2
+        assert rmse < prev_rmse  # boosting must reduce train error
+        prev_rmse = rmse
+
+
+def test_hll_intersection_vs_python(spark):
+    import hashlib
+
+    d = _duck(
+        "SELECT o_custkey, o_orderpriority, o_orderstatus FROM orders",
+        tables=("orders",),
+    )
+    m = 64
+    seta = {int(k) for k, p in zip(d["o_custkey"], d["o_orderpriority"])
+            if p == "1-URGENT"}
+    setb = {int(k) for k, s in zip(d["o_custkey"], d["o_orderstatus"])
+            if s == "F"}
+
+    def regs(keys):
+        r = [0] * m
+        for k in keys:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            reg, rest = h % m, h >> 6
+            rho = 55 if rest == 0 else (rest & -rest).bit_length()
+            r[reg] = max(r[reg], rho)
+        return r
+
+    def est(r):
+        z = sum(2.0 ** -x for x in r)
+        zeros = sum(1 for x in r if x == 0)
+        raw = 0.709 * m * m / z
+        if raw <= 2.5 * m and zeros > 0:
+            import math
+            return m * math.log(m / zeros)
+        return raw
+
+    ra, rb = regs(seta), regs(setb)
+    ru = [max(x, y) for x, y in zip(ra, rb)]
+    va, vb, vu = est(ra), est(rb), est(ru)
+    row = _rows(spark, "hll_intersection_estimate")[0]
+    assert row["exact_intersection"] == len(seta & setb)
+    assert abs(row["est_a"] - va) < 1e-3
+    assert abs(row["est_b"] - vb) < 1e-3
+    assert abs(row["est_union"] - vu) < 1e-3
+    assert abs(row["est_intersection"] - (va + vb - vu)) < 2e-3
+    # Sanity: HLL intersection should land within 50% of truth here.
+    assert abs(row["est_intersection"] - len(seta & setb)) \
+        <= 0.5 * len(seta & setb)
+
+
+def test_ktruss_vs_python(spark):
+    d = _duck(
+        """SELECT DISTINCT LEAST(s_nationkey, c_nationkey) AS a,
+                  GREATEST(s_nationkey, c_nationkey) AS b
+           FROM lineitem l
+           JOIN orders o   ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s_nationkey <> c_nationkey""",
+        tables=("lineitem", "orders", "customer", "supplier"),
+    )
+    edges = {(int(a), int(b)) for a, b in zip(d["a"], d["b"])}
+    sup = {}
+    for _ in range(3):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in edges
+        }
+        edges = {e for e in edges if sup[e] >= 2}
+    names = _duck("SELECT n_nationkey, n_name FROM nation",
+                  tables=("nation",))
+    nm = dict(zip((int(k) for k in names["n_nationkey"]),
+                  (str(v) for v in names["n_name"])))
+    rows = {(r["nation_a"], r["nation_b"]): r["support"]
+            for r in _rows(spark, "ktruss_trade_edges")}
+    assert rows == {(nm[a], nm[b]): sup[(a, b)] for a, b in edges}
+    # Every surviving edge really has >= k-2 triangle support.
+    assert all(v >= 2 for v in rows.values())
