@@ -8862,3 +8862,275 @@ def ktruss_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "b")
         .select("nation_a", "nation_b", F.col("sup").alias("support"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Holm-Bonferroni step-down over the same nation test family
+# ---------------------------------------------------------------------------
+
+_HOLM_ALPHA = 0.05
+
+
+@register(
+    "holm_stepdown_nation_tests",
+    oracle=f"""
+    WITH joined AS (
+        SELECT n.n_name AS nation, o.o_totalprice AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    g AS (
+        SELECT nation, COUNT(*)::DOUBLE AS n, SUM(y) AS s,
+               SUM(y*y) AS ss
+        FROM joined GROUP BY nation
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, SUM(s) AS st, SUM(ss) AS sst FROM g
+    ),
+    zs AS (
+        SELECT nation,
+               (s/n - (st - s)/(nn - n))
+               / SQRT(((ss - s*s/n) / (n - 1)) / n
+                      + (((sst - ss) - (st - s)*(st - s)/(nn - n))
+                         / (nn - n - 1)) / (nn - n)) AS z
+        FROM g CROSS JOIN tot
+    ),
+    ps AS (
+        SELECT nation, z, {_BH_P} AS p,
+               ROW_NUMBER() OVER (ORDER BY {_BH_P}, nation) AS i,
+               COUNT(*) OVER () AS m
+        FROM zs
+    ),
+    stop AS (
+        SELECT MIN(CASE WHEN p > {_HOLM_ALPHA} / (m - i + 1)
+                        THEN i END) AS istop
+        FROM ps
+    )
+    SELECT nation, CAST(z AS REAL) AS z, CAST(p AS REAL) AS p_value,
+           CAST(i AS BIGINT) AS p_rank,
+           CAST({_HOLM_ALPHA} / (m - i + 1) AS REAL) AS holm_crit,
+           CAST(CASE WHEN i < COALESCE(stop.istop, m + 1)
+                     THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM ps CROSS JOIN stop
+    """,
+    tags=("holm", "fwer", "step-down", "multiple-comparison",
+          "statistics"),
+)
+def holm_stepdown_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm–Bonferroni step-down over the same 25 nation-vs-rest
+    Welch tests `fdr_bh_nation_tests` runs — completing the
+    multiple-testing family with the FWER-controlling member
+    (BH bounds the FALSE DISCOVERY RATE and rejects more; Holm
+    bounds ANY false rejection and is the uniformly-more-powerful
+    replacement for plain Bonferroni).  Step-down rule: walk
+    p-values ascending, reject while p_(i) ≤ α/(m−i+1), STOP at the
+    first failure — everything after the stop survives even if its
+    p is small, which is exactly what the step-up BH does not do
+    (the mirror test pins rejected_holm ⊆ rejected_bh at matched
+    levels on this family).
+
+    Scale shape: identical to the BH query — ONE corpus pass to 25
+    moment rows, complement moments by total−group algebra, rank and
+    stop-scan on the bounded family (allowlisted 25-row window)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias(
+                "ss"
+            ),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+    )
+    mean_g = F.col("s") / F.col("n")
+    mean_r = (F.col("st") - F.col("s")) / (F.col("nn") - F.col("n"))
+    var_g = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    var_r = (
+        (F.col("sst") - F.col("ss"))
+        - (F.col("st") - F.col("s"))
+        * (F.col("st") - F.col("s"))
+        / (F.col("nn") - F.col("n"))
+    ) / (F.col("nn") - F.col("n") - 1)
+    zs = g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        (
+            (mean_g - mean_r)
+            / F.sqrt(
+                var_g / F.col("n") + var_r / (F.col("nn") - F.col("n"))
+            )
+        ).alias("z"),
+    )
+    ps = zs.select("nation", "z", F.expr(_BH_P).alias("p")).select(
+        "nation",
+        "z",
+        "p",
+        F.row_number().over(Window.orderBy("p", "nation")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    ps = ps.localCheckpoint(eager=True)
+    stop = ps.agg(
+        F.min(
+            F.when(
+                F.col("p") > _HOLM_ALPHA / (F.col("m") - F.col("i") + 1),
+                F.col("i"),
+            )
+        ).alias("istop")
+    )
+    return ps.crossJoin(F.broadcast(stop)).select(
+        "nation",
+        F.col("z").cast("float").alias("z"),
+        F.col("p").cast("float").alias("p_value"),
+        F.col("i").alias("p_rank"),
+        (F.lit(_HOLM_ALPHA) / (F.col("m") - F.col("i") + 1))
+        .cast("float")
+        .alias("holm_crit"),
+        F.when(
+            F.col("i")
+            < F.coalesce(F.col("istop"), F.col("m") + 1),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-group jackknife for a ratio estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jackknife_ratio_variance",
+    oracle="""
+    WITH joined AS (
+        SELECT n.n_name AS nation, o.o_totalprice AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    g AS (
+        SELECT nation, COUNT(*)::DOUBLE AS n, SUM(y) AS s
+        FROM joined GROUP BY nation
+    ),
+    tot AS (SELECT SUM(n) AS nn, SUM(s) AS st,
+                   COUNT(*)::DOUBLE AS k FROM g),
+    loo AS (
+        SELECT nation, (st - s) / (nn - n) AS theta_i
+        FROM g CROSS JOIN tot
+    ),
+    jk AS (
+        SELECT MAX(tot.st / tot.nn) AS theta_full,
+               MAX(tot.k) AS k,
+               AVG(theta_i) AS theta_bar,
+               SUM(theta_i * theta_i) AS sqs,
+               SUM(theta_i) AS ssum
+        FROM loo CROSS JOIN tot
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(ROUND(theta_full, 4) AS REAL) AS theta,
+           CAST(ROUND((k - 1) * (theta_full
+                                 - (1.0 / k) * ssum)
+                      + theta_full, 4) AS REAL)
+               AS theta_jack_bc,
+           CAST(ROUND(SQRT((k - 1) / k
+                           * (sqs - ssum * ssum / k)), 4) AS REAL)
+               AS se_jack
+    FROM jk
+    """,
+    tags=("jackknife", "resampling", "variance-estimate", "ratio",
+          "deterministic"),
+)
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife for the revenue-per-order ratio —
+    the deterministic member of the resampling family
+    (`bootstrap_ci_poisson` draws random replicates; the grouped
+    jackknife needs none, so its oracle is EXACT, not seeded): leave
+    each nation out, recompute θ₍ᵢ₎ = (S−sᵢ)/(N−nᵢ) from the group
+    relation alone, and report the bias-corrected estimate
+    kθ − (k−1)·θ̄₍·₎ and SE_jack = √((k−1)/k · Σ(θ₍ᵢ₎−θ̄)²) — the
+    variance a cluster-sampled estimate actually has when nations
+    are the sampling clusters (the survey-statistics companion to
+    `raking_ipf_weights`).
+
+    Scale shape: ONE corpus pass to 25 (n, Σy) rows; every
+    leave-one-out replicate is total−group algebra on that bounded
+    relation — the corpus is never rescanned per replicate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        ((F.col("st") - F.col("s")) / (F.col("nn") - F.col("n"))).alias(
+            "theta_i"
+        ),
+        F.col("st"),
+        F.col("nn"),
+        F.col("k"),
+    )
+    jk = loo.agg(
+        F.max(F.col("st") / F.col("nn")).alias("theta_full"),
+        F.max("k").alias("k"),
+        F.sum(F.col("theta_i") * F.col("theta_i")).alias("sqs"),
+        F.sum("theta_i").alias("ssum"),
+    )
+    return jk.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.round("theta_full", 4).cast("float").alias("theta"),
+        F.round(
+            (F.col("k") - 1)
+            * (F.col("theta_full") - F.col("ssum") / F.col("k"))
+            + F.col("theta_full"),
+            4,
+        ).cast("float").alias("theta_jack_bc"),
+        F.round(
+            F.sqrt(
+                (F.col("k") - 1)
+                / F.col("k")
+                * (
+                    F.col("sqs")
+                    - F.col("ssum") * F.col("ssum") / F.col("k")
+                )
+            ),
+            4,
+        ).cast("float").alias("se_jack"),
+    )

@@ -3425,3 +3425,155 @@ def quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 species-richness estimate of the unseen vocabulary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chao1_vocab_richness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT UNNEST({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY tok),
+    fof AS (
+        SELECT COUNT(*)::BIGINT AS v,
+               SUM(c)::BIGINT AS n_tokens,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+               SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        FROM tf
+    )
+    SELECT v AS vocab_observed, n_tokens, f1 AS singletons,
+           f2 AS doubletons,
+           CAST(ROUND(v + CAST(f1 AS DOUBLE) * (f1 - 1)
+                          / (2.0 * (f2 + 1)), 4) AS REAL) AS chao1,
+           CAST(ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS REAL)
+               AS goods_coverage
+    FROM fof
+    """,
+    tags=("chao1", "species-richness", "vocabulary", "unseen-mass",
+          "text-analysis"),
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 lower-bound estimate of the TRUE vocabulary size from
+    the frequency-of-frequencies — the ecology estimator
+    (bias-corrected form V + F₁(F₁−1)/(2(F₂+1)), safe at F₂=0) that
+    answers the question `heaps_law_fit` extrapolates and
+    `vocab_unseen_mass` (Good–Turing) prices: how many word TYPES
+    exist that this corpus has not seen?  Good's coverage estimate
+    1−F₁/N rides along — the fraction of the token stream whose
+    types are already in vocabulary, i.e. how much more corpus is
+    worth tokenizing.  `capture_recapture_chapman` is the two-sample
+    cousin; Chao1 needs only one sample's singleton/doubleton counts.
+
+    Scale shape: one (token) aggregate to the type relation, one
+    4-cell fold over it — both map-side combinable; no joins, no
+    windows, the estimator is scalar algebra on exact integers."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        docs.select(F.explode(D.tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return fof.select(
+        F.col("v").alias("vocab_observed"),
+        "n_tokens",
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        F.round(
+            F.col("v")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1)
+            / (2.0 * (F.col("f2") + 1)),
+            4,
+        ).cast("float").alias("chao1"),
+        F.round(
+            1.0 - F.col("f1").cast("double") / F.col("n_tokens"), 6
+        ).cast("float").alias("goods_coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kish design effect of the raked weights
+# ---------------------------------------------------------------------------
+
+# The raking oracle is embedded verbatim as a subquery so both
+# engines derive the weights identically (DuckDB allows a WITH-bearing
+# subquery in FROM).
+from axolotls_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_RAKING_ORACLE = _REG["raking_ipf_weights"].oracle
+
+
+@register(
+    "design_effect_kish",
+    oracle=f"""
+    WITH raked AS ({_RAKING_ORACLE}),
+    perdoc AS (
+        SELECT CAST(r.unit_weight AS DOUBLE) AS w
+        FROM documents d
+        JOIN raked r ON r.lang = d.lang AND r.source = d.source
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(w) AS sw, SUM(w * w) AS sww
+        FROM perdoc
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(ROUND(n * sww / (sw * sw), 6) AS REAL) AS deff_kish,
+           CAST(ROUND(sw * sw / sww, 2) AS REAL) AS effective_n,
+           CAST(ROUND(sw * sw / sww / n, 6) AS REAL) AS efficiency
+    FROM m
+    """,
+    tags=("design-effect", "kish", "survey-weights", "effective-n",
+          "raking"),
+)
+def design_effect_kish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect of the IPF-raked weights — the price tag
+    `raking_ipf_weights` needs attached: reweighting to uniform
+    lang×source margins costs variance, and deff = n·Σw²/(Σw)²
+    says exactly how much (effective sample size n_eff = (Σw)²/Σw²
+    is what power calculations like `power_analysis_mde` should use
+    INSTEAD of n once the weights are applied).  A deff of 1.0 means
+    the corpus was already balanced; every unit above it is variance
+    paid for representativeness — the survey-methodology readout an
+    LLM data-mix rebalance should publish next to its new mixture.
+
+    Scale shape: the raked cell weights are the bounded ≤|L|·|S|
+    relation (broadcast); per-document weights are one broadcast
+    join, and deff is a single 3-cell moment fold — one corpus scan
+    beyond the raking aggregate itself."""
+    raked = _REG["raking_ipf_weights"].fn(spark, sf_dir).select(
+        "lang", "source", F.col("unit_weight").cast("double").alias("w")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    perdoc = docs.join(F.broadcast(raked), ["lang", "source"])
+    m = perdoc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n") * F.col("sww") / (F.col("sw") * F.col("sw")), 6
+        ).cast("float").alias("deff_kish"),
+        F.round(F.col("sw") * F.col("sw") / F.col("sww"), 2)
+        .cast("float")
+        .alias("effective_n"),
+        F.round(
+            F.col("sw") * F.col("sw") / F.col("sww") / F.col("n"), 6
+        ).cast("float").alias("efficiency"),
+    )

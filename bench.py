@@ -240,6 +240,11 @@ ROUND6: list[str] = [
     "gbdt_boost_rounds",
     "hll_intersection_estimate",
     "ktruss_trade_edges",
+    "holm_stepdown_nation_tests",
+    "jackknife_ratio_variance",
+    "chao1_vocab_richness",
+    "bradley_terry_strengths",
+    "design_effect_kish",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -1824,3 +1824,134 @@ def test_ktruss_vs_python(spark):
     assert rows == {(nm[a], nm[b]): sup[(a, b)] for a, b in edges}
     # Every surviving edge really has >= k-2 triangle support.
     assert all(v >= 2 for v in rows.values())
+
+
+def test_holm_vs_python_and_bh_relation(spark):
+    holm = {r["nation"]: r for r in
+            _rows(spark, "holm_stepdown_nation_tests")}
+    # Step-down recomputed from the emitted p-values alone.
+    ps = sorted((r["p_value"], n) for n, r in holm.items())
+    m = len(ps)
+    rejected = set()
+    for idx, (p, nation) in enumerate(ps, start=1):
+        if p <= 0.05 / (m - idx + 1):
+            rejected.add(nation)
+        else:
+            break
+    for n, r in holm.items():
+        assert r["rejected"] == int(n in rejected), n
+    # Holm (FWER, alpha=.05) is never more liberal than BH at q=.10
+    # on the same family with the same p-values.
+    bh = {r["nation"]: r["rejected"]
+          for r in _rows(spark, "fdr_bh_nation_tests")}
+    assert all(bh[n] == 1 for n in rejected)
+
+
+def test_jackknife_vs_numpy(spark):
+    d = _duck(
+        """SELECT n.n_name AS nation, COUNT(*) AS n, SUM(o.o_totalprice) AS s
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1""",
+        tables=("orders", "customer", "nation"),
+    )
+    n = np.asarray(d["n"], dtype=np.float64)
+    s = np.asarray(d["s"], dtype=np.float64)
+    k = len(n)
+    theta = s.sum() / n.sum()
+    loo = (s.sum() - s) / (n.sum() - n)
+    bc = k * theta - (k - 1) * loo.mean()
+    se = np.sqrt((k - 1) / k * ((loo - loo.mean()) ** 2).sum())
+    r = _rows(spark, "jackknife_ratio_variance")[0]
+    assert r["n_groups"] == k
+    # outputs are float32: compare at relative f32 resolution
+    assert abs(r["theta"] - theta) / theta < 1e-6
+    assert abs(r["theta_jack_bc"] - bc) / abs(bc) < 1e-6
+    assert abs(r["se_jack"] - se) / se < 1e-5
+
+
+def test_chao1_vs_python(spark):
+    d = _duck(
+        r"""SELECT tok, COUNT(*) AS c FROM (
+              SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents) GROUP BY tok""",
+        tables=("documents",),
+    )
+    c = np.asarray(d["c"], dtype=np.int64)
+    v, f1, f2 = len(c), int((c == 1).sum()), int((c == 2).sum())
+    r = _rows(spark, "chao1_vocab_richness")[0]
+    assert (r["vocab_observed"], r["singletons"], r["doubletons"]) == (
+        v, f1, f2)
+    assert abs(r["chao1"] - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))) < 1e-2
+    assert r["chao1"] >= v  # Chao1 is a lower bound ABOVE observed
+    assert abs(r["goods_coverage"] - (1 - f1 / c.sum())) < 1e-6
+
+
+def test_bradley_terry_vs_python(spark):
+    d = _duck(
+        """WITH lines AS (
+               SELECT l.l_orderkey AS ok, p.p_brand AS brand,
+                      l.l_extendedprice * (1 - l.l_discount) AS rev
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+           SELECT a.brand AS wb, b.brand AS lb, COUNT(*) AS n
+           FROM lines a JOIN lines b
+             ON a.ok = b.ok AND a.brand <> b.brand AND a.rev > b.rev
+           GROUP BY 1, 2""",
+        tables=("lineitem", "part"),
+    )
+    wins = {(str(a), str(b)): int(n)
+            for a, b, n in zip(d["wb"], d["lb"], d["n"])}
+    brands = sorted({a for a, _ in wins} | {b for _, b in wins})
+    n = {}
+    w = {bd: 0 for bd in brands}
+    for (a, b), c in wins.items():
+        n[(a, b)] = n.get((a, b), 0) + c
+        n[(b, a)] = n.get((b, a), 0) + c
+        w[a] += c
+    s = {bd: 1.0 / len(brands) for bd in brands}
+    for _ in range(4):
+        raw = {
+            bd: w[bd] / sum(n[(bd, j)] / (s[bd] + s[j])
+                            for j in brands if (bd, j) in n)
+            for bd in brands
+        }
+        tot = sum(raw.values())
+        s = {bd: v / tot for bd, v in raw.items()}
+    rows = {r["brand"]: r for r in _rows(spark, "bradley_terry_strengths")}
+    assert set(rows) == set(brands)
+    for bd in brands:
+        assert rows[bd]["wins"] == w[bd]
+        assert abs(rows[bd]["strength"] - s[bd]) < 1e-5
+    # BT recovers win-rate order on balanced schedules: the top
+    # strength brand is among the top-3 raw win-rate brands.
+    wr = {bd: w[bd] / sum(n[(bd, j)] for j in brands if (bd, j) in n)
+          for bd in brands}
+    top_s = max(brands, key=lambda bd: s[bd])
+    assert top_s in sorted(brands, key=lambda bd: -wr[bd])[:3]
+
+
+def test_design_effect_vs_numpy(spark):
+    cells = _duck(
+        "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2",
+        tables=("documents",),
+    )
+    langs = sorted(set(cells["lang"]))
+    srcs = sorted(set(cells["source"]))
+    tab = np.zeros((len(langs), len(srcs)))
+    for l, sc, c in zip(cells["lang"], cells["source"], cells["n"]):
+        tab[langs.index(l), srcs.index(sc)] = c
+    wmat = tab.astype(np.float64).copy()
+    nn = tab.sum()
+    for _ in range(3):
+        wmat *= (nn / len(langs)) / wmat.sum(axis=1, keepdims=True)
+        wmat *= (nn / len(srcs)) / wmat.sum(axis=0, keepdims=True)
+    uw = np.round(np.where(tab > 0, wmat / np.maximum(tab, 1), 0.0), 4)
+    # per-doc weights = cell unit weight repeated n times
+    ws = np.repeat(uw[tab > 0], tab[tab > 0].astype(np.int64))
+    deff = len(ws) * (ws ** 2).sum() / ws.sum() ** 2
+    r = _rows(spark, "design_effect_kish")[0]
+    assert r["n_docs"] == int(nn)
+    assert abs(r["deff_kish"] - deff) < 1e-4
+    assert abs(r["effective_n"] - ws.sum() ** 2 / (ws ** 2).sum()) < 0.05
+    assert r["deff_kish"] >= 1.0 - 1e-9  # Kish deff is >= 1
