@@ -9134,3 +9134,206 @@ def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).cast("float").alias("se_jack"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Yuen's trimmed-mean t-test (robust two-sample comparison)
+# ---------------------------------------------------------------------------
+
+_YUEN_TRIM = 0.2  # standard 20% symmetric trimming (Yuen 1974)
+
+
+@register(
+    "yuen_trimmed_ttest",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS grp, o.o_totalprice AS y,
+               o.o_orderkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    ranked AS (
+        SELECT grp, y,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y, k) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM joined
+    ),
+    marked AS (
+        SELECT grp, y, rn, n,
+               CAST(FLOOR({_YUEN_TRIM} * n) AS BIGINT) AS g
+        FROM ranked
+    ),
+    bounds AS (
+        SELECT grp, MAX(n) AS n, MAX(g) AS g,
+               MAX(CASE WHEN rn = g + 1 THEN y END) AS lo,
+               MAX(CASE WHEN rn = n - g THEN y END) AS hi,
+               AVG(CASE WHEN rn > g AND rn <= n - g THEN y END) AS tmean
+        FROM marked GROUP BY grp
+    ),
+    wstats AS (
+        SELECT m.grp, MAX(b.n) AS n, MAX(b.g) AS g, MAX(b.tmean) AS tmean,
+               SUM(LEAST(GREATEST(m.y, b.lo), b.hi)) AS sw,
+               SUM(LEAST(GREATEST(m.y, b.lo), b.hi)
+                   * LEAST(GREATEST(m.y, b.lo), b.hi)) AS sww
+        FROM marked m JOIN bounds b ON b.grp = m.grp
+        GROUP BY m.grp
+    ),
+    d AS (
+        SELECT grp, n, g, tmean, n - 2 * g AS h,
+               (sww - sw * sw / n) / (n - 1)
+                 * (n - 1) / ((n - 2.0 * g) * (n - 2.0 * g - 1)) AS dj
+        FROM wstats
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN grp = 'BUILDING' THEN n END) AS n1,
+               MAX(CASE WHEN grp = 'MACHINERY' THEN n END) AS n2,
+               MAX(CASE WHEN grp = 'BUILDING' THEN h END) AS h1,
+               MAX(CASE WHEN grp = 'MACHINERY' THEN h END) AS h2,
+               MAX(CASE WHEN grp = 'BUILDING' THEN tmean END) AS t1,
+               MAX(CASE WHEN grp = 'MACHINERY' THEN tmean END) AS t2,
+               MAX(CASE WHEN grp = 'BUILDING' THEN dj END) AS d1,
+               MAX(CASE WHEN grp = 'MACHINERY' THEN dj END) AS d2
+        FROM d
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_building,
+           CAST(n2 AS BIGINT) AS n_machinery,
+           CAST(h1 AS BIGINT) AS h_building,
+           CAST(h2 AS BIGINT) AS h_machinery,
+           CAST(ROUND(t1, 4) AS REAL) AS trimmed_mean_building,
+           CAST(ROUND(t2, 4) AS REAL) AS trimmed_mean_machinery,
+           CAST(ROUND((t1 - t2) / SQRT(d1 + d2), 6) AS REAL) AS yuen_t,
+           CAST(ROUND((d1 + d2) * (d1 + d2)
+                      / (d1 * d1 / (h1 - 1) + d2 * d2 / (h2 - 1)),
+                      4) AS REAL) AS df
+    FROM wide
+    """,
+    tags=("yuen", "trimmed-mean", "robust-statistics", "welch",
+          "two-sample"),
+)
+def yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-mean t-test between two customer segments —
+    the ROBUST member of the two-sample family: `ab_test_welch`
+    compares raw means (heavy tails inflate the variance and eat
+    power), `mann_whitney_u` abandons the mean entirely; Yuen
+    compares 20%-TRIMMED means with winsorized variances, keeping a
+    location test that ignores the tails — the standard choice for
+    revenue-like skewed outcomes.  dⱼ = (nⱼ−1)s²wⱼ/(hⱼ(hⱼ−1)) with
+    h = n−2g effective sizes; Welch–Satterthwaite df.
+
+    Engine determinism: trim boundaries are exact order statistics
+    at integer ranks (rn over (y, orderkey) — total order, no float
+    quantile interpolation), winsorized clamps use the boundary
+    VALUES, and all moments are money-sum algebra.
+
+    Scale shape: the ranking window is PARTITIONED by segment (hash
+    exchange, no global funnel); boundaries and moments are one
+    grouped pass each over the ranked relation plus a 2-row
+    broadcast join.  At 100 TB the per-group order statistics would
+    come from the distributed-prefix machinery instead of one task
+    per segment — the `weighted_median_unit_price` degrade path."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("grp"),
+            F.col("o_totalprice").alias("y"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    wr = Window.partitionBy("grp").orderBy("y", "k")
+    wp = Window.partitionBy("grp")
+    marked = joined.select(
+        "grp",
+        "y",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).withColumn(
+        "g", F.floor(F.lit(_YUEN_TRIM) * F.col("n")).cast("long")
+    )
+    marked = marked.localCheckpoint(eager=True)
+    bounds = marked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.max(F.when(F.col("rn") == F.col("g") + 1, F.col("y"))).alias(
+            "lo"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("g"), F.col("y"))
+        ).alias("hi"),
+        F.avg(
+            F.when(
+                (F.col("rn") > F.col("g"))
+                & (F.col("rn") <= F.col("n") - F.col("g")),
+                F.col("y"),
+            )
+        ).alias("tmean"),
+    )
+    wy = F.least(F.greatest(F.col("y"), F.col("lo")), F.col("hi"))
+    wstats = (
+        marked.join(F.broadcast(bounds.select("grp", "lo", "hi")), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(wy).alias("sw"),
+            F.sum(wy * wy).alias("sww"),
+        )
+        .join(F.broadcast(bounds.select("grp", "n", "g", "tmean")), "grp")
+    )
+    dj = (
+        (F.col("sww") - F.col("sw") * F.col("sw") / F.col("n"))
+        / (F.col("n") - 1)
+        * (F.col("n") - 1)
+        / (
+            (F.col("n") - 2.0 * F.col("g"))
+            * (F.col("n") - 2.0 * F.col("g") - 1)
+        )
+    )
+    d = wstats.select(
+        "grp",
+        "n",
+        "tmean",
+        (F.col("n") - 2 * F.col("g")).alias("h"),
+        dj.alias("dj"),
+    )
+    wide = d.agg(
+        F.max(F.when(F.col("grp") == "BUILDING", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "MACHINERY", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "BUILDING", F.col("h"))).alias("h1"),
+        F.max(F.when(F.col("grp") == "MACHINERY", F.col("h"))).alias("h2"),
+        F.max(F.when(F.col("grp") == "BUILDING", F.col("tmean"))).alias(
+            "t1"
+        ),
+        F.max(F.when(F.col("grp") == "MACHINERY", F.col("tmean"))).alias(
+            "t2"
+        ),
+        F.max(F.when(F.col("grp") == "BUILDING", F.col("dj"))).alias("d1"),
+        F.max(F.when(F.col("grp") == "MACHINERY", F.col("dj"))).alias(
+            "d2"
+        ),
+    )
+    return wide.select(
+        F.col("n1").cast("long").alias("n_building"),
+        F.col("n2").cast("long").alias("n_machinery"),
+        F.col("h1").cast("long").alias("h_building"),
+        F.col("h2").cast("long").alias("h_machinery"),
+        F.round("t1", 4).cast("float").alias("trimmed_mean_building"),
+        F.round("t2", 4).cast("float").alias("trimmed_mean_machinery"),
+        F.round(
+            (F.col("t1") - F.col("t2")) / F.sqrt(F.col("d1") + F.col("d2")),
+            6,
+        ).cast("float").alias("yuen_t"),
+        F.round(
+            (F.col("d1") + F.col("d2"))
+            * (F.col("d1") + F.col("d2"))
+            / (
+                F.col("d1") * F.col("d1") / (F.col("h1") - 1)
+                + F.col("d2") * F.col("d2") / (F.col("h2") - 1)
+            ),
+            4,
+        ).cast("float").alias("df"),
+    )

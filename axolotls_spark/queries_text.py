@@ -3577,3 +3577,271 @@ def design_effect_kish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw") * F.col("sw") / F.col("sww") / F.col("n"), 6
         ).cast("float").alias("efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance between length distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wasserstein_length_shift",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, n_chars AS v, COUNT(*)::DOUBLE AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    sizes AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY lang),
+    spine AS (SELECT DISTINCT v FROM counts),
+    langs AS (SELECT DISTINCT lang FROM counts WHERE lang <> 'en'),
+    grid AS (
+        SELECT l.lang, s.v,
+               COALESCE(ce.c, 0.0) AS ce, COALESCE(cl.c, 0.0) AS cl
+        FROM langs l
+        CROSS JOIN spine s
+        LEFT JOIN counts ce ON ce.lang = 'en' AND ce.v = s.v
+        LEFT JOIN counts cl ON cl.lang = l.lang AND cl.v = s.v
+    ),
+    cdf AS (
+        SELECT g.lang, g.v,
+               SUM(g.ce) OVER w / se.n AS fe,
+               SUM(g.cl) OVER w / sl.n AS fl,
+               LEAD(g.v) OVER w - g.v AS gap
+        FROM grid g
+        JOIN sizes se ON se.lang = 'en'
+        JOIN sizes sl ON sl.lang = g.lang
+        WINDOW w AS (PARTITION BY g.lang ORDER BY g.v)
+    )
+    SELECT lang,
+           CAST(ROUND(SUM(ABS(fe - fl) * COALESCE(gap, 0)), 4) AS REAL)
+               AS w1_vs_en
+    FROM cdf GROUP BY lang
+    """,
+    tags=("wasserstein", "earth-mover", "distribution-shift",
+          "optimal-transport", "drift"),
+)
+def wasserstein_length_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between each
+    language's document-length distribution and English — the
+    optimal-transport member of the drift family
+    (`distribution_drift_psi` needs bins and is scale-free,
+    `js_divergence_sources` saturates at disjoint supports; W₁ is
+    the AREA between the CDFs, in the units of the variable, so
+    "de is 40 chars of mass away from en" is directly actionable
+    for a length-balance pass like `quantile_normalize_chars`).
+    In 1-D the transport plan is closed-form: W₁ = ∫|F_a−F_b| dv,
+    summed exactly over the merged distinct-value spine.
+
+    Scale shape: ONE corpus aggregate to the (lang, value) count
+    relation; the CDF windows run PARTITIONED by language over the
+    bounded distinct-value spine; the integral is a per-lang fold.
+    No corpus self-joins, no global windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    counts = counts.localCheckpoint(eager=True)
+    sizes = counts.groupBy("lang").agg(F.sum("c").alias("n"))
+    spine = counts.select("v").distinct()
+    langs = counts.select("lang").filter(F.col("lang") != "en").distinct()
+    ce = counts.filter(F.col("lang") == "en").select(
+        F.col("v").alias("v_e"), F.col("c").alias("ce")
+    )
+    grid = (
+        langs.crossJoin(spine)
+        .join(F.broadcast(ce), F.col("v") == F.col("v_e"), "left")
+        .join(
+            counts.select(
+                F.col("lang").alias("l2"),
+                F.col("v").alias("v2"),
+                F.col("c").alias("cl"),
+            ),
+            (F.col("lang") == F.col("l2")) & (F.col("v") == F.col("v2")),
+            "left",
+        )
+        .select(
+            "lang",
+            "v",
+            F.coalesce(F.col("ce"), F.lit(0.0)).alias("ce"),
+            F.coalesce(F.col("cl"), F.lit(0.0)).alias("cl"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("v")
+    ne = sizes.filter(F.col("lang") == "en").select(
+        F.col("n").alias("n_en")
+    )
+    cdf = (
+        grid.join(
+            F.broadcast(
+                sizes.select(F.col("lang").alias("ls"), F.col("n"))
+            ),
+            F.col("lang") == F.col("ls"),
+        )
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "lang",
+            (F.sum("ce").over(w) / F.col("n_en")).alias("fe"),
+            (F.sum("cl").over(w) / F.col("n")).alias("fl"),
+            (F.lead("v").over(w) - F.col("v")).alias("gap"),
+        )
+    )
+    return cdf.groupBy("lang").agg(
+        F.round(
+            F.sum(
+                F.abs(F.col("fe") - F.col("fl"))
+                * F.coalesce(F.col("gap"), F.lit(0))
+            ),
+            4,
+        ).cast("float").alias("w1_vs_en")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1/2 of the lead-K extractive summary against the document body
+# ---------------------------------------------------------------------------
+
+_ROUGE_LEAD = 20
+
+
+@register(
+    "rouge_lead_summary",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               {_SQL_TOKENS} AS toks
+        FROM documents
+        WHERE len({_SQL_TOKENS}) > {_ROUGE_LEAD} + 1
+    ),
+    pos AS (
+        SELECT doc_id, lang, toks[i + 1] AS tok, i::BIGINT AS p,
+               CASE WHEN i < {_ROUGE_LEAD} THEN 's' ELSE 'r' END AS side,
+               len(toks)::BIGINT AS nt
+        FROM t, UNNEST(range(0, len(toks))) AS u(i)
+    ),
+    uni AS (
+        SELECT doc_id, lang, nt, tok,
+               SUM(CASE WHEN side = 's' THEN 1 ELSE 0 END) AS cs,
+               SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr
+        FROM pos GROUP BY doc_id, lang, nt, tok
+    ),
+    uover AS (
+        SELECT doc_id, lang, MAX(nt) AS nt,
+               SUM(LEAST(cs, cr))::DOUBLE AS ov
+        FROM uni GROUP BY doc_id, lang
+    ),
+    big AS (
+        SELECT doc_id, lang, side,
+               tok || ' ' || LEAD(tok) OVER (
+                   PARTITION BY doc_id, side ORDER BY p) AS bg
+        FROM pos
+    ),
+    bgc AS (
+        SELECT doc_id, lang, bg,
+               SUM(CASE WHEN side = 's' THEN 1 ELSE 0 END) AS cs,
+               SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr
+        FROM big WHERE bg IS NOT NULL
+        GROUP BY doc_id, lang, bg
+    ),
+    bover AS (
+        SELECT doc_id, lang, SUM(LEAST(cs, cr))::DOUBLE AS ov2
+        FROM bgc GROUP BY doc_id, lang
+    ),
+    per AS (
+        SELECT u.lang,
+               u.ov / (u.nt - {_ROUGE_LEAD}) AS r1_recall,
+               u.ov / {_ROUGE_LEAD} AS r1_prec,
+               CASE WHEN u.ov > 0
+                    THEN 2 * (u.ov / (u.nt - {_ROUGE_LEAD}))
+                           * (u.ov / {_ROUGE_LEAD})
+                         / (u.ov / (u.nt - {_ROUGE_LEAD})
+                            + u.ov / {_ROUGE_LEAD})
+                    ELSE 0.0 END AS r1_f1,
+               COALESCE(b.ov2, 0) / (u.nt - {_ROUGE_LEAD} - 1)
+                   AS r2_recall
+        FROM uover u LEFT JOIN bover b USING (doc_id, lang)
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           CAST(ROUND(AVG(r1_recall), 6) AS REAL) AS rouge1_recall,
+           CAST(ROUND(AVG(r1_prec), 6) AS REAL) AS rouge1_precision,
+           CAST(ROUND(AVG(r1_f1), 6) AS REAL) AS rouge1_f1,
+           CAST(ROUND(AVG(r2_recall), 6) AS REAL) AS rouge2_recall
+    FROM per GROUP BY lang
+    """,
+    tags=("rouge", "summarization-eval", "ngram-overlap",
+          "text-analysis", "eval-metric"),
+)
+def rouge_lead_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 and ROUGE-2 of the lead-20-token extractive
+    "summary" against the rest of the document — certifying the
+    summarization-eval metric itself (clipped n-gram overlap with
+    recall/precision/F1), computed the way a distributed eval
+    harness must: entirely as grouped aggregates, never a per-pair
+    Python loop.  The lead-K-vs-body framing is the classic lead
+    baseline; per-language averages expose which languages
+    front-load their content.
+
+    Engine exactness: overlaps are Σ min(count_s, count_r) over
+    exact integer counts; per-document scores are few-op rationals;
+    only the per-language average is order-sensitive (rounded 6dp).
+
+    Scale shape: one positional explode, one (doc, token) aggregate
+    + fold for unigrams, one doc-side-partitioned LEAD window + the
+    same aggregate shape for bigrams, then a |langs|-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", D.tokens_col(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > _ROUGE_LEAD + 1)
+    pos = toks.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("nt"),
+        F.posexplode("toks").alias("p", "tok"),
+    ).withColumn(
+        "side",
+        F.when(F.col("p") < _ROUGE_LEAD, F.lit("s")).otherwise(F.lit("r")),
+    )
+    pos = pos.localCheckpoint(eager=True)
+    uni = pos.groupBy("doc_id", "lang", "nt", "tok").agg(
+        F.sum(F.when(F.col("side") == "s", 1).otherwise(0)).alias("cs"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("cr"),
+    )
+    uover = uni.groupBy("doc_id", "lang").agg(
+        F.max("nt").alias("nt"),
+        F.sum(F.least("cs", "cr")).cast("double").alias("ov"),
+    )
+    wb = Window.partitionBy("doc_id", "side").orderBy("p")
+    big = pos.select(
+        "doc_id",
+        "lang",
+        "side",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok").over(wb)).alias("bg"),
+        F.lead("tok").over(wb).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    bgc = big.groupBy("doc_id", "lang", "bg").agg(
+        F.sum(F.when(F.col("side") == "s", 1).otherwise(0)).alias("cs"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("cr"),
+    )
+    bover = bgc.groupBy("doc_id", "lang").agg(
+        F.sum(F.least("cs", "cr")).cast("double").alias("ov2")
+    )
+    r1r = F.col("ov") / (F.col("nt") - _ROUGE_LEAD)
+    r1p = F.col("ov") / F.lit(float(_ROUGE_LEAD))
+    per = uover.join(bover, ["doc_id", "lang"], "left").select(
+        "lang",
+        r1r.alias("r1_recall"),
+        r1p.alias("r1_prec"),
+        F.when(F.col("ov") > 0, 2 * r1r * r1p / (r1r + r1p))
+        .otherwise(0.0)
+        .alias("r1_f1"),
+        (
+            F.coalesce(F.col("ov2"), F.lit(0.0))
+            / (F.col("nt") - _ROUGE_LEAD - 1)
+        ).alias("r2_recall"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("r1_recall"), 6).cast("float").alias("rouge1_recall"),
+        F.round(F.avg("r1_prec"), 6).cast("float").alias("rouge1_precision"),
+        F.round(F.avg("r1_f1"), 6).cast("float").alias("rouge1_f1"),
+        F.round(F.avg("r2_recall"), 6).cast("float").alias("rouge2_recall"),
+    )

@@ -245,6 +245,9 @@ ROUND6: list[str] = [
     "chao1_vocab_richness",
     "bradley_terry_strengths",
     "design_effect_kish",
+    "wasserstein_length_shift",
+    "yuen_trimmed_ttest",
+    "rouge_lead_summary",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -1955,3 +1955,96 @@ def test_design_effect_vs_numpy(spark):
     assert abs(r["deff_kish"] - deff) < 1e-4
     assert abs(r["effective_n"] - ws.sum() ** 2 / (ws ** 2).sum()) < 0.05
     assert r["deff_kish"] >= 1.0 - 1e-9  # Kish deff is >= 1
+
+
+def test_wasserstein_vs_numpy(spark):
+    d = _duck("SELECT lang, n_chars FROM documents", tables=("documents",))
+    langs = sorted(set(d["lang"]))
+    vals = {lg: np.sort(np.asarray(
+        [int(v) for l2, v in zip(d["lang"], d["n_chars"]) if l2 == lg],
+        dtype=np.float64)) for lg in langs}
+
+    def w1(a, b):
+        # exact 1-D EMD via merged-support CDF integral
+        grid = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        return float((np.abs(fa - fb)[:-1] * np.diff(grid)).sum())
+
+    rows = {r["lang"]: r["w1_vs_en"]
+            for r in _rows(spark, "wasserstein_length_shift")}
+    assert set(rows) == {lg for lg in langs if lg != "en"}
+    for lg, v in rows.items():
+        assert abs(v - w1(vals["en"], vals[lg])) < 1e-3, lg
+        assert v >= 0
+
+
+def test_yuen_vs_numpy(spark):
+    d = _duck(
+        """SELECT c.c_mktsegment AS g, o.o_totalprice AS y,
+                  o.o_orderkey AS k
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+        tables=("orders", "customer"),
+    )
+    stats = {}
+    for grp in ("BUILDING", "MACHINERY"):
+        ys = sorted(
+            (float(y), int(k)) for g, y, k in zip(d["g"], d["y"], d["k"])
+            if g == grp
+        )
+        y = np.asarray([v for v, _ in ys])
+        n = len(y)
+        g = int(np.floor(0.2 * n))
+        h = n - 2 * g
+        tmean = y[g:n - g].mean()
+        wy = np.clip(y, y[g], y[n - g - 1])
+        s2w = wy.var(ddof=1)
+        dj = (n - 1) * s2w / (h * (h - 1))
+        stats[grp] = (n, h, tmean, dj)
+    n1, h1, t1, d1 = stats["BUILDING"]
+    n2, h2, t2, d2 = stats["MACHINERY"]
+    t = (t1 - t2) / np.sqrt(d1 + d2)
+    df = (d1 + d2) ** 2 / (d1 ** 2 / (h1 - 1) + d2 ** 2 / (h2 - 1))
+    r = _rows(spark, "yuen_trimmed_ttest")[0]
+    assert (r["n_building"], r["n_machinery"]) == (n1, n2)
+    assert (r["h_building"], r["h_machinery"]) == (h1, h2)
+    assert abs(r["trimmed_mean_building"] - t1) / t1 < 1e-6
+    assert abs(r["yuen_t"] - t) < 1e-4
+    assert abs(r["df"] - df) / df < 1e-4
+
+
+def test_rouge_vs_python(spark):
+    d = _duck(
+        r"""SELECT lang, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 21""",
+        tables=("documents",),
+    )
+    from collections import Counter, defaultdict
+    agg = defaultdict(lambda: [0, 0.0, 0.0, 0.0, 0.0])
+    for lang, toks in zip(d["lang"], d["toks"]):
+        toks = [str(t) for t in toks]
+        s, r = toks[:20], toks[20:]
+        cs, cr = Counter(s), Counter(r)
+        ov = sum(min(cs[w], cr[w]) for w in cs)
+        bs = Counter(zip(s, s[1:]))
+        br = Counter(zip(r, r[1:]))
+        ov2 = sum(min(bs[b], br[b]) for b in bs)
+        rr, pp = ov / len(r), ov / 20
+        f1 = 2 * rr * pp / (rr + pp) if ov > 0 else 0.0
+        a = agg[str(lang)]
+        a[0] += 1
+        a[1] += rr
+        a[2] += pp
+        a[3] += f1
+        a[4] += ov2 / (len(r) - 1)
+    rows = {r["lang"]: r for r in _rows(spark, "rouge_lead_summary")}
+    assert set(rows) == set(agg)
+    for lang, (n, rr, pp, f1, r2) in agg.items():
+        row = rows[lang]
+        assert row["n_docs"] == n
+        assert abs(row["rouge1_recall"] - rr / n) < 1e-5
+        assert abs(row["rouge1_precision"] - pp / n) < 1e-5
+        assert abs(row["rouge1_f1"] - f1 / n) < 1e-5
+        assert abs(row["rouge2_recall"] - r2 / n) < 1e-5
