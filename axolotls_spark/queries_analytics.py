@@ -9337,3 +9337,112 @@ def yuen_trimmed_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).cast("float").alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical upper-tail dependence between quantity and revenue
+# ---------------------------------------------------------------------------
+
+_TAIL_QS = (90, 95, 99)  # integer percents: tail size is exact integer math
+
+
+@register(
+    "tail_dependence_lambda",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS k,
+               SUM(o_totalprice) AS x,
+               COUNT(*)::BIGINT AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY x DESC, k) AS rx,
+               ROW_NUMBER() OVER (ORDER BY y DESC, k) AS ry,
+               COUNT(*) OVER () AS n
+        FROM base
+    ),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in _TAIL_QS)}]) AS p),
+    lam AS (
+        SELECT q.p,
+               MAX(((100 - q.p) * r.n + 99) // 100)::BIGINT AS m,
+               SUM(CASE WHEN r.rx <= ((100 - q.p) * r.n + 99) // 100
+                         AND r.ry <= ((100 - q.p) * r.n + 99) // 100
+                        THEN 1 ELSE 0 END)::BIGINT AS joint
+        FROM ranked r CROSS JOIN qs q
+        GROUP BY q.p
+    )
+    SELECT CAST(p AS DOUBLE) / 100.0 AS quantile, m AS tail_size,
+           joint AS joint_exceed,
+           CAST(joint AS DOUBLE) / m AS lambda_u
+    FROM lam
+    """,
+    tags=("tail-dependence", "copula", "extreme-values", "dependence",
+          "statistics"),
+)
+def tail_dependence_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence λ_U between customer total
+    spend and customer order count at three tail levels — the EXTREME-co-movement
+    measure the correlation family can't see: Pearson/Spearman/
+    Kendall (`corr_matrix_lineitem`, `spearman_corr_qty_price`,
+    `kendall_tau_concordance`) average over the whole distribution;
+    λ_U(q) = P(Y in its top (1−q) tail | X in its top (1−q) tail)
+    asks whether the BIGGEST spenders are also the most FREQUENT
+    buyers — the question risk and whale-triage actually need.
+    Tail membership is rank-based (top ⌈(1−q)·n⌉ rows under a
+    total order keyed by the unique customer id), so no float
+    quantile interpolation exists to drift cross-engine; the unit
+    is the customer because it carries a UNIQUE join key (the
+    synthetic lineitem has duplicate (orderkey, linenumber) pairs —
+    measured, not assumed).
+
+    Scale shape: both global ranks come from the distributed-prefix
+    machinery (`operators/prefix.ranked_cumsum` — range partition +
+    broadcast offsets, never a single-partition window), joined back
+    on the unique line key; λ is one fold per tail level over the
+    broadcast 3-row quantile spine."""
+    from axolotls_spark.operators.prefix import ranked_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum("o_totalprice").alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+        .withColumn("one", F.lit(1.0))
+    )
+    rx = ranked_cumsum(
+        base, [F.desc("x"), F.asc("k")], "one", rank_name="rx",
+        cum_name="__c1",
+    ).select("k", "rx")
+    ry = ranked_cumsum(
+        base, [F.desc("y"), F.asc("k")], "one", rank_name="ry",
+        cum_name="__c2",
+    ).select("k", "ry")
+    ranked = rx.join(ry, "k")
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _TAIL_QS], ["p"])
+    # ceil((100-p)/100 * n) in pure INTEGER arithmetic: a float
+    # (1-q)*n sits exactly on an integer at round percents, and
+    # double-vs-decimal ceil then disagrees across engines by 1.
+    m = F.floor(
+        ((100 - F.col("p")) * F.col("n") + 99) / 100
+    ).cast("long")
+    lam = (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(qs))
+        .groupBy("p")
+        .agg(
+            F.max(m).alias("m"),
+            F.sum(
+                F.when((F.col("rx") <= m) & (F.col("ry") <= m), 1)
+                .otherwise(0)
+            ).cast("long").alias("joint"),
+        )
+    )
+    return lam.select(
+        (F.col("p").cast("double") / 100.0).alias("quantile"),
+        F.col("m").alias("tail_size"),
+        F.col("joint").alias("joint_exceed"),
+        (F.col("joint").cast("double") / F.col("m")).alias("lambda_u"),
+    )

@@ -1120,3 +1120,104 @@ def local_dp_randomized_response(
         F.when(F.abs(p_deb - p_true) <= se3, 1).otherwise(0)
         .alias("within_3se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# User-level DP: contribution bounding + Laplace release
+# ---------------------------------------------------------------------------
+
+_UDP_EPS = 0.5
+_UDP_CAP = 10  # max events any single user may contribute per type
+_UDP_SEED = "udp-release-r6"
+
+
+@register(
+    "dp_user_level_counts",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT event_type AS grp, user_id, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT grp,
+               SUM(n)::BIGINT AS true_count,
+               SUM(LEAST(n, {_UDP_CAP}))::BIGINT AS capped_count,
+               SUM(CASE WHEN n > {_UDP_CAP} THEN 1 ELSE 0 END)::BIGINT
+                   AS clipped_users
+        FROM per_user GROUP BY grp
+    ),
+    noise AS (
+        SELECT grp, true_count, capped_count, clipped_users,
+               CAST(('0x' || substr(md5('{_UDP_SEED}|' || grp), 1, 15))
+                    ::BIGINT AS DOUBLE) / 1152921504606846976.0 - 0.5
+                   AS u
+        FROM capped
+    )
+    SELECT grp AS event_type, true_count, capped_count, clipped_users,
+           CAST(ROUND(capped_count
+                      - ({_UDP_CAP} / {_UDP_EPS})
+                        * CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END
+                        * ln(1.0 - 2.0 * ABS(u)), 4) AS REAL)
+               AS noisy_count
+    FROM noise
+    ORDER BY event_type
+    """,
+    tags=("privacy", "differential-privacy", "user-level",
+          "contribution-bounding", "laplace", "governance"),
+)
+def dp_user_level_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-level ε-DP event counts — the piece `dp_noisy_counts`
+    (event-level, sensitivity 1) deliberately leaves open: when one
+    user can contribute MANY events, protecting events is not
+    protecting people.  User-level DP first BOUNDS each user's
+    contribution per released cell (cap C=10, the clip a DP-SGD
+    pipeline applies to gradients, here applied to counts), which
+    makes the release's sensitivity exactly C, then adds
+    Laplace(C/ε) noise — scale 20× the event-level release, the
+    honest price of the stronger unit of privacy.  Clipped-user and
+    capped-vs-true columns quantify the bias the cap introduces
+    (the bias/noise trade a real release tunes C against).
+
+    Noise is the same md5(release-id | cell) inverse-CDF transform
+    as the event-level release — deterministic, engine-independent,
+    budget-accounted per release-id.
+
+    Scale shape: one (user, type) aggregate (map-side combinable),
+    one |types|-row rollup; the mechanism is scalar arithmetic on
+    the bounded release relation."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        F.col("event_type").alias("grp"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    capped = per_user.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("true_count"),
+        F.sum(F.least(F.col("n"), F.lit(_UDP_CAP)))
+        .cast("long")
+        .alias("capped_count"),
+        F.sum(F.when(F.col("n") > _UDP_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("clipped_users"),
+    )
+    u = (
+        token_hash(F.concat(F.lit(_UDP_SEED + "|"), F.col("grp"))).cast(
+            "double"
+        )
+        / F.lit(1152921504606846976.0)
+        - 0.5
+    )
+    lap = (
+        F.lit(_UDP_CAP / _UDP_EPS)
+        * F.when(u >= 0, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return capped.select(
+        F.col("grp").alias("event_type"),
+        "true_count",
+        "capped_count",
+        "clipped_users",
+        F.round(F.col("capped_count") - lap, 4)
+        .cast("float")
+        .alias("noisy_count"),
+    )

@@ -2068,3 +2068,141 @@ def periodogram_seasonal_power(
         )
         .orderBy("period_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-profile motif: the most similar pair of 6-month revenue shapes
+# ---------------------------------------------------------------------------
+
+_MP_W = 6  # subsequence length in months
+
+
+@register(
+    "matrix_profile_motif",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m,
+               SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT STRFTIME(m, '%Y-%m') AS mk,
+               ROW_NUMBER() OVER (ORDER BY m) AS rn,
+               y,
+               LEAD(y, 1) OVER (ORDER BY m) AS y1,
+               LEAD(y, 2) OVER (ORDER BY m) AS y2,
+               LEAD(y, 3) OVER (ORDER BY m) AS y3,
+               LEAD(y, 4) OVER (ORDER BY m) AS y4,
+               LEAD(y, 5) OVER (ORDER BY m) AS y5,
+               DATEDIFF('month', m,
+                        LEAD(m, 5) OVER (ORDER BY m)) AS span
+        FROM monthly
+    ),
+    sub AS (
+        SELECT mk, rn,
+               (y + y1 + y2 + y3 + y4 + y5) / 6.0 AS mu,
+               SQRT(((y - (y+y1+y2+y3+y4+y5)/6.0)^2
+                     + (y1 - (y+y1+y2+y3+y4+y5)/6.0)^2
+                     + (y2 - (y+y1+y2+y3+y4+y5)/6.0)^2
+                     + (y3 - (y+y1+y2+y3+y4+y5)/6.0)^2
+                     + (y4 - (y+y1+y2+y3+y4+y5)/6.0)^2
+                     + (y5 - (y+y1+y2+y3+y4+y5)/6.0)^2) / 6.0) AS sd,
+               y, y1, y2, y3, y4, y5
+        FROM seq WHERE y5 IS NOT NULL AND span = 5
+    ),
+    z AS (
+        SELECT mk, rn,
+               (y - mu) / sd AS z0, (y1 - mu) / sd AS z1,
+               (y2 - mu) / sd AS z2, (y3 - mu) / sd AS z3,
+               (y4 - mu) / sd AS z4, (y5 - mu) / sd AS z5
+        FROM sub WHERE sd > 0
+    ),
+    pairs AS (
+        SELECT a.mk AS month_a, b.mk AS month_b,
+               (a.z0-b.z0)^2 + (a.z1-b.z1)^2 + (a.z2-b.z2)^2
+               + (a.z3-b.z3)^2 + (a.z4-b.z4)^2 + (a.z5-b.z5)^2 AS d2
+        FROM z a JOIN z b ON b.rn >= a.rn + {_MP_W}
+    )
+    SELECT month_a, month_b,
+           CAST(ROUND(SQRT(d2), 4) AS REAL) AS zdist
+    FROM pairs
+    ORDER BY ROUND(d2, 6), month_a, month_b
+    LIMIT 3
+    """,
+    tags=("matrix-profile", "motif-discovery", "timeseries",
+          "z-normalized", "similarity"),
+)
+def matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile motif discovery: the 3 most similar pairs of
+    non-overlapping 6-month revenue SHAPES (z-normalized Euclidean
+    distance, the matrix-profile metric) — "which two half-years
+    moved the same way?", the motif question none of the
+    trend/seasonality queries ask (`seasonal_decompose_weekly` fits
+    one fixed period; motifs find repeated patterns at ANY offset).
+    Z-normalization makes it shape similarity — level and amplitude
+    are divided out.
+
+    Scale shape: the corpus collapses to a CALENDAR-bounded monthly
+    relation (84 rows for seven years — bounded at any corpus size,
+    the allowlisted per-month-aggregate window class), subsequences
+    are 5 LEADs on that relation, and the all-pairs join is
+    ≤(|months|)² on checkpointed z-vectors — never corpus-sized.
+    The top-3 is TakeOrderedAndProject with a rounded-distance,
+    (month_a, month_b) deterministic order."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("m")
+    ).agg(F.sum("o_totalprice").alias("y"))
+    w = Window.orderBy("m")
+    seq = monthly.select(
+        F.date_format("m", "yyyy-MM").alias("mk"),
+        F.row_number().over(w).alias("rn"),
+        "y",
+        *[F.lead("y", i).over(w).alias(f"y{i}") for i in range(1, _MP_W)],
+        F.months_between(F.lead("m", _MP_W - 1).over(w), F.col("m"))
+        .alias("span"),
+    ).filter(
+        F.col(f"y{_MP_W - 1}").isNotNull() & (F.col("span") == _MP_W - 1)
+    )
+    cols = ["y"] + [f"y{i}" for i in range(1, _MP_W)]
+    mu = sum(F.col(c) for c in cols) / float(_MP_W)
+    seq = seq.withColumn("mu", mu)
+    sd = F.sqrt(
+        sum((F.col(c) - F.col("mu")) * (F.col(c) - F.col("mu"))
+            for c in cols)
+        / float(_MP_W)
+    )
+    z = (
+        seq.withColumn("sd", sd)
+        .filter(F.col("sd") > 0)
+        .select(
+            "mk",
+            "rn",
+            *[
+                ((F.col(c) - F.col("mu")) / F.col("sd")).alias(f"z{i}")
+                for i, c in enumerate(cols)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    d2 = sum(
+        (F.col(f"a.z{i}") - F.col(f"b.z{i}"))
+        * (F.col(f"a.z{i}") - F.col(f"b.z{i}"))
+        for i in range(_MP_W)
+    )
+    pairs = a.join(b, F.col("b.rn") >= F.col("a.rn") + _MP_W).select(
+        F.col("a.mk").alias("month_a"),
+        F.col("b.mk").alias("month_b"),
+        d2.alias("d2"),
+    )
+    return (
+        pairs.orderBy(F.round("d2", 6), "month_a", "month_b")
+        .limit(3)
+        .select(
+            "month_a",
+            "month_b",
+            F.round(F.sqrt("d2"), 4).cast("float").alias("zdist"),
+        )
+    )

@@ -248,6 +248,9 @@ ROUND6: list[str] = [
     "wasserstein_length_shift",
     "yuen_trimmed_ttest",
     "rouge_lead_summary",
+    "matrix_profile_motif",
+    "tail_dependence_lambda",
+    "dp_user_level_counts",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -2048,3 +2048,93 @@ def test_rouge_vs_python(spark):
         assert abs(row["rouge1_precision"] - pp / n) < 1e-5
         assert abs(row["rouge1_f1"] - f1 / n) < 1e-5
         assert abs(row["rouge2_recall"] - r2 / n) < 1e-5
+
+
+def test_matrix_profile_vs_numpy(spark):
+    d = _duck(
+        """SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m,
+                  SUM(o_totalprice) AS y
+           FROM orders GROUP BY 1 ORDER BY 1""",
+        tables=("orders",),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    w = 6
+    subs = []
+    for i in range(len(y) - w + 1):
+        v = y[i:i + w]
+        sd = v.std()
+        if sd > 0:
+            subs.append((i, (v - v.mean()) / sd))
+    best = sorted(
+        (
+            (round(float(((za - zb) ** 2).sum()), 6), ia, ib)
+            for ia, za in subs
+            for ib, zb in subs
+            if ib >= ia + w
+        )
+    )[:3]
+    rows = _rows(spark, "matrix_profile_motif")
+    assert len(rows) == 3
+    months = [str(m)[:7] for m in d["m"]]
+    got = sorted(
+        (round(float(r["zdist"]) ** 2, 2), r["month_a"], r["month_b"])
+        for r in rows
+    )
+    exp = sorted(
+        (round(d2, 2), months[ia], months[ib]) for d2, ia, ib in best
+    )
+    assert got == exp
+
+
+def test_tail_dependence_vs_numpy(spark):
+    d = _duck(
+        """SELECT o_custkey AS k, SUM(o_totalprice) AS x, COUNT(*) AS y
+           FROM orders GROUP BY 1""",
+        tables=("orders",),
+    )
+    k = np.asarray(d["k"], dtype=np.int64)
+    x = np.asarray(d["x"], dtype=np.float64)
+    yv = np.asarray(d["y"], dtype=np.int64)
+    n = len(k)
+    rx = np.empty(n, dtype=np.int64)
+    ry = np.empty(n, dtype=np.int64)
+    rx[sorted(range(n), key=lambda i: (-x[i], k[i]))] = np.arange(1, n + 1)
+    ry[sorted(range(n), key=lambda i: (-yv[i], k[i]))] = np.arange(1, n + 1)
+    rows = {round(r["quantile"], 2): r
+            for r in _rows(spark, "tail_dependence_lambda")}
+    for p_ in (90, 95, 99):
+        q = p_ / 100.0
+        m = ((100 - p_) * n + 99) // 100
+        joint = int(((rx <= m) & (ry <= m)).sum())
+        r = rows[round(q, 2)]
+        assert r["tail_size"] == m
+        assert r["joint_exceed"] == joint
+        assert abs(r["lambda_u"] - joint / m) < 1e-9
+
+
+def test_dp_user_level_vs_python(spark):
+    import hashlib
+    import math
+
+    d = _duck(
+        """SELECT event_type, user_id, COUNT(*) AS n
+           FROM events GROUP BY 1, 2""",
+        tables=("events",),
+    )
+    agg = {}
+    for et, _, n in zip(d["event_type"], d["user_id"], d["n"]):
+        t, c, cl = agg.get(str(et), (0, 0, 0))
+        agg[str(et)] = (t + int(n), c + min(int(n), 10),
+                        cl + (1 if n > 10 else 0))
+    rows = {r["event_type"]: r for r in _rows(spark, "dp_user_level_counts")}
+    assert set(rows) == set(agg)
+    for et, (t, c, cl) in agg.items():
+        r = rows[et]
+        assert (r["true_count"], r["capped_count"],
+                r["clipped_users"]) == (t, c, cl)
+        u = int(hashlib.md5(f"udp-release-r6|{et}".encode())
+                .hexdigest()[:15], 16) / 1152921504606846976.0 - 0.5
+        lap = (10 / 0.5) * (1.0 if u >= 0 else -1.0) * math.log(1 - 2 * abs(u))
+        assert abs(r["noisy_count"] - (c - lap)) < 1e-3
+        # user-level noise is 20x the event-level scale: bound check
+        assert abs(r["noisy_count"] - c) <= (10 / 0.5) * math.log(1e6)
