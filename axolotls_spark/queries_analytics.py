@@ -9446,3 +9446,196 @@ def tail_dependence_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("joint").alias("joint_exceed"),
         (F.col("joint").cast("double") / F.col("m")).alias("lambda_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extreme-value theory: Hill estimator of the spend tail index
+# ---------------------------------------------------------------------------
+
+_HILL_KS = (50, 100)
+
+
+@register(
+    "evt_hill_tail_index",
+    oracle=f"""
+    WITH spend AS (
+        SELECT SUM(o_totalprice) AS x FROM orders GROUP BY o_custkey
+    ),
+    topk AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC) AS rn
+        FROM spend ORDER BY x DESC LIMIT {max(_HILL_KS) + 1}
+    ),
+    ks AS (SELECT UNNEST([{", ".join(str(k) for k in _HILL_KS)}]) AS k),
+    hill AS (
+        SELECT ks.k,
+               MAX(CASE WHEN t.rn = ks.k + 1 THEN t.x END) AS xmin,
+               AVG(CASE WHEN t.rn <= ks.k THEN LN(t.x) END) AS mlog
+        FROM topk t CROSS JOIN ks
+        GROUP BY ks.k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(ROUND(xmin, 2) AS REAL) AS x_kplus1,
+           CAST(ROUND(1.0 / (mlog - LN(xmin)), 6) AS REAL) AS hill_alpha,
+           CAST(ROUND(POWER(2.0, -1.0 / (mlog - LN(xmin))), 6) AS REAL)
+               AS p_double_given_exceed
+    FROM hill
+    """,
+    tags=("extreme-value", "hill-estimator", "tail-index", "pareto",
+          "statistics"),
+)
+def evt_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index of customer spend —
+    the extreme-value-theory companion to `tail_dependence_lambda`
+    (that measures tail CO-movement; this measures tail HEAVINESS):
+    α̂ = 1 / (mean(ln x₍ᵢ₎) − ln x₍ₖ₊₁₎) over the top-k order
+    statistics, reported at k = 50 and 100 so the stability of the
+    estimate across k (the Hill-plot question) is visible in the
+    result itself.  The Pareto consequence rides along: given a
+    spend exceeds the threshold, P(it exceeds DOUBLE) = 2^(−α̂) —
+    the number a whale-risk model actually consumes.
+    `pareto_brand_revenue` is the 80/20 concentration readout; this
+    estimates the exponent generating it.
+
+    Scale shape: one per-customer aggregate; the top-(k+1) relation
+    comes from orderBy().limit() — TakeOrderedAndProject, each
+    partition forwards k+1 rows, never a global rank window — and
+    everything after runs on ≤101 bounded rows."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    kmax = max(_HILL_KS)
+    topk = spend.select("x").orderBy(F.col("x").desc()).limit(kmax + 1)
+    w = Window.orderBy(F.col("x").desc())
+    topk = topk.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    ks = spark.createDataFrame([(k,) for k in _HILL_KS], ["k"])
+    hill = (
+        topk.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("k") + 1, F.col("x"))
+            ).alias("xmin"),
+            F.avg(
+                F.when(F.col("rn") <= F.col("k"), F.log(F.col("x")))
+            ).alias("mlog"),
+        )
+    )
+    alpha = 1.0 / (F.col("mlog") - F.log(F.col("xmin")))
+    return hill.select(
+        F.col("k").cast("long").alias("k"),
+        F.round("xmin", 2).cast("float").alias("x_kplus1"),
+        F.round(alpha, 6).cast("float").alias("hill_alpha"),
+        F.round(F.pow(F.lit(2.0), -alpha), 6)
+        .cast("float")
+        .alias("p_double_given_exceed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: optimal stratified-sampling design
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT seg, COUNT(*)::DOUBLE AS n, SUM(y) AS s, SUM(y*y) AS ss
+        FROM joined GROUP BY seg
+    ),
+    sd AS (
+        SELECT seg, n, SQRT((ss - s*s/n) / (n - 1)) AS sigma FROM g
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, SUM(n * sigma) AS snsig,
+               SUM(n * sigma * sigma) AS snsig2
+        FROM sd
+    )
+    SELECT seg,
+           CAST(n AS BIGINT) AS stratum_size,
+           CAST(ROUND(sigma, 4) AS REAL) AS stratum_sd,
+           CAST(ROUND({_NEYMAN_BUDGET} * n * sigma / tot.snsig, 2)
+                AS REAL) AS n_neyman,
+           CAST(ROUND({_NEYMAN_BUDGET} * n / tot.nn, 2) AS REAL)
+               AS n_proportional,
+           CAST(ROUND((tot.snsig * tot.snsig / tot.nn / tot.nn)
+                      / (tot.snsig2 / tot.nn), 6) AS REAL)
+               AS neyman_vs_prop_var_ratio
+    FROM sd CROSS JOIN tot
+    """,
+    tags=("neyman-allocation", "stratified-sampling", "survey-design",
+          "variance-reduction", "design-table"),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sampling allocation across market
+    segments for a fixed interview budget — the DESIGN that should
+    precede `sample_stratified_by_lang`'s execution and
+    `stratified_ate_balance`'s analysis: for estimating mean order
+    value with n=1000 samples, draw n_h ∝ N_h·σ_h from
+    each stratum (big AND volatile strata earn more samples).
+    Proportional allocation rides along, plus the variance ratio
+    Var_neyman/Var_prop = (ΣW_hσ_h)²/(ΣW_hσ_h²) — how much precision
+    the optimal design buys; 1.0 means the strata have equal σ and
+    proportional was already optimal.  The design-table sibling of
+    `lsh_band_design` and `power_analysis_mde`.
+
+    Scale shape: ONE corpus pass to 5 per-stratum moment rows;
+    every emitted number is algebra on that bounded relation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias(
+                "ss"
+            ),
+        )
+    )
+    sd = g.select(
+        "seg",
+        "n",
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    tot = sd.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.col("sigma")).alias("snsig"),
+        F.sum(F.col("n") * F.col("sigma") * F.col("sigma")).alias(
+            "snsig2"
+        ),
+    )
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        F.col("n").cast("long").alias("stratum_size"),
+        F.round("sigma", 4).cast("float").alias("stratum_sd"),
+        F.round(
+            _NEYMAN_BUDGET * F.col("n") * F.col("sigma") / F.col("snsig"),
+            2,
+        ).cast("float").alias("n_neyman"),
+        F.round(_NEYMAN_BUDGET * F.col("n") / F.col("nn"), 2)
+        .cast("float")
+        .alias("n_proportional"),
+        F.round(
+            (F.col("snsig") * F.col("snsig") / F.col("nn") / F.col("nn"))
+            / (F.col("snsig2") / F.col("nn")),
+            6,
+        ).cast("float").alias("neyman_vs_prop_var_ratio"),
+    )

@@ -251,6 +251,8 @@ ROUND6: list[str] = [
     "matrix_profile_motif",
     "tail_dependence_lambda",
     "dp_user_level_counts",
+    "evt_hill_tail_index",
+    "neyman_allocation",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -2138,3 +2138,50 @@ def test_dp_user_level_vs_python(spark):
         assert abs(r["noisy_count"] - (c - lap)) < 1e-3
         # user-level noise is 20x the event-level scale: bound check
         assert abs(r["noisy_count"] - c) <= (10 / 0.5) * math.log(1e6)
+
+
+def test_hill_vs_numpy(spark):
+    d = _duck(
+        "SELECT SUM(o_totalprice) AS x FROM orders GROUP BY o_custkey",
+        tables=("orders",),
+    )
+    x = np.sort(np.asarray(d["x"], dtype=np.float64))[::-1]
+    rows = {r["k"]: r for r in _rows(spark, "evt_hill_tail_index")}
+    assert set(rows) == {50, 100}
+    for k in (50, 100):
+        alpha = 1.0 / (np.log(x[:k]).mean() - np.log(x[k]))
+        r = rows[k]
+        assert abs(r["x_kplus1"] - x[k]) / x[k] < 1e-6
+        assert abs(r["hill_alpha"] - alpha) < 1e-4
+        assert abs(r["p_double_given_exceed"] - 2.0 ** -alpha) < 1e-5
+        assert r["hill_alpha"] > 0
+
+
+def test_neyman_vs_numpy(spark):
+    d = _duck(
+        """SELECT c.c_mktsegment AS seg, o.o_totalprice AS y
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        tables=("orders", "customer"),
+    )
+    segs = sorted(set(d["seg"]))
+    ys = {s: np.asarray([y for g, y in zip(d["seg"], d["y"]) if g == s])
+          for s in segs}
+    nh = {s: len(v) for s, v in ys.items()}
+    sg = {s: v.std(ddof=1) for s, v in ys.items()}
+    tot_ns = sum(nh[s] * sg[s] for s in segs)
+    nn = sum(nh.values())
+    rows = {r["seg"]: r for r in _rows(spark, "neyman_allocation")}
+    assert set(rows) == set(segs)
+    alloc = 0.0
+    for s in segs:
+        r = rows[s]
+        assert r["stratum_size"] == nh[s]
+        assert abs(r["stratum_sd"] - sg[s]) / sg[s] < 1e-6
+        assert abs(r["n_neyman"] - 1000 * nh[s] * sg[s] / tot_ns) < 0.02
+        assert abs(r["n_proportional"] - 1000 * nh[s] / nn) < 0.02
+        alloc += r["n_neyman"]
+        ratio = (tot_ns / nn) ** 2 / (
+            sum(nh[t] * sg[t] ** 2 for t in segs) / nn)
+        assert abs(r["neyman_vs_prop_var_ratio"] - ratio) < 1e-5
+        assert r["neyman_vs_prop_var_ratio"] <= 1.0 + 1e-9  # Neyman wins
+    assert abs(alloc - 1000) < 0.1  # allocations exhaust the budget
