@@ -9639,3 +9639,324 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).cast("float").alias("neyman_vs_prop_var_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test on log-spend
+# ---------------------------------------------------------------------------
+
+_JB_CRIT_95 = 5.991464547107979  # chi-square(2) 95th percentile
+
+
+@register(
+    "jarque_bera_normality",
+    oracle=f"""
+    WITH spend AS (
+        SELECT LN(SUM(o_totalprice)) AS y FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(y) AS mu,
+               SUM(y) AS s1, SUM(y*y) AS s2,
+               SUM(y*y*y) AS s3, SUM(y*y*y*y) AS s4
+        FROM spend
+    ),
+    c AS (
+        SELECT n,
+               s2/n - mu*mu AS m2,
+               s3/n - 3*mu*s2/n + 2*mu*mu*mu AS m3,
+               s4/n - 4*mu*s3/n + 6*mu*mu*s2/n - 3*mu*mu*mu*mu AS m4
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(ROUND(m3 / POWER(m2, 1.5), 6) AS REAL) AS skewness,
+           CAST(ROUND(m4 / (m2 * m2) - 3.0, 6) AS REAL) AS excess_kurtosis,
+           CAST(ROUND(n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                                 + POWER(m4 / (m2*m2) - 3.0, 2) / 4.0),
+                      4) AS REAL) AS jb_stat,
+           CASE WHEN n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                                + POWER(m4 / (m2*m2) - 3.0, 2) / 4.0)
+                     > {_JB_CRIT_95}
+                THEN 1 ELSE 0 END AS reject_normal_95
+    FROM c
+    """,
+    tags=("jarque-bera", "normality-test", "skewness", "kurtosis",
+          "statistics"),
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test of log customer spend — the
+    missing DISTRIBUTIONAL-shape test (Benford checks digit law, KS
+    compares two samples; nothing yet asks "is this column normal
+    enough for the Gaussian machinery downstream?").  JB =
+    n/6·(S² + K²/4) from the third and fourth central moments,
+    computed in ONE pass via raw power sums; rejecting at the
+    χ²(2) 95% critical value says the lognormal-spend assumption
+    baked into `ab_test_welch`-style mean tests deserves the robust
+    alternatives (`yuen_trimmed_ttest`, `mann_whitney_u`).
+
+    Scale shape: one per-customer aggregate, one 6-cell moment
+    fold, scalar algebra — map-side combinable throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.log(F.sum("o_totalprice")).alias("y")
+    )
+    m = spend.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("mu"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+        F.sum(F.col("y") * F.col("y") * F.col("y")).alias("s3"),
+        F.sum(F.col("y") * F.col("y") * F.col("y") * F.col("y")).alias(
+            "s4"
+        ),
+    )
+    m2 = F.col("s2") / F.col("n") - F.col("mu") * F.col("mu")
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * F.col("mu") * F.col("s2") / F.col("n")
+        + 2 * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * F.col("mu") * F.col("s3") / F.col("n")
+        + 6 * F.col("mu") * F.col("mu") * F.col("s2") / F.col("n")
+        - 3 * F.col("mu") * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3.0
+    jb = F.col("n") / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(skew, 6).cast("float").alias("skewness"),
+        F.round(kurt, 6).cast("float").alias("excess_kurtosis"),
+        F.round(jb, 4).cast("float").alias("jb_stat"),
+        F.when(jb > _JB_CRIT_95, 1).otherwise(0).alias(
+            "reject_normal_95"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sen's slope: robust trend magnitude over monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sen_slope_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m,
+               SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY m) AS t FROM monthly
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.t - a.t) AS sl
+        FROM idx a JOIN idx b ON b.t > a.t
+    ),
+    ranked AS (
+        SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) AS r,
+               COUNT(*) OVER () AS np
+        FROM slopes
+    )
+    SELECT CAST(MAX(np) AS BIGINT) AS n_pairs,
+           CAST(ROUND(AVG(CASE WHEN r IN ((np + 1) // 2, (np + 2) // 2)
+                           THEN sl END), 4) AS REAL) AS sen_slope
+    FROM ranked
+    """,
+    tags=("sen-slope", "theil-sen", "robust-trend", "timeseries",
+          "pairwise-median"),
+)
+def sen_slope_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's (Theil–Sen) slope of monthly revenue — the robust trend
+    MAGNITUDE that completes `trend_mann_kendall`'s direction test:
+    the median of all pairwise slopes (y_j−y_i)/(j−i), immune to the
+    outlier months that pull an OLS line (`forecast_linear_28d`)
+    around.  Exact median via the two middle order statistics of the
+    pair relation ((n+1)//2 and (n+2)//2 in integer arithmetic — one
+    expression handles both parities).
+
+    Scale shape: the corpus collapses to the calendar-bounded
+    monthly relation (84 rows); the pairwise-slope join and its
+    ranking run on that bounded ≤months² relation (allowlisted
+    bounded window, same class as the month-spine queries)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("m")
+    ).agg(F.sum("o_totalprice").alias("y"))
+    w = Window.orderBy("m")
+    idx = monthly.select(
+        "y", F.row_number().over(w).alias("t")
+    ).localCheckpoint(eager=True)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("sl")
+    )
+    wr = Window.orderBy("sl")
+    ranked = slopes.select(
+        "sl",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    mid = F.when(
+        (F.col("r") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("r") == F.floor((F.col("np") + 2) / 2)),
+        F.col("sl"),
+    )
+    return ranked.agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.round(F.avg(mid), 4).cast("float").alias("sen_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QQ plot correlation (PPCC) against normal quantiles — Acklam probit
+# ---------------------------------------------------------------------------
+
+# Acklam's rational approximation to the inverse normal CDF
+# (P. J. Acklam, 2003; relative error < 1.15e-9 everywhere).  The
+# SAME generated expression text runs in Spark (F.expr) and DuckDB,
+# so both engines evaluate the identical tree.
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00)
+_ACKLAM_PLOW = 0.02425
+
+
+def _horner(coeffs, var: str) -> str:
+    expr = repr(coeffs[0])
+    for c in coeffs[1:]:
+        expr = f"({expr} * {var} + {repr(c)})"
+    return expr
+
+
+def probit_hv_sql(p: str) -> str:
+    """Helper variable for the three Acklam regions."""
+    return (
+        f"CASE WHEN {p} < {_ACKLAM_PLOW} THEN SQRT(-2.0 * LN({p})) "
+        f"WHEN {p} > {1.0 - _ACKLAM_PLOW} "
+        f"THEN SQRT(-2.0 * LN(1.0 - ({p}))) "
+        f"ELSE ({p}) - 0.5 END"
+    )
+
+
+def probit_sql(p: str, hv: str) -> str:
+    """Inverse normal CDF of column ``p`` given helper ``hv``."""
+    central = (
+        f"({_horner(_ACKLAM_A, f'({hv} * {hv})')} * {hv}"
+        f" / ({_horner(_ACKLAM_B, f'({hv} * {hv})')} * ({hv} * {hv})"
+        f" + 1.0))"
+    )
+    tail = (
+        f"({_horner(_ACKLAM_C, hv)}"
+        f" / ({_horner(_ACKLAM_D, hv)} * {hv} + 1.0))"
+    )
+    return (
+        f"CASE WHEN {p} < {_ACKLAM_PLOW} THEN {tail} "
+        f"WHEN {p} > {1.0 - _ACKLAM_PLOW} THEN -{tail} "
+        f"ELSE {central} END"
+    )
+
+
+@register(
+    "qq_normality_ppcc",
+    oracle=f"""
+    WITH spend AS (
+        SELECT LN(SUM(o_totalprice)) AS y, o_custkey AS k
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y, k) AS i,
+               COUNT(*) OVER () AS n
+        FROM spend
+    ),
+    pp AS (
+        SELECT y, (i - 0.375) / (n + 0.25) AS p FROM ranked
+    ),
+    hv AS (SELECT y, p, {probit_hv_sql('p')} AS h FROM pp),
+    qq AS (SELECT y, {probit_sql('p', 'h')} AS q FROM hv),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(y) AS sy, SUM(q) AS sq,
+               SUM(y*q) AS syq, SUM(y*y) AS syy, SUM(q*q) AS sqq
+        FROM qq
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(ROUND((syq - sy*sq/n)
+                / SQRT((syy - sy*sy/n) * (sqq - sq*sq/n)), 6) AS REAL)
+               AS ppcc_r,
+           CAST(ROUND(POWER((syq - sy*sq/n)
+                / SQRT((syy - sy*sy/n) * (sqq - sq*sq/n)), 2), 6)
+               AS REAL) AS ppcc_r2
+    FROM m
+    """,
+    tags=("qq-plot", "ppcc", "normality", "probit", "acklam",
+          "statistics"),
+)
+def qq_normality_ppcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-plot correlation coefficient (PPCC) of log
+    customer spend against normal quantiles — the QQ-plot reduced to
+    one number: rank each value, map its Blom plotting position
+    (i−0.375)/(n+0.25) through the inverse normal CDF (Acklam's
+    rational approximation, the portable probit both engines
+    evaluate from the IDENTICAL generated expression), and correlate
+    order statistics with theoretical quantiles.  r near 1 = the
+    QQ plot is a straight line.  The moment-based cousin is
+    `jarque_bera_normality`; PPCC sees tail curvature JB's four
+    moments smear together, and the probit macro it introduces is
+    reusable infrastructure (BCa intervals, probit regression).
+
+    Scale shape: the global rank comes from the distributed-prefix
+    machinery (never a single-partition window); the probit is
+    row-local arithmetic; the correlation is ONE 6-cell moment
+    fold."""
+    from axolotls_spark.operators.prefix import ranked_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.log(F.sum("o_totalprice")).alias("y"))
+        .select(F.col("o_custkey").alias("k"), "y")
+        .withColumn("one", F.lit(1.0))
+    )
+    ranked = ranked_cumsum(
+        spend, [F.asc("y"), F.asc("k")], "one", rank_name="i",
+        cum_name="__c",
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pp = ranked.crossJoin(F.broadcast(n)).select(
+        "y", ((F.col("i") - 0.375) / (F.col("n") + 0.25)).alias("p")
+    )
+    qq = pp.withColumn("h", F.expr(probit_hv_sql("p"))).select(
+        "y", F.expr(probit_sql("p", "h")).alias("q")
+    )
+    m = qq.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("y") * F.col("q")).alias("syq"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    r = (
+        F.col("syq") - F.col("sy") * F.col("sq") / F.col("n")
+    ) / F.sqrt(
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        * (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(r, 6).cast("float").alias("ppcc_r"),
+        F.round(r * r, 6).cast("float").alias("ppcc_r2"),
+    )

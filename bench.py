@@ -253,6 +253,9 @@ ROUND6: list[str] = [
     "dp_user_level_counts",
     "evt_hill_tail_index",
     "neyman_allocation",
+    "jarque_bera_normality",
+    "sen_slope_trend",
+    "qq_normality_ppcc",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

@@ -835,6 +835,8 @@ def test_registry_wide_plan_hygiene(spark):
                                     # docstring warns it is single-node
         "lift_gain_deciles",        # 10-row decile relation cum-sum
                                     # (corpus rank uses prefix.py)
+        "sen_slope_trend",          # <=months^2 pairwise-slope
+                                    # relation (calendar-bounded)
     }
     offenders = []
     for name, spec in sorted(REGISTRY.items()):

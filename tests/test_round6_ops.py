@@ -2185,3 +2185,78 @@ def test_neyman_vs_numpy(spark):
         assert abs(r["neyman_vs_prop_var_ratio"] - ratio) < 1e-5
         assert r["neyman_vs_prop_var_ratio"] <= 1.0 + 1e-9  # Neyman wins
     assert abs(alloc - 1000) < 0.1  # allocations exhaust the budget
+
+
+def test_jarque_bera_vs_numpy(spark):
+    d = _duck(
+        "SELECT LN(SUM(o_totalprice)) AS y FROM orders GROUP BY o_custkey",
+        tables=("orders",),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    n = len(y)
+    m2 = ((y - y.mean()) ** 2).mean()
+    m3 = ((y - y.mean()) ** 3).mean()
+    m4 = ((y - y.mean()) ** 4).mean()
+    s, k = m3 / m2 ** 1.5, m4 / m2 ** 2 - 3
+    jb = n / 6 * (s ** 2 + k ** 2 / 4)
+    r = _rows(spark, "jarque_bera_normality")[0]
+    assert r["n_customers"] == n
+    assert abs(r["skewness"] - s) < 1e-4
+    assert abs(r["excess_kurtosis"] - k) < 1e-4
+    assert abs(r["jb_stat"] - jb) / jb < 1e-3
+    assert r["reject_normal_95"] == int(jb > 5.991464547107979)
+
+
+def test_sen_slope_vs_numpy(spark):
+    d = _duck(
+        """SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m,
+                  SUM(o_totalprice) AS y
+           FROM orders GROUP BY 1 ORDER BY 1""",
+        tables=("orders",),
+    )
+    y = np.asarray(d["y"], dtype=np.float64)
+    slopes = sorted(
+        (y[j] - y[i]) / (j - i)
+        for i in range(len(y)) for j in range(i + 1, len(y))
+    )
+    np_ = len(slopes)
+    med = (slopes[(np_ - 1) // 2] + slopes[np_ // 2]) / 2
+    r = _rows(spark, "sen_slope_trend")[0]
+    assert r["n_pairs"] == np_
+    assert abs(r["sen_slope"] - med) < 1e-2
+
+
+def test_ppcc_vs_scipy_free(spark):
+    import math
+
+    d = _duck(
+        """SELECT LN(SUM(o_totalprice)) AS y, o_custkey AS k
+           FROM orders GROUP BY o_custkey""",
+        tables=("orders",),
+    )
+    recs = sorted(zip(
+        np.asarray(d["y"], dtype=np.float64),
+        np.asarray(d["k"], dtype=np.int64)))
+    y = np.asarray([v for v, _ in recs])
+    n = len(y)
+
+    # independent probit: bisection on the error function via
+    # math.erf — no shared code with the Acklam macro.
+    def probit(p):
+        lo, hi = -10.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    q = np.asarray([probit((i + 1 - 0.375) / (n + 0.25))
+                    for i in range(n)])
+    r_exp = float(np.corrcoef(y, q)[0, 1])
+    r = _rows(spark, "qq_normality_ppcc")[0]
+    assert r["n_customers"] == n
+    # Acklam |rel err| < 1.15e-9: correlation agrees far inside 1e-6
+    assert abs(r["ppcc_r"] - r_exp) < 1e-6
+    assert abs(r["ppcc_r2"] - r_exp ** 2) < 1e-6
