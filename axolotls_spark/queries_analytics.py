@@ -9960,3 +9960,106 @@ def qq_normality_ppcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 6).cast("float").alias("ppcc_r"),
         F.round(r * r, 6).cast("float").alias("ppcc_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval from order statistics
+# ---------------------------------------------------------------------------
+
+_MCI_Z = 1.959963984540054
+
+
+@register(
+    "median_ci_orderstat",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_totalprice AS y, o_orderkey AS k FROM orders
+    ),
+    ranked AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y, k) AS r,
+               COUNT(*) OVER () AS n
+        FROM base
+    ),
+    b AS (
+        SELECT MAX(n) AS n,
+               CAST(FLOOR((MAX(n) - {_MCI_Z} * SQRT(MAX(n))) / 2.0)
+                    AS BIGINT) AS l
+        FROM ranked
+    )
+    SELECT b.n AS n_orders,
+           CAST(ROUND(AVG(CASE WHEN r.r IN ((b.n + 1) // 2,
+                                            (b.n + 2) // 2)
+                           THEN r.y END), 4) AS REAL) AS median,
+           CAST(ROUND(MAX(CASE WHEN r.r = b.l THEN r.y END), 4)
+                AS REAL) AS ci_lo,
+           CAST(ROUND(MAX(CASE WHEN r.r = b.n - b.l + 1 THEN r.y END), 4)
+                AS REAL) AS ci_hi,
+           b.l AS lo_rank
+    FROM ranked r CROSS JOIN b
+    GROUP BY b.n, b.l
+    """,
+    tags=("median-ci", "order-statistics", "distribution-free",
+          "nonparametric", "statistics"),
+)
+def median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median order
+    value from ORDER STATISTICS — no bootstrap, no normality: since
+    #(values below the true median) ~ Binomial(n, ½), the interval
+    [y₍ₗ₎, y₍ₙ₋ₗ₊₁₎] with l = ⌊(n − z√n)/2⌋ covers the median at
+    ≥95% for ANY continuous distribution — the guarantee
+    `bootstrap_ci_poisson` only approximates and a t-interval
+    simply does not have for skewed revenue.  The exact median
+    (two-middle-ranks form) rides along.
+
+    Scale shape: the global rank comes from the distributed-prefix
+    machinery (range partition + broadcast offsets); the three
+    selections are integer-rank lookups folded in ONE aggregate —
+    no sort of the full relation ever lands on one task."""
+    from axolotls_spark.operators.prefix import ranked_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_totalprice").alias("y"),
+        F.col("o_orderkey").alias("k"),
+    ).withColumn("one", F.lit(1.0))
+    ranked = ranked_cumsum(
+        base, [F.asc("y"), F.asc("k")], "one", rank_name="r",
+        cum_name="__c",
+    ).select("y", "r")
+    nrel = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = nrel.select(
+        "n",
+        F.floor(
+            (F.col("n") - _MCI_Z * F.sqrt(F.col("n"))) / 2.0
+        ).cast("long").alias("l"),
+    )
+    j = ranked.crossJoin(F.broadcast(b))
+    return j.groupBy("n", "l").agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("r") == F.floor((F.col("n") + 1) / 2))
+                    | (F.col("r") == F.floor((F.col("n") + 2) / 2)),
+                    F.col("y"),
+                )
+            ),
+            4,
+        ).cast("float").alias("median"),
+        F.round(
+            F.max(F.when(F.col("r") == F.col("l"), F.col("y"))), 4
+        ).cast("float").alias("ci_lo"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("r") == F.col("n") - F.col("l") + 1, F.col("y")
+                )
+            ),
+            4,
+        ).cast("float").alias("ci_hi"),
+    ).select(
+        F.col("n").alias("n_orders"),
+        "median",
+        "ci_lo",
+        "ci_hi",
+        F.col("l").alias("lo_rank"),
+    )

@@ -1494,3 +1494,85 @@ def expected_calibration_error(
         .alias("ece"),
         F.max(F.abs(F.col("o_k") - F.col("p_k"))).cast("float").alias("mce"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spiegelhalter's calibration z-test on the IRLS classifier scores
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spiegelhalter_calibration_z",
+    oracle=f"""
+    WITH feats AS ({_FEATS_SQL}),
+    seed AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN seed),
+    beta1 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m1),
+    m2 AS (SELECT {_IRLS_MOMENT_SQL} FROM feats CROSS JOIN beta1),
+    beta2 AS (SELECT {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m2),
+    scored AS (
+        SELECT y, {_CAL_P} AS p FROM feats CROSS JOIN beta2
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM((y - p) * (1.0 - 2.0 * p)) AS num,
+               SUM((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p))
+                   AS den,
+               SUM((y - p) * (y - p)) / COUNT(*) AS brier
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(ROUND(brier, 6) AS REAL) AS brier,
+           CAST(ROUND(num / SQRT(den), 4) AS REAL) AS spiegelhalter_z,
+           CASE WHEN ABS(num / SQRT(den)) > 1.959963984540054
+                THEN 1 ELSE 0 END AS miscalibrated_95
+    FROM m
+    """,
+    tags=("calibration", "spiegelhalter", "z-test", "ml-eval",
+          "shared-algebra"),
+)
+def spiegelhalter_calibration_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's z-test of calibration for the IRLS quality
+    classifier — the SIGNIFICANCE member of the calibration family:
+    the reliability bins show WHERE miscalibration lives, ECE and the
+    Brier decomposition quantify HOW MUCH, this answers "is it more
+    than chance?"  Under perfect calibration E[(y−p)(1−2p)] = 0 with
+    variance Σ(1−2p)²p(1−p), so Z = Σ(y−p)(1−2p)/√Σ(1−2p)²p(1−p) is
+    asymptotically standard normal — and unlike a binned test it
+    needs NO bin choice, the usual researcher degree of freedom.
+
+    Scale shape: shares the persisted feature relation and the
+    two-step closed-form IRLS with the classifier queries; the test
+    itself is ONE extra 3-cell moment fold over the scored rows."""
+    feats = _logreg_features(spark, sf_dir)
+    beta = _irls_beta(spark, feats, iters=2)
+    scored = feats.crossJoin(F.broadcast(beta)).select(
+        "y", F.expr(_P).alias("p")
+    )
+    m = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            (F.col("y") - F.col("p")) * (1.0 - 2.0 * F.col("p"))
+        ).alias("num"),
+        F.sum(
+            (1.0 - 2.0 * F.col("p"))
+            * (1.0 - 2.0 * F.col("p"))
+            * F.col("p")
+            * (1.0 - F.col("p"))
+        ).alias("den"),
+        (
+            F.sum(
+                (F.col("y") - F.col("p")) * (F.col("y") - F.col("p"))
+            )
+            / F.count(F.lit(1))
+        ).alias("brier"),
+    )
+    z = F.col("num") / F.sqrt(F.col("den"))
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("brier", 6).cast("float").alias("brier"),
+        F.round(z, 4).cast("float").alias("spiegelhalter_z"),
+        F.when(F.abs(z) > 1.959963984540054, 1)
+        .otherwise(0)
+        .alias("miscalibrated_95"),
+    )

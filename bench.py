@@ -256,6 +256,8 @@ ROUND6: list[str] = [
     "jarque_bera_normality",
     "sen_slope_trend",
     "qq_normality_ppcc",
+    "spiegelhalter_calibration_z",
+    "median_ci_orderstat",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6
