@@ -10063,3 +10063,280 @@ def median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi",
         F.col("l").alias("lo_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BCa bootstrap interval: bias-corrected and accelerated
+# ---------------------------------------------------------------------------
+
+
+def phi_sql(z: str) -> str:
+    """Standard normal CDF via the Abramowitz–Stegun 26.2.17
+    polynomial (|err| < 7.5e-8) — the forward companion of
+    ``probit_sql``; identical text evaluated by both engines."""
+    k = f"(1.0 / (1.0 + 0.2316419 * ABS({z})))"
+    poly = (
+        f"(0.319381530 * {k} - 0.356563782 * POWER({k}, 2)"
+        f" + 1.781477937 * POWER({k}, 3)"
+        f" - 1.821255978 * POWER({k}, 4)"
+        f" + 1.330274429 * POWER({k}, 5))"
+    )
+    tail = f"(EXP(-0.5 * ({z}) * ({z})) / 2.5066282746310002 * {poly})"
+    return f"CASE WHEN ({z}) >= 0 THEN 1.0 - {tail} ELSE {tail} END"
+
+
+_BCA_Z = 1.959963984540054
+
+
+def _bca_oracle() -> str:
+    zl = f"(z0 + (z0 - {_BCA_Z}) / (1.0 - a * (z0 - {_BCA_Z})))"
+    zh = f"(z0 + (z0 + {_BCA_Z}) / (1.0 - a * (z0 + {_BCA_Z})))"
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey::VARCHAR AS k, o_totalprice AS v,
+               o_custkey AS ck
+        FROM orders
+    ),
+    ex AS (
+        SELECT k, v, unnest(range(0, {_BOOT_B}))::VARCHAR AS b FROM o
+    ),
+    u AS (SELECT b, v, {_BOOT_U} AS u FROM ex),
+    w AS (SELECT b, v, {_BOOT_W_SQL} AS wt FROM u),
+    rm AS (SELECT b, SUM(wt * v) / SUM(wt) AS m FROM w GROUP BY b),
+    fs AS (SELECT COUNT(*)::DOUBLE AS n, AVG(v) AS theta,
+                  SUM(v) AS st FROM o),
+    gj AS (
+        SELECT c.c_nationkey AS g, COUNT(*)::DOUBLE AS ng,
+               SUM(o.v) AS sg
+        FROM o JOIN customer c ON o.ck = c.c_custkey
+        GROUP BY c.c_nationkey
+    ),
+    loo AS (
+        SELECT (fs.st - gj.sg) / (fs.n - gj.ng) AS ti
+        FROM gj CROSS JOIN fs
+    ),
+    jm AS (
+        SELECT AVG(ti) AS tbar, SUM(ti * ti) AS s2,
+               SUM(ti * ti * ti) AS s3, COUNT(*)::DOUBLE AS kk
+        FROM loo
+    ),
+    acc AS (
+        SELECT (-s3 + 3.0 * tbar * s2 - 2.0 * kk * tbar * tbar * tbar)
+                 / (6.0 * POWER(s2 - kk * tbar * tbar, 1.5)) AS a
+        FROM jm
+    ),
+    zz AS (
+        SELECT GREATEST(LEAST(
+                   (SELECT SUM(CASE WHEN m < fs.theta THEN 1 ELSE 0 END)
+                    FROM rm CROSS JOIN fs)::DOUBLE / {_BOOT_B},
+                   1.0 - 1.0 / (2.0 * {_BOOT_B})),
+                   1.0 / (2.0 * {_BOOT_B})) AS frac
+    ),
+    z0c AS (
+        SELECT frac, {probit_hv_sql('frac')} AS h FROM zz
+    ),
+    z0v AS (SELECT {probit_sql('frac', 'h')} AS z0 FROM z0c),
+    al AS (
+        SELECT z0, a,
+               {phi_sql(zl)} AS alo,
+               {phi_sql(zh)} AS ahi
+        FROM z0v CROSS JOIN acc
+    ),
+    rks AS (
+        SELECT z0, a, alo, ahi,
+               GREATEST(LEAST(CAST(CEIL(ROUND({_BOOT_B} * alo, 9))
+                                   AS BIGINT), {_BOOT_B}), 1) AS rlo,
+               GREATEST(LEAST(CAST(CEIL(ROUND({_BOOT_B} * ahi, 9))
+                                   AS BIGINT), {_BOOT_B}), 1) AS rhi
+        FROM al
+    ),
+    rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM rm)
+    SELECT CAST(fs.n AS BIGINT) AS n_orders,
+           CAST(ROUND(fs.theta, 4) AS REAL) AS point_mean,
+           CAST(ROUND(rks.z0, 6) AS REAL) AS bias_z0,
+           CAST(ROUND(rks.a, 6) AS REAL) AS accel_a,
+           rks.rlo AS rank_lo, rks.rhi AS rank_hi,
+           CAST(ROUND((SELECT m FROM rk WHERE r = rks.rlo), 4) AS REAL)
+               AS bca_lo,
+           CAST(ROUND((SELECT m FROM rk WHERE r = rks.rhi), 4) AS REAL)
+               AS bca_hi
+    FROM rks CROSS JOIN fs
+    """
+
+
+@register(
+    "bca_bootstrap_ci",
+    oracle=_bca_oracle(),
+    tags=("bootstrap", "bca", "bias-corrected", "jackknife",
+          "confidence-interval", "statistics"),
+)
+def bca_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BCa (bias-corrected & accelerated) bootstrap interval for mean
+    order value — the inference family's capstone, composed ENTIRELY
+    of parts this repo already certifies: the Poisson-bootstrap
+    replicate means (`bootstrap_ci_poisson`'s md5 ladder), the
+    grouped-jackknife skewness for the acceleration constant
+    (`jackknife_ratio_variance`'s total−group algebra over nations),
+    Acklam's probit for the bias term z₀ = Φ⁻¹(frac replicates below
+    θ̂), and the A&S normal CDF for the adjusted percentile levels
+    Φ(z₀ + (z₀±z)/(1−a(z₀±z))).  Efron's correction matters exactly
+    when the percentile interval is most trusted and least deserved:
+    skewed statistics — which revenue means are.
+
+    Engine determinism: replicate ranks come from CEIL(ROUND(B·α, 9))
+    so a last-ulp α difference cannot move an order-statistic index.
+
+    Scale shape: the ×B explode and ONE grouped aggregate are the
+    only corpus-scaled work (identical to the percentile bootstrap);
+    everything after — jackknife, probit, CDF, rank selection — runs
+    on ≤32-row bounded relations."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_custkey").alias("ck"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    ex = o.select(
+        "k",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("bi"),
+    ).select("k", "v", F.col("bi").cast("string").alias("b"))
+    u = ex.select(
+        "b",
+        "v",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("k"), F.lit(":"), F.col("b"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4503599627370496.0)
+        ).alias("u"),
+    )
+    wt = F.lit(7)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        wt = F.when(F.col("u") < F.lit(_POIS_CDF[i]), i).otherwise(wt)
+    rm = (
+        u.select("b", "v", wt.alias("wt"))
+        .groupBy("b")
+        .agg((F.sum(F.col("wt") * F.col("v")) / F.sum("wt")).alias("m"))
+        .repartition(1)
+        .localCheckpoint(eager=True)
+    )
+    fs = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("v").alias("theta"),
+        F.sum("v").alias("st"),
+    )
+    gj = (
+        o.join(F.broadcast(c), o.ck == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("ng"),
+            F.sum("v").alias("sg"),
+        )
+    )
+    loo = gj.crossJoin(F.broadcast(fs)).select(
+        ((F.col("st") - F.col("sg")) / (F.col("n") - F.col("ng"))).alias(
+            "ti"
+        )
+    )
+    acc = loo.agg(
+        F.avg("ti").alias("tbar"),
+        F.sum(F.col("ti") * F.col("ti")).alias("s2"),
+        F.sum(F.col("ti") * F.col("ti") * F.col("ti")).alias("s3"),
+        F.count(F.lit(1)).cast("double").alias("kk"),
+    ).select(
+        # sum((tbar - ti)^3) = -s3 + 3 tbar s2 - 2 k tbar^3 ;
+        # sum((tbar - ti)^2) = s2 - k tbar^2  (raw power sums, the
+        # same expansion the oracle's jm/acc CTEs use).
+        (
+            (
+                -F.col("s3")
+                + 3 * F.col("tbar") * F.col("s2")
+                - 2 * F.col("kk") * F.col("tbar") * F.col("tbar")
+                * F.col("tbar")
+            )
+            / (
+                6.0
+                * F.pow(
+                    F.col("s2")
+                    - F.col("kk") * F.col("tbar") * F.col("tbar"),
+                    1.5,
+                )
+            )
+        ).alias("a")
+    )
+    below = rm.crossJoin(F.broadcast(fs)).agg(
+        F.sum(F.when(F.col("m") < F.col("theta"), 1).otherwise(0))
+        .cast("double")
+        .alias("cnt")
+    )
+    frac = F.greatest(
+        F.least(
+            F.col("cnt") / _BOOT_B, F.lit(1.0 - 1.0 / (2.0 * _BOOT_B))
+        ),
+        F.lit(1.0 / (2.0 * _BOOT_B)),
+    )
+    z0c = below.select(frac.alias("frac")).withColumn(
+        "h", F.expr(probit_hv_sql("frac"))
+    )
+    z0v = z0c.select(F.expr(probit_sql("frac", "h")).alias("z0"))
+    zl = f"(z0 + (z0 - {_BCA_Z}) / (1.0 - a * (z0 - {_BCA_Z})))"
+    zh = f"(z0 + (z0 + {_BCA_Z}) / (1.0 - a * (z0 + {_BCA_Z})))"
+    al = z0v.crossJoin(F.broadcast(acc)).select(
+        "z0",
+        "a",
+        F.expr(phi_sql(zl)).alias("alo"),
+        F.expr(phi_sql(zh)).alias("ahi"),
+    )
+    rks = al.select(
+        "z0",
+        "a",
+        F.greatest(
+            F.least(
+                F.ceil(F.round(_BOOT_B * F.col("alo"), 9)).cast("long"),
+                F.lit(_BOOT_B),
+            ),
+            F.lit(1),
+        ).alias("rlo"),
+        F.greatest(
+            F.least(
+                F.ceil(F.round(_BOOT_B * F.col("ahi"), 9)).cast("long"),
+                F.lit(_BOOT_B),
+            ),
+            F.lit(1),
+        ).alias("rhi"),
+    )
+    rk = rm.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("r")
+    )
+    out = (
+        rks.crossJoin(F.broadcast(fs))
+        .join(
+            F.broadcast(rk.select(F.col("r").alias("rlo"),
+                                  F.col("m").alias("mlo"))),
+            "rlo",
+        )
+        .join(
+            F.broadcast(rk.select(F.col("r").alias("rhi"),
+                                  F.col("m").alias("mhi"))),
+            "rhi",
+        )
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("theta", 4).cast("float").alias("point_mean"),
+        F.round("z0", 6).cast("float").alias("bias_z0"),
+        F.round("a", 6).cast("float").alias("accel_a"),
+        F.col("rlo").alias("rank_lo"),
+        F.col("rhi").alias("rank_hi"),
+        F.round("mlo", 4).cast("float").alias("bca_lo"),
+        F.round("mhi", 4).cast("float").alias("bca_hi"),
+    )

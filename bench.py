@@ -258,6 +258,7 @@ ROUND6: list[str] = [
     "qq_normality_ppcc",
     "spiegelhalter_calibration_z",
     "median_ci_orderstat",
+    "bca_bootstrap_ci",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

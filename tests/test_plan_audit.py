@@ -837,6 +837,8 @@ def test_registry_wide_plan_hygiene(spark):
                                     # (corpus rank uses prefix.py)
         "sen_slope_trend",          # <=months^2 pairwise-slope
                                     # relation (calendar-bounded)
+        "bca_bootstrap_ci",         # 32-replicate relation rank
+                                    # (same class as bootstrap_ci)
     }
     offenders = []
     for name, spec in sorted(REGISTRY.items()):

@@ -2306,3 +2306,68 @@ def test_median_ci_vs_numpy(spark):
     assert abs(r["ci_lo"] - y[l - 1]) / y[l - 1] < 1e-6
     assert abs(r["ci_hi"] - y[n - l]) / y[n - l] < 1e-6
     assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+
+
+def test_bca_vs_python(spark):
+    import hashlib
+    import math
+
+    d = _duck(
+        """SELECT o.o_orderkey AS k, o.o_totalprice AS v,
+                  c.c_nationkey AS g
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        tables=("orders", "customer"),
+    )
+    ks = [str(int(x)) for x in d["k"]]
+    v = np.asarray(d["v"], dtype=np.float64)
+    g = np.asarray(d["g"], dtype=np.int64)
+    n = len(v)
+    theta = v.mean()
+    # replicate means via the same md5 Poisson ladder
+    from axolotls_spark.queries_analytics import _POIS_CDF
+    B = 32
+    ms = []
+    for b in range(B):
+        us = np.asarray([
+            int(hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:13], 16)
+            / 4503599627370496.0 for k in ks])
+        w = np.searchsorted(np.asarray(_POIS_CDF), us, side="right")
+        ms.append((w * v).sum() / w.sum())
+    ms = np.sort(np.asarray(ms))
+    frac = min(max((ms < theta).mean(), 1 / (2 * B)), 1 - 1 / (2 * B))
+
+    def probit(p):
+        lo, hi = -10.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    z0 = probit(frac)
+    # grouped jackknife acceleration
+    tot_s, tot_n = v.sum(), n
+    ti = np.asarray([
+        (tot_s - v[g == gg].sum()) / (tot_n - (g == gg).sum())
+        for gg in np.unique(g)])
+    a = ((ti.mean() - ti) ** 3).sum() / (
+        6 * (((ti.mean() - ti) ** 2).sum()) ** 1.5)
+
+    def phi(z):
+        return 0.5 * (1 + math.erf(z / math.sqrt(2)))
+
+    zq = 1.959963984540054
+    alo = phi(z0 + (z0 - zq) / (1 - a * (z0 - zq)))
+    ahi = phi(z0 + (z0 + zq) / (1 - a * (z0 + zq)))
+    rlo = min(max(math.ceil(round(B * alo, 9)), 1), B)
+    rhi = min(max(math.ceil(round(B * ahi, 9)), 1), B)
+    r = _rows(spark, "bca_bootstrap_ci")[0]
+    assert r["n_orders"] == n
+    assert abs(r["bias_z0"] - z0) < 1e-4      # Acklam vs erf-bisect
+    assert abs(r["accel_a"] - a) < 1e-5
+    assert (r["rank_lo"], r["rank_hi"]) == (rlo, rhi)
+    assert abs(r["bca_lo"] - ms[rlo - 1]) / ms[rlo - 1] < 1e-6
+    assert abs(r["bca_hi"] - ms[rhi - 1]) / ms[rhi - 1] < 1e-6
+    assert r["bca_lo"] <= r["point_mean"] <= r["bca_hi"]
