@@ -10340,3 +10340,137 @@ def bca_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mlo", 4).cast("float").alias("bca_lo"),
         F.round("mhi", 4).cast("float").alias("bca_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Qini curve under a sham (A/A) treatment — uplift-pipeline calibration
+# ---------------------------------------------------------------------------
+
+_QINI_SEED = "qini-aa-r6"
+
+
+@register(
+    "qini_aa_calibration",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey AS k,
+               SUM(o_totalprice) AS spend,
+               MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    assigned AS (
+        SELECT k, spend, y,
+               CASE WHEN ('0x' || substr(md5('{_QINI_SEED}|'
+                          || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE 0 END AS t,
+               ROW_NUMBER() OVER (ORDER BY spend DESC, k) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cust
+    ),
+    dec AS (
+        SELECT ((rn - 1) * 10 // n)::BIGINT AS decile,
+               SUM(t)::BIGINT AS nt,
+               SUM(1 - t)::BIGINT AS nc,
+               SUM(t * y)::BIGINT AS rt,
+               SUM((1 - t) * y)::BIGINT AS rc
+        FROM assigned GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, nt, nc, rt, rc,
+               SUM(rt) OVER w AS crt, SUM(rc) OVER w AS crc,
+               SUM(nt) OVER w AS cnt_, SUM(nc) OVER w AS cnc
+        FROM dec WINDOW w AS (ORDER BY decile)
+    )
+    SELECT decile, nt, nc, rt, rc,
+           CAST(ROUND(crt - crc * (CAST(cnt_ AS DOUBLE) / cnc), 4) + 0.0
+                AS REAL) AS qini,
+           CAST(ROUND(CAST(rt AS DOUBLE) / nt
+                      - CAST(rc AS DOUBLE) / nc, 6) + 0.0 AS REAL)
+               AS decile_uplift
+    FROM cum
+    """,
+    tags=("qini", "uplift", "aa-test", "null-calibration",
+          "experiment", "marketing"),
+)
+def qini_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve under a SHAM (A/A) treatment — the null-calibration
+    run every uplift pipeline owes itself before believing a real
+    one: customers are 'treated' by a deterministic md5 coin, ranked
+    by spend as the targeting score, and the Qini statistic
+    cum(R_t) − cum(R_c)·(cum(N_t)/cum(N_c)) is computed per decile.
+    Because treatment is independent of everything, the TRUE curve
+    is zero — the emitted per-decile qini values ARE the null noise
+    band an analyst should expect from a real campaign readout of
+    this size (`lift_gain_deciles` grades a ranking against known
+    labels; this grades an uplift measurement against a known
+    nothing).
+
+    Scale shape: one per-customer aggregate; the global score rank
+    reuses the integer-decile assignment (prefix machinery on the
+    Spark side); deciles and cumulative sums run on the bounded
+    10-row relation (allowlisted bounded window class)."""
+    from axolotls_spark.operators.dedup import token_hash
+    from axolotls_spark.operators.prefix import ranked_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum("o_totalprice").alias("spend"),
+        F.max(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("y"),
+    )
+    t = F.when(
+        token_hash(
+            F.concat(F.lit(_QINI_SEED + "|"), F.col("k").cast("string"))
+        )
+        % 2
+        == 0,
+        1,
+    ).otherwise(0)
+    assigned = ranked_cumsum(
+        cust.withColumn("t", t).withColumn("one", F.lit(1.0)),
+        [F.desc("spend"), F.asc("k")],
+        "one",
+        rank_name="rn",
+        cum_name="__c",
+    )
+    n = assigned.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dec = (
+        assigned.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.floor((F.col("rn") - 1) * 10 / F.col("n"))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.sum("t").cast("long").alias("nt"),
+            F.sum(1 - F.col("t")).cast("long").alias("nc"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("rt"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("rc"),
+        )
+    )
+    wc = Window.orderBy("decile")
+    return dec.select(
+        "decile",
+        "nt",
+        "nc",
+        "rt",
+        "rc",
+        (F.round(
+            F.sum("rt").over(wc)
+            - F.sum("rc").over(wc)
+            * (
+                F.sum("nt").over(wc).cast("double")
+                / F.sum("nc").over(wc)
+            ),
+            4,
+        # round can yield -0.0 in one engine and 0.0 in the other
+        # (repr-compared by the parity hash): normalize with + 0.0,
+        # the pca_project_embeddings convention.
+        ) + F.lit(0.0)).cast("float").alias("qini"),
+        (F.round(
+            F.col("rt").cast("double") / F.col("nt")
+            - F.col("rc").cast("double") / F.col("nc"),
+            6,
+        ) + F.lit(0.0)).cast("float").alias("decile_uplift"),
+    )

@@ -3845,3 +3845,127 @@ def rouge_lead_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("r1_f1"), 6).cast("float").alias("rouge1_f1"),
         F.round(F.avg("r2_recall"), 6).cast("float").alias("rouge2_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa across a PANEL of three quality gates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fleiss_kappa_gates",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, UNNEST({_SQL_TOKENS}) AS tok
+        FROM documents
+    ),
+    per AS (
+        SELECT doc_id, MAX(n_chars) AS n_chars,
+               SUM(c)::BIGINT AS nt, COUNT(*)::BIGINT AS nd,
+               MAX(c)::BIGINT AS topc
+        FROM (SELECT doc_id, n_chars, tok, COUNT(*) AS c
+              FROM toks GROUP BY 1, 2, 3)
+        GROUP BY doc_id
+    ),
+    votes AS (
+        SELECT doc_id,
+               (CASE WHEN n_chars >= {_MCNEMAR_CHARS} THEN 1 ELSE 0 END
+                + CASE WHEN nd * {_KAPPA_TTR[1]} < nt * {_KAPPA_TTR[0]}
+                       THEN 1 ELSE 0 END
+                + CASE WHEN topc * {_KAPPA_DOM[1]} >= nt * {_KAPPA_DOM[0]}
+                       THEN 1 ELSE 0 END) AS v
+        FROM per
+    ),
+    m AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(v)::DOUBLE AS sv,
+               SUM(v * v)::DOUBLE AS svv
+        FROM votes
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(ROUND(sv / (3.0 * n), 6) AS REAL) AS p_pass,
+           CAST(ROUND(((svv - sv) + (6*n - 5*sv + svv)) / (6.0 * n), 6)
+                AS REAL) AS p_bar,
+           CAST(ROUND((((svv - sv) + (6*n - 5*sv + svv)) / (6.0 * n)
+                       - (POWER(sv / (3*n), 2)
+                          + POWER(1 - sv / (3*n), 2)))
+                      / (1 - (POWER(sv / (3*n), 2)
+                              + POWER(1 - sv / (3*n), 2))), 6) AS REAL)
+               AS fleiss_kappa
+    FROM m
+    """,
+    tags=("fleiss-kappa", "inter-rater", "panel-agreement",
+          "quality-gates", "curation"),
+)
+def fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across the PANEL of three quality gates (char
+    floor, type-token ratio, top-token dominance) — the multi-rater
+    generalization of `kappa_filter_agreement`'s pairwise Cohen
+    kappa: with r=3 raters per document, observed agreement per doc
+    is the fraction of concordant rater PAIRS (v votes of 1 →
+    (v(v−1) + (r−v)(r−v−1))/(r(r−1)), which for r=3 reduces to the
+    (Σv²−Σv)/(3n) closed form plus the complement pairs folded into
+    the expected-agreement algebra), chance agreement from the
+    pooled vote rate.  One number says whether the gate PANEL is
+    measuring one thing (high κ → two gates are dead weight,
+    `mcnemar_gate_flip` says which) or complementary signals.
+
+    Engine exactness: all three gates are integer comparisons, v is
+    an integer 0..3 per doc, and the kappa is few-op algebra on
+    three exact sums.
+
+    Scale shape: one (doc, token) aggregate, one per-doc fold, one
+    3-cell moment fold — map-side combinable, no joins."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(D.tokens_col(F.col("text"))).alias("tok"),
+    )
+    per = (
+        toks.groupBy("doc_id", "n_chars", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.sum("c").cast("long").alias("nt"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.max("c").cast("long").alias("topc"),
+        )
+    )
+    v = (
+        F.when(F.col("n_chars") >= _MCNEMAR_CHARS, 1).otherwise(0)
+        + F.when(
+            F.col("nd") * _KAPPA_TTR[1] < F.col("nt") * _KAPPA_TTR[0], 1
+        ).otherwise(0)
+        + F.when(
+            F.col("topc") * _KAPPA_DOM[1] >= F.col("nt") * _KAPPA_DOM[0],
+            1,
+        ).otherwise(0)
+    )
+    m = per.select(v.alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("svv"),
+    )
+    # For r=3 raters: observed pairwise agreement
+    # P̄ = (Σ[v(v−1)] + Σ[(3−v)(2−v)]) / (3·2·n)
+    #    = (2Σv² − 2·? ...) — expanded directly below from sv/svv.
+    pbar = (
+        (F.col("svv") - F.col("sv"))
+        + (
+            6 * F.col("n")
+            - 5 * F.col("sv")
+            + F.col("svv")
+        )
+    ) / (6.0 * F.col("n"))
+    ppass = F.col("sv") / (3.0 * F.col("n"))
+    pe = ppass * ppass + (1 - ppass) * (1 - ppass)
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(ppass, 6).cast("float").alias("p_pass"),
+        F.round(pbar, 6).cast("float").alias("p_bar"),
+        F.round((pbar - pe) / (1 - pe), 6).cast("float").alias(
+            "fleiss_kappa"
+        ),
+    )

@@ -259,6 +259,8 @@ ROUND6: list[str] = [
     "spiegelhalter_calibration_z",
     "median_ci_orderstat",
     "bca_bootstrap_ci",
+    "qini_aa_calibration",
+    "fleiss_kappa_gates",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

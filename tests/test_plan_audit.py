@@ -839,6 +839,8 @@ def test_registry_wide_plan_hygiene(spark):
                                     # relation (calendar-bounded)
         "bca_bootstrap_ci",         # 32-replicate relation rank
                                     # (same class as bootstrap_ci)
+        "qini_aa_calibration",      # 10-row decile relation cum-sum
+                                    # (corpus rank uses prefix.py)
     }
     offenders = []
     for name, spec in sorted(REGISTRY.items()):

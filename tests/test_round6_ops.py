@@ -2371,3 +2371,84 @@ def test_bca_vs_python(spark):
     assert abs(r["bca_lo"] - ms[rlo - 1]) / ms[rlo - 1] < 1e-6
     assert abs(r["bca_hi"] - ms[rhi - 1]) / ms[rhi - 1] < 1e-6
     assert r["bca_lo"] <= r["point_mean"] <= r["bca_hi"]
+
+
+def test_qini_aa_vs_python(spark):
+    import hashlib
+
+    d = _duck(
+        """SELECT o_custkey AS k, SUM(o_totalprice) AS spend,
+                  MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+           FROM orders GROUP BY o_custkey""",
+        tables=("orders",),
+    )
+    recs = sorted(
+        zip(d["spend"], d["k"], d["y"]),
+        key=lambda r: (-float(r[0]), int(r[1])),
+    )
+    n = len(recs)
+    rows = sorted(_rows(spark, "qini_aa_calibration"),
+                  key=lambda r: r["decile"])
+    assert len(rows) == 10
+    crt = crc = cnt = cnc = 0
+    for dec in range(10):
+        nt = nc = rt = rc = 0
+        for i, (_, k, y) in enumerate(recs):
+            if (i * 10) // n != dec:
+                continue
+            t = int(hashlib.md5(f"qini-aa-r6|{int(k)}".encode())
+                    .hexdigest()[:15], 16) % 2 == 0
+            if t:
+                nt += 1
+                rt += int(y)
+            else:
+                nc += 1
+                rc += int(y)
+        r = rows[dec]
+        assert (r["nt"], r["nc"], r["rt"], r["rc"]) == (nt, nc, rt, rc)
+        crt += rt
+        crc += rc
+        cnt += nt
+        cnc += nc
+        assert abs(r["qini"] - (crt - crc * (cnt / cnc))) < 1e-2
+        assert abs(r["decile_uplift"] - (rt / nt - rc / nc)) < 1e-5
+    # A/A: final qini must be within a 4-sigma binomial noise band.
+    p = (crt + crc) / (cnt + cnc)
+    import math
+    sd = math.sqrt(p * (1 - p) * (cnt + cnc))
+    assert abs(rows[-1]["qini"]) < 4 * sd
+
+
+def test_fleiss_kappa_vs_python(spark):
+    d = _duck(
+        r"""WITH toks AS (
+              SELECT doc_id, n_chars,
+                     UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+            SELECT doc_id, MAX(n_chars) AS n_chars,
+                   SUM(c) AS nt, COUNT(*) AS nd, MAX(c) AS topc
+            FROM (SELECT doc_id, n_chars, tok, COUNT(*) AS c
+                  FROM toks GROUP BY 1, 2, 3)
+            GROUP BY doc_id""",
+        tables=("documents",),
+    )
+    from axolotls_spark.queries_text import (
+        _KAPPA_DOM, _KAPPA_TTR, _MCNEMAR_CHARS)
+    vs = []
+    for nc, nt, nd, topc in zip(d["n_chars"], d["nt"], d["nd"], d["topc"]):
+        v = (int(nc >= _MCNEMAR_CHARS)
+             + int(nd * _KAPPA_TTR[1] < nt * _KAPPA_TTR[0])
+             + int(topc * _KAPPA_DOM[1] >= nt * _KAPPA_DOM[0]))
+        vs.append(v)
+    v = np.asarray(vs, dtype=np.float64)
+    n, r_ = len(v), 3
+    pi = (v * (v - 1) + (r_ - v) * (r_ - v - 1)) / (r_ * (r_ - 1))
+    pbar = pi.mean()
+    pp = v.sum() / (r_ * n)
+    pe = pp ** 2 + (1 - pp) ** 2
+    kappa = (pbar - pe) / (1 - pe)
+    row = _rows(spark, "fleiss_kappa_gates")[0]
+    assert row["n_docs"] == n
+    assert abs(row["p_pass"] - pp) < 1e-5
+    assert abs(row["p_bar"] - pbar) < 1e-5
+    assert abs(row["fleiss_kappa"] - kappa) < 1e-5
