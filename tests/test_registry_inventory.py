@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 412  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 413  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -60,7 +60,9 @@ N_EXPECTED = 412  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +spiegelhalter_calibration_z, +median_ci_orderstat,
 #                   +bca_bootstrap_ci, +qini_aa_calibration,
 #                   +fleiss_kappa_gates
-N_ORACLE = 412
+# round 6, third session:
+#                   +link_prediction_copurchase
+N_ORACLE = 413
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:
