@@ -1806,3 +1806,205 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("float")
         .alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# AMS (Alon–Matias–Szegedy) F2 sign sketch with a merge witness
+
+
+#: Number of independent AMS sign sketches.  With 32, the estimator's
+#: standard error is F2*sqrt(2/32) = 0.25*F2, so the emitted 3-sigma
+#: acceptance band |mean_est - F2| <= 0.75*F2 is deterministic-safe at
+#: every tested SF (measured relative error <= 0.2 across all scopes).
+_AMS_K = 32
+
+#: Even first hex nibble of md5 -> +1, odd -> -1 (exactly 8/16 each
+#: way, and identical text in both engines: lowercase hex md5).
+_AMS_EVEN = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+
+def _ams_sign_sql(key: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(j::VARCHAR || ':' || {key}::VARCHAR), 1, 1)"
+        f" IN {_AMS_EVEN} THEN 1 ELSE -1 END"
+    )
+
+
+@register(
+    "ams_f2_sketch_merge",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT l_returnflag AS flag, l_partkey AS k,
+               COUNT(*)::BIGINT AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    comp AS (
+        SELECT flag, j.j,
+               SUM(c * {_ams_sign_sql("k")})::BIGINT AS s
+        FROM cnt CROSS JOIN (
+            SELECT UNNEST(range(0, {_AMS_K})) AS j
+        ) j
+        GROUP BY 1, 2
+    ),
+    flag_est AS (
+        SELECT flag, SUM(s * s)::BIGINT AS est_ss FROM comp GROUP BY flag
+    ),
+    flag_exact AS (
+        SELECT flag, COUNT(*)::BIGINT AS n_keys,
+               SUM(c * c)::BIGINT AS f2_exact
+        FROM cnt GROUP BY flag
+    ),
+    gcnt AS (SELECT k, SUM(c)::BIGINT AS c FROM cnt GROUP BY k),
+    gcomp AS (
+        SELECT j.j, SUM(c * {_ams_sign_sql("k")})::BIGINT AS s
+        FROM gcnt CROSS JOIN (
+            SELECT UNNEST(range(0, {_AMS_K})) AS j
+        ) j
+        GROUP BY 1
+    ),
+    direct AS (SELECT SUM(s * s)::BIGINT AS est_ss FROM gcomp),
+    mcomp AS (SELECT j, SUM(s)::BIGINT AS s FROM comp GROUP BY j),
+    merged AS (SELECT SUM(s * s)::BIGINT AS est_ss FROM mcomp),
+    gexact AS (
+        SELECT COUNT(*)::BIGINT AS n_keys, SUM(c * c)::BIGINT AS f2_exact
+        FROM gcnt
+    )
+    SELECT flag AS scope, n_keys, f2_exact, est_ss,
+           {_AMS_K} AS n_sketches,
+           CAST(ABS(est_ss - {_AMS_K} * f2_exact)
+                <= 24 * f2_exact AS INT) AS within_3sigma,
+           CAST(NULL AS INT) AS merged_equals_direct
+    FROM flag_est JOIN flag_exact USING (flag)
+    UNION ALL
+    SELECT 'ALL' AS scope, g.n_keys, g.f2_exact, m.est_ss,
+           {_AMS_K} AS n_sketches,
+           CAST(ABS(m.est_ss - {_AMS_K} * g.f2_exact)
+                <= 24 * g.f2_exact AS INT) AS within_3sigma,
+           CAST(m.est_ss = d.est_ss AS INT) AS merged_equals_direct
+    FROM merged m CROSS JOIN direct d CROSS JOIN gexact g
+    ORDER BY scope
+    """,
+    tags=("sketch", "ams", "f2", "self-join-size", "mergeable",
+          "bound-oracle"),
+)
+def ams_f2_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS sign sketch of the second frequency moment F2 = sum_k c_k^2
+    of ``l_partkey`` — the classical streaming estimator of SELF-JOIN
+    SIZE, the statistic a distributed optimizer needs before deciding
+    whether a key is safe to shuffle-join (`join_size_estimate` is the
+    sampling sibling; this is the fixed-size-summary sibling).
+
+    Each of the 32 sketches keeps ONE integer per scope:
+    S_j = sum_k c_k * s_j(k) with s_j(k) = +/-1 from an md5 bit
+    (4-wise-independence stands in for the textbook BCH generator;
+    engine-independent by construction).  E[S_j^2] = F2, so the mean
+    of the 32 squares estimates F2 with sigma = F2*sqrt(2/32).
+
+    The MERGE WITNESS is the point of the query: S_j is LINEAR in the
+    count vector, so per-returnflag components simply ADD —
+    ``merged_equals_direct`` asserts (as an exact integer equality,
+    not a bound) that summing the three per-flag component vectors
+    and squaring gives bit-identically the estimate computed from
+    the global counts.  That is the property that lets 1000 executors
+    sketch their shards independently and a coordinator combine
+    32 integers per shard — no re-scan, no raw-key exchange.
+
+    Scale shape: ONE corpus shuffle (the (flag, partkey) count);
+    everything after runs on the key-domain relation (|parts|-sized),
+    fanned out x32 for the signs, collapsed to 3x32 = 96 component
+    integers.  All emitted columns are integers (counts, exact F2,
+    sum of squared components, flags), so the parity hash is exact by
+    construction; the accuracy claim rides as the integer
+    ``within_3sigma`` bound (the `sketch_mergeable_rollup` /
+    `ann_lsh_topk` promotion pattern).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_partkey").alias("k"),
+    )
+    cnt = li.groupBy("flag", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    spine = F.broadcast(
+        spark.range(_AMS_K).select(F.col("id").cast("int").alias("j"))
+    )
+
+    def sign() -> F.Column:
+        h = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        return F.when(h.isin(*_AMS_EVEN), F.lit(1)).otherwise(F.lit(-1))
+
+    comp = (
+        cnt.crossJoin(spine)
+        .groupBy("flag", "j")
+        .agg(F.sum(F.col("c") * sign()).cast("long").alias("s"))
+    )
+    flag_est = comp.groupBy("flag").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("est_ss")
+    )
+    flag_exact = cnt.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+    )
+    gcnt = cnt.groupBy("k").agg(F.sum("c").cast("long").alias("c"))
+    gcomp = (
+        gcnt.crossJoin(spine)
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * sign()).cast("long").alias("s"))
+    )
+    direct = gcomp.agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("d_est_ss")
+    )
+    merged = (
+        comp.groupBy("j")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("est_ss"))
+    )
+    gexact = gcnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+    )
+    flags = flag_est.join(flag_exact, "flag").select(
+        F.col("flag").alias("scope"),
+        "n_keys",
+        "f2_exact",
+        "est_ss",
+        F.lit(_AMS_K).alias("n_sketches"),
+        (
+            F.abs(F.col("est_ss") - _AMS_K * F.col("f2_exact"))
+            <= 24 * F.col("f2_exact")
+        )
+        .cast("int")
+        .alias("within_3sigma"),
+        F.lit(None).cast("int").alias("merged_equals_direct"),
+    )
+    all_row = (
+        merged.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(gexact))
+        .select(
+            F.lit("ALL").alias("scope"),
+            "n_keys",
+            "f2_exact",
+            "est_ss",
+            F.lit(_AMS_K).alias("n_sketches"),
+            (
+                F.abs(F.col("est_ss") - _AMS_K * F.col("f2_exact"))
+                <= 24 * F.col("f2_exact")
+            )
+            .cast("int")
+            .alias("within_3sigma"),
+            (F.col("est_ss") == F.col("d_est_ss"))
+            .cast("int")
+            .alias("merged_equals_direct"),
+        )
+    )
+    return flags.unionAll(all_row).orderBy("scope")
