@@ -651,3 +651,121 @@ def bucketed_join_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_extendedprice").cast("float").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner (OPTIMIZE bin packing)
+
+
+#: Target compacted file size.  Demo-scaled (128 KiB) so every SF
+#: produces a multi-bin plan; a production lake uses 128 MiB-1 GiB —
+#: the SAME plan with a different literal, since nothing below
+#: depends on the value.
+_COMPACT_TARGET = 131072
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH files AS (
+        SELECT strftime(o_orderdate, '%Y-%m') || '/' || o_orderpriority
+                   AS file_id,
+               (COUNT(*) * 150)::BIGINT AS size_bytes
+        FROM orders
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT file_id, size_bytes,
+               SUM(size_bytes) OVER (
+                   ORDER BY size_bytes DESC, file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM files
+    ),
+    binned AS (
+        SELECT file_id, size_bytes,
+               CAST(cum - size_bytes AS BIGINT) // {_COMPACT_TARGET}
+                   AS bin_id
+        FROM ranked
+    )
+    SELECT bin_id,
+           COUNT(*)::BIGINT AS n_files,
+           SUM(size_bytes)::BIGINT AS bin_bytes,
+           MAX(size_bytes)::BIGINT AS max_file_bytes,
+           MIN(size_bytes)::BIGINT AS min_file_bytes,
+           CAST(SUM(size_bytes)::DOUBLE / {_COMPACT_TARGET} AS REAL)
+               AS fill_ratio
+    FROM binned
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+    tags=("warehouse", "compaction", "bin-packing", "maintenance",
+          "prefix-sum"),
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the OPTIMIZE planner of a lakehouse
+    table (Delta/Iceberg `rewrite_data_files`): group the table's file
+    manifest into target-sized rewrite bins by next-fit-decreasing,
+    emitting per-bin file count, byte totals, and fill ratio.  The
+    manifest is simulated from `orders` partitioned by
+    (month, priority) at ~150 bytes/row; on a real lake it is the
+    table's metadata/manifest relation — which is exactly why this
+    scales: the planner touches FILE METADATA (millions of rows at
+    100 TB), never data.
+
+    Bin assignment is deterministic, parallel next-fit-decreasing:
+    files sorted by (size DESC, file_id), each file's bin is
+    ``exclusive_prefix_sum // target`` — a bin may overrun the target
+    by at most one file (classic NFD bound), which the emitted
+    ``fill_ratio`` makes visible.  Strict first-fit-decreasing packs
+    marginally tighter but is inherently sequential (each placement
+    depends on every earlier bin's residual capacity); the prefix-sum
+    formulation is order-equivalent, one-pass, and runs on the same
+    distributed scaffold the exact-quantile family certifies
+    (operators/prefix.ranked_cumsum: range partitions + a window over
+    the <=32-row per-partition offsets relation — NO unpartitioned
+    window over the manifest).
+
+    Integer discipline (round-6 boundary rule): the bin boundary is
+    computed with INTEGER division on exact byte counts — a float
+    ``floor(cum/target)`` could round up across the boundary when the
+    exclusive prefix lands exactly on a target multiple."""
+    from axolotls_spark.operators.prefix import ranked_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    files = (
+        o.groupBy(
+            F.concat_ws(
+                "/",
+                F.date_format("o_orderdate", "yyyy-MM"),
+                F.col("o_orderpriority"),
+            ).alias("file_id")
+        )
+        .agg((F.count(F.lit(1)) * 150).cast("long").alias("size_bytes"))
+    )
+    rc = ranked_cumsum(
+        files,
+        [F.desc("size_bytes"), F.asc("file_id")],
+        "size_bytes",
+        rank_name="rn",
+        cum_name="cum",
+    )
+    binned = rc.withColumn(
+        "bin_id",
+        F.expr(f"(cum - size_bytes) div {_COMPACT_TARGET}").cast("long"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("size_bytes").cast("long").alias("bin_bytes"),
+            F.max("size_bytes").cast("long").alias("max_file_bytes"),
+            F.min("size_bytes").cast("long").alias("min_file_bytes"),
+            (
+                F.sum("size_bytes").cast("double") / _COMPACT_TARGET
+            )
+            .cast("float")
+            .alias("fill_ratio"),
+        )
+        .orderBy("bin_id")
+    )
