@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from axolotls_spark.io.sources import load_table
 from axolotls_spark.registry import register, stable_f32
@@ -1322,3 +1323,140 @@ def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("tbl", "lhs", "rhs")
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature screen
+
+
+def _woe_bin_sql(feature: str, bin_expr: str) -> str:
+    return f"""
+    SELECT '{feature}' AS feature, {bin_expr} AS bin,
+           COUNT(*)::BIGINT AS n,
+           SUM(y)::BIGINT AS n_good
+    FROM base GROUP BY 2"""
+
+
+_WOE_BASE_SQL = """
+    base AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               o_orderpriority,
+               o_totalprice
+        FROM orders
+    )
+"""
+
+_WOE_PRICE_BIN = (
+    "CAST(LEAST(CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT), 4)"
+    " AS VARCHAR)"
+)
+
+
+@register(
+    "woe_information_value",
+    oracle=f"""
+    WITH {_WOE_BASE_SQL},
+    bins AS (
+        {_woe_bin_sql("priority", "o_orderpriority")}
+        UNION ALL
+        {_woe_bin_sql("price_band", _WOE_PRICE_BIN)}
+    ),
+    tot AS (
+        SELECT feature, SUM(n_good)::BIGINT AS g_tot,
+               SUM(n - n_good)::BIGINT AS b_tot
+        FROM bins GROUP BY feature
+    ),
+    scored AS (
+        SELECT b.feature, b.bin, b.n, b.n_good,
+               (b.n - b.n_good)::BIGINT AS n_bad,
+               LN(((b.n_good + 0.5) / t.g_tot)
+                  / ((b.n - b.n_good + 0.5) / t.b_tot)) AS woe,
+               ((b.n_good + 0.5) / t.g_tot
+                - (b.n - b.n_good + 0.5) / t.b_tot)
+               * LN(((b.n_good + 0.5) / t.g_tot)
+                    / ((b.n - b.n_good + 0.5) / t.b_tot)) AS ivc
+        FROM bins b JOIN tot t USING (feature)
+    )
+    SELECT feature, bin, n, n_good, n_bad,
+           CAST(woe AS REAL) AS woe,
+           CAST(ivc AS REAL) AS iv_contrib,
+           CAST(SUM(ivc) OVER (PARTITION BY feature) AS REAL)
+               AS feature_iv
+    FROM scored
+    ORDER BY feature, bin
+    """,
+    tags=("quality", "woe", "information-value", "feature-screen",
+          "encoding"),
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence table and information value per feature —
+    the credit-scoring feature screen (Siddiqi's IV rule of thumb:
+    <0.02 useless, >0.3 strong) for a binary target
+    (order finalized, ``o_orderstatus = 'F'``) against a categorical
+    feature and a fixed-width price band.  WOE is the bin's
+    log-odds shift ``ln((g_i/G)/(b_i/B))`` with +0.5 Laplace cells so
+    an empty bin never produces an infinite encoding; IV is the
+    symmetrized KL mass ``sum (g_i/G - b_i/B) * WOE_i``.
+    `target_encode_loo` is the per-ROW leakage-safe sibling; this is
+    the per-BIN screening/reporting artifact.
+
+    Scale shape: one grouped aggregate per feature over the raw
+    table (map-side combinable), then all algebra on the bin relation
+    (<=10 rows); the feature totals join is a broadcast.  The only
+    window (feature_iv) runs on the bin relation, not data."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    feats = [
+        ("priority", F.col("o_orderpriority")),
+        (
+            "price_band",
+            F.least(
+                F.floor(F.col("o_totalprice") / 100000.0).cast("long"),
+                F.lit(4),
+            ).cast("string"),
+        ),
+    ]
+    parts = []
+    for name, bin_col in feats:
+        parts.append(
+            o.groupBy(bin_col.alias("bin"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("n_good"),
+            )
+            .select(F.lit(name).alias("feature"), "bin", "n", "n_good")
+        )
+    bins = parts[0].unionAll(parts[1])
+    tot = bins.groupBy("feature").agg(
+        F.sum("n_good").cast("long").alias("g_tot"),
+        F.sum(F.col("n") - F.col("n_good")).cast("long").alias("b_tot"),
+    )
+    gq = (F.col("n_good") + 0.5) / F.col("g_tot")
+    bq = (F.col("n") - F.col("n_good") + 0.5) / F.col("b_tot")
+    woe = F.log(gq / bq)
+    scored = bins.join(F.broadcast(tot), "feature").select(
+        "feature",
+        "bin",
+        "n",
+        "n_good",
+        (F.col("n") - F.col("n_good")).cast("long").alias("n_bad"),
+        woe.alias("woe_d"),
+        ((gq - bq) * woe).alias("ivc_d"),
+    )
+    w = Window.partitionBy("feature")
+    return (
+        scored.select(
+            "feature",
+            "bin",
+            "n",
+            "n_good",
+            "n_bad",
+            F.col("woe_d").cast("float").alias("woe"),
+            F.col("ivc_d").cast("float").alias("iv_contrib"),
+            F.sum("ivc_d").over(w).cast("float").alias("feature_iv"),
+        )
+        .orderBy("feature", "bin")
+    )
