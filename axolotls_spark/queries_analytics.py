@@ -10635,3 +10635,199 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_a",
         "part_b",
     ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# O'Brien–Fleming-style group-sequential monitoring boundaries
+
+
+_OBF_Z975 = 1.959963984540054  # z_{alpha/2} for two-sided alpha = 0.05
+
+#: Lan–DeMets O'Brien–Fleming-like alpha-spending function
+#: alpha*(t) = 2 * (1 - Phi(z_{a/2} / sqrt(t))) — shared TEXT between
+#: engines via phi_sql, like every probit consumer in this module.
+_OBF_SPEND = f"2.0 * (1.0 - {phi_sql(f'({_OBF_Z975} / SQRT(t))')})"
+
+#: Per-look boundary from the spending INCREMENT: the increment is
+#: always in Acklam's upper-tail region (max single increment of this
+#: spending function is ~0.012 << 2*0.02425), so the helper variable
+#: is derived from the increment DIRECTLY — sqrt(-2 ln(inc/2)) — and
+#: never through 1 - p, which rounds to exactly 1.0 in double when an
+#: early look's increment underflows 1e-17 (LN(0) = -inf poison).
+_OBF_HV = "SQRT(-2.0 * LN(GREATEST(inc, 1e-300) / 2.0))"
+
+
+@register(
+    "obrien_fleming_looks",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                         ::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (
+        SELECT day, arm, COUNT(*)::BIGINT AS n, SUM(value) AS s,
+               SUM(value * value) AS s2
+        FROM assigned GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT day, arm,
+               SUM(n) OVER w AS n, SUM(s) OVER w AS s,
+               SUM(s2) OVER w AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY arm ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT SUM(n)::BIGINT AS ntot FROM daily),
+    looks AS (
+        SELECT a.day,
+               a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+               (b.s / b.n - a.s / a.n)
+               / SQRT(((a.s2 - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                      + ((b.s2 - b.s * b.s / b.n) / (b.n - 1)) / b.n)
+                   AS z,
+               (a.n + b.n)::DOUBLE / ntot AS t
+        FROM cum a JOIN cum b ON a.day = b.day
+                   AND a.arm = 'A' AND b.arm = 'B'
+        CROSS JOIN tot
+    ),
+    spent AS (
+        SELECT day, n_a, n_b, z, t, {_OBF_SPEND} AS sp FROM looks
+    ),
+    incs AS (
+        SELECT day, n_a, n_b, z, t, sp,
+               sp - COALESCE(LAG(sp) OVER (ORDER BY day), 0.0) AS inc
+        FROM spent
+    ),
+    hv AS (SELECT *, {_OBF_HV} AS h, 1.0 - inc / 2.0 AS p FROM incs),
+    bounds AS (
+        SELECT day, n_a, n_b, z, t, sp, {probit_sql("p", "h")} AS zb
+        FROM hv
+    )
+    SELECT day, n_a, n_b,
+           CAST(z AS REAL) AS z_obs,
+           CAST(t AS REAL) AS info_frac,
+           CAST(sp AS REAL) AS alpha_spent,
+           CAST(zb AS REAL) AS z_boundary,
+           CAST(ABS(z) > zb AS INT) AS crossed
+    FROM bounds
+    ORDER BY day
+    """,
+    tags=("experiment", "group-sequential", "obrien-fleming",
+          "alpha-spending", "monitoring"),
+)
+def obrien_fleming_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily group-sequential monitoring table for the hash-split
+    purchase experiment: per look (day), the cumulative Welch z, the
+    information fraction, the cumulative O'Brien–Fleming-like alpha
+    spend 2(1 - Phi(z_{a/2}/sqrt(t))) (Lan–DeMets), and the per-look
+    boundary from the first-order spending approximation — the
+    nominal level of look k is the spending INCREMENT, so
+    z_boundary = Phi^{-1}(1 - (a*(t_k) - a*(t_{k-1}))/2).  Exact
+    boundaries need the multivariate-normal recursion; the
+    increment approximation is the standard quick audit and is
+    CONSERVATIVE early (boundaries ~8 at day 1, falling toward ~2.3),
+    which is exactly the OBF shape: nearly impossible to stop early,
+    cheap to stop late.  `msprt_always_valid` is the always-valid
+    mixture sibling; this is the scheduled-looks classic.
+
+    Cross-engine discipline: Phi and Phi^{-1} are the shared
+    phi_sql/probit_sql TEXT (Acklam + Abramowitz–Stegun), and the
+    probit helper is derived from the increment directly — never via
+    1 - inc/2, which rounds to 1.0 in double for early looks whose
+    spending increment underflows (LN(0) poison).  The crossed flag
+    compares |z| ~ 1 against boundaries >= 2.2 (A/A split by
+    construction), a margin ~10^6 ulps wide.
+
+    Scale shape: ONE corpus aggregate (day x arm); every window and
+    join after runs on the ~30-row look relation."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    assigned = e.select(
+        F.to_date("ts").alias("day"),
+        F.when(token_hash(F.col("user_id").cast("string")) % 2 == 0, "A")
+        .otherwise("B")
+        .alias("arm"),
+        "value",
+    )
+    daily = assigned.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(wcum).alias("n"),
+        F.sum("s").over(wcum).alias("s"),
+        F.sum("s2").over(wcum).alias("s2"),
+    )
+    a = cum.filter(F.col("arm") == "A").select(
+        "day",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = cum.filter(F.col("arm") == "B").select(
+        "day",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    tot = daily.agg(F.sum("n").cast("long").alias("ntot"))
+    va = (
+        (F.col("s2_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+    ) / F.col("n_a")
+    vb = (
+        (F.col("s2_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    ) / F.col("n_b")
+    looks = (
+        a.join(b, "day")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_a",
+            "n_b",
+            (
+                (F.col("s_b") / F.col("n_b") - F.col("s_a") / F.col("n_a"))
+                / F.sqrt(va + vb)
+            ).alias("z"),
+            (
+                (F.col("n_a") + F.col("n_b")).cast("double")
+                / F.col("ntot")
+            ).alias("t"),
+        )
+    )
+    spent = looks.withColumn("sp", F.expr(_OBF_SPEND))
+    winc = Window.orderBy("day")
+    incs = spent.withColumn(
+        "inc",
+        F.col("sp") - F.coalesce(F.lag("sp").over(winc), F.lit(0.0)),
+    )
+    hv = incs.withColumn("h", F.expr(_OBF_HV)).withColumn(
+        "p", 1.0 - F.col("inc") / 2.0
+    )
+    bounds = hv.withColumn("zb", F.expr(probit_sql("p", "h")))
+    return bounds.select(
+        "day",
+        "n_a",
+        "n_b",
+        F.col("z").cast("float").alias("z_obs"),
+        F.col("t").cast("float").alias("info_frac"),
+        F.col("sp").cast("float").alias("alpha_spent"),
+        F.col("zb").cast("float").alias("z_boundary"),
+        (F.abs(F.col("z")) > F.col("zb")).cast("int").alias("crossed"),
+    ).orderBy("day")
