@@ -18,6 +18,8 @@ trick) before the self-join.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -10831,3 +10833,196 @@ def obrien_fleming_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zb").cast("float").alias("z_boundary"),
         (F.abs(F.col("z")) > F.col("zb")).cast("int").alias("crossed"),
     ).orderBy("day")
+
+
+@register(
+    "clustering_coefficient_nodes",
+    oracle=f"""
+    WITH {_LINKPRED_EDGES_SQL},
+    wedges AS (
+        SELECT x.u AS z, x.v AS a, y.v AS b
+        FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+    ),
+    tri AS (
+        SELECT w.z, COUNT(*)::BIGINT AS triangles
+        FROM wedges w JOIN edges e ON w.a = e.u AND w.b = e.v
+        GROUP BY w.z
+    )
+    SELECT d.u AS part, d.d AS degree,
+           COALESCE(t.triangles, 0)::BIGINT AS triangles,
+           CAST(2.0 * COALESCE(t.triangles, 0)
+                / (d.d * (d.d - 1)) AS REAL) AS clustering_coef
+    FROM deg d LEFT JOIN tri t ON d.u = t.z
+    WHERE d.d >= 2
+    ORDER BY triangles DESC, degree DESC, part
+    LIMIT 20
+    """,
+    tags=("graph", "clustering-coefficient", "triangles", "two-hop"),
+)
+def clustering_coefficient_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the part co-purchase
+    graph — triangles(z) / (deg(z) choose 2), the neighborhood-
+    closure score that separates parts bought in cohesive bundles
+    (kits: coefficient near 1) from hub parts bridging unrelated
+    baskets (near 0) — `graph_triangle_count`'s global census turned
+    into the per-node ranking a recommender's bundling logic consumes,
+    on the same edge relation as `link_prediction_copurchase`.
+
+    Scale shape: triangles close WEDGES — the adjacency self-join on
+    the shared endpoint (sum_z deg(z)^2 work, degree-bounded by the
+    quantity filter, max deg 23 measured) joined against the edge
+    relation; never an all-pairs or 3-way corpus join.  Top-20 cutoff
+    ordered purely by integers (triangles DESC, degree DESC, part),
+    so the boundary cannot tie; the float coefficient rides along as
+    float32."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _LINKPRED_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    y = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    wedges = x.join(
+        y, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b"))
+    ).select("z", "a", "b")
+    tri = (
+        wedges.join(
+            edges,
+            (wedges["a"] == edges["u"]) & (wedges["b"] == edges["v"]),
+        )
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    out = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg["u"] == tri["z"], "left")
+        .select(
+            deg["u"].alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            (
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            )
+            .cast("float")
+            .alias("clustering_coef"),
+        )
+    )
+    return out.orderBy(
+        F.desc("triangles"), F.desc("degree"), "part"
+    ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter design calculator (m, k selection before the build)
+
+
+#: Candidate bits-per-key budgets and hash counts for the design
+#: table.  FPR depends only on (k, bits-per-key) — the key count
+#: cancels — so the S-curve below is scale-invariant by construction;
+#: the data-dependent columns (total bits, expected false positives)
+#: re-attach the budget to THIS table's measured cardinalities.
+_BLOOM_BPK = (4, 8, 12, 16, 20)
+_BLOOM_MAX_K = 8
+
+
+@register(
+    "bloom_filter_design",
+    oracle=f"""
+    WITH stats AS (
+        SELECT COUNT(DISTINCT l_partkey)::BIGINT AS n_keys,
+               COUNT(*)::BIGINT AS n_probes
+        FROM lineitem
+    ),
+    grid AS (
+        SELECT bpk.bpk, k.k
+        FROM (SELECT UNNEST({list(_BLOOM_BPK)}) AS bpk) bpk
+        CROSS JOIN (
+            SELECT UNNEST(range(1, {_BLOOM_MAX_K + 1})) AS k
+        ) k
+    ),
+    scored AS (
+        SELECT bpk, k, n_keys, n_probes,
+               POW(1.0 - EXP(-CAST(k AS DOUBLE) / bpk), k) AS fpr,
+               CAST(ROUND(bpk * LN(2.0)) AS INT) AS k_opt
+        FROM grid CROSS JOIN stats
+    )
+    SELECT CAST(bpk AS INT) AS bits_per_key, CAST(k AS INT) AS k,
+           (bpk * n_keys)::BIGINT AS filter_bits,
+           CAST(fpr AS REAL) AS fpr,
+           CAST(fpr * n_probes AS REAL) AS expected_false_positives,
+           k_opt,
+           CAST(k = k_opt AS INT) AS is_optimal_k,
+           CAST(fpr <= 0.01 AS INT) AS meets_1pct
+    FROM scored
+    ORDER BY bits_per_key, k
+    """,
+    tags=("bloom-filter", "index-design", "join-governance", "s-curve",
+          "calculator"),
+)
+def bloom_filter_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter (m, k) design table for the l_partkey prejoin
+    filter that `bloom_prejoin_filter` then exercises — FPR
+    (1 - e^(-k/bpk))^k per (bits-per-key, hash-count) cell, the
+    closed-form optimal k = round(bpk*ln 2) (out of the practical
+    1..8 range for generous budgets, which the table SHOWS), the
+    filter's absolute bit cost against the table's measured distinct
+    keys, and the expected false-positive volume against the measured
+    probe count.  The `lsh_band_design` pattern applied to the other
+    big-join governance index: at 100 TB the wrong bits-per-key
+    either floods the probe side with false positives or wastes
+    executor memory broadcast-wide; this is the design artifact that
+    decision should cite.
+
+    Scale shape: ONE exact-distinct aggregate over the corpus (the
+    only data-touching work, and the statistic a real build needs
+    anyway); the 40-cell grid is a broadcast spine.  The spec flags
+    have measured margins >= 1e-4 from their thresholds at every
+    cell, far beyond cross-engine libm ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+    )
+    bpk = spark.createDataFrame(
+        [(b,) for b in _BLOOM_BPK], "bpk int"
+    )
+    ks = spark.range(1, _BLOOM_MAX_K + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    grid = bpk.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(stats))
+    fpr = F.pow(
+        1.0 - F.exp(-F.col("k").cast("double") / F.col("bpk")), F.col("k")
+    )
+    k_opt = F.round(F.col("bpk") * math.log(2.0)).cast("int")
+    return grid.select(
+        F.col("bpk").alias("bits_per_key"),
+        "k",
+        (F.col("bpk") * F.col("n_keys")).cast("long").alias("filter_bits"),
+        fpr.cast("float").alias("fpr"),
+        (fpr * F.col("n_probes"))
+        .cast("float")
+        .alias("expected_false_positives"),
+        k_opt.alias("k_opt"),
+        (F.col("k") == k_opt).cast("int").alias("is_optimal_k"),
+        (fpr <= 0.01).cast("int").alias("meets_1pct"),
+    ).orderBy("bits_per_key", "k")
