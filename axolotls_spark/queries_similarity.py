@@ -2454,3 +2454,93 @@ def retrieval_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("hits").cast("double") / 10.0), 6
         ).cast("float").alias("precision_at_10"),
     )
+
+
+@register(
+    "reciprocal_best_match",
+    oracle=f"""
+    WITH x AS (SELECT vec_id AS x_id, embedding AS xv
+               FROM embeddings WHERE vec_id % 20 = 0),
+    y AS (SELECT vec_id AS y_id, embedding AS yv
+          FROM embeddings WHERE vec_id % 2 = 1),
+    scored AS (
+        SELECT x_id, y_id,
+               {_SQL_DOT.format(a='xv', b='yv')}
+               / NULLIF({_SQL_NORM.format(v='xv')}
+                        * {_SQL_NORM.format(v='yv')}, 0) AS sim
+        FROM x JOIN y ON x_id <> y_id
+    ),
+    best_xy AS (
+        SELECT x_id, y_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                                         ORDER BY sim DESC, y_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    best_yx AS (
+        SELECT x_id, y_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY y_id
+                                         ORDER BY sim DESC, x_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT b.x_id, b.y_id, b.sim
+    FROM best_xy b JOIN best_yx r ON b.x_id = r.x_id AND b.y_id = r.y_id
+    ORDER BY b.x_id
+    """,
+    tags=("similarity", "mutual-nearest", "bitext-mining", "alignment",
+          "embedding"),
+)
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs between two embedding slices
+    (even-id queries x odd-id corpus) — the reciprocal-best-hit
+    criterion of bitext mining / cross-snapshot entity alignment:
+    keep (x, y) only when y is x's top cosine match AND x is y's.
+    One-directional top-1 (`cosine_topk`'s shape) keeps hubs — a
+    point that is everyone's nearest neighbor produces many false
+    pairs; mutuality is the classic cheap hub filter.
+
+    Scale shape: the query slice is broadcast (5% of ids), the corpus
+    side is never shuffled for scoring; the two argmax windows run on
+    the scored relation partitioned by each side in turn, and the
+    mutual join is an equi-join of two top-1 relations (<= |X| + |Y|
+    rows).  Determinism: the dot product is the same sequential fold
+    text in both engines (bit-identical sims — the cosine_topk
+    discipline), ties broken by id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("x_id"), F.col("embedding").alias("xv")
+    )
+    yc = SIM.spread_for_cpu(
+        emb.filter(F.col("vec_id") % 2 == 1), "vec_id"
+    ).select(F.col("vec_id").alias("y_id"), F.col("embedding").alias("yv"))
+    scored = yc.join(
+        F.broadcast(x), F.col("x_id") != F.col("y_id")
+    ).select(
+        "x_id",
+        "y_id",
+        SIM.cosine(F.col("xv"), F.col("yv")).alias("sim"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("sim"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("sim"), F.asc("x_id"))
+    best_xy = (
+        scored.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") == 1)
+        .select("x_id", "y_id", "sim")
+    )
+    best_yx = (
+        scored.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("x_id").alias("rx_id"), F.col("y_id").alias("ry_id")
+        )
+    )
+    return (
+        best_xy.join(
+            best_yx,
+            (best_xy["x_id"] == best_yx["rx_id"])
+            & (best_xy["y_id"] == best_yx["ry_id"]),
+        )
+        .select("x_id", "y_id", "sim")
+        .orderBy("x_id")
+    )

@@ -2206,3 +2206,114 @@ def matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("d2"), 4).cast("float").alias("zdist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SLO error-budget burn-rate alerts (multi-window)
+
+
+#: SLI: an event is an ERROR when value > 180 (≈ p97 of the synthetic
+#: distribution — a 2-3% ambient error rate with real spikes).  SLO
+#: target 95% good ⇒ error budget 5% ⇒ burn rate = error_rate / 0.05
+#: = 20·e/n.  Multi-window alert thresholds (the Google-SRE shape,
+#: rescaled for this budget): page when the FAST window (1 h) burns
+#: > 3× budget AND the SLOW window (6 h) burns > 1.5× — the fast
+#: window gives low detection latency, the slow one stops a single
+#: noisy hour from paging.
+_SLO_ERR_VALUE = 180
+
+
+@register(
+    "slo_burn_rate_alerts",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS day,
+               EXTRACT(hour FROM ts)::INT AS hr,
+               CASE WHEN value > {_SLO_ERR_VALUE} THEN 1 ELSE 0 END AS err
+        FROM events
+    ),
+    hourly AS (
+        SELECT day, hr, hr // 6 AS slot6,
+               COUNT(*)::BIGINT AS n_1h, SUM(err)::BIGINT AS err_1h
+        FROM base GROUP BY 1, 2, 3
+    ),
+    six AS (
+        SELECT day, slot6,
+               SUM(n_1h)::BIGINT AS n_6h, SUM(err_1h)::BIGINT AS err_6h
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT strftime(h.day, '%Y-%m-%d') || ' ' ||
+               LPAD(h.hr::VARCHAR, 2, '0') AS hour,
+           h.n_1h, h.err_1h,
+           CAST(h.err_1h * 20.0 / h.n_1h AS REAL) AS burn_1h,
+           s.n_6h, s.err_6h,
+           CAST(s.err_6h * 20.0 / s.n_6h AS REAL) AS burn_6h,
+           CAST(20 * h.err_1h > 3 * h.n_1h AS INT) AS fast_burn,
+           CAST(40 * s.err_6h > 3 * s.n_6h AS INT) AS slow_burn,
+           CAST(20 * h.err_1h > 3 * h.n_1h
+                AND 40 * s.err_6h > 3 * s.n_6h AS INT) AS page
+    FROM hourly h JOIN six s ON h.day = s.day AND h.slot6 = s.slot6
+    ORDER BY hour
+    """,
+    tags=("slo", "burn-rate", "monitoring", "multi-window",
+          "tumbling"),
+)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn-rate table — per hour, the
+    1-hour (fast) and enclosing 6-hour (slow) burn rates of a 95%
+    value-SLO over events, and the page decision requiring BOTH
+    windows to burn hot (fast > 3x budget, slow > 1.5x): the standard
+    SRE construction that pages quickly on real incidents but not on
+    one noisy hour.  `window_tumbling_hourly` is the plain-counts
+    sibling; this is the alerting policy on top.
+
+    Integer discipline at every decision boundary: with a rational
+    budget (1/20) and rational thresholds (3, 3/2), each flag reduces
+    to an integer cross-multiplication (20*e > 3*n; 40*e > 3*n) — no
+    float ever reaches a comparison, so the page column is hash-exact
+    by construction.  Scale shape: one (day, hour) aggregate over the
+    corpus; the 6-hour rollup and the fast-slow join run on the
+    ~720-row window relation."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.when(F.col("value") > _SLO_ERR_VALUE, 1).otherwise(0).alias("err"),
+    )
+    hourly = (
+        base.groupBy("day", "hr", F.expr("hr div 6").alias("slot6"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_1h"),
+            F.sum("err").cast("long").alias("err_1h"),
+        )
+    )
+    six = hourly.groupBy("day", "slot6").agg(
+        F.sum("n_1h").cast("long").alias("n_6h"),
+        F.sum("err_1h").cast("long").alias("err_6h"),
+    )
+    fast = 20 * F.col("err_1h") > 3 * F.col("n_1h")
+    slow = 40 * F.col("err_6h") > 3 * F.col("n_6h")
+    return (
+        hourly.join(six, ["day", "slot6"])
+        .select(
+            F.concat(
+                F.date_format("day", "yyyy-MM-dd"),
+                F.lit(" "),
+                F.lpad(F.col("hr").cast("string"), 2, "0"),
+            ).alias("hour"),
+            "n_1h",
+            "err_1h",
+            (F.col("err_1h") * 20.0 / F.col("n_1h"))
+            .cast("float")
+            .alias("burn_1h"),
+            "n_6h",
+            "err_6h",
+            (F.col("err_6h") * 20.0 / F.col("n_6h"))
+            .cast("float")
+            .alias("burn_6h"),
+            fast.cast("int").alias("fast_burn"),
+            slow.cast("int").alias("slow_burn"),
+            (fast & slow).cast("int").alias("page"),
+        )
+        .orderBy("hour")
+    )

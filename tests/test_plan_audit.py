@@ -841,6 +841,9 @@ def test_registry_wide_plan_hygiene(spark):
                                     # (same class as bootstrap_ci)
         "qini_aa_calibration",      # 10-row decile relation cum-sum
                                     # (corpus rank uses prefix.py)
+        "obrien_fleming_looks",     # ~30-row daily look relation
+                                    # (spending-increment lag; same
+                                    # class as ewma/cusum)
     }
     offenders = []
     for name, spec in sorted(REGISTRY.items()):
