@@ -3969,3 +3969,156 @@ def fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fleiss_kappa"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (storage-level dedup, rsync/LBFS shape)
+
+
+#: Rolling window (bytes) and boundary divisor: a cut fires after any
+#: position whose trailing-16-byte sum is ≡ 0 (mod 64), giving
+#: ~64-byte expected chunks.  The sum-of-window hash is rsync's weak
+#: checksum a-term — production CDC swaps in gear/buzhash and min/max
+#: chunk clamps in the SAME plan shape (the hash is one window
+#: expression; the clamps are a per-doc sequential pass over the
+#: ~n/64 boundary relation, not the corpus).
+_CDC_WINDOW = 16
+_CDC_DIV = 64
+
+
+@register(
+    "content_defined_chunks",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text))::BIGINT AS n
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, hx, n, i.i AS i,
+               (strpos('0123456789ABCDEF', substr(hx, 2 * i.i + 1, 1)) - 1)
+               * 16
+               + strpos('0123456789ABCDEF', substr(hx, 2 * i.i + 2, 1)) - 1
+                   AS v
+        FROM b CROSS JOIN UNNEST(range(0, n)) AS i(i)
+    ),
+    hashed AS (
+        SELECT doc_id, hx, n, i,
+               CASE WHEN i >= {_CDC_WINDOW - 1}
+                         AND SUM(v) OVER (PARTITION BY doc_id ORDER BY i
+                                          ROWS BETWEEN {_CDC_WINDOW - 1}
+                                          PRECEDING AND CURRENT ROW)
+                             % {_CDC_DIV} = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM pos
+    ),
+    chunked AS (
+        SELECT doc_id, hx, i, boundary,
+               COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY i
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS chunk_id
+        FROM hashed
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id, MIN(i) AS start, COUNT(*)::BIGINT AS len,
+               md5(substr(MIN(hx), 2 * MIN(i) + 1, 2 * COUNT(*)))
+                   AS chunk_hash
+        FROM chunked GROUP BY 1, 2
+    )
+    SELECT COUNT(*)::BIGINT AS total_chunks,
+           COUNT(DISTINCT chunk_hash)::BIGINT AS distinct_chunks,
+           SUM(len)::BIGINT AS total_bytes,
+           CAST(1.0 - COUNT(DISTINCT chunk_hash)::DOUBLE / COUNT(*)
+                AS REAL) AS dup_chunk_ratio,
+           CAST(SUM(len)::DOUBLE / COUNT(*) AS REAL) AS avg_chunk_len,
+           MAX(len)::BIGINT AS max_chunk_len
+    FROM chunks
+    """,
+    tags=("dedup", "content-defined-chunking", "storage", "rolling-hash",
+          "window"),
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the document payloads — the
+    STORAGE-level dedup primitive (rsync / LBFS / restic): cut chunk
+    boundaries where a rolling hash of the trailing 16 bytes hits
+    0 mod 64, so an insertion early in a document shifts ONE chunk's
+    boundary instead of re-chunking everything after it (the failure
+    mode of fixed 256-byte blocks, `multimodal_frame_sample`'s
+    chunking).  Emits the corpus chunk census: total vs distinct
+    chunk hashes (the dedup ratio a content-addressed store would
+    achieve), and the chunk-length profile that validates the
+    expected-64-byte geometry.  `doc_fingerprint_rolling` samples
+    positions for SIMILARITY; this PARTITIONS bytes for STORAGE.
+
+    Scale shape: ONE per-doc-partitioned ordered window pass over the
+    byte-position relation computes every rolling hash (the
+    coefficient-free sum-hash makes the whole window a single SUM
+    frame — a polynomial gear hash would be a 16-term expression on
+    the same relation, same shuffle); chunk assembly is a grouped
+    aggregate on (doc, chunk); the census is one distinct-aggregate
+    over the chunk-hash relation.  The chunk content hash is md5 of
+    the HEX SLICE of the payload (both engines hash the identical
+    ASCII text — no blob-slicing portability surface)."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    b = docs.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n"),
+    )
+    pos = b.select(
+        "doc_id",
+        "hx",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+    ).withColumn(
+        "v",
+        F.conv(F.substring("hx", 2 * F.col("i") + 1, 2), 16, 10).cast(
+            "long"
+        ),
+    )
+    wroll = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_CDC_WINDOW - 1), 0)
+    )
+    hashed = pos.withColumn(
+        "boundary",
+        (
+            (F.col("i") >= _CDC_WINDOW - 1)
+            & (F.sum("v").over(wroll) % _CDC_DIV == 0)
+        ).cast("int"),
+    )
+    wcut = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = hashed.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(wcut), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.min("i").alias("start"),
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.md5(
+            F.substring(
+                F.min("hx").cast("string"),
+                (2 * F.min("i") + 1).cast("int"),
+                (2 * F.count(F.lit(1))).cast("int"),
+            )
+        ).alias("chunk_hash"),
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).cast("long").alias("total_chunks"),
+        F.countDistinct("chunk_hash").cast("long").alias("distinct_chunks"),
+        F.sum("len").cast("long").alias("total_bytes"),
+        (
+            1.0
+            - F.countDistinct("chunk_hash").cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("float")
+        .alias("dup_chunk_ratio"),
+        (F.sum("len").cast("double") / F.count(F.lit(1)))
+        .cast("float")
+        .alias("avg_chunk_len"),
+        F.max("len").cast("long").alias("max_chunk_len"),
+    )

@@ -261,6 +261,19 @@ ROUND6: list[str] = [
     "bca_bootstrap_ci",
     "qini_aa_calibration",
     "fleiss_kappa_gates",
+    "link_prediction_copurchase",
+    "ams_f2_sketch_merge",
+    "compaction_bin_packing",
+    "multimodal_scene_changes",
+    "multimodal_audio_vad",
+    "fd_discovery_audit",
+    "woe_information_value",
+    "obrien_fleming_looks",
+    "clustering_coefficient_nodes",
+    "bloom_filter_design",
+    "reciprocal_best_match",
+    "slo_burn_rate_alerts",
+    "content_defined_chunks",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6
