@@ -1726,3 +1726,194 @@ def weighted_median_unit_price(
             F.col("umed").cast("float").alias("unweighted_median"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# V-optimal histogram (DP synopsis construction)
+
+
+_VOPT_BINS = 64
+_VOPT_BUCKETS = 8
+_VOPT_WIDTH = 10000.0  # equi-width pre-bin: o_totalprice / 10000, clipped
+
+#: Shared SSE text: MUST stay in this exact op order — the numpy
+#: mirror (operators/histogram.voptimal_dp) computes
+#: (S2j-S2k) - (Sj-Sk)^2/(j-k) identically, so the DP doubles are
+#: bit-identical across engines and argmin tie-breaks agree.
+_VOPT_SSE = (
+    "(({j}.S2 - {k}.S2) - ({j}.S - {k}.S) * ({j}.S - {k}.S)"
+    " * 1.0 / ({j}.j - {k}.j))"
+)
+
+
+def _voptimal_oracle() -> str:
+    parts = [
+        f"""
+    spine AS (SELECT UNNEST(range(0, {_VOPT_BINS})) AS bin),
+    counts AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / {_VOPT_WIDTH}) AS BIGINT),
+                     {_VOPT_BINS - 1}) AS bin,
+               COUNT(*)::BIGINT AS c
+        FROM orders GROUP BY 1
+    ),
+    h AS (
+        SELECT s.bin, COALESCE(c.c, 0)::BIGINT AS c
+        FROM spine s LEFT JOIN counts c USING (bin)
+    ),
+    p AS (
+        SELECT bin + 1 AS j,
+               SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   ::BIGINT AS S,
+               SUM(c * c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   ::BIGINT AS S2
+        FROM h
+        UNION ALL SELECT 0, 0, 0
+    ),
+    e1 AS (
+        SELECT j.j, {_VOPT_SSE.format(j='j', k='k')} AS e
+        FROM p j JOIN p k ON k.j = 0
+        WHERE j.j >= 1
+    )"""
+    ]
+    for b in range(2, _VOPT_BUCKETS + 1):
+        parts.append(
+            f""",
+    cand{b} AS (
+        SELECT j.j, k.j AS k,
+               e{b - 1}.e + {_VOPT_SSE.format(j='j', k='k')} AS e
+        FROM p j
+        JOIN p k ON k.j >= {b - 1} AND k.j < j.j
+        JOIN e{b - 1} ON e{b - 1}.j = k.j
+        WHERE j.j >= {b}
+    ),
+    e{b} AS (SELECT j, MIN(e) AS e FROM cand{b} GROUP BY j)"""
+        )
+    # Backtrack: bt{b} holds k_{b-1}, the end of the (b-1)-bucket
+    # prefix chosen at level b; ORDER BY e, k = numpy's first-min.
+    parts.append(
+        f""",
+    bt{_VOPT_BUCKETS} AS (
+        SELECT k FROM cand{_VOPT_BUCKETS}
+        WHERE j = {_VOPT_BINS} ORDER BY e, k LIMIT 1
+    )"""
+    )
+    for b in range(_VOPT_BUCKETS - 1, 1, -1):
+        parts.append(
+            f""",
+    bt{b} AS (
+        SELECT k FROM cand{b}
+        WHERE j = (SELECT k FROM bt{b + 1})
+        ORDER BY e, k LIMIT 1
+    )"""
+        )
+    bounds = ["SELECT 0 AS idx, 0 AS k"]
+    for b in range(2, _VOPT_BUCKETS + 1):
+        bounds.append(f"SELECT {b - 1}, (SELECT k FROM bt{b})")
+    bounds.append(f"SELECT {_VOPT_BUCKETS}, {_VOPT_BINS}")
+    parts.append(
+        f""",
+    bounds AS ({" UNION ALL ".join(bounds)}),
+    pairs AS (
+        SELECT a.idx + 1 AS bucket_id, a.k AS lo, b.k AS hi
+        FROM bounds a JOIN bounds b ON b.idx = a.idx + 1
+    )
+    SELECT CAST(bucket_id AS INT) AS bucket_id,
+           CAST(lo AS INT) AS lo_bin,
+           CAST(hi - 1 AS INT) AS hi_bin,
+           (pj.S - pk.S)::BIGINT AS n_rows,
+           CAST({_VOPT_SSE.format(j='pj', k='pk')} AS REAL) AS sse,
+           CAST((SELECT e FROM e{_VOPT_BUCKETS}
+                 WHERE j = {_VOPT_BINS}) AS REAL) AS total_sse
+    FROM pairs
+    JOIN p pk ON pk.j = lo
+    JOIN p pj ON pj.j = hi
+    ORDER BY bucket_id"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@register(
+    "voptimal_histogram",
+    oracle=_voptimal_oracle(),
+    tags=("synopsis", "histogram", "v-optimal", "dp",
+          "one-partition-solve"),
+)
+def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal 8-bucket histogram of ``o_totalprice`` (Jagadish et
+    al., VLDB'98): pre-bin into 64 equi-width cells with ONE corpus
+    aggregate, then choose the 7 bucket boundaries minimizing total
+    within-bucket SSE by O(B n^2) dynamic programming — the synopsis
+    construction behind selectivity estimation and zonemap/bucket
+    design, and the optimal counterpart of the fixed grids in
+    `histogram_price_buckets` / `discretize_equal_frequency`.
+
+    The DP runs INSIDE the plan on the 64-row bin relation
+    (repartition(1) -> Arrow batch -> operators/histogram.voptimal_dp
+    — the markov/pca one-partition-solve pattern; documented
+    bounded-relation repartition).  The oracle replays the identical
+    DP as chained CTEs (one candidate/min pair per level, relational
+    — never the CollapseProject expression blowup), with every SSE in
+    the same int64-prefix op order, so even the DP doubles and the
+    argmin tie-breaks agree bit-for-bit across engines.
+
+    At 100 TB: the corpus cost is the one histogram aggregate (the
+    statistic ANALYZE collects anyway); optimality then costs B n^2 =
+    32k FLOPs, location-independent."""
+    import pandas as pd
+
+    from axolotls_spark.operators.histogram import voptimal_dp
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.least(
+            F.floor(F.col("o_totalprice") / _VOPT_WIDTH).cast("long"),
+            F.lit(_VOPT_BINS - 1),
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spine = spark.range(_VOPT_BINS).select(F.col("id").alias("bin"))
+    h = (
+        spine.join(counts, "bin", "left")
+        .select("bin", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+        # 64-row relation pinned to one partition for the in-plan DP
+        # (documented bounded-relation repartition(1)).
+        .repartition(1)
+    )
+    n_buckets = _VOPT_BUCKETS
+
+    def _solve(batches):
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("bin")
+        cts = [int(x) for x in pdf["c"]]
+        bounds, sses, total = voptimal_dp(cts, n_buckets)
+        s = [0]
+        for c in cts:
+            s.append(s[-1] + c)
+        yield pd.DataFrame(
+            {
+                "bucket_id": list(range(1, n_buckets + 1)),
+                "lo_bin": bounds[:-1],
+                "hi_bin": [k - 1 for k in bounds[1:]],
+                "n_rows": [
+                    s[bounds[i + 1]] - s[bounds[i]]
+                    for i in range(n_buckets)
+                ],
+                "sse": sses,
+                "total_sse": [total] * n_buckets,
+            }
+        )
+
+    out = h.mapInPandas(
+        _solve,
+        "bucket_id int, lo_bin int, hi_bin int, n_rows long, "
+        "sse double, total_sse double",
+    )
+    return out.select(
+        "bucket_id",
+        "lo_bin",
+        "hi_bin",
+        "n_rows",
+        F.col("sse").cast("float").alias("sse"),
+        F.col("total_sse").cast("float").alias("total_sse"),
+    ).orderBy("bucket_id")

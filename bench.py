@@ -274,6 +274,7 @@ ROUND6: list[str] = [
     "reciprocal_best_match",
     "slo_burn_rate_alerts",
     "content_defined_chunks",
+    "voptimal_histogram",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

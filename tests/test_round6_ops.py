@@ -2452,3 +2452,45 @@ def test_fleiss_kappa_vs_python(spark):
     assert abs(row["p_pass"] - pp) < 1e-5
     assert abs(row["p_bar"] - pbar) < 1e-5
     assert abs(row["fleiss_kappa"] - kappa) < 1e-5
+
+
+def test_voptimal_dp_vs_exhaustive():
+    """The DP's total SSE equals the exhaustive minimum over every
+    partition for a small instance, and the boundary invariants hold
+    on the query-sized 64/8 instance."""
+    from itertools import combinations
+
+    from axolotls_spark.operators.histogram import voptimal_dp
+
+    counts = [5, 7, 7, 1, 30, 31, 2, 2]
+    B = 3
+
+    def sse_range(a, b):
+        seg = counts[a:b]
+        m = sum(seg) / len(seg)
+        return sum((c - m) ** 2 for c in seg)
+
+    best = min(
+        sse_range(0, k1) + sse_range(k1, k2) + sse_range(k2, len(counts))
+        for k1, k2 in combinations(range(1, len(counts)), 2)
+    )
+    bounds, sses, total = voptimal_dp(counts, B)
+    assert abs(total - best) < 1e-9
+    assert abs(sum(sses) - total) < 1e-9
+    assert bounds[0] == 0 and bounds[-1] == len(counts)
+    assert bounds == sorted(bounds)
+
+    # Query-sized instance: optimal beats (or ties) equi-width.
+    import random
+
+    rng = random.Random(7)
+    big = [rng.randrange(0, 1000) for _ in range(64)]
+    bounds64, _, tot64 = voptimal_dp(big, 8)
+    equi = sum(
+        (lambda seg: sum((c - sum(seg) / len(seg)) ** 2 for c in seg))(
+            big[i: i + 8]
+        )
+        for i in range(0, 64, 8)
+    )
+    assert tot64 <= equi + 1e-9
+    assert len(set(bounds64)) == 9
