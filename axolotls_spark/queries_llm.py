@@ -656,3 +656,182 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trace_total",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Orthogonal Procrustes alignment (embedding-space drift certification)
+
+
+_PROC_D = 64
+#: Known orthogonal "drift": a signed coordinate permutation —
+#: y[k] = s_k * x[(7k + 3) mod 64], s_k = -1 when 3 | k.  Any signed
+#: permutation is orthogonal, so the optimal Procrustes rotation is
+#: EXACTLY this matrix and the aligned residual is EXACTLY zero —
+#: closed-form ground truth for the distributed solve.
+_PROC_SRC = [(7 * k + 3) % _PROC_D for k in range(_PROC_D)]
+_PROC_SGN = [-1.0 if k % 3 == 0 else 1.0 for k in range(_PROC_D)]
+
+
+@register(
+    "procrustes_alignment_drift",
+    oracle=f"""
+    WITH y AS (
+        SELECT vec_id,
+               list_value({", ".join(
+                   f"{_PROC_SGN[k]} * CAST(embedding[{_PROC_SRC[k] + 1}]"
+                   f" AS DOUBLE)" for k in range(_PROC_D))}) AS yv,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                   AS fx2_row
+        FROM embeddings
+    ),
+    agg AS (
+        SELECT COUNT(*)::BIGINT AS n_vectors,
+               SUM(fx2_row) AS fx2,
+               SUM(list_sum(list_transform(yv, v -> v * v))) AS fy2
+        FROM y
+    )
+    SELECT n_vectors,
+           CAST(fx2 AS REAL) AS frob2_x,
+           CAST(fy2 AS REAL) AS frob2_y,
+           -- sum of singular values of X'Y = trace(X'X) = ||X||_F^2
+           -- for an orthogonal ground-truth map (closed form).
+           CAST(fx2 AS REAL) AS sigma_sum,
+           CAST(0.0 AS REAL) AS residual_ratio,
+           1 AS rotation_recovered,
+           1 AS rotation_orthogonal
+    FROM agg
+    """,
+    tags=("embedding", "procrustes", "alignment", "svd",
+          "one-partition-solve", "known-answer"),
+)
+def procrustes_alignment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment between the embedding table
+    and a drifted copy — the model-upgrade primitive: when a new
+    encoder version rotates the embedding space, the map that aligns
+    old to new is argmin_R ||XR - Y||_F over orthogonal R, solved by
+    R = UV' from the SVD of the cross-covariance X'Y (Schönemann
+    1966).  The drift here is a KNOWN signed permutation, so the
+    whole distributed pipeline has closed-form ground truth: the
+    recovered rotation must equal it entry-wise, the singular-value
+    sum must equal ||X||_F^2, and the aligned residual must vanish —
+    the flags certify the plumbing (`pca_project_embeddings`'s
+    sign-free-invariant discipline, applied to the OTHER classic
+    d x d solve: unsymmetric cross-Gram + SVD instead of covariance
+    + eigh).
+
+    Scale shape: the corpus contributes map-side (n, ||X||^2,
+    ||Y||^2, X'Y) partials — a d^2-sized summary per partition,
+    reduced by an exact positional sum; the SVD runs inside one Arrow
+    batch on the 1-row reduced relation (never a driver collect).
+    At 100 TB this is one read pass and O(partitions * d^2) floats of
+    traffic."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    yexpr = F.array(
+        *[
+            F.lit(_PROC_SGN[k])
+            * F.col("embedding")[_PROC_SRC[k]].cast("double")
+            for k in range(_PROC_D)
+        ]
+    )
+    xy = emb.select(F.col("embedding").alias("xv"), yexpr.alias("yv"))
+
+    def partials(it):
+        import numpy as np
+
+        n = 0
+        fx2 = 0.0
+        fy2 = 0.0
+        m = None
+        for pdf in it:
+            x = np.vstack(pdf["xv"].to_numpy()).astype("float64")
+            yv = np.vstack(pdf["yv"].to_numpy()).astype("float64")
+            n += x.shape[0]
+            fx2 += float((x * x).sum())
+            fy2 += float((yv * yv).sum())
+            m = x.T @ yv if m is None else m + x.T @ yv
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "fx2": [fx2],
+                    "fy2": [fy2],
+                    "m": [m.ravel().tolist()],
+                }
+            )
+
+    p = xy.mapInPandas(
+        partials, "n BIGINT, fx2 DOUBLE, fy2 DOUBLE, m ARRAY<DOUBLE>"
+    )
+    msum = (
+        p.select(F.posexplode("m").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    m_arr = msum.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("m")
+    )
+    scalars = p.agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.sum("fx2").alias("fx2"),
+        F.sum("fy2").alias("fy2"),
+    )
+    one = scalars.crossJoin(F.broadcast(m_arr))
+    src, sgn, d = list(_PROC_SRC), list(_PROC_SGN), _PROC_D
+
+    def solve(it):
+        import numpy as np
+
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                m = np.asarray(row["m"], dtype="float64").reshape(d, d)
+                u, sig, vt = np.linalg.svd(m)
+                r = u @ vt
+                truth = np.zeros((d, d))
+                for k in range(d):
+                    truth[src[k], k] = sgn[k]
+                fx2, fy2 = float(row["fx2"]), float(row["fy2"])
+                sigma_sum = float(sig.sum())
+                residual = fx2 + fy2 - 2.0 * sigma_sum
+                yield pd.DataFrame(
+                    {
+                        "n_vectors": [int(row["n_vectors"])],
+                        "frob2_x": [fx2],
+                        "frob2_y": [fy2],
+                        "sigma_sum": [sigma_sum],
+                        "residual_ratio": [abs(residual) / fx2],
+                        "rotation_recovered": [
+                            int(np.abs(r - truth).max() < 1e-6)
+                        ],
+                        "rotation_orthogonal": [
+                            int(
+                                np.abs(r.T @ r - np.eye(d)).max() < 1e-6
+                            )
+                        ],
+                    }
+                )
+
+    out = one.mapInPandas(
+        solve,
+        "n_vectors long, frob2_x double, frob2_y double, "
+        "sigma_sum double, residual_ratio double, "
+        "rotation_recovered int, rotation_orthogonal int",
+    )
+    return out.select(
+        "n_vectors",
+        F.col("frob2_x").cast("float").alias("frob2_x"),
+        F.col("frob2_y").cast("float").alias("frob2_y"),
+        F.col("sigma_sum").cast("float").alias("sigma_sum"),
+        (F.round(F.col("residual_ratio"), 6) + F.lit(0.0))
+        .cast("float")
+        .alias("residual_ratio"),
+        "rotation_recovered",
+        "rotation_orthogonal",
+    )

@@ -275,6 +275,7 @@ ROUND6: list[str] = [
     "slo_burn_rate_alerts",
     "content_defined_chunks",
     "voptimal_histogram",
+    "procrustes_alignment_drift",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6
