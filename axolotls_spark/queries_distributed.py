@@ -1917,3 +1917,125 @@ def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sse").cast("float").alias("sse"),
         F.col("total_sse").cast("float").alias("total_sse"),
     ).orderBy("bucket_id")
+
+
+# --------------------------------------------------------------------------
+# Heavy-change detection between eras (deltoids)
+
+
+_HCD_SPLIT = "1998-07-01"
+_HCD_TOPK = 20
+
+
+@register(
+    "heavy_change_detection",
+    oracle=f"""
+    WITH era AS (
+        SELECT l_partkey AS part,
+               CASE WHEN l_shipdate < TIMESTAMP '{_HCD_SPLIT} 00:00:00'
+                    THEN 0 ELSE 1 END AS era
+        FROM lineitem
+    ),
+    c AS (
+        SELECT part, era, COUNT(*)::BIGINT AS c FROM era GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT SUM(CASE WHEN era = 0 THEN c ELSE 0 END)::BIGINT AS na,
+               SUM(CASE WHEN era = 1 THEN c ELSE 0 END)::BIGINT AS nb
+        FROM c
+    ),
+    wide AS (
+        SELECT COALESCE(a.part, b.part) AS part,
+               COALESCE(a.c, 0)::BIGINT AS ca,
+               COALESCE(b.c, 0)::BIGINT AS cb
+        FROM (SELECT part, c FROM c WHERE era = 0) a
+        FULL OUTER JOIN (SELECT part, c FROM c WHERE era = 1) b
+          ON a.part = b.part
+    )
+    SELECT part, ca, cb,
+           ABS(ca * nb - cb * na)::BIGINT AS change_score,
+           CAST(ca * 1.0 / na AS REAL) AS freq_before,
+           CAST(cb * 1.0 / nb AS REAL) AS freq_after,
+           CAST(cb * na > ca * nb AS INT) AS increased
+    FROM wide CROSS JOIN tot
+    ORDER BY change_score DESC, part
+    LIMIT {_HCD_TOPK}
+    """,
+    tags=("heavy-change", "deltoids", "drift", "monitoring", "topk"),
+)
+def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} heavy CHANGES in part frequency between the pre- and
+    post-1998H2 shipment eras — the deltoids problem (Cormode &
+    Muthukrishnan): the items whose relative frequency moved most,
+    which is what a drift monitor actually wants (the top-k lists
+    themselves barely move when everything is Zipfian;
+    `distribution_drift_psi` summarizes the aggregate shift, this
+    names the items responsible).
+
+    Integer discipline at the ranking boundary: the change score is
+    the cross-multiplied |c_a*N_b - c_b*N_a| — exactly proportional
+    to |freq_before - freq_after| but computed entirely in int64, so
+    the top-k cutoff and the `increased` flag can never hinge on a
+    float (at petabyte counts the same statistic is computed on
+    per-mille rates or decimal128; the plan shape is unchanged).
+
+    Scale shape: one (part, era) aggregate over the corpus, a
+    key-domain full-outer join, a broadcast 1-row totals attach, and
+    a TakeOrderedAndProject top-k.""".format(k=_HCD_TOPK)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.when(
+            F.col("l_shipdate") < F.lit(_HCD_SPLIT).cast("timestamp"), 0
+        ).otherwise(1).alias(
+            "era"
+        ),
+    )
+    c = li.groupBy("part", "era").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = c.agg(
+        F.sum(F.when(F.col("era") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("era") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    a = c.filter(F.col("era") == 0).select(
+        "part", F.col("c").alias("ca")
+    )
+    b = c.filter(F.col("era") == 1).select(
+        F.col("part").alias("part_b"), F.col("c").alias("cb")
+    )
+    wide = (
+        a.join(b, a["part"] == b["part_b"], "full_outer")
+        .select(
+            F.coalesce(a["part"], b["part_b"]).alias("part"),
+            F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        wide.select(
+            "part",
+            "ca",
+            "cb",
+            F.abs(
+                F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+            )
+            .cast("long")
+            .alias("change_score"),
+            (F.col("ca") * 1.0 / F.col("na"))
+            .cast("float")
+            .alias("freq_before"),
+            (F.col("cb") * 1.0 / F.col("nb"))
+            .cast("float")
+            .alias("freq_after"),
+            (F.col("cb") * F.col("na") > F.col("ca") * F.col("nb"))
+            .cast("int")
+            .alias("increased"),
+        )
+        .orderBy(F.desc("change_score"), "part")
+        .limit(_HCD_TOPK)
+    )

@@ -769,3 +769,157 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Merkle digest tree (log-localized replica reconciliation)
+
+
+_MERKLE_LEAVES = 64
+_MERKLE_FANOUT = 4
+
+_MERKLE_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _merkle_oracle() -> str:
+    levels = [
+        f"""
+    keyed AS (
+        SELECT o_orderkey % {_MERKLE_LEAVES} AS node_id,
+               {_MERKLE_HASH.format(
+                   x="o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR"
+                     " || '|' || o_orderstatus || '|' ||"
+                     " CAST(FLOOR(o_totalprice * 100) AS BIGINT)::VARCHAR"
+               )} AS cks
+        FROM orders
+    ),
+    lvl0 AS (
+        SELECT node_id, COUNT(*)::BIGINT AS n_rows,
+               md5(bit_xor(cks)::VARCHAR || ':' || COUNT(*)::VARCHAR)
+                   AS digest
+        FROM keyed GROUP BY node_id
+    )"""
+    ]
+    n = _MERKLE_LEAVES
+    lvl = 0
+    while n > 1:
+        n //= _MERKLE_FANOUT
+        lvl += 1
+        levels.append(
+            f""",
+    lvl{lvl} AS (
+        SELECT node_id // {_MERKLE_FANOUT} AS node_id,
+               SUM(n_rows)::BIGINT AS n_rows,
+               md5(string_agg(digest, ',' ORDER BY node_id)) AS digest
+        FROM lvl{lvl - 1} GROUP BY node_id // {_MERKLE_FANOUT}
+    )"""
+        )
+    selects = [
+        f"SELECT {i} AS level, CAST(node_id AS INT) AS node_id,"
+        f" n_rows, digest FROM lvl{i}"
+        for i in range(lvl + 1)
+    ]
+    return (
+        "WITH "
+        + "".join(levels)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY level, node_id"
+    )
+
+
+@register(
+    "merkle_tree_levels",
+    oracle=_merkle_oracle(),
+    tags=("reconciliation", "merkle", "checksum", "warehouse",
+          "hierarchical"),
+)
+def merkle_tree_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle digest tree over orders (64 leaves, fan-out 4, 4
+    levels) — the hierarchical form of `table_diff_checksum`'s flat
+    bucket digests: two replicas compare ROOTS first and descend only
+    into unequal subtrees, so localizing a divergence costs
+    O(fanout * log n) digest comparisons instead of O(buckets) — the
+    sync protocol of Dynamo-style anti-entropy and data-lake
+    cross-region repair, and the artifact each side ships (85 rows)
+    instead of the table.
+
+    Determinism stack: per-row checksums are the engine-independent
+    md5-slice (`token_hash`), combined per leaf with the
+    order-insensitive overflow-free bit_xor + count (shuffle-order
+    immune); every PARENT digest then hashes its children's digests
+    in explicit node-id order, so the tree value is a pure function
+    of table content.  Floats never reach a hash: price enters as
+    FLOOR(cents).
+
+    Scale shape: ONE corpus aggregate builds the leaves; the 3
+    parent levels aggregate 64 -> 16 -> 4 -> 1 metadata rows."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        (F.col("o_orderkey") % _MERKLE_LEAVES).alias("node_id"),
+        token_hash(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+            )
+        ).alias("cks"),
+    )
+    lvl = (
+        keyed.groupBy("node_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.expr("bit_xor(cks)").cast("string"),
+                    F.count(F.lit(1)).cast("string"),
+                )
+            ).alias("digest"),
+        )
+        .withColumn("level", F.lit(0))
+    )
+    out = lvl
+    n = _MERKLE_LEAVES
+    level = 0
+    while n > 1:
+        n //= _MERKLE_FANOUT
+        level += 1
+        lvl = (
+            lvl.groupBy(
+                F.expr(f"node_id div {_MERKLE_FANOUT}").alias("node_id")
+            )
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("node_id").alias("cid"),
+                                        F.col("digest"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["digest"],
+                        ),
+                    )
+                ).alias("digest"),
+            )
+            .withColumn("level", F.lit(level))
+        )
+        out = out.unionByName(lvl)
+    return out.select(
+        "level",
+        F.col("node_id").cast("int").alias("node_id"),
+        "n_rows",
+        "digest",
+    ).orderBy("level", "node_id")

@@ -276,6 +276,8 @@ ROUND6: list[str] = [
     "content_defined_chunks",
     "voptimal_histogram",
     "procrustes_alignment_drift",
+    "heavy_change_detection",
+    "merkle_tree_levels",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6

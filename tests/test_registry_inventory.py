@@ -18,7 +18,7 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 427  # round 6: +daily_ingestion, +kendall_tau_concordance,
+N_EXPECTED = 429  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -68,8 +68,9 @@ N_EXPECTED = 427  # round 6: +daily_ingestion, +kendall_tau_concordance,
 #                   +clustering_coefficient_nodes, +bloom_filter_design,
 #                   +reciprocal_best_match, +slo_burn_rate_alerts,
 #                   +content_defined_chunks, +voptimal_histogram,
-#                   +procrustes_alignment_drift
-N_ORACLE = 427
+#                   +procrustes_alignment_drift, +heavy_change_detection,
+#                   +merkle_tree_levels
+N_ORACLE = 429
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:
