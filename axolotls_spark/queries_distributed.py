@@ -2039,3 +2039,127 @@ def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("change_score"), "part")
         .limit(_HCD_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Learned-index feasibility audit (per-segment CDF model error)
+
+
+_LIDX_SEGS = 8
+_LIDX_WIDTH = 100000.0  # o_totalprice segment width (clipped top seg)
+
+
+@register(
+    "learned_index_audit",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_totalprice AS x,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                   ::BIGINT AS r,
+               LEAST(CAST(FLOOR(o_totalprice / {_LIDX_WIDTH}) AS BIGINT),
+                     {_LIDX_SEGS - 1}) AS seg
+        FROM orders
+    ),
+    m AS (
+        SELECT seg, COUNT(*)::BIGINT AS n,
+               SUM(x) AS sx, SUM(r * 1.0) AS sr,
+               SUM(x * r) AS sxr, SUM(x * x) AS sxx
+        FROM ranked GROUP BY seg
+    ),
+    fit AS (
+        SELECT seg, n, sx, sr, sxr, sxx,
+               (n * sxr - sx * sr) / (n * sxx - sx * sx) AS slope
+        FROM m
+    ),
+    fit2 AS (
+        SELECT seg, n, slope, (sr - slope * sx) / n AS intercept
+        FROM fit
+    ),
+    resid AS (
+        SELECT r.seg, f.n, f.slope, f.intercept,
+               ABS(r.r - (f.slope * r.x + f.intercept)) AS e
+        FROM ranked r JOIN fit2 f ON r.seg = f.seg
+    )
+    SELECT seg AS segment, n AS n_keys,
+           CAST(slope AS REAL) AS slope,
+           CAST(intercept AS REAL) AS intercept,
+           CAST(MAX(e) AS REAL) AS max_abs_err,
+           CAST(SUM(e) / n AS REAL) AS mean_abs_err
+    FROM resid
+    GROUP BY seg, n, slope, intercept
+    ORDER BY segment
+    """,
+    tags=("learned-index", "cdf-model", "synopsis", "prefix-sum",
+          "index-design"),
+)
+def learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-index feasibility audit over ``o_totalprice`` — per
+    value segment, the least-squares linear CDF model rank ~ a*x + b
+    and its maximum/mean absolute rank error: exactly the epsilon a
+    PGM/RMI-style learned index needs to bound its final search step
+    (a segment with max error 120 means "model, then binary-search
+    241 positions").  `voptimal_histogram` designs buckets for
+    SELECTIVITY; this audits the same distribution for LOOKUP.
+
+    Scale shape: the global rank comes from
+    operators/prefix.ranked_cumsum (range partitions + broadcast
+    offsets — never an unpartitioned window over the corpus); the
+    per-segment fit is one moment aggregate; residuals re-join the
+    8-row broadcast parameter relation.  The oracle spells the same
+    fit from the same moments in the same operation order, and every
+    emitted float is float32 (only MAX/mean of |residual| — no
+    decision boundaries)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("one"),
+    )
+    ranked = ranked_cumsum(
+        o, [F.asc("x"), F.asc("k")], "one", rank_name="r", cum_name="_c"
+    ).select(
+        "x",
+        F.col("r").cast("long").alias("r"),
+        F.least(
+            F.floor(F.col("x") / _LIDX_WIDTH).cast("long"),
+            F.lit(_LIDX_SEGS - 1),
+        ).alias("seg"),
+    )
+    m = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("r") * 1.0).alias("sr"),
+        F.sum(F.col("x") * F.col("r")).alias("sxr"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fit = m.withColumn(
+        "slope",
+        (F.col("n") * F.col("sxr") - F.col("sx") * F.col("sr"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+    ).withColumn(
+        "intercept",
+        (F.col("sr") - F.col("slope") * F.col("sx")) / F.col("n"),
+    )
+    resid = ranked.join(
+        F.broadcast(fit.select("seg", "n", "slope", "intercept")), "seg"
+    ).withColumn(
+        "e",
+        F.abs(
+            F.col("r") - (F.col("slope") * F.col("x") + F.col("intercept"))
+        ),
+    )
+    return (
+        resid.groupBy("seg", "n", "slope", "intercept")
+        .agg(
+            F.max("e").alias("max_e"),
+            (F.sum("e") / F.col("n")).alias("mean_e"),
+        )
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n").alias("n_keys"),
+            F.col("slope").cast("float").alias("slope"),
+            F.col("intercept").cast("float").alias("intercept"),
+            F.col("max_e").cast("float").alias("max_abs_err"),
+            F.col("mean_e").cast("float").alias("mean_abs_err"),
+        )
+        .orderBy("segment")
+    )

@@ -278,6 +278,7 @@ ROUND6: list[str] = [
     "procrustes_alignment_drift",
     "heavy_change_detection",
     "merkle_tree_levels",
+    "learned_index_audit",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6
