@@ -331,3 +331,107 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_rho").cast("int").alias("max_rho"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark-delay design (event-time disorder audit)
+
+
+#: Candidate watermark delays (seconds) for the lateness census.
+_WM_DELAYS = (60, 300, 900)
+
+
+@register(
+    "watermark_delay_design",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts)::BIGINT AS us,
+               epoch_us(ts)::BIGINT
+               + ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                 % 600000000 - 300000000 AS arr_key
+        FROM events
+    ),
+    seq AS (
+        SELECT event_id, us,
+               MAX(us) OVER (
+                   ORDER BY arr_key, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM arr
+    ),
+    late AS (
+        SELECT CASE WHEN prev_max IS NULL THEN 0
+                    ELSE GREATEST(prev_max - us, 0) END AS late_us
+        FROM seq
+    )
+    SELECT COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_out_of_order,
+           {", ".join(
+               f"SUM(CASE WHEN late_us > {d} * 1000000 THEN 1 ELSE 0 END)"
+               f"::BIGINT AS n_late_over_{d}s" for d in _WM_DELAYS)},
+           MAX(late_us)::BIGINT AS max_late_us
+    FROM late
+    """,
+    tags=("streaming", "watermark", "event-time", "disorder",
+          "prefix-max", "design"),
+)
+def watermark_delay_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder census — the measurement that DESIGNS the
+    ``withWatermark`` delay the streaming jobs in this module then
+    assume: replaying events in simulated arrival order (event
+    time plus a deterministic hash jitter of up to +-5 minutes —
+    the synthetic table records no ingestion time, so network
+    disorder is planted reproducibly), each
+    event's lateness is how far the event-time high-water mark had
+    already advanced past it; the census counts out-of-order events
+    and how many a 1/5/15-minute watermark would still drop, plus the
+    max observed lateness.  Too short a delay silently drops those
+    rows from every windowed aggregate; too long holds back state
+    eviction at 100 TB — this table is the evidence for that
+    trade-off (`lsh_band_design`/`bloom_filter_design` discipline:
+    measure before configuring).
+
+    All-integer discipline end to end: event times become unix
+    MICROSECONDS (bigint) before any arithmetic, so the running max,
+    the lateness, and every threshold count are exact in both engines
+    — no timestamp subtraction or float seconds anywhere.  The
+    running high-water mark is operators/prefix.exclusive_prefix_max
+    (range partitions + broadcast per-partition offsets), never an
+    unpartitioned window over the corpus."""
+    from axolotls_spark.io.sources import load_table
+    from axolotls_spark.operators.prefix import exclusive_prefix_max
+
+    from axolotls_spark.operators.dedup import token_hash
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).withColumn(
+        "arr_key",
+        F.col("us")
+        + token_hash(F.col("event_id").cast("string")) % 600000000
+        - 300000000,
+    )
+    seq = exclusive_prefix_max(
+        e, [F.asc("arr_key"), F.asc("event_id")], "us", out_name="prev_max"
+    )
+    late = seq.select(
+        F.when(F.col("prev_max").isNull(), F.lit(0))
+        .otherwise(F.greatest(F.col("prev_max") - F.col("us"), F.lit(0)))
+        .cast("long")
+        .alias("late_us")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("int"))
+        .cast("long")
+        .alias("n_out_of_order"),
+    ]
+    for d in _WM_DELAYS:
+        aggs.append(
+            F.sum((F.col("late_us") > d * 1000000).cast("int"))
+            .cast("long")
+            .alias(f"n_late_over_{d}s")
+        )
+    aggs.append(F.max("late_us").cast("long").alias("max_late_us"))
+    return late.agg(*aggs)

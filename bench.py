@@ -279,6 +279,7 @@ ROUND6: list[str] = [
     "heavy_change_detection",
     "merkle_tree_levels",
     "learned_index_audit",
+    "watermark_delay_design",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6
