@@ -67,6 +67,11 @@ HEAVY = [
     "sparse_cosine_pairs",
     "semdedup_prune",
     "kmeans_clusters",
+    # Round-6 third-session heavies: the per-byte windowed chunker
+    # (widest new shuffle) and the two-hop graph joins.
+    "content_defined_chunks",
+    "link_prediction_copurchase",
+    "learned_index_audit",
 ]
 
 
