@@ -10584,6 +10584,13 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # The edge relation feeds degree, two-hop candidates, AND the
+    # closure/anti join — persist once (caller-owned, tracked) so the
+    # lineitem self-join lineage executes a single time, not per
+    # consumer (PLANS.md showed 22 lineitem scans without this).
+    from axolotls_spark import cacheutil
+
+    edges = cacheutil.track(edges.persist())
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -10892,6 +10899,13 @@ def clustering_coefficient_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # The edge relation feeds degree, two-hop candidates, AND the
+    # closure/anti join — persist once (caller-owned, tracked) so the
+    # lineitem self-join lineage executes a single time, not per
+    # consumer (PLANS.md showed 22 lineitem scans without this).
+    from axolotls_spark import cacheutil
+
+    edges = cacheutil.track(edges.persist())
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -1925,6 +1925,11 @@ def ams_f2_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = li.groupBy("flag", "k").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    # cnt feeds the sketch components, both exact-F2 legs, and the
+    # global regroup — persist the key-domain relation once (tracked).
+    from axolotls_spark import cacheutil
+
+    cnt = cacheutil.track(cnt.persist())
     spine = F.broadcast(
         spark.range(_AMS_K).select(F.col("id").cast("int").alias("j"))
     )

@@ -885,6 +885,12 @@ def merkle_tree_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("level", F.lit(0))
     )
+    # Each level is consumed twice (the output union and the next
+    # level's aggregate); persist the <=64-row relations (tracked) so
+    # the orders scan and the per-level digest chain run once.
+    from axolotls_spark import cacheutil
+
+    lvl = cacheutil.track(lvl.persist())
     out = lvl
     n = _MERKLE_LEAVES
     level = 0
@@ -916,6 +922,7 @@ def merkle_tree_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("level", F.lit(level))
         )
+        lvl = cacheutil.track(lvl.persist())
         out = out.unionByName(lvl)
     return out.select(
         "level",
