@@ -8748,7 +8748,7 @@ _KTRUSS_K = 4
 _KTRUSS_ROUNDS = 3
 
 _KTRUSS_EDGES_SQL = """
-    te0 AS (
+    te0 AS MATERIALIZED (
         SELECT DISTINCT LEAST(s_nationkey, c_nationkey) AS a,
                         GREATEST(s_nationkey, c_nationkey) AS b
         FROM lineitem l
@@ -8761,20 +8761,24 @@ _KTRUSS_EDGES_SQL = """
 
 
 def _ktruss_round_sql(i: int) -> str:
+    # MATERIALIZED: each round references its predecessor ~5 times;
+    # left as inline views DuckDB re-executes the 4-way corpus join
+    # multiplicatively per round (observed: 100 GiB OOM at sf0.1 —
+    # the round-6 CollapseProject/CTE lesson, relational edition).
     return f""",
-    tadj{i} AS (
+    tadj{i} AS MATERIALIZED (
         SELECT a AS u, b AS v FROM te{i - 1}
         UNION ALL
         SELECT b AS u, a AS v FROM te{i - 1}
     ),
-    tsup{i} AS (
+    tsup{i} AS MATERIALIZED (
         SELECT e.a, e.b, COUNT(*)::BIGINT AS sup
         FROM te{i - 1} e
         JOIN tadj{i} x ON x.u = e.a
         JOIN tadj{i} y ON y.u = e.b AND y.v = x.v
         GROUP BY e.a, e.b
     ),
-    te{i} AS (
+    te{i} AS MATERIALIZED (
         SELECT e.a, e.b, COALESCE(s.sup, 0) AS sup
         FROM te{i - 1} e
         LEFT JOIN tsup{i} s ON s.a = e.a AND s.b = e.b
@@ -10117,16 +10121,14 @@ def _bca_oracle() -> str:
         SELECT (fs.st - gj.sg) / (fs.n - gj.ng) AS ti
         FROM gj CROSS JOIN fs
     ),
-    jm AS (
-        SELECT AVG(ti) AS tbar, SUM(ti * ti) AS s2,
-               SUM(ti * ti * ti) AS s3, COUNT(*)::DOUBLE AS kk
-        FROM loo
+    jm AS (SELECT AVG(ti) AS tbar FROM loo),
+    cm AS (
+        SELECT SUM((jm.tbar - ti) * (jm.tbar - ti)) AS c2,
+               SUM((jm.tbar - ti) * (jm.tbar - ti) * (jm.tbar - ti))
+                   AS c3
+        FROM loo CROSS JOIN jm
     ),
-    acc AS (
-        SELECT (-s3 + 3.0 * tbar * s2 - 2.0 * kk * tbar * tbar * tbar)
-                 / (6.0 * POWER(s2 - kk * tbar * tbar, 1.5)) AS a
-        FROM jm
-    ),
+    acc AS (SELECT c3 / (6.0 * POWER(c2, 1.5)) AS a FROM cm),
     zz AS (
         SELECT GREATEST(LEAST(
                    (SELECT SUM(CASE WHEN m < fs.theta THEN 1 ELSE 0 END)
@@ -10249,31 +10251,21 @@ def bca_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ti"
         )
     )
-    acc = loo.agg(
-        F.avg("ti").alias("tbar"),
-        F.sum(F.col("ti") * F.col("ti")).alias("s2"),
-        F.sum(F.col("ti") * F.col("ti") * F.col("ti")).alias("s3"),
-        F.count(F.lit(1)).cast("double").alias("kk"),
-    ).select(
-        # sum((tbar - ti)^3) = -s3 + 3 tbar s2 - 2 k tbar^3 ;
-        # sum((tbar - ti)^2) = s2 - k tbar^2  (raw power sums, the
-        # same expansion the oracle's jm/acc CTEs use).
-        (
-            (
-                -F.col("s3")
-                + 3 * F.col("tbar") * F.col("s2")
-                - 2 * F.col("kk") * F.col("tbar") * F.col("tbar")
-                * F.col("tbar")
-            )
-            / (
-                6.0
-                * F.pow(
-                    F.col("s2")
-                    - F.col("kk") * F.col("tbar") * F.col("tbar"),
-                    1.5,
-                )
-            )
-        ).alias("a")
+    # Two-pass CENTERED moments for the acceleration.  The raw-power-
+    # sum expansion (-s3 + 3 tbar s2 - 2 k tbar^3) cancels ~7 digits
+    # at sf0.1 (terms ~1e17 collapsing to ~1e10), amplifying the two
+    # engines' accumulation-order ulps to ~1e-6 — exactly ROUND(a, 6)'s
+    # boundary (observed flip: -0.015323 vs -0.015322).  Centering
+    # first removes the cancellation; both engines run the same
+    # centered text.
+    jt = loo.agg(F.avg("ti").alias("tbar"))
+    d = F.col("tbar") - F.col("ti")
+    cm = loo.crossJoin(F.broadcast(jt)).agg(
+        F.sum(d * d).alias("c2"),
+        F.sum(d * d * d).alias("c3"),
+    )
+    acc = cm.select(
+        (F.col("c3") / (6.0 * F.pow(F.col("c2"), 1.5))).alias("a")
     )
     below = rm.crossJoin(F.broadcast(fs)).agg(
         F.sum(F.when(F.col("m") < F.col("theta"), 1).otherwise(0))
