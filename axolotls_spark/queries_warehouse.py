@@ -930,3 +930,100 @@ def merkle_tree_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "digest",
     ).orderBy("level", "node_id")
+
+
+# --------------------------------------------------------------------------
+# Late-arriving-data restatement curve (bitemporal reporting)
+
+
+_RESTATE_HASH = "('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT"
+
+
+@register(
+    "late_data_restatement",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               o_totalprice AS v,
+               CAST(o_orderdate AS DATE)
+                   + CAST({_RESTATE_HASH} % 30 AS INTEGER)
+                       AS known_date,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders
+    )
+    SELECT month,
+           COUNT(*)::BIGINT AS n_final,
+           CAST(SUM(v) AS REAL) AS rev_final,
+           SUM(CASE WHEN known_date <= month_end + 7
+                    THEN 1 ELSE 0 END)::BIGINT AS n_known_7d,
+           CAST(SUM(CASE WHEN known_date <= month_end + 7
+                         THEN v ELSE 0 END) AS REAL) AS rev_7d,
+           SUM(CASE WHEN known_date <= month_end + 30
+                    THEN 1 ELSE 0 END)::BIGINT AS n_known_30d,
+           CAST(SUM(CASE WHEN known_date <= month_end + 30
+                         THEN v ELSE 0 END) AS REAL) AS rev_30d,
+           CAST(SUM(CASE WHEN known_date <= month_end + 7
+                         THEN v ELSE 0 END) / SUM(v) AS REAL)
+               AS completeness_7d
+    FROM keyed
+    GROUP BY month
+    ORDER BY month
+    """,
+    tags=("bitemporal", "late-data", "restatement", "warehouse",
+          "reporting"),
+)
+def late_data_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-data restatement curve — per order month, the
+    revenue a report closed 7 and 30 days after month-end would have
+    shown vs the final restated truth (arrival lag planted as a
+    deterministic 0-29-day hash of the order key: the synthetic table
+    records no ingestion time, the `watermark_delay_design`
+    convention).  This is the BITEMPORAL question every finance /
+    metrics warehouse answers — "what did we know when we published?"
+    — and the measurement that sets a close calendar: completeness_7d
+    tells you how wrong the fast close is, and the 7d→30d delta
+    whether waiting helps.
+
+    Determinism: arrival lag, month-end cutoffs, and all known/not
+    flags are pure integer DATE arithmetic; only the revenue sums are
+    floats (float32 emitted).  Scale shape: ONE conditional aggregate
+    over the corpus — the as-of flags are CASE columns, not
+    per-snapshot scans."""
+    from axolotls_spark.operators.dedup import token_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").alias("v"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (token_hash(F.col("o_orderkey").cast("string")) % 30).cast(
+                "int"
+            ),
+        ).alias("known_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+    k7 = F.col("known_date") <= F.date_add(F.col("month_end"), 7)
+    k30 = F.col("known_date") <= F.date_add(F.col("month_end"), 30)
+    return (
+        keyed.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_final"),
+            F.sum("v").cast("float").alias("rev_final"),
+            F.sum(k7.cast("int")).cast("long").alias("n_known_7d"),
+            F.sum(F.when(k7, F.col("v")).otherwise(0.0))
+            .cast("float")
+            .alias("rev_7d"),
+            F.sum(k30.cast("int")).cast("long").alias("n_known_30d"),
+            F.sum(F.when(k30, F.col("v")).otherwise(0.0))
+            .cast("float")
+            .alias("rev_30d"),
+            (
+                F.sum(F.when(k7, F.col("v")).otherwise(0.0))
+                / F.sum("v")
+            )
+            .cast("float")
+            .alias("completeness_7d"),
+        )
+        .orderBy("month")
+    )

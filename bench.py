@@ -280,6 +280,7 @@ ROUND6: list[str] = [
     "merkle_tree_levels",
     "learned_index_audit",
     "watermark_delay_design",
+    "late_data_restatement",
 ]
 
 HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6
