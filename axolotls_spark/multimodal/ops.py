@@ -491,12 +491,15 @@ def scene_changes(
             for p in pdf["payload"]:
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
                 nf = -(-arr.size // frame_bytes)
-                sums = np.zeros(nf, dtype=np.int64)
-                lens = np.zeros(nf, dtype=np.int64)
-                for f in range(nf):
-                    chunk = arr[f * frame_bytes: (f + 1) * frame_bytes]
-                    sums[f] = int(chunk.sum(dtype=np.int64))
-                    lens[f] = chunk.size
+                if nf:
+                    sums = np.add.reduceat(
+                        arr.astype(np.int64),
+                        np.arange(0, arr.size, frame_bytes),
+                    )
+                    lens = np.full(nf, frame_bytes, dtype=np.int64)
+                    lens[-1] = arr.size - (nf - 1) * frame_bytes
+                else:
+                    sums = lens = np.zeros(0, dtype=np.int64)
                 if nf > 1:
                     lhs = np.abs(
                         sums[1:] * lens[:-1] - sums[:-1] * lens[1:]

@@ -10497,6 +10497,40 @@ _LINKPRED_EDGES_SQL = f"""
 """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edge relation (u < v) on the part graph —
+    the Spark mirror of ``_LINKPRED_EDGES_SQL``'s ``edges`` CTE,
+    shared by `link_prediction_copurchase` and
+    `clustering_coefficient_nodes`.
+
+    The edge relation feeds degree, wedge/two-hop candidates, and the
+    closure joins in both consumers — persist once (caller-owned,
+    tracked) so the lineitem self-join lineage executes a single time,
+    not per consumer (PLANS.md showed 22 lineitem scans without this).
+    Edge generation fans out per ORDER (basket-bounded: <= 7 lineitems
+    per order in TPC-H, so pairs-per-order is a constant)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _LINKPRED_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    from axolotls_spark import cacheutil
+
+    return cacheutil.track(edges.persist())
+
+
 @register(
     "link_prediction_copurchase",
     oracle=f"""
@@ -10559,30 +10593,7 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     never tie; the float AA/Jaccard scores ride along as float32
     (stable_f32 convention, accumulation-order safe).
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= _LINKPRED_MIN_QTY)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    # The edge relation feeds degree, two-hop candidates, AND the
-    # closure/anti join — persist once (caller-owned, tracked) so the
-    # lineitem self-join lineage executes a single time, not per
-    # consumer (PLANS.md showed 22 lineitem scans without this).
-    from axolotls_spark import cacheutil
-
-    edges = cacheutil.track(edges.persist())
+    edges = _copurchase_edges(spark, sf_dir)
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -10874,30 +10885,7 @@ def clustering_coefficient_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered purely by integers (triangles DESC, degree DESC, part),
     so the boundary cannot tie; the float coefficient rides along as
     float32."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= _LINKPRED_MIN_QTY)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    # The edge relation feeds degree, two-hop candidates, AND the
-    # closure/anti join — persist once (caller-owned, tracked) so the
-    # lineitem self-join lineage executes a single time, not per
-    # consumer (PLANS.md showed 22 lineitem scans without this).
-    from axolotls_spark import cacheutil
-
-    edges = cacheutil.track(edges.persist())
+    edges = _copurchase_edges(spark, sf_dir)
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -1964,7 +1964,7 @@ _HCD_TOPK = 20
     tags=("heavy-change", "deltoids", "drift", "monitoring", "topk"),
 )
 def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} heavy CHANGES in part frequency between the pre- and
+    """Top-20 heavy CHANGES in part frequency between the pre- and
     post-1998H2 shipment eras — the deltoids problem (Cormode &
     Muthukrishnan): the items whose relative frequency moved most,
     which is what a drift monitor actually wants (the top-k lists
@@ -1981,7 +1981,7 @@ def heavy_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (part, era) aggregate over the corpus, a
     key-domain full-outer join, a broadcast 1-row totals attach, and
-    a TakeOrderedAndProject top-k.""".format(k=_HCD_TOPK)
+    a TakeOrderedAndProject top-k."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("part"),
         F.when(

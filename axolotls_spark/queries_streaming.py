@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from axolotls_spark import streaming as S
+from axolotls_spark.io.sources import load_table
 from axolotls_spark.registry import register
 
 
@@ -94,8 +95,6 @@ def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     static (broadcastable) customer dimension, then aggregated. The
     static side is re-read per micro-batch by Spark — the standard
     slowly-changing-dimension enrichment shape."""
-    from axolotls_spark.io.sources import load_table
-
     stream = S.read_events_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
@@ -399,10 +398,8 @@ def watermark_delay_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     running high-water mark is operators/prefix.exclusive_prefix_max
     (range partitions + broadcast per-partition offsets), never an
     unpartitioned window over the corpus."""
-    from axolotls_spark.io.sources import load_table
-    from axolotls_spark.operators.prefix import exclusive_prefix_max
-
     from axolotls_spark.operators.dedup import token_hash
+    from axolotls_spark.operators.prefix import exclusive_prefix_max
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
