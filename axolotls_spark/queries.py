@@ -393,3 +393,4 @@ from axolotls_spark import queries_entity  # noqa: E402,F401
 from axolotls_spark import queries_distributed  # noqa: E402,F401
 from axolotls_spark import queries_spatial  # noqa: E402,F401
 from axolotls_spark import queries_recsys  # noqa: E402,F401
+from axolotls_spark import queries_observability  # noqa: E402,F401

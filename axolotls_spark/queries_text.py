@@ -1163,6 +1163,47 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def incremental_dedup_screen(docs: DataFrame, is_new):
+    """Two-tier incremental dedup screen shared by
+    `dedup_incremental_batch`, `daily_ingestion` and
+    `observed_ingestion_metrics` — returns ``(exact_hits, near_hits)``,
+    each a 1-column ``doc_id`` relation of batch documents that
+    collide with the corpus.
+
+    Scale shape: the banded-signature relation is computed once over
+    batch ∪ corpus and persisted (tracked — the harness releases it
+    after materialization); the near tier is an equi-join of its
+    batch slice against its corpus slice on (band, bucket_key) — work
+    proportional to bucket collisions, never corpus-vs-corpus.  The
+    exact tier is a semi-join on a 60-bit digest."""
+    from axolotls_spark import cacheutil
+
+    wide = D.minhash_wide(docs, k=8)
+    banded = cacheutil.track(
+        D.lsh_banded_keys(wide, k=8, bands=2).persist()
+    )
+    near_hits = (
+        banded.filter(is_new)
+        .alias("a")
+        .join(
+            banded.filter(~is_new).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    h = cacheutil.track(
+        docs.select("doc_id", F.md5("text").alias("h")).persist()
+    )
+    exact_hits = (
+        h.filter(is_new)
+        .join(h.filter(~is_new).select("h").distinct(), "h", "left_semi")
+        .select("doc_id")
+    )
+    return exact_hits, near_hits
+
+
 @register(
     "dedup_incremental_batch",
     oracle=f"""
@@ -1210,25 +1251,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     is_new = (F.col("doc_id") % 10) == 0
-    wide = D.minhash_wide(docs, k=8)
-    banded = D.lsh_banded_keys(wide, k=8, bands=2).persist()
-    near_hits = (
-        banded.filter(is_new)
-        .alias("a")
-        .join(
-            banded.filter(~is_new).alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket_key") == F.col("b.bucket_key")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id"))
-        .distinct()
-    )
-    h = docs.select("doc_id", F.md5("text").alias("h")).persist()
-    exact_hits = (
-        h.filter(is_new)
-        .join(h.filter(~is_new).select("h").distinct(), "h", "left_semi")
-        .select("doc_id")
-    )
+    exact_hits, near_hits = incremental_dedup_screen(docs, is_new)
     return (
         docs.filter(is_new)
         .select("doc_id")
@@ -1337,26 +1360,9 @@ def daily_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     is_new = (F.col("doc_id") % 10) == 0
 
-    # Tier 1+2: identical structure to dedup_incremental_batch.
-    wide = D.minhash_wide(docs, k=8)
-    banded = D.lsh_banded_keys(wide, k=8, bands=2).persist()
-    near_hits = (
-        banded.filter(is_new)
-        .alias("a")
-        .join(
-            banded.filter(~is_new).alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket_key") == F.col("b.bucket_key")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id"))
-        .distinct()
-    )
-    h = docs.select("doc_id", F.md5("text").alias("h")).persist()
-    exact_hits = (
-        h.filter(is_new)
-        .join(h.filter(~is_new).select("h").distinct(), "h", "left_semi")
-        .select("doc_id")
-    )
+    # Tier 1+2: the shared incremental screen (identical structure to
+    # dedup_incremental_batch by construction).
+    exact_hits, near_hits = incremental_dedup_screen(docs, is_new)
     survivors = (
         docs.filter(is_new)
         .join(exact_hits, "doc_id", "left_anti")
