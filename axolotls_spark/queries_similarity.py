@@ -2544,3 +2544,259 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x_id", "y_id", "sim")
         .orderBy("x_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-index lifecycle composite: build -> balance gate -> probe ->
+# recall report, as ONE user-facing oracle-checked query (VERDICT r6
+# item #7 — the ANN sibling of `daily_ingestion`).
+# ---------------------------------------------------------------------------
+
+_VIL_NPROBE = 4
+_VIL_K = 10
+
+
+@register(
+    "vector_index_lifecycle",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cent_vec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    corpus_scored AS (
+        SELECT e.vec_id AS cand_id, c.cell,
+               {_SQL_DOT.format(a='e.embedding', b='c.cent_vec')}
+               / NULLIF({_SQL_NORM.format(v='e.embedding')}
+                        * {_SQL_NORM.format(v='c.cent_vec')}, 0) AS cell_sim
+        FROM embeddings e, cents c
+    ),
+    corpus_cells AS (
+        SELECT cand_id, cell FROM (
+            SELECT cand_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cand_id
+                                      ORDER BY cell_sim DESC, cell) AS rn
+            FROM corpus_scored
+        ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cell, COUNT(*) AS sz FROM corpus_cells GROUP BY cell),
+    tot AS (
+        SELECT CAST(SUM(sz) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MAX(sz) AS BIGINT) AS max_cell,
+               MAX(sz) / (SUM(sz) / CAST(COUNT(*) AS DOUBLE)) AS imb
+        FROM sizes
+    ),
+    top4 AS (
+        SELECT SUM(sz) AS s4 FROM (
+            SELECT sz FROM sizes ORDER BY sz DESC, cell LIMIT 4
+        )
+    ),
+    probe_cells AS (
+        SELECT query_id, cell FROM (
+            SELECT cs.cand_id AS query_id, cs.cell,
+                   ROW_NUMBER() OVER (PARTITION BY cs.cand_id
+                                      ORDER BY cs.cell_sim DESC, cs.cell)
+                       AS rn
+            FROM corpus_scored cs WHERE cs.cand_id % 25 = 0
+        ) WHERE rn <= {_VIL_NPROBE}
+    ),
+    scan AS (
+        SELECT p.query_id, SUM(s.sz) - 1 AS n_cand
+        FROM probe_cells p JOIN sizes s ON s.cell = p.cell
+        GROUP BY p.query_id
+    ),
+    ivf10 AS (
+        SELECT query_id, cand_id FROM (
+            SELECT s.query_id, s.cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.sim DESC, s.cand_id) AS rn
+            FROM (
+                SELECT p.query_id, cc.cand_id,
+                       {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                       / NULLIF({_SQL_NORM.format(v='q.embedding')}
+                                * {_SQL_NORM.format(v='c.embedding')}, 0)
+                           AS sim
+                FROM probe_cells p
+                JOIN corpus_cells cc ON cc.cell = p.cell
+                                    AND cc.cand_id <> p.query_id
+                JOIN embeddings q ON q.vec_id = p.query_id
+                JOIN embeddings c ON c.vec_id = cc.cand_id
+            ) s
+        ) WHERE rn <= {_VIL_K}
+    ),
+    exact10 AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_DOT.format(a='q.embedding',
+                                                 b='c.embedding')}
+                                / NULLIF({_SQL_NORM.format(v='q.embedding')}
+                                         * {_SQL_NORM.format(
+                                             v='c.embedding')}, 0) DESC,
+                                c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % 25 = 0
+        ) WHERE rn <= {_VIL_K}
+    ),
+    hits AS (
+        SELECT e.query_id,
+               SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hit
+        FROM exact10 e
+        LEFT JOIN ivf10 i ON i.query_id = e.query_id
+                         AND i.cand_id = e.cand_id
+        GROUP BY e.query_id
+    ),
+    rec AS (
+        SELECT COUNT(*)::BIGINT AS n_queries,
+               AVG(n_hit / {_VIL_K}.0) AS recall
+        FROM hits
+    ),
+    probe_cost AS (SELECT AVG(n_cand) AS avg_cand FROM scan)
+    SELECT tot.n_vecs, tot.n_cells, tot.max_cell,
+           CAST(tot.imb AS REAL) AS imbalance,
+           CAST(top4.s4 / CAST(tot.n_vecs AS DOUBLE) AS REAL)
+               AS worst4_scan_frac,
+           rec.n_queries,
+           CAST(ROUND(probe_cost.avg_cand / (tot.n_vecs - 1), 6) AS REAL)
+               AS avg_probe_frac,
+           CAST(ROUND(rec.recall, 6) AS REAL) AS recall_at_10
+    FROM tot, top4, rec, probe_cost
+    """,
+    tags=("similarity", "ivf", "ann", "composite", "index-lifecycle",
+          "retrieval-eval", "pipeline"),
+)
+def vector_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end vector-index lifecycle as ONE report row — the ANN
+    sibling of `daily_ingestion`: IVF build (argmax cell assignment,
+    16 deterministic centroids) → balance gate (`ivf_cell_balance`'s
+    imbalance + worst-case nprobe scan fraction) → probe (every
+    1-in-25 vector queries its 4 nearest cells) → quality report
+    (measured per-query candidate fraction AND recall@10 of the probe
+    vs the exact cosine ranking).  This is the decision artifact a
+    100 TB vector deployment reads before trusting an index: the cost
+    side (avg_probe_frac — how much of the corpus a probe actually
+    scores) and the quality side (recall_at_10) of the same build,
+    from the same assignment pass.
+
+    Scale shape: the cell assignment is computed ONCE and persisted
+    (tracked) — the balance report, the probe-cost arithmetic, and
+    the candidate join all reuse it (the standalone parts would scan
+    and assign twice; the composite's whole point is the shared
+    build).  Cell sizes are a 16-row relation reused for both the
+    gate and the per-query scan cost (pure arithmetic — the probe
+    cost needs NO second pass over candidates).  The recall ground
+    truth is the honest brute-force eval cost, same as
+    `retrieval_mrr_recall`; queries broadcast, the corpus never
+    shuffles.  Pinned: the composite adds zero exchanges beyond its
+    shared-assignment parts
+    (tests/test_round7_ops.py::test_vector_index_lifecycle_plan).
+    """
+    from axolotls_spark import cacheutil
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 16)
+    assigned = cacheutil.track(
+        SIM.assign_cells(emb, cents).persist()
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    tot = sizes.agg(
+        F.sum("sz").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("sz").cast("long").alias("max_cell"),
+        (
+            F.max("sz") / (F.sum("sz") / F.count(F.lit(1)).cast("double"))
+        ).alias("imb"),
+    )
+    top4 = (
+        sizes.orderBy(F.desc("sz"), F.asc("cell"))
+        .limit(4)
+        .agg(F.sum("sz").alias("s4"))
+    )
+
+    is_q = F.col("vec_id") % 25 == 0
+    probe_cells = SIM.assign_cells(
+        emb.filter(is_q), cents, n_best=_VIL_NPROBE
+    ).withColumnRenamed("vec_id", "query_id")
+    scan = (
+        probe_cells.join(F.broadcast(sizes), "cell")
+        .groupBy("query_id")
+        .agg((F.sum("sz") - 1).alias("n_cand"))
+    )
+    probe_cost = scan.agg(F.avg("n_cand").alias("avg_cand"))
+
+    qv = emb.filter(is_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cand = (
+        assigned.withColumnRenamed("vec_id", "cand_id")
+        .join(F.broadcast(probe_cells.select("query_id", "cell")), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    ivf10 = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("cand_id"),
+                       F.col("embedding").alias("c_vec")),
+            "cand_id",
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _VIL_K)
+        .select("query_id", "cand_id")
+    )
+    exact10 = (
+        F.broadcast(qv)
+        .join(emb.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("cand_id"),
+            cosine(F.col("q_vec"), F.col("c.embedding")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _VIL_K)
+        .select("query_id", "cand_id")
+    )
+    hits = (
+        exact10.join(
+            ivf10.withColumn("hit", F.lit(1)),
+            ["query_id", "cand_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    rec = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.avg(F.col("n_hit") / float(_VIL_K)).alias("recall"),
+    )
+
+    return (
+        tot.crossJoin(F.broadcast(top4))
+        .crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(probe_cost))
+        .select(
+            "n_vecs",
+            "n_cells",
+            "max_cell",
+            F.col("imb").cast("float").alias("imbalance"),
+            (F.col("s4") / F.col("n_vecs").cast("double"))
+            .cast("float")
+            .alias("worst4_scan_frac"),
+            "n_queries",
+            F.round(
+                F.col("avg_cand") / (F.col("n_vecs") - 1).cast("double"), 6
+            ).cast("float").alias("avg_probe_frac"),
+            F.round(F.col("recall"), 6).cast("float").alias("recall_at_10"),
+        )
+    )

@@ -18,7 +18,8 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 433  # round 7: +observed_ingestion_metrics (r6: +daily_ingestion,
+N_EXPECTED = 434  # round 7: +observed_ingestion_metrics,
+#                   +vector_index_lifecycle (r6: +daily_ingestion,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
 #                   +rbo_rank_agreement, +ks_two_sample,
@@ -71,7 +72,7 @@ N_EXPECTED = 433  # round 7: +observed_ingestion_metrics (r6: +daily_ingestion,
 #                   +procrustes_alignment_drift, +heavy_change_detection,
 #                   +merkle_tree_levels, +learned_index_audit,
 #                   +watermark_delay_design, +late_data_restatement
-N_ORACLE = 433
+N_ORACLE = 434
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

@@ -52,3 +52,94 @@ def test_observed_funnel_matches_recount(spark):
     assert n[0] >= n[1] >= n[2] >= n[3] > 0
     c = [rows[s]["n_chars"] for s in rows]
     assert c[0] >= c[1] >= c[2] >= c[3] > 0
+
+
+# --------------------------------------------------------------------------
+# vector_index_lifecycle — plan pin + independent NumPy mirror
+
+
+def test_vector_index_lifecycle_plan(spark):
+    """The composite adds exactly FIVE wide edges beyond its three
+    standalone parts (ivf_cell_balance + ann_ivf_topk's probe shape +
+    retrieval_mrr_recall's eval shape): the probe-cost groupBy + its
+    global avg (2), the overlap recount's pair-key exchange + its
+    groupBy (2), and the final single-partition assembly (1) — pinned
+    as a DELTA so the shared screen's own shape can evolve.  Note the
+    static plan re-expands the persisted assignment subtree per
+    consumer; at runtime the InMemoryRelation collapses those, so the
+    pinned static count is an upper bound on real shuffles."""
+    from axolotls_spark.plans.audit import audit
+
+    comp = audit(REGISTRY["vector_index_lifecycle"].fn(spark, SF_DIR))
+    bal = audit(REGISTRY["ivf_cell_balance"].fn(spark, SF_DIR))
+    ivf = audit(REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR))
+    mrr = audit(REGISTRY["retrieval_mrr_recall"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in comp.text
+    assert "BatchEvalPython" not in comp.text
+    assert comp.n_exchanges == (
+        bal.n_exchanges + ivf.n_exchanges + mrr.n_exchanges + 5
+    )
+
+
+def test_vector_index_lifecycle_vs_numpy(spark):
+    """Third implementation: straight-line NumPy IVF build + probe +
+    recall on the raw parquet — no Spark, no SQL — must agree with
+    the registered composite on every output."""
+    import duckdb
+    import numpy as np
+
+    row = REGISTRY["vector_index_lifecycle"].fn(spark, SF_DIR).collect()[0]
+    d = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in d])
+    X = np.array([r[1] for r in d], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[ids < 16]
+    sim = Xn @ C.T  # (n, 16) cosine to each centroid
+    # argmax with cell-id tie-break == argmax of (sim, -cell) lexicographic
+    assign = sim.argmax(axis=1)
+    sizes = np.bincount(assign, minlength=16)
+    sizes = sizes[sizes > 0]
+    assert row["n_vecs"] == len(ids)
+    assert row["n_cells"] == (sizes > 0).sum()
+    assert row["max_cell"] == sizes.max()
+    np.testing.assert_allclose(
+        row["imbalance"], sizes.max() / sizes.mean(), rtol=1e-6
+    )
+    top4 = np.sort(sizes)[-4:].sum()
+    np.testing.assert_allclose(
+        row["worst4_scan_frac"], top4 / len(ids), rtol=1e-6
+    )
+    qmask = ids % 25 == 0
+    qidx = np.nonzero(qmask)[0]
+    assert row["n_queries"] == len(qidx)
+    # probe: top-4 cells per query, tie-break by cell id (stable sort
+    # on -sim then cell == lexsort keys (cell, -sim))
+    order = np.lexsort((np.tile(np.arange(sim.shape[1]), (len(qidx), 1)),
+                        -sim[qidx]), axis=1)
+    probes = order[:, :4]
+    n_cand = np.array(
+        [np.bincount(assign, minlength=16)[p].sum() - 1 for p in probes]
+    )
+    np.testing.assert_allclose(
+        row["avg_probe_frac"],
+        round(n_cand.mean() / (len(ids) - 1), 6),
+        atol=2e-6,
+    )
+    full = Xn @ Xn.T
+    hits = 0
+    for qi, p in zip(qidx, probes):
+        s = full[qi].copy()
+        s[qi] = -np.inf  # exclude self
+        # exact top-10: (-sim, cand_id) lexicographic
+        exact = np.lexsort((ids, -s))[:10]
+        mask = np.isin(assign, p)
+        mask[qi] = False
+        cand = np.nonzero(mask)[0]
+        ivf = cand[np.lexsort((ids[cand], -s[cand]))][:10]
+        hits += len(np.intersect1d(exact, ivf)) / 10.0
+    np.testing.assert_allclose(
+        row["recall_at_10"], round(hits / len(qidx), 6), atol=2e-6
+    )
