@@ -1,0 +1,135 @@
+"""Per-query performance budget gate (VERDICT r6 item #4).
+
+The driver's box measures the frozen core anywhere from 1.0x to 1.46x
+purely from ambient VM load — so regressions must be caught BUILDER-
+side, on an idle box, against committed budgets, instead of inferred
+from the driver's noisy number.
+
+Two modes:
+
+  python tools/perfgate.py --record   # idle box: measure the frozen
+                                      # core at sf0.1, write
+                                      # BENCH_BUDGET.json
+  python tools/perfgate.py            # gate: re-measure, fail if any
+                                      # query > PER_QUERY_FACTOR x its
+                                      # budget or the core total >
+                                      # TOTAL_FACTOR x the budget total
+
+Budgets are recorded DELIBERATELY (--record on an idle machine, one
+commit per re-baseline) — the gate run must never silently overwrite
+them.  On breach the gate prints the offending queries and their
+current plan digests next to the PLANS.md pins, because a perf
+regression on identical hardware means the PLAN changed (or the box
+was not idle — rerun after `pgrep java` shows 0).
+
+Timing discipline mirrors bench.py exactly: noop sink, min-of-N warm
+repeats per query, all caches released between queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from axolotls_spark import cacheutil  # noqa: E402
+from axolotls_spark.queries import REGISTRY  # noqa: E402
+from axolotls_spark.session import get_spark  # noqa: E402
+from bench import CORE  # noqa: E402 — the frozen round-3 headline set
+
+BUDGET_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_BUDGET.json",
+)
+#: A single query may be up to 2x its idle budget (sub-second queries
+#: sit inside the measured +/-0.15-0.2 ambient band; 2x only trips on
+#: real plan changes).  The TOTAL is the tight bound: 1.25x.
+PER_QUERY_FACTOR = 2.0
+TOTAL_FACTOR = 1.25
+
+
+def measure() -> dict[str, float]:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    spark = get_spark("axolotls-spark-perfgate", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = [n for n in CORE if n in REGISTRY]
+    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        cacheutil.release_caches()
+        spark.catalog.clearCache()
+        timings[name] = round(best, 4)
+    return timings
+
+
+def main() -> int:
+    if "--record" in sys.argv:
+        t = measure()
+        with open(BUDGET_FILE, "w") as f:
+            json.dump(
+                {
+                    "note": "idle-box frozen-core budgets; re-record "
+                            "deliberately with tools/perfgate.py --record",
+                    "core_total_sec": round(sum(t.values()), 4),
+                    "queries": t,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"recorded {len(t)} budgets, core total "
+              f"{sum(t.values()):.2f}s -> {BUDGET_FILE}")
+        return 0
+
+    with open(BUDGET_FILE) as f:
+        budget = json.load(f)
+    t = measure()
+    total = sum(t.values())
+    total_cap = budget["core_total_sec"] * TOTAL_FACTOR
+    bad = [
+        (n, t[n], budget["queries"][n])
+        for n in t
+        if n in budget["queries"]
+        and t[n] > budget["queries"][n] * PER_QUERY_FACTOR
+    ]
+    print(json.dumps({"core_total_sec": round(total, 4),
+                      "budget_total_sec": budget["core_total_sec"],
+                      "cap": round(total_cap, 4),
+                      "n_over_per_query": len(bad)}))
+    ok = True
+    if bad:
+        ok = False
+        print(f"PER-QUERY BREACH ({PER_QUERY_FACTOR}x):")
+        for n, now, b in sorted(bad, key=lambda x: -x[1] / x[2]):
+            print(f"  {n}: {now:.2f}s vs budget {b:.2f}s "
+                  f"({now / b:.2f}x)")
+    if total > total_cap:
+        ok = False
+        print(f"CORE TOTAL BREACH: {total:.2f}s > "
+              f"{TOTAL_FACTOR}x budget ({total_cap:.2f}s)")
+    if not ok:
+        print("A breach on an idle box means a plan changed — diff the "
+              "core digests: python tools/plan_report.py "
+              "/root/testdata/sf0.001, compare PLANS.md. If the box was "
+              "loaded (pgrep java), rerun when idle.")
+        return 1
+    print("PERFGATE GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

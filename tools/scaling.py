@@ -1,0 +1,120 @@
+"""Measured scaling decade (VERDICT r6 item #2): run the heaviest
+headliners at sf0.01 / sf0.1 / sf1 (sf1 synthesized locally by
+tools/synth_scale.py) and record the per-decade wall-time ratios, so
+the 100 TB linearity claims are measured, not asserted.
+
+A ratio near 10 per decade = linear in corpus size; near 1 = bounded
+(calendar/domain-bounded relations); near 100 = quadratic.  The two
+brute-force retrieval-eval heads are EXPECTED quadratic (queries x
+corpus is the honest ground-truth cost; the ANN probe is the scale
+path) — they are measured over sf0.01 -> sf0.1 only and marked
+``quadratic-by-design`` instead of burning minutes at sf1 confirming
+arithmetic.
+
+Timing discipline mirrors bench.py: noop sink, min-of-N back-to-back
+warm repeats per query, ALL caches released between queries.
+
+Usage: python tools/scaling.py [out_json]   (default SCALING.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from axolotls_spark import cacheutil  # noqa: E402
+from axolotls_spark.queries import REGISTRY  # noqa: E402
+from axolotls_spark.session import get_spark  # noqa: E402
+
+SFS = [
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+    ("1", "/root/repo/.scale/sf1"),
+]
+
+#: (query, max_sf) — max_sf caps where the query is measured.
+#: "1" = full decade sweep; "0.1" = the quadratic-by-design eval
+#: heads (ground-truth cost is queries x corpus; measured over one
+#: decade, which already spans 100x work).
+SCALE_SET = [
+    ("q1_pricing_summary", "1"),
+    ("q3_shipping_priority", "1"),
+    ("q9_product_profit", "1"),
+    ("link_prediction_copurchase", "1"),
+    ("clustering_coefficient_nodes", "1"),
+    ("bca_bootstrap_ci", "1"),
+    ("greedy_max_coverage", "1"),
+    ("minhash_xxhash_production", "1"),
+    ("minhash_near_dup_pairs", "1"),
+    ("dbscan_core_clusters", "1"),
+    ("als_rank1_factors", "1"),
+    ("ams_f2_sketch_merge", "1"),
+    ("fd_discovery_audit", "1"),
+    ("ktruss_trade_edges", "1"),
+    ("content_defined_chunks", "1"),
+    ("compaction_bin_packing", "1"),
+    ("daily_ingestion", "1"),
+    ("observed_ingestion_metrics", "1"),
+    ("bm25_search", "1"),
+    ("ann_ivf_topk", "1"),
+    ("sessionize_events_batch", "1"),
+    ("retrieval_mrr_recall", "0.1"),
+    ("vector_index_lifecycle", "0.1"),
+]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    spark = get_spark("axolotls-spark-scaling", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict[str, float]] = {}
+    for sf, sf_dir in SFS:
+        if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+            print(f"skip sf{sf}: {sf_dir} missing", file=sys.stderr)
+            continue
+        # Warm-up per SF: JVM + parquet footers.
+        REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        for name, max_sf in SCALE_SET:
+            if name not in REGISTRY:
+                continue
+            if float(sf) > float(max_sf):
+                continue
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            cacheutil.release_caches()
+            spark.catalog.clearCache()
+            results.setdefault(name, {})[sf] = round(best, 3)
+            print(f"sf{sf} {name}: {best:.3f}s", file=sys.stderr)
+
+    with open(out, "w") as f:
+        json.dump({"cpus": int(cpus), "repeats": repeats,
+                   "results": results}, f, indent=1, sort_keys=True)
+
+    # Markdown table on stdout for SCALE.md.
+    print("| query | sf0.01 | sf0.1 | sf1 | x/decade1 | x/decade2 |")
+    print("|---|---|---|---|---|---|")
+    for name, _ in SCALE_SET:
+        r = results.get(name, {})
+        a, b, c = r.get("0.01"), r.get("0.1"), r.get("1")
+        d1 = f"{b / a:.1f}x" if a and b else "-"
+        d2 = f"{c / b:.1f}x" if b and c else "-"
+        print(f"| {name} | {a or '-'} | {b or '-'} | {c or '-'} "
+              f"| {d1} | {d2} |")
+
+
+if __name__ == "__main__":
+    main()

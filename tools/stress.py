@@ -72,6 +72,20 @@ HEAVY = [
     "content_defined_chunks",
     "link_prediction_copurchase",
     "learned_index_audit",
+    # Round-7 (VERDICT r6 item #3): the top-of-judge-bench plans not
+    # yet spill-certified — the 5-round submodular greedy, the x64
+    # bootstrap explode, the xxhash MinHash + its recall gate, the
+    # brute-force retrieval eval head, the wedge-closing triangle
+    # ranking, the AMS sketch merge, and the two new composites.
+    "greedy_max_coverage",
+    "bca_bootstrap_ci",
+    "minhash_xxhash_production",
+    "retrieval_mrr_recall",
+    "clustering_coefficient_nodes",
+    "ams_f2_sketch_merge",
+    "fd_discovery_audit",
+    "vector_index_lifecycle",
+    "daily_ingestion",
 ]
 
 
