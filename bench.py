@@ -283,7 +283,14 @@ ROUND6: list[str] = [
     "late_data_restatement",
 ]
 
-HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6
+# Round-7 additions: the observe-instrumented ingestion funnel and
+# the IVF build->gate->probe->recall composite.
+ROUND7: list[str] = [
+    "observed_ingestion_metrics",
+    "vector_index_lifecycle",
+]
+
+HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6 + ROUND7
 
 
 def main() -> None:
@@ -325,7 +332,8 @@ def main() -> None:
     total = sum(timings.values())
     core_total = sum(t for n, t in timings.items() if n in set(CORE))
     new_total = sum(
-        t for n, t in timings.items() if n in set(ROUND5) | set(ROUND6)
+        t for n, t in timings.items()
+        if n in set(ROUND5) | set(ROUND6) | set(ROUND7)
     )
 
     # Line 1: full per-query map (human / diff audience).
