@@ -110,3 +110,14 @@ def test_every_entry_has_callable_and_tags():
     for name, spec in REGISTRY.items():
         assert callable(spec.fn), name
         assert isinstance(spec.tags, tuple) and spec.tags, name
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py headline name (incl. the frozen CORE and each
+    round block) must be a registered query — a renamed/dropped
+    registration would otherwise silently shrink the bench set."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench headliners not in registry: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
