@@ -24,20 +24,24 @@ NEVER_DRAWN_K="string_functions_part or string_format_closure \
  or ann_ivf_topk or image_ahash_topk or udf_pandas_logit \
  or udf_map_in_arrow or udtf_bigrams or udaf_weighted_avg"
 
-echo "== leg 1/5: full pytest (sf0.001)"
+# Perf gate runs FIRST: this VM runs on burst CPU credits — the gate
+# must see the idle-box state, not the throttled tail of 40 minutes
+# of parity sweeps (observed r7: a green gate re-run at the tail of
+# the sweeps breached 1.3x purely from credit exhaustion).
+echo "== leg 1/5: frozen-core perf budgets (idle box required)"
+python tools/perfgate.py
+
+echo "== leg 2/5: full pytest (sf0.001)"
 python -m pytest tests/ -x -q
 
-echo "== leg 2/5: never-driver-drawn families at the driver SF (sf0.01)"
+echo "== leg 3/5: never-driver-drawn families at the driver SF (sf0.01)"
 AXS_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest \
     tests/test_oracle_parity.py -q -k "$NEVER_DRAWN_K"
 
-echo "== leg 3/5: full-registry parity at sf0.01"
+echo "== leg 4/5: full-registry parity at sf0.01"
 python tools/parity.py /root/testdata/sf0.01 --json PARITY_sf0.01.json
 
-echo "== leg 4/5: full-registry parity at sf0.1"
+echo "== leg 5/5: full-registry parity at sf0.1"
 python tools/parity.py /root/testdata/sf0.1 --json PARITY_sf0.1.json
-
-echo "== leg 5/5: frozen-core perf budgets (idle box required)"
-python tools/perfgate.py
 
 echo "PRESUBMIT GREEN"
