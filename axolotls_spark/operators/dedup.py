@@ -472,8 +472,15 @@ def jaccard_prefix_pairs(
     sh = doc_shingle_hashes(docs, id_col, text_col, n).persist()
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id")
+    # merge hints on every corpus-scaled join side below: the
+    # post-aggregation size estimator undervalues dfreq / the prefix
+    # relation / the collect_set arrays, so the planner broadcasts
+    # them once the raised 64 MB threshold lets it — fine at sf0.1,
+    # driver-fatal at sf10 (caught by the r7 measured-decade sweep),
+    # and the wrong shape at 100 TB where a build side proportional
+    # to the corpus must never be a broadcast.
     ranked = (
-        sh.join(dfreq, "sh")
+        sh.join(dfreq.hint("merge"), "sh")
         .select(
             "doc_id", "sh",
             F.row_number()
@@ -492,7 +499,7 @@ def jaccard_prefix_pairs(
     cand = (
         pref.alias("a")
         .join(
-            pref.alias("b"),
+            pref.alias("b").hint("merge"),
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -509,8 +516,8 @@ def jaccard_prefix_pairs(
     inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
     jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sa.hint("merge"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb.hint("merge"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(
             F.col("jaccard") >= F.lit(tau_num) / F.lit(float(tau_den))

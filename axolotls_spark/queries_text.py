@@ -2260,10 +2260,14 @@ def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.slot", "p.mh")
+    # merge hints on the corpus-scaled join sides (signature slots,
+    # collect_set verify arrays): the post-agg size estimator
+    # undervalues them, so the planner broadcasts — driver-fatal at
+    # sf10 (r7 measured-decade finding), wrong shape at 100 TB.
     cand = (
         slots.alias("a")
         .join(
-            slots.alias("b"),
+            slots.alias("b").hint("merge"),
             (F.col("a.slot") == F.col("b.slot"))
             & (F.col("a.mh") == F.col("b.mh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -2281,8 +2285,8 @@ def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
     union = F.col("sa.n_sh") + F.col("sb.n_sh") - inter
     found = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sa.hint("merge"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb.hint("merge"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(inter * tau_den >= union * tau_num)
         .select("doc_a", "doc_b")
     )

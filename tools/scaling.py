@@ -34,6 +34,7 @@ SFS = [
     ("0.01", "/root/testdata/sf0.01"),
     ("0.1", "/root/testdata/sf0.1"),
     ("1", "/root/repo/.scale/sf1"),
+    ("10", "/root/repo/.scale/sf10"),
 ]
 
 #: (query, max_sf) — max_sf caps where the query is measured.
@@ -41,27 +42,27 @@ SFS = [
 #: heads (ground-truth cost is queries x corpus; measured over one
 #: decade, which already spans 100x work).
 SCALE_SET = [
-    ("q1_pricing_summary", "1"),
-    ("q3_shipping_priority", "1"),
-    ("q9_product_profit", "1"),
-    ("link_prediction_copurchase", "1"),
-    ("clustering_coefficient_nodes", "1"),
-    ("bca_bootstrap_ci", "1"),
-    ("greedy_max_coverage", "1"),
-    ("minhash_xxhash_production", "1"),
-    ("minhash_near_dup_pairs", "1"),
+    ("q1_pricing_summary", "10"),
+    ("q3_shipping_priority", "10"),
+    ("q9_product_profit", "10"),
+    ("link_prediction_copurchase", "10"),
+    ("clustering_coefficient_nodes", "10"),
+    ("bca_bootstrap_ci", "10"),
+    ("greedy_max_coverage", "10"),
+    ("minhash_xxhash_production", "10"),
+    ("minhash_near_dup_pairs", "10"),
     ("dbscan_core_clusters", "1"),
     ("als_rank1_factors", "1"),
-    ("ams_f2_sketch_merge", "1"),
-    ("fd_discovery_audit", "1"),
-    ("ktruss_trade_edges", "1"),
-    ("content_defined_chunks", "1"),
-    ("compaction_bin_packing", "1"),
-    ("daily_ingestion", "1"),
-    ("observed_ingestion_metrics", "1"),
-    ("bm25_search", "1"),
-    ("ann_ivf_topk", "1"),
-    ("sessionize_events_batch", "1"),
+    ("ams_f2_sketch_merge", "10"),
+    ("fd_discovery_audit", "10"),
+    ("ktruss_trade_edges", "10"),
+    ("content_defined_chunks", "10"),
+    ("compaction_bin_packing", "10"),
+    ("daily_ingestion", "10"),
+    ("observed_ingestion_metrics", "10"),
+    ("bm25_search", "10"),
+    ("ann_ivf_topk", "10"),
+    ("sessionize_events_batch", "10"),
     ("retrieval_mrr_recall", "0.1"),
     ("vector_index_lifecycle", "0.1"),
 ]
@@ -69,13 +70,20 @@ SCALE_SET = [
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    only_sf = os.environ.get("AXS_SCALE_ONLY_SF")  # e.g. "10": run one
+    # leg and merge into an existing out file (incremental decades)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     spark = get_spark("axolotls-spark-scaling", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict[str, float]] = {}
+    if only_sf and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f).get("results", {})
     for sf, sf_dir in SFS:
+        if only_sf and sf != only_sf:
+            continue
         if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
             print(f"skip sf{sf}: {sf_dir} missing", file=sys.stderr)
             continue
@@ -83,10 +91,13 @@ def main() -> None:
         REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
+        skip_present = os.environ.get("AXS_SCALE_SKIP_PRESENT")
         for name, max_sf in SCALE_SET:
             if name not in REGISTRY:
                 continue
             if float(sf) > float(max_sf):
+                continue
+            if skip_present and sf in results.get(name, {}):
                 continue
             best = float("inf")
             for _ in range(repeats):
@@ -105,15 +116,17 @@ def main() -> None:
                    "results": results}, f, indent=1, sort_keys=True)
 
     # Markdown table on stdout for SCALE.md.
-    print("| query | sf0.01 | sf0.1 | sf1 | x/decade1 | x/decade2 |")
-    print("|---|---|---|---|---|---|")
+    print("| query | sf0.01 | sf0.1 | sf1 | sf10 "
+          "| x/dec1 | x/dec2 | x/dec3 |")
+    print("|---|---|---|---|---|---|---|---|")
     for name, _ in SCALE_SET:
         r = results.get(name, {})
-        a, b, c = r.get("0.01"), r.get("0.1"), r.get("1")
+        a, b, c, d = r.get("0.01"), r.get("0.1"), r.get("1"), r.get("10")
         d1 = f"{b / a:.1f}x" if a and b else "-"
         d2 = f"{c / b:.1f}x" if b and c else "-"
+        d3 = f"{d / c:.1f}x" if c and d else "-"
         print(f"| {name} | {a or '-'} | {b or '-'} | {c or '-'} "
-              f"| {d1} | {d2} |")
+              f"| {d or '-'} | {d1} | {d2} | {d3} |")
 
 
 if __name__ == "__main__":

@@ -42,14 +42,40 @@ import sys
 
 import duckdb
 
-OFF = 10_000_000  # per-replica key offset (multiple of 10 and 25)
-
 TABLES_COPY = ("region", "nation")
+
+#: Keyed fact tables and their max-key probe column, used to derive a
+#: collision-free per-replica offset when the SOURCE is itself a
+#: synthesized SF (chaining sf0.1 -> sf1 -> sf10).
+_KEY_PROBES = (
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("events", "event_id"), ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+def _offset(con, src: str) -> int:
+    """Smallest power of 10 above every source key — a power of 10
+    >= 100 is a multiple of both 10 and 25, so the ``doc_id % 10``
+    batch and ``vec_id % 25`` query selections keep their fractions
+    at any chaining depth."""
+    mx = 0
+    for t, k in _KEY_PROBES:
+        mx = max(mx, con.execute(
+            f"SELECT MAX({k}) FROM '{src}/{t}.parquet'"
+        ).fetchone()[0])
+    off = 10_000_000
+    while off <= mx:
+        off *= 10
+    return off
 
 
 def synth(factor: int, src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    OFF = _offset(con, src)
+    print(f"  key offset {OFF}")
     con.execute(f"CREATE TABLE reps AS SELECT UNNEST(range({factor})) AS r")
 
     def gen(table: str, select: str) -> None:
