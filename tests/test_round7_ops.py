@@ -143,3 +143,36 @@ def test_vector_index_lifecycle_vs_numpy(spark):
     np.testing.assert_allclose(
         row["recall_at_10"], round(hits / len(qidx), 6), atol=2e-6
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-scaled build sides must never broadcast (r7 sf10 finding)
+
+
+def test_prefix_jaccard_verify_joins_not_broadcast(spark):
+    """The r7 measured-decade sweep caught the planner broadcasting
+    the collect_set verify arrays / document-frequency / prefix
+    relations (post-agg size estimates undervalue them; the 64 MB
+    threshold let them through) — fine at sf0.1, driver-fatal at
+    sf10, wrong at 100 TB.  The merge hints in
+    operators/dedup.jaccard_prefix_pairs and
+    minhash_xxhash_production force sort-merge there; this pin fails
+    if a refactor drops them: every doc_id-keyed verify join and the
+    sh-keyed candidate joins must be SortMergeJoin, leaving
+    BroadcastHashJoin only for genuinely bounded sides."""
+    import re
+
+    from axolotls_spark.plans.audit import audit
+
+    for name, min_smj in (("jaccard_prefix_join", 4),
+                          ("minhash_xxhash_production", 6)):
+        f = audit(REGISTRY[name].fn(spark, SF_DIR))
+        assert f.n_sort_merge_joins >= min_smj, (
+            f"{name}: expected >= {min_smj} sort-merge joins "
+            f"(corpus-scaled sides), got {f.n_sort_merge_joins}"
+        )
+        # No broadcast build keyed on doc ids (the verify-array side).
+        bad = re.findall(
+            r"BroadcastHashJoin \[doc_(?:id|a|b)[^\]]*\]", f.text
+        )
+        assert not bad, f"{name}: corpus-scaled broadcast {bad}"
