@@ -169,3 +169,95 @@ def observed_ingestion_metrics(
     return spark.createDataFrame(
         rows, "stage_idx INT, stage STRING, n_docs BIGINT, n_chars BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# Observed join health: match-rate counters riding an enrichment join
+# ---------------------------------------------------------------------------
+
+#: "Catalog-active" dimension predicate for the enrichment join.
+_ACTIVE_SIZE = 25
+
+
+@register(
+    "observed_join_match_rate",
+    oracle=f"""
+    WITH fact AS (
+        SELECT l_partkey,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT p_partkey FROM part WHERE p_size >= {_ACTIVE_SIZE}
+    ),
+    joined AS (
+        SELECT f.cents, d.p_partkey
+        FROM fact f LEFT JOIN dim d ON f.l_partkey = d.p_partkey
+    )
+    SELECT COUNT(*)::BIGINT AS n_fact,
+           SUM(CASE WHEN p_partkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_matched,
+           CAST(SUM(CASE WHEN p_partkey IS NOT NULL THEN cents
+                         ELSE 0 END) AS BIGINT) AS matched_cents,
+           CAST(ROUND(SUM(CASE WHEN p_partkey IS NOT NULL THEN 1.0
+                              ELSE 0.0 END) / COUNT(*), 6) AS REAL)
+               AS match_rate
+    FROM joined
+    """,
+    tags=("observe", "instrumentation", "join", "match-rate"),
+)
+def observed_join_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment-join health read from OBSERVED metrics: lineitem
+    left-joins the catalog-active part dimension (p_size >=
+    _ACTIVE_SIZE) and a single ``Observation`` on the joined relation
+    collects fact count, matched count, matched revenue (exact
+    cents), and the match rate — the "how much of today's volume hit
+    the active catalog" counter a production enrichment stage
+    publishes, WITHOUT a second scan or a separate re-aggregation.
+
+    Complements `observed_ingestion_metrics` (observe over filter
+    funnel stages): here the CollectMetrics node rides a BROADCAST
+    join's output, certifying the surface composes with join shapes.
+    The action is a noop write; only 4 scalars reach the driver.
+
+    Scale shape: dim side broadcasts (bounded catalog); the fact side
+    is scanned once, projected to 2 columns; the observed aggregates
+    are map-side folds inside the same pass — zero exchanges beyond
+    the join itself (integer cents keep the revenue counter exact in
+    both engines).
+    """
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= _ACTIVE_SIZE)
+        .select("p_partkey")
+    )
+    ob = Observation()
+    joined = fact.join(
+        F.broadcast(dim),
+        fact["l_partkey"] == dim["p_partkey"],
+        "left",
+    ).observe(
+        ob,
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(
+            F.when(F.col("p_partkey").isNotNull(), 1).otherwise(0)
+        ).alias("n_matched"),
+        F.sum(
+            F.when(F.col("p_partkey").isNotNull(), F.col("cents"))
+            .otherwise(0)
+        ).alias("matched_cents"),
+    )
+    joined.write.format("noop").mode("overwrite").save()
+    m = ob.get
+    return spark.createDataFrame(
+        [(m["n_fact"], m["n_matched"], m["matched_cents"],
+          round(m["n_matched"] / m["n_fact"], 6))],
+        "n_fact BIGINT, n_matched BIGINT, matched_cents BIGINT, "
+        "match_rate FLOAT",
+    )

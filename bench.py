@@ -287,6 +287,7 @@ ROUND6: list[str] = [
 # the IVF build->gate->probe->recall composite.
 ROUND7: list[str] = [
     "observed_ingestion_metrics",
+    "observed_join_match_rate",
     "vector_index_lifecycle",
 ]
 

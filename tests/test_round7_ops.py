@@ -176,3 +176,47 @@ def test_prefix_jaccard_verify_joins_not_broadcast(spark):
             r"BroadcastHashJoin \[doc_(?:id|a|b)[^\]]*\]", f.text
         )
         assert not bad, f"{name}: corpus-scaled broadcast {bad}"
+
+
+def test_observed_join_zero_exchanges_and_broadcast(spark):
+    """The join-health observe query: one CollectMetrics node rides a
+    broadcast left join's output — no shuffle exchange anywhere (the
+    observed aggregates are map-side folds), and the counters equal a
+    recount."""
+    from axolotls_spark.plans.audit import audit
+    from axolotls_spark.io.sources import load_table
+    from pyspark.sql import functions as F
+
+    row = REGISTRY["observed_join_match_rate"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_fact"] >= row["n_matched"] > 0
+    assert abs(row["match_rate"] - row["n_matched"] / row["n_fact"]) < 1e-6
+    # recount independently
+    li = load_table(spark, SF_DIR, "lineitem")
+    part = load_table(spark, SF_DIR, "part")
+    n_fact = li.count()
+    n_matched = (
+        li.join(
+            part.filter(F.col("p_size") >= 25).select("p_partkey"),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        ).count()
+    )
+    assert row["n_fact"] == n_fact
+    assert row["n_matched"] == n_matched
+    # plan: broadcast join, zero shuffle exchanges, one CollectMetrics
+    from axolotls_spark.queries_observability import (  # noqa: F401
+        observed_join_match_rate,
+    )
+    fact = li.select("l_partkey",
+                     F.round(F.col("l_extendedprice") * 100)
+                     .cast("long").alias("cents"))
+    dim = part.filter(F.col("p_size") >= 25).select("p_partkey")
+    from pyspark.sql import Observation
+    ob = Observation()
+    joined = fact.join(F.broadcast(dim),
+                       fact["l_partkey"] == dim["p_partkey"],
+                       "left").observe(ob, F.count(F.lit(1)).alias("n"))
+    f = audit(joined)
+    assert f.n_exchanges == 0
+    assert f.n_broadcast_hash_joins >= 1
+    assert f.text.count("CollectMetrics") == 2  # 1 node x (tree+detail)
