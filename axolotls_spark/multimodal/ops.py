@@ -492,9 +492,12 @@ def scene_changes(
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
                 nf = -(-arr.size // frame_bytes)
                 if nf:
+                    # dtype=int64 accumulates without materializing an
+                    # 8x int64 copy of the whole payload (ADVICE r7).
                     sums = np.add.reduceat(
-                        arr.astype(np.int64),
+                        arr,
                         np.arange(0, arr.size, frame_bytes),
+                        dtype=np.int64,
                     )
                     lens = np.full(nf, frame_bytes, dtype=np.int64)
                     lens[-1] = arr.size - (nf - 1) * frame_bytes

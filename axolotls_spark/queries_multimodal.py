@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from axolotls_spark import multimodal as M
-from axolotls_spark.io.sources import load_table
+from axolotls_spark.io.sources import load_table, spread_for_cpu
 from axolotls_spark.registry import register
 
 
@@ -353,6 +353,22 @@ _ENT_TERMS_SQL = " + ".join(
 )
 
 
+def _nibble_entropy_f32():
+    """Order-0 entropy over a low-nibble count histogram (consumes
+    columns ``n_bytes``, ``counts``) as an EXPLICIT fixed-order
+    16-term sum cast to float32 — the pinned-op-order expression the
+    oracle restates verbatim (``_ENT_TERMS_SQL``); shared by the
+    standalone gate and the ingestion composite."""
+    n = F.col("n_bytes").cast("double")
+    terms = F.lit(0.0)
+    for i in range(16):
+        c = F.element_at(F.col("counts"), i + 1).cast("double")
+        terms = terms + F.when(
+            c > 0, -(c / n) * F.log2(c / n)
+        ).otherwise(F.lit(0.0))
+    return terms.cast("float")
+
+
 @register(
     "multimodal_entropy_quality",
     oracle=f"""
@@ -408,17 +424,10 @@ def multimodal_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     all; 100 TB cost is the scan plus 16 adds per byte."""
     docs = load_table(spark, sf_dir, "documents")
     hist = M.byte_count_histogram(M.attach_payload(docs), nibble="low")
-    n = F.col("n_bytes").cast("double")
-    terms = F.lit(0.0)
-    for i in range(16):
-        c = F.element_at(F.col("counts"), i + 1).cast("double")
-        terms = terms + F.when(
-            c > 0, -(c / n) * F.log2(c / n)
-        ).otherwise(F.lit(0.0))
     ent = hist.select(
         "doc_id",
         "n_bytes",
-        terms.cast("float").alias("nibble_entropy"),
+        _nibble_entropy_f32().alias("nibble_entropy"),
     )
     return ent.select(
         "doc_id",
@@ -554,4 +563,257 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("float")
         .alias("active_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal ingestion lifecycle composite (round 8, VERDICT r7 item #4)
+# ---------------------------------------------------------------------------
+
+#: Exact-hamming admission threshold for the aHash near-dup screen —
+#: the banded candidate join (any shared 16-bit band of 4) is
+#: LOSSLESS for hamming <= 3 by pigeonhole, so verify-after-band
+#: loses nothing.
+_AHASH_DUP_TAU = 3
+
+#: Entropy CTEs for the composite oracle — same arithmetic as
+#: multimodal_entropy_quality's oracle, with CTE names that do not
+#: collide with _SQL_AHASH_CTES' ``b``/``v``/``t`` chain.
+_SQL_ENT_CTES = f"""
+    eb AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS n
+        FROM documents
+    ),
+    enib AS (
+        SELECT doc_id, n,
+               strpos('0123456789ABCDEF', substr(hx, 2 * i.i + 2, 1)) - 1
+                   AS v
+        FROM eb CROSS JOIN UNNEST(range(0, CAST(n AS BIGINT))) AS i(i)
+    ),
+    eagg AS (
+        SELECT doc_id, MAX(n) AS n,
+               {", ".join(f"SUM(CASE WHEN v = {i} THEN 1 ELSE 0 END)::DOUBLE AS c{i}" for i in range(16))}
+        FROM enib GROUP BY doc_id
+    ),
+    ent AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+               CAST(0.0 + {_ENT_TERMS_SQL} AS REAL) AS nibble_entropy
+        FROM eagg
+    )
+"""
+
+
+@register(
+    "multimodal_ingestion",
+    oracle=f"""
+    WITH {_SQL_ENT_CTES},
+    {_SQL_AHASH_CTES},
+    surv AS (
+        SELECT doc_id FROM ent WHERE nibble_entropy >= {_ENT_THRESHOLD}
+    ),
+    sbh AS (
+        SELECT a.doc_id, a.b0, a.b1, a.b2, a.b3
+        FROM ah a JOIN surv s ON a.doc_id = s.doc_id
+    ),
+    bandl AS (
+        SELECT doc_id, 0 AS band, b0 AS bval FROM sbh
+        UNION ALL SELECT doc_id, 1, b1 FROM sbh
+        UNION ALL SELECT doc_id, 2, b2 FROM sbh
+        UNION ALL SELECT doc_id, 3, b3 FROM sbh
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bandl x
+        JOIN bandl y ON x.band = y.band AND x.bval = y.bval
+                    AND x.doc_id < y.doc_id
+    ),
+    dups AS (
+        SELECT DISTINCT c.doc_b AS doc_id
+        FROM cand c
+        JOIN sbh pa ON pa.doc_id = c.doc_a
+        JOIN sbh pb ON pb.doc_id = c.doc_b
+        WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+            + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+              <= {_AHASH_DUP_TAU}
+    ),
+    cls AS (
+        SELECT e.doc_id,
+               CASE e.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                 ELSE 'video' END AS media_type,
+               e.n_bytes,
+               CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END AS gate_dropped,
+               CASE WHEN s.doc_id IS NOT NULL AND d.doc_id IS NOT NULL
+                    THEN 1 ELSE 0 END AS dup_dropped
+        FROM ent e
+        LEFT JOIN surv s ON e.doc_id = s.doc_id
+        LEFT JOIN dups d ON e.doc_id = d.doc_id
+    )
+    SELECT media_type,
+           COUNT(*)::BIGINT                                  AS n_total,
+           SUM(gate_dropped)::BIGINT                         AS n_gate_dropped,
+           SUM(dup_dropped)::BIGINT                          AS n_dup_dropped,
+           SUM(CASE WHEN gate_dropped = 0 AND dup_dropped = 0
+                    THEN 1 ELSE 0 END)::BIGINT               AS n_admitted,
+           CAST(SUM(CASE WHEN gate_dropped = 0 AND dup_dropped = 0
+                         THEN n_bytes ELSE 0 END) AS BIGINT) AS admitted_bytes
+    FROM cls
+    GROUP BY media_type
+    """,
+    tags=("multimodal", "composite", "lifecycle", "entropy", "ahash",
+          "near-dup", "curation"),
+)
+def multimodal_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion lifecycle as ONE query (completes the
+    composite trio next to ``daily_ingestion`` for text and
+    ``vector_index_lifecycle`` for vectors — VERDICT r7 item #4):
+    manifest → byte-entropy quality gate → aHash near-dup screen →
+    per-media-type admission summary.
+
+    Stages (each certified standalone by its own registry entry):
+      1. manifest — binary payload + typed metadata
+         (``multimodal_manifest``);
+      2. quality gate — low-nibble entropy >= 3.5 bits keeps
+         non-degenerate payloads (``multimodal_entropy_quality``,
+         shared ``_nibble_entropy_f32`` expression);
+      3. near-dup screen among gate survivors — banded 16-bit aHash
+         keys generate candidates (any shared band; lossless for
+         hamming <= 3 = _AHASH_DUP_TAU by pigeonhole over 4 bands),
+         verified by EXACT 64-bit hamming; a survivor is dropped iff
+         a smaller-id survivor sits within the threshold
+         (``image_ahash_fingerprints``'s key layout);
+      4. admission summary — per media type: totals, drops by cause,
+         admitted count and admitted bytes (all integers — no float
+         crosses the engine boundary; the gate comparison itself is
+         on the float32-cast entropy, bit-identical in both engines).
+
+    On this corpus the nearest non-identical payloads start at
+    hamming 9 (``image_ahash_topk``'s measured report), so the
+    screen's VERDICT is usually "no visual dups" — the candidate
+    machinery still runs for real (~n^2/2^16 banded collision pairs
+    reach the exact-hamming verify) and the oracle recomputes the
+    identical screen, so an implementation that dropped or invented
+    a duplicate would mismatch.
+
+    Scale shape: two Arrow-batched map-only passes over the payload
+    scan (entropy counts, aHash bands) — no payload bytes ever
+    shuffle; the screen shuffles only 4 integer band keys per
+    survivor (bucket equi-join, never all-pairs); every doc_id-keyed
+    join side is corpus-scaled and merge-hinted (the r7 broadcast
+    finding); the final rollup is a 3-group hash aggregate."""
+    from axolotls_spark.cacheutil import track
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = M.attach_payload(spread_for_cpu(docs, "doc_id"))
+    meta_rel = manifest.select(
+        "doc_id", F.col("meta.media_type").alias("media_type")
+    )
+
+    # Stage 2: entropy gate (shared pinned-op-order expression).
+    # Persisted: consumed by the survivor filter AND the final
+    # classification — one mapInPandas pass over the payloads, not
+    # two (caller-owned cache, released via cacheutil).
+    ent = track(
+        M.byte_count_histogram(manifest, nibble="low")
+        .select(
+            "doc_id",
+            "n_bytes",
+            _nibble_entropy_f32().alias("nibble_entropy"),
+        )
+        .persist()
+    )
+    surv = ent.filter(F.col("nibble_entropy") >= _ENT_THRESHOLD).select(
+        "doc_id"
+    )
+
+    # Stage 3: aHash near-dup screen among survivors.  Persisted:
+    # the survivor hash relation feeds the band explode AND both
+    # exact-verify probes (three consumers, one aHash pass).
+    ah = M.ahash64(manifest)
+    sbh = track(ah.join(surv.hint("merge"), "doc_id").persist())
+    banded = sbh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("band"),
+                        F.col(f"b{i}").alias("bval"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.band", "p.bval")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y").hint("merge"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa = sbh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"pa{i}") for i in range(4)],
+    )
+    pb = sbh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"pb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"pa{i}").bitwiseXOR(F.col(f"pb{i}")))
+        for i in range(4)
+    )
+    dups = (
+        cand.join(pa.hint("merge"), "doc_a")
+        .join(pb.hint("merge"), "doc_b")
+        .filter(hamming <= _AHASH_DUP_TAU)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    # Stage 4: admission summary.
+    per_doc = (
+        ent.join(meta_rel.hint("merge"), "doc_id")
+        .join(
+            surv.withColumn("is_surv", F.lit(1)).hint("merge"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            dups.withColumn("is_dup", F.lit(1)).hint("merge"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "media_type",
+            "n_bytes",
+            F.when(F.col("is_surv").isNull(), 1).otherwise(0).alias(
+                "gate_dropped"
+            ),
+            F.when(
+                F.col("is_surv").isNotNull() & F.col("is_dup").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("dup_dropped"),
+        )
+    )
+    admitted = (F.col("gate_dropped") == 0) & (F.col("dup_dropped") == 0)
+    return per_doc.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("gate_dropped").cast("long").alias("n_gate_dropped"),
+        F.sum("dup_dropped").cast("long").alias("n_dup_dropped"),
+        F.sum(F.when(admitted, 1).otherwise(0)).cast("long").alias(
+            "n_admitted"
+        ),
+        F.sum(F.when(admitted, F.col("n_bytes")).otherwise(0))
+        .cast("long")
+        .alias("admitted_bytes"),
     )

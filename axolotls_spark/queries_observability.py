@@ -199,8 +199,8 @@ _ACTIVE_SIZE = 25
                AS n_matched,
            CAST(SUM(CASE WHEN p_partkey IS NOT NULL THEN cents
                          ELSE 0 END) AS BIGINT) AS matched_cents,
-           CAST(ROUND(SUM(CASE WHEN p_partkey IS NOT NULL THEN 1.0
-                              ELSE 0.0 END) / COUNT(*), 6) AS REAL)
+           CAST(SUM(CASE WHEN p_partkey IS NOT NULL THEN 1.0
+                         ELSE 0.0 END) / COUNT(*) AS REAL)
                AS match_rate
     FROM joined
     """,
@@ -255,9 +255,13 @@ def observed_join_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined.write.format("noop").mode("overwrite").save()
     m = ob.get
+    # Unrounded ratio: IEEE double division of two exact integers is
+    # bit-identical in Python and DuckDB, and the FLOAT/REAL cast then
+    # matches exactly — no Python-round (banker's) vs DuckDB-ROUND
+    # (half-away) midpoint hazard (ADVICE/VERDICT r7).
     return spark.createDataFrame(
         [(m["n_fact"], m["n_matched"], m["matched_cents"],
-          round(m["n_matched"] / m["n_fact"], 6))],
+          m["n_matched"] / m["n_fact"])],
         "n_fact BIGINT, n_matched BIGINT, matched_cents BIGINT, "
         "match_rate FLOAT",
     )

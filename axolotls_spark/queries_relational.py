@@ -34,16 +34,25 @@ from axolotls_spark.registry import register, stable_f32
 @register(
     "q3_shipping_priority",
     oracle="""
+    WITH agg AS (
+        SELECT
+            l.l_orderkey,
+            CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                 AS BIGINT)             AS revenue_e4,
+            o.o_orderdate
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, o.o_orderdate
+    )
     SELECT
-        l.l_orderkey,
-        SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
-        CAST(o.o_orderdate AS DATE)                 AS orderdate
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l_orderkey
+        l_orderkey,
+        CAST(revenue_e4 AS DOUBLE) / 10000.0 AS revenue,
+        CAST(o_orderdate AS DATE)            AS orderdate
+    FROM agg
+    ORDER BY revenue_e4 DESC, l_orderkey
     LIMIT 10
     """,
     tags=("join", "broadcast-join", "agg", "topk"),
@@ -52,7 +61,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → broadcast join into the
     fact table → hash agg → top-k. customer is broadcast (post-filter
     it is tiny at any SF); lineitem↔orders co-shuffle on orderkey;
-    final TakeOrderedAndProject avoids a global sort."""
+    final TakeOrderedAndProject avoids a global sort.
+
+    Revenue is summed in exact 1e-4 fixed point (BIGINT) and emitted
+    as a double via one identical cast+division in both engines, so
+    both the values AND the top-k ORDER BY boundary are bit-exact at
+    any SF (VERDICT r7 item #3 / SCALE.md integer-cents rule) — a
+    raw SUM(double) ranking key can flip adjacent top-k entries when
+    two orders' revenues differ below the summation-order spread."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -63,13 +79,22 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_e4")
         )
-        .select("l_orderkey", "revenue", F.to_date("o_orderdate").alias("orderdate"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .select(
+            "l_orderkey",
+            (F.col("revenue_e4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.to_date("o_orderdate").alias("orderdate"),
+            "revenue_e4",
+        )
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
         .limit(10)
+        .drop("revenue_e4")
     )
 
 

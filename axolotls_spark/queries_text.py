@@ -2139,95 +2139,43 @@ def wmh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Production-path MinHash (xxhash64) with recall certification
+# Production-path MinHash (xxhash64) + decoupled sampled recall cert
 # ---------------------------------------------------------------------------
 
 _XXMH_K = 12          # permutation count (r=1, b=12 banding)
 _XXMH_TAU = (1, 2)    # Jaccard threshold 0.5 as an integer ratio
+_XXMH_SAMPLE_MOD = 4  # deterministic cert sample: doc_id % 4 == 0
+#: analytic per-pair recall floor at the tau boundary:
+#: 1 - (1-tau)^b = 1 - 2^-12, floored to ppm.
+_XXMH_RECALL_FLOOR_PPM = 999_755
 
 
-@register(
-    "minhash_xxhash_production",
-    oracle=f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id,
-               {_SQL_TOKEN_HASH.format(tok='s.shingle')} AS shash
-        FROM (
-            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
-            FROM documents
-        ) s
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    shared AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    true_pairs AS (
-        SELECT doc_a, doc_b
-        FROM shared
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE n_shared * {_XXMH_TAU[1]}
-              >= (sa.n_sh + sb.n_sh - n_shared) * {_XXMH_TAU[0]}
-    )
-    SELECT (SELECT COUNT(*) FROM sizes)::BIGINT AS n_docs,
-           COUNT(*)::BIGINT AS n_true_pairs,
-           CAST(1 AS INT) AS recall_ok
-    FROM true_pairs
-    """,
-    tags=("dedup", "minhash", "xxhash64", "production-path",
-          "recall-bound", "bound-oracle"),
-)
-def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION MinHash path: signatures built with Spark's
-    native ``xxhash64`` (whole-stage-codegen JVM hashing) instead of
-    the md5-prefix hash every other dedup query uses for
-    DuckDB-replayability — certified by a RECALL bound against the
-    exact prefix-filtered Jaccard join rather than by value equality
-    (the signatures themselves are engine-specific by construction).
+def _xxhash_verified_pairs(spark, docs, tau_num: int, tau_den: int):
+    """Shared production MinHash pipeline (signature → LSH band →
+    exact verify), returning the exact-verified duplicate pairs with
+    their integer intersection/union stats.
 
-    The production path touches NO md5 anywhere: raw shingle strings
-    are xxhash64'd ONCE, then the k permutations are the same affine
-    (a*h+b) mod 2^31-1 transforms the md5 path uses — the identical
-    plan shape with only the digest swapped, which is exactly the
-    seam SCALE.md documents (tools/hashbench.py carries the measured
-    gap; it is modest on this box because the shingle explode and
-    shuffle dominate, which is itself worth knowing).  The md5-hashed
-    shingle relation still exists in this query, but only on the
-    CERTIFICATION side (exact verify + ground truth).
-
-    Banding is r=1/b=12 (one band per permutation): a pair is a
-    candidate if ANY of the 12 min-hashes collide, so
-    P(candidate | J) = 1-(1-J)^12 >= 0.9998 at the tau=0.5
-    threshold — the 0.9 recall floor asserted here has ~3 nines of
-    headroom at the boundary and more above it.  Candidates are
-    verified with EXACT Jaccard (integer cross-multiplication, no
-    float threshold), so precision is 1 by construction and only
-    recall needs certifying.
-
-    Output is engine-comparable by design: n_docs and n_true_pairs
-    are exact corpus facts the oracle recomputes; recall_ok is the
-    integer bound flag (1 iff 10*found >= 9*true or no true pairs) —
-    the same bound-oracle pattern as ``sketch_mergeable_rollup``.
+    Signatures are built with Spark's native ``xxhash64`` (whole-
+    stage-codegen JVM hashing) instead of the md5-prefix hash the
+    DuckDB-replayable dedup queries use; the k permutations are the
+    same affine (a*h+b) mod 2^31-1 transforms — identical plan shape
+    with only the digest swapped (tools/hashbench.py carries the
+    measured gap).  The md5-hashed shingle relation appears only on
+    the VERIFY side (exact candidate verification, candidate-sized).
 
     Scale shape: one shingle shuffle for signatures (k parallel MIN
     aggregates, map-side combined); candidate generation is an
     equi-join on (slot, minhash) buckets — never all-pairs; the
-    verify join is candidate-sized.  The exact-join ground truth is
-    the certification overhead, not the production path."""
+    verify join is candidate-sized.  Merge hints pin the corpus-
+    scaled join sides (signature slots, collect_set verify arrays):
+    the post-agg size estimator undervalues them, so the planner
+    broadcasts — driver-fatal at sf10 (r7 measured-decade finding),
+    wrong shape at 100 TB.
+    """
     from axolotls_spark import cacheutil
     from axolotls_spark.operators import dedup as DD
 
-    tau_num, tau_den = _XXMH_TAU
-    docs = load_table(spark, sf_dir, "documents")
-    sh = cacheutil.track(
-        DD.doc_shingle_hashes(docs).persist()
-    )  # certification side only: exact verify sets + ground truth
-
-    # Production signatures: one xxhash64 per raw shingle, then the
-    # k frozen affine permutations over the 64-bit value — the md5
-    # plan shape with only the digest swapped.
+    sh = cacheutil.track(DD.doc_shingle_hashes(docs).persist())
     shraw = spread_for_cpu(docs, "doc_id").select(
         "doc_id",
         F.explode(DD.shingles_col(F.col("text"))).alias("shingle"),
@@ -2260,10 +2208,6 @@ def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.slot", "p.mh")
-    # merge hints on the corpus-scaled join sides (signature slots,
-    # collect_set verify arrays): the post-agg size estimator
-    # undervalues them, so the planner broadcasts — driver-fatal at
-    # sf10 (r7 measured-decade finding), wrong shape at 100 TB.
     cand = (
         slots.alias("a")
         .join(
@@ -2288,20 +2232,146 @@ def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa.hint("merge"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb.hint("merge"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(inter * tau_den >= union * tau_num)
-        .select("doc_a", "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+        )
     )
+    return sh, found
+
+
+@register(
+    "minhash_xxhash_production",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='s.shingle')} AS shash
+        FROM (
+            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
+            FROM documents
+        ) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS BIGINT) AS n_inter,
+           CAST(sa.n_sh + sb.n_sh - n_shared AS BIGINT) AS n_union
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared * {_XXMH_TAU[1]}
+          >= (sa.n_sh + sb.n_sh - n_shared) * {_XXMH_TAU[0]}
+    """,
+    tags=("dedup", "minhash", "xxhash64", "production-path", "near-dup"),
+)
+def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash dedup path, decoupled from its corpus-
+    scaled certification (closes VERDICT r7 item #1 — the registered
+    query previously also paid the exact prefix-filtered ground-truth
+    join over the FULL corpus, measured 20.2x/decade at sf10; that
+    certification now lives in ``minhash_xxhash_recall_cert`` on a
+    deterministic doc_id % {_XXMH_SAMPLE_MOD} sample).
+
+    This query is exactly what a deployment runs per corpus pass:
+    xxhash64 signatures (linear, one shingle shuffle) → r=1/b=12 LSH
+    banding (bucket equi-join, never all-pairs) → EXACT Jaccard
+    verification of the candidates (integer cross-multiplication, no
+    float threshold).  Precision is 1 by construction; per-pair
+    recall at the tau=1/2 boundary is >= 1-(1-tau)^12 = 1-2^-12.
+
+    The ORACLE is the brute-force all-co-occurring-pairs exact
+    Jaccard join at the same threshold, so parity additionally
+    certifies that banding missed NOTHING on the tested corpora —
+    found == truth exactly (deterministic: the xxhash signatures are
+    fixed per corpus, so this is a reproducible fact, not a per-run
+    gamble).  Output is integer-only (ids + intersection/union
+    counts): no float crosses the engine boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, found = _xxhash_verified_pairs(spark, docs, *_XXMH_TAU)
+    return found
+
+
+@register(
+    "minhash_xxhash_recall_cert",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='s.shingle')} AS shash
+        FROM (
+            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
+            FROM documents
+            WHERE doc_id % {_XXMH_SAMPLE_MOD} = 0
+        ) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    true_pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_shared * {_XXMH_TAU[1]}
+              >= (sa.n_sh + sb.n_sh - n_shared) * {_XXMH_TAU[0]}
+    )
+    SELECT (SELECT COUNT(*) FROM sizes)::BIGINT AS n_docs_sample,
+           COUNT(*)::BIGINT AS n_true_pairs,
+           CAST({_XXMH_RECALL_FLOOR_PPM} AS BIGINT) AS recall_floor_ppm,
+           CAST(1 AS INT) AS recall_ok
+    FROM true_pairs
+    """,
+    tags=("dedup", "minhash", "xxhash64", "recall-bound", "sampled-cert",
+          "bound-oracle"),
+)
+def minhash_xxhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED recall certification for the production xxhash MinHash
+    path (VERDICT r7 item #1): the exact prefix-filtered ground-truth
+    join runs only over the deterministic ``doc_id % {_XXMH_SAMPLE_MOD}
+    == 0`` sample, so certification cost scales as (sample fraction)^2
+    of the corpus pair join while the production query stays linear.
+    Per-pair banding recall P(candidate | J >= tau) = 1-(1-J)^12 is a
+    property of the PAIR, independent of corpus size, so sample
+    recall is an unbiased estimator of corpus recall — the analytic
+    floor at the boundary (1-2^-12, emitted as ``recall_floor_ppm``)
+    sits beside the measured certification flag.
+
+    Output is the bound-oracle pattern (``sketch_mergeable_rollup``):
+    n_docs_sample / n_true_pairs are exact sample facts the oracle
+    recomputes; recall_floor_ppm is the shared analytic constant;
+    recall_ok is 1 iff 10*found >= 9*true on the sample (or no true
+    pairs) — found itself is xxhash-specific so only the verified
+    bound crosses the engine boundary."""
+    from axolotls_spark.operators import dedup as DD
+
+    tau_num, tau_den = _XXMH_TAU
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _XXMH_SAMPLE_MOD == 0
+    )
+    sh, found_pairs = _xxhash_verified_pairs(spark, docs, tau_num, tau_den)
     truth = DD.jaccard_prefix_pairs(docs, tau_num=tau_num, tau_den=tau_den)
-    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    n_found = found_pairs.agg(F.count(F.lit(1)).alias("n_found"))
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_docs = sh.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).alias("n_docs")
+        F.count(F.lit(1)).alias("n_docs_sample")
     )
     return (
         n_docs.crossJoin(F.broadcast(n_true))
         .crossJoin(F.broadcast(n_found))
         .select(
-            F.col("n_docs").cast("long"),
+            F.col("n_docs_sample").cast("long"),
             F.col("n_true_pairs").cast("long"),
+            F.lit(_XXMH_RECALL_FLOOR_PPM).cast("long").alias(
+                "recall_floor_ppm"
+            ),
             (
                 (F.col("n_true_pairs") == 0)
                 | (F.col("n_found") * 10 >= F.col("n_true_pairs") * 9)

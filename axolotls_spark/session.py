@@ -36,7 +36,13 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # Finding 2 (SCALE.md r7): 10x data at a FIXED partition count is
+    # 10x per-task partition size — size this with the target SF (the
+    # 100 TB rule: partitions stay ~100-250 MB).  Overridable so the
+    # sf10 scaling legs can be sized without conflating OOM and slope.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -291,7 +291,14 @@ ROUND7: list[str] = [
     "vector_index_lifecycle",
 ]
 
-HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6 + ROUND7
+# Round-8 additions: the sampled recall certification decoupled from
+# the production MinHash path, and the multimodal ingestion composite.
+ROUND8: list[str] = [
+    "minhash_xxhash_recall_cert",
+    "multimodal_ingestion",
+]
+
+HEADLINE = CORE + ROUND4 + ROUND5 + ROUND6 + ROUND7 + ROUND8
 
 
 def main() -> None:
@@ -334,7 +341,7 @@ def main() -> None:
     core_total = sum(t for n, t in timings.items() if n in set(CORE))
     new_total = sum(
         t for n, t in timings.items()
-        if n in set(ROUND5) | set(ROUND6) | set(ROUND7)
+        if n in set(ROUND5) | set(ROUND6) | set(ROUND7) | set(ROUND8)
     )
 
     # Line 1: full per-query map (human / diff audience).

@@ -18,7 +18,11 @@ from axolotls_spark.registry import REGISTRY
 # Update these two numbers in the same commit that adds/removes
 # registered queries.  README.md and SURVEY.md §8 carry the same
 # counts for humans; this is the machine-checked copy.
-N_EXPECTED = 435  # round 7: +observed_ingestion_metrics, +observed_join_match_rate,
+N_EXPECTED = 437  # round 8: +minhash_xxhash_recall_cert (production
+#                   query decoupled from its corpus-scaled cert,
+#                   VERDICT r7 #1), +multimodal_ingestion (lifecycle
+#                   composite trio completed, VERDICT r7 #4)
+# round 7: +observed_ingestion_metrics, +observed_join_match_rate,
 #                   +vector_index_lifecycle (r6: +daily_ingestion,
 #                   +tree_depth2_cart, +epoch_shuffle_order,
 #                   +minhash_xxhash_production, +delong_auc_ci,
@@ -72,7 +76,7 @@ N_EXPECTED = 435  # round 7: +observed_ingestion_metrics, +observed_join_match_r
 #                   +procrustes_alignment_drift, +heavy_change_detection,
 #                   +merkle_tree_levels, +learned_index_audit,
 #                   +watermark_delay_design, +late_data_restatement
-N_ORACLE = 435
+N_ORACLE = 437
 
 # The deliberate rows-only set: every name here must exist, have no
 # oracle, and nothing outside it may lack one.  Empty since round 6:

@@ -164,8 +164,12 @@ def test_prefix_jaccard_verify_joins_not_broadcast(spark):
 
     from axolotls_spark.plans.audit import audit
 
+    # r8: minhash_xxhash_production dropped its corpus-scaled truth
+    # join (3 SMJ: band self-join + the two verify-array joins); the
+    # full 6-SMJ certification shape lives in the sampled cert query.
     for name, min_smj in (("jaccard_prefix_join", 4),
-                          ("minhash_xxhash_production", 6)):
+                          ("minhash_xxhash_production", 3),
+                          ("minhash_xxhash_recall_cert", 6)):
         f = audit(REGISTRY[name].fn(spark, SF_DIR))
         assert f.n_sort_merge_joins >= min_smj, (
             f"{name}: expected >= {min_smj} sort-merge joins "

@@ -49,12 +49,28 @@ BUDGET_FILE = os.path.join(
 #: real plan changes).  The TOTAL is the tight bound: 1.25x.
 PER_QUERY_FACTOR = 2.0
 TOTAL_FACTOR = 1.25
+#: Above this ambient estimate the normalization itself is no longer
+#: trustworthy — a uniform real regression (session/config change that
+#: slows every query) would be indistinguishable from throttle.  The
+#: gate FAILS instead of warning (ADVICE r7); --allow-hot-box overrides
+#: for an explicitly-acknowledged loaded-box read.
+AMBIENT_CEILING = 1.5
+
+
+def _env() -> dict[str, object]:
+    return {
+        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR",
+                                 "/root/testdata/sf0.1"),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "repeats": int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")),
+    }
 
 
 def measure() -> dict[str, float]:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    env = _env()
+    sf_dir = env["sf_dir"]
+    cpus = env["cpus"]
+    repeats = env["repeats"]
     spark = get_spark("axolotls-spark-perfgate", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in CORE if n in REGISTRY]
@@ -84,6 +100,7 @@ def main() -> int:
                 {
                     "note": "idle-box frozen-core budgets; re-record "
                             "deliberately with tools/perfgate.py --record",
+                    "env": _env(),
                     "core_total_sec": round(sum(t.values()), 4),
                     "queries": t,
                 },
@@ -97,6 +114,16 @@ def main() -> int:
 
     with open(BUDGET_FILE) as f:
         budget = json.load(f)
+    # Budgets are only comparable under the environment they were
+    # recorded in (ADVICE r7): a gate run at a different SF or core
+    # count would silently compare incomparable timings.
+    rec_env = budget.get("env")
+    if rec_env is not None and rec_env != _env():
+        print(f"ENV MISMATCH: budget recorded under {rec_env}, "
+              f"gate running under {_env()} — re-record or align "
+              "SPARK_GRAFT_SF_DIR/SPARK_GRAFT_CPUS/"
+              "SPARK_GRAFT_BENCH_REPEATS.")
+        return 1
     t = measure()
     total = sum(t.values())
     total_cap = budget["core_total_sec"] * TOTAL_FACTOR
@@ -138,6 +165,14 @@ def main() -> int:
               "median-normalized. For an unnormalized read, rerun "
               "after the box has been quiet for 20+ minutes.")
     ok = True
+    if ambient > AMBIENT_CEILING and "--allow-hot-box" not in sys.argv:
+        ok = False
+        print(f"AMBIENT CEILING BREACH: estimated ambient "
+              f"{ambient:.2f}x > {AMBIENT_CEILING}x — normalization "
+              "cannot distinguish a uniform real regression from "
+              "throttle at this level. Rerun on an idle box for an "
+              "unnormalized confirmation, or pass --allow-hot-box to "
+              "acknowledge a loaded-box read.")
     if bad:
         ok = False
         print(f"PER-QUERY BREACH ({PER_QUERY_FACTOR}x, "

@@ -50,9 +50,13 @@ SCALE_SET = [
     ("bca_bootstrap_ci", "10"),
     ("greedy_max_coverage", "10"),
     ("minhash_xxhash_production", "10"),
+    ("minhash_xxhash_recall_cert", "10"),
     ("minhash_near_dup_pairs", "10"),
-    ("dbscan_core_clusters", "1"),
-    ("als_rank1_factors", "1"),
+    ("wmh_near_dup_pairs", "10"),
+    ("er_best_match", "10"),
+    ("multimodal_ingestion", "10"),
+    ("dbscan_core_clusters", "10"),
+    ("als_rank1_factors", "10"),
     ("ams_f2_sketch_merge", "10"),
     ("fd_discovery_audit", "10"),
     ("ktruss_trade_edges", "10"),

@@ -86,6 +86,11 @@ HEAVY = [
     "fd_discovery_audit",
     "vector_index_lifecycle",
     "daily_ingestion",
+    # Round-8: the decoupled sampled recall cert (carries the exact
+    # prefix-filter join now) and the multimodal lifecycle composite
+    # (band self-join + two verify probes over survivor hashes).
+    "minhash_xxhash_recall_cert",
+    "multimodal_ingestion",
 ]
 
 
