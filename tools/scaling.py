@@ -54,6 +54,12 @@ SCALE_SET = [
     ("minhash_near_dup_pairs", "10"),
     ("wmh_near_dup_pairs", "10"),
     ("er_best_match", "10"),
+    # The capped-hot-block variant is the scale path: the synthetic
+    # decade corpus replicates customer NAMES verbatim per replica,
+    # so uncapped blocks grow with the corpus and pair generation
+    # goes quadratic (the measured er_best_match sf10 slope) — the
+    # exact hazard the cap bounds.
+    ("er_best_match_capped", "10"),
     ("multimodal_ingestion", "10"),
     ("dbscan_core_clusters", "10"),
     ("als_rank1_factors", "10"),
