@@ -92,6 +92,58 @@ def measure() -> dict[str, float]:
     return timings
 
 
+def evaluate(
+    budget: dict, timings: dict[str, float], allow_hot_box: bool = False
+) -> tuple[bool, dict]:
+    """Pure gate decision — separated from measurement so the
+    throttle-normalization, ambient-ceiling, and breach paths are
+    unit-trip-testable (tests/test_perfgate_logic.py) without a JVM.
+
+    Throttle normalization: this VM runs on burst CPU credits, so a
+    box that is *idle* (no other processes) can still be uniformly
+    1.3-1.5x slower after an hour of sustained load (observed r7:
+    two consecutive gate runs breached the absolute caps with a
+    DIFFERENT worst query each time — the signature of uniform
+    ambient scaling, not a plan change).  A genuine plan regression
+    is NON-uniform: one query's ratio stands out against the rest.
+    The median now/budget ratio estimates the ambient factor; the
+    per-query and total checks are evaluated on ambient-normalized
+    ratios, so uniform throttle cancels while a real regression
+    (whose query moves relative to its peers) still trips.  Above
+    AMBIENT_CEILING the normalization itself is no longer
+    trustworthy and the gate fails outright (ADVICE r7).
+    """
+    total = sum(timings.values())
+    total_cap = budget["core_total_sec"] * TOTAL_FACTOR
+    ratios = {
+        n: timings[n] / budget["queries"][n]
+        for n in timings
+        if n in budget["queries"] and budget["queries"][n] > 0
+    }
+    rs = sorted(ratios.values())
+    ambient = rs[len(rs) // 2] if rs else 1.0
+    ambient = max(ambient, 1.0)  # a faster box never relaxes the gate
+    bad = [
+        (n, timings[n], budget["queries"][n])
+        for n, r in ratios.items()
+        if r / ambient > PER_QUERY_FACTOR
+    ]
+    norm_total = total / ambient
+    ok = True
+    ceiling_breach = ambient > AMBIENT_CEILING and not allow_hot_box
+    if ceiling_breach or bad or norm_total > total_cap:
+        ok = False
+    return ok, {
+        "total": total,
+        "ambient": ambient,
+        "norm_total": norm_total,
+        "total_cap": total_cap,
+        "bad": bad,
+        "ceiling_breach": ceiling_breach,
+        "total_breach": norm_total > total_cap,
+    }
+
+
 def main() -> int:
     if "--record" in sys.argv:
         t = measure()
@@ -125,65 +177,35 @@ def main() -> int:
               "SPARK_GRAFT_BENCH_REPEATS.")
         return 1
     t = measure()
-    total = sum(t.values())
-    total_cap = budget["core_total_sec"] * TOTAL_FACTOR
-
-    # Throttle normalization: this VM runs on burst CPU credits, so a
-    # box that is *idle* (no other processes) can still be uniformly
-    # 1.3-1.5x slower after an hour of sustained load (observed r7:
-    # two consecutive gate runs breached the absolute caps with a
-    # DIFFERENT worst query each time — the signature of uniform
-    # ambient scaling, not a plan change).  A genuine plan regression
-    # is NON-uniform: one query's ratio stands out against the rest.
-    # The median now/budget ratio estimates the ambient factor; the
-    # per-query and total checks are evaluated on ambient-normalized
-    # ratios, so uniform throttle cancels while a real regression
-    # (whose query moves relative to its peers) still trips.
-    ratios = {
-        n: t[n] / budget["queries"][n]
-        for n in t
-        if n in budget["queries"] and budget["queries"][n] > 0
-    }
-    rs = sorted(ratios.values())
-    ambient = rs[len(rs) // 2] if rs else 1.0
-    ambient = max(ambient, 1.0)  # a faster box never relaxes the gate
-    bad = [
-        (n, t[n], budget["queries"][n])
-        for n, r in ratios.items()
-        if r / ambient > PER_QUERY_FACTOR
-    ]
-    norm_total = total / ambient
-    print(json.dumps({"core_total_sec": round(total, 4),
+    ok, r = evaluate(budget, t, allow_hot_box="--allow-hot-box" in sys.argv)
+    ambient = r["ambient"]
+    print(json.dumps({"core_total_sec": round(r["total"], 4),
                       "ambient_factor": round(ambient, 3),
-                      "normalized_total_sec": round(norm_total, 4),
+                      "normalized_total_sec": round(r["norm_total"], 4),
                       "budget_total_sec": budget["core_total_sec"],
-                      "cap": round(total_cap, 4),
-                      "n_over_per_query": len(bad)}))
+                      "cap": round(r["total_cap"], 4),
+                      "n_over_per_query": len(r["bad"])}))
     if ambient > 1.2:
         print(f"[warn] ambient factor {ambient:.2f}x — box is "
               "throttled (burst credits) or loaded; checks are "
               "median-normalized. For an unnormalized read, rerun "
               "after the box has been quiet for 20+ minutes.")
-    ok = True
-    if ambient > AMBIENT_CEILING and "--allow-hot-box" not in sys.argv:
-        ok = False
+    if r["ceiling_breach"]:
         print(f"AMBIENT CEILING BREACH: estimated ambient "
               f"{ambient:.2f}x > {AMBIENT_CEILING}x — normalization "
               "cannot distinguish a uniform real regression from "
               "throttle at this level. Rerun on an idle box for an "
               "unnormalized confirmation, or pass --allow-hot-box to "
               "acknowledge a loaded-box read.")
-    if bad:
-        ok = False
+    if r["bad"]:
         print(f"PER-QUERY BREACH ({PER_QUERY_FACTOR}x, "
               f"ambient-normalized by {ambient:.2f}):")
-        for n, now, b in sorted(bad, key=lambda x: -x[1] / x[2]):
+        for n, now, b in sorted(r["bad"], key=lambda x: -x[1] / x[2]):
             print(f"  {n}: {now:.2f}s vs budget {b:.2f}s "
                   f"({now / b / ambient:.2f}x normalized)")
-    if norm_total > total_cap:
-        ok = False
-        print(f"CORE TOTAL BREACH: {norm_total:.2f}s normalized > "
-              f"{TOTAL_FACTOR}x budget ({total_cap:.2f}s)")
+    if r["total_breach"]:
+        print(f"CORE TOTAL BREACH: {r['norm_total']:.2f}s normalized > "
+              f"{TOTAL_FACTOR}x budget ({r['total_cap']:.2f}s)")
     if not ok:
         print("A normalized breach means a plan changed — diff the "
               "core digests: python tools/plan_report.py "

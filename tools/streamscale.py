@@ -44,13 +44,15 @@ N_CHUNKS = 60  # 30 days of events -> 12h per micro-batch
 DELAYS = ["6 hours", "24 hours", "72 hours"]
 
 
-def prepare_chunks(spark, sf_dir: str, work: str) -> int:
-    """Split the events table into N_CHUNKS event-time-ordered
+def prepare_chunks(
+    spark, sf_dir: str, work: str, n_chunks: int = N_CHUNKS
+) -> int:
+    """Split the events table into ``n_chunks`` event-time-ordered
     parquet files named in replay order (the file stream source
     lists paths in order, and modification times are sequential)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n = ev.count()
-    per = -(-n // N_CHUNKS)
+    per = -(-n // n_chunks)
     from pyspark.sql.window import Window
 
     ranked = ev.withColumn(
@@ -61,19 +63,23 @@ def prepare_chunks(spark, sf_dir: str, work: str) -> int:
     # as its own single-file directory so mod-times increase in
     # event-time order.  (Measurement harness, not a production path:
     # a real deployment's ingest IS already time-ordered files.)
-    for c in range(N_CHUNKS):
+    for c in range(n_chunks):
         ranked.filter(F.col("chunk") == c).drop("rn", "chunk").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{work}/in/chunk={c:03d}")
     return n
 
 
-def measure(spark, work: str, delay: str) -> dict:
+def measure(spark, work: str, delay: str, n_chunks: int = N_CHUNKS) -> dict:
     schema = spark.read.parquet(f"{work}/in/chunk=000").schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{work}/in/chunk=*")
+        # Watermarks require TIMESTAMP, parquet round-trips NTZ; the
+        # session tz is pinned UTC so the cast is lossless (same as
+        # streaming/jobs.read_events_stream).
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     deduped = S.dedup_within_watermark(stream, ["event_id"], delay=delay)
     ckpt = f"{work}/ckpt-{delay.replace(' ', '')}"
@@ -94,7 +100,7 @@ def measure(spark, work: str, delay: str) -> dict:
     q.stop()
     return {
         "delay": delay,
-        "n_batches": N_CHUNKS,
+        "n_batches": n_chunks,
         "input_rows": in_rows,
         "output_rows": out_rows,
         "peak_state_rows": peak_rows,
