@@ -70,7 +70,15 @@ def prepare_chunks(
     return n
 
 
-def measure(spark, work: str, delay: str, n_chunks: int = N_CHUNKS) -> dict:
+def measure(
+    spark, work: str, delay: str, n_chunks: int = N_CHUNKS,
+    job: str = "dedup",
+) -> dict:
+    """Replay the prepared chunks through one stateful job
+    (``dedup`` = dropDuplicatesWithinWatermark on event_id;
+    ``sessions`` = watermarked 15-min-gap session-window aggregate,
+    append mode — state is the OPEN sessions the watermark has not
+    yet closed) and read state metrics from the query progress."""
     schema = spark.read.parquet(f"{work}/in/chunk=000").schema
     stream = (
         spark.readStream.schema(schema)
@@ -81,10 +89,19 @@ def measure(spark, work: str, delay: str, n_chunks: int = N_CHUNKS) -> dict:
         # streaming/jobs.read_events_stream).
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    deduped = S.dedup_within_watermark(stream, ["event_id"], delay=delay)
-    ckpt = f"{work}/ckpt-{delay.replace(' ', '')}"
+    if job == "dedup":
+        out_df = S.dedup_within_watermark(stream, ["event_id"], delay=delay)
+    else:
+        out_df = (
+            stream.withWatermark("ts", delay)
+            .groupBy(
+                "user_id", F.session_window("ts", "15 minutes").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+    ckpt = f"{work}/ckpt-{job}-{delay.replace(' ', '')}"
     q = (
-        deduped.writeStream.format("noop")
+        out_df.writeStream.format("noop")
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -99,6 +116,7 @@ def measure(spark, work: str, delay: str, n_chunks: int = N_CHUNKS) -> dict:
         in_rows += p.get("numInputRows", 0)
     q.stop()
     return {
+        "job": job,
         "delay": delay,
         "n_batches": n_chunks,
         "input_rows": in_rows,
@@ -120,7 +138,11 @@ def main() -> None:
         n = prepare_chunks(spark, sf_dir, work)
         span_days = 30.0  # events table calendar span (TESTDATA.md)
         rate_per_hour = n / (span_days * 24)
-        rows = [measure(spark, work, d) for d in DELAYS]
+        rows = [
+            measure(spark, work, d, job=j)
+            for j in ("dedup", "sessions")
+            for d in DELAYS
+        ]
         result = {
             "sf_dir": sf_dir,
             "total_events": n,
@@ -131,14 +153,14 @@ def main() -> None:
         with open(out, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
         print(json.dumps(result))
-        print("| delay | peak state rows | rate x (delay + chunk) "
+        print("| job | delay | peak state rows | rate x (delay + chunk) "
               "| peak/expected | final rows | state MB |")
-        print("|---|---|---|---|---|---|")
+        print("|---|---|---|---|---|---|---|")
         chunk_h = span_days * 24 / N_CHUNKS
         for r in rows:
             h = float(r["delay"].split()[0])
             exp = rate_per_hour * (h + chunk_h)
-            print(f"| {r['delay']} | {r['peak_state_rows']} "
+            print(f"| {r['job']} | {r['delay']} | {r['peak_state_rows']} "
                   f"| {exp:.0f} | {r['peak_state_rows'] / exp:.2f} "
                   f"| {r['final_state_rows']} "
                   f"| {r['peak_state_bytes'] / 1e6:.1f} |")
