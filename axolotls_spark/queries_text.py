@@ -2150,6 +2150,28 @@ _XXMH_SAMPLE_MOD = 4  # deterministic cert sample: doc_id % 4 == 0
 _XXMH_RECALL_FLOOR_PPM = 999_755
 
 
+def _xxmh_exact_ctes(where: str = "") -> str:
+    """Shared oracle preamble for the production query and its
+    sampled cert: per-doc shingle-hash sets, sizes, and the
+    all-co-occurring-pairs shared counts — ONE definition, the cert
+    restricts it with ``where`` (the doc_id % K sample)."""
+    return f"""sh AS (
+        SELECT DISTINCT doc_id,
+               {_SQL_TOKEN_HASH.format(tok='s.shingle')} AS shash
+        FROM (
+            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
+            FROM documents
+            {where}
+        ) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )"""
+
+
 def _xxhash_verified_pairs(spark, docs, tau_num: int, tau_den: int):
     """Shared production MinHash pipeline (signature → LSH band →
     exact verify), returning the exact-verified duplicate pairs with
@@ -2245,20 +2267,7 @@ def _xxhash_verified_pairs(spark, docs, tau_num: int, tau_den: int):
 @register(
     "minhash_xxhash_production",
     oracle=f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id,
-               {_SQL_TOKEN_HASH.format(tok='s.shingle')} AS shash
-        FROM (
-            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
-            FROM documents
-        ) s
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    shared AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
+    WITH {_xxmh_exact_ctes()}
     SELECT doc_a, doc_b,
            CAST(n_shared AS BIGINT) AS n_inter,
            CAST(sa.n_sh + sb.n_sh - n_shared AS BIGINT) AS n_union
@@ -2300,21 +2309,7 @@ def minhash_xxhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_xxhash_recall_cert",
     oracle=f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id,
-               {_SQL_TOKEN_HASH.format(tok='s.shingle')} AS shash
-        FROM (
-            SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle
-            FROM documents
-            WHERE doc_id % {_XXMH_SAMPLE_MOD} = 0
-        ) s
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    shared AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
+    WITH {_xxmh_exact_ctes(f"WHERE doc_id % {_XXMH_SAMPLE_MOD} = 0")},
     true_pairs AS (
         SELECT doc_a, doc_b
         FROM shared
