@@ -184,6 +184,10 @@ FAMILIES = [
     "isotonic_calibration_bins",
     # round-6 operator families
     "daily_ingestion",
+    # round-8 operator families
+    "minhash_xxhash_production",
+    "minhash_xxhash_recall_cert",
+    "multimodal_ingestion",
 ]
 
 
