@@ -2145,10 +2145,29 @@ def greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = cacheutil.track(doc_shingle_hashes(docs).persist())
     uni = sh.agg(F.countDistinct("sh").alias("u"))
 
-    remaining = sh
+    # Round structure (r8 optimization): every round's not-yet-covered
+    # stream derives DIRECTLY from the cached base `sh`, anti-joined
+    # against the union of the picked docs' shingles (set identity:
+    # iterated subtraction == subtraction of the union), and the
+    # 1-row pick is eagerly localCheckpoint-ed.  The previous shape
+    # chained remaining_r off remaining_{r-1} with lazy persists —
+    # each round's plan referenced the previous round's THREE times,
+    # so the k=5 analyzed tree grew ~3^k (415k formatted-explain
+    # lines) and one action fanned into 32 AQE jobs; the driver spent
+    # more time analyzing and scheduling than executing (guide §7.3
+    # large plans, §5 localCheckpoint).  This shape is linear in k:
+    # per round one broadcast semi-pass over `sh` plus the pick job.
     picks = []
     prev_cum: DataFrame | None = None
+    picked_docs: DataFrame | None = None
     for r in range(1, _MC_K + 1):
+        if picked_docs is None:
+            remaining = sh
+        else:
+            covered = sh.join(
+                F.broadcast(picked_docs), "doc_id"
+            ).select("sh")
+            remaining = sh.join(F.broadcast(covered), "sh", "left_anti")
         gains = remaining.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("gain")
         )
@@ -2161,17 +2180,11 @@ def greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick = pick.crossJoin(F.broadcast(prev_cum)).withColumn(
                 "covered_cum", F.col("gain") + F.col("_pc")
             ).drop("_pc")
-        pick = cacheutil.track(pick.persist())
+        pick = pick.localCheckpoint(eager=True)
         prev_cum = pick.select(F.col("covered_cum").alias("_pc"))
         picks.append(pick)
-        if r < _MC_K:
-            covered = remaining.join(
-                F.broadcast(pick.select("doc_id")), "doc_id"
-            ).select("sh")
-            remaining = cacheutil.track(
-                remaining.join(F.broadcast(covered), "sh", "left_anti")
-                .persist()
-            )
+        pd = pick.select("doc_id")
+        picked_docs = pd if picked_docs is None else picked_docs.unionAll(pd)
 
     out = picks[0]
     for p in picks[1:]:
