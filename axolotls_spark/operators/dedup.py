@@ -469,18 +469,20 @@ def jaccard_prefix_pairs(
     one prefix-to-prefix equi-join (the candidate stream), and a
     candidate-sized verify join against the per-doc set arrays.
     """
-    sh = doc_shingle_hashes(docs, id_col, text_col, n).persist()
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    from axolotls_spark import cacheutil
+
+    sh = cacheutil.track(
+        doc_shingle_hashes(docs, id_col, text_col, n).persist()
+    )
     wdoc = Window.partitionBy("doc_id")
-    # merge hints on every corpus-scaled join side below: the
-    # post-aggregation size estimator undervalues dfreq / the prefix
-    # relation / the collect_set arrays, so the planner broadcasts
-    # them once the raised 64 MB threshold lets it — fine at sf0.1,
-    # driver-fatal at sf10 (caught by the r7 measured-decade sweep),
-    # and the wrong shape at 100 TB where a build side proportional
-    # to the corpus must never be a broadcast.
+    # Document frequency as a count window over the SAME exchange the
+    # prefix ranking needs anyway (r8 optimization): the old shape
+    # aggregated dfreq separately and merge-joined it back — one more
+    # shuffle plus a sort-merge join that the window form doesn't pay.
     ranked = (
-        sh.join(dfreq.hint("merge"), "sh")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
         .select(
             "doc_id", "sh",
             F.row_number()
@@ -493,9 +495,22 @@ def jaccard_prefix_pairs(
     need = F.expr(
         f"(n_sh * {tau_num} + {tau_den} - 1) div {tau_den}"
     )
-    pref = ranked.filter(F.col("rn") <= F.col("n_sh") - need + 1).select(
-        "doc_id", "sh"
+    # Persisted (caller-owned): the self-join below otherwise BUILDS
+    # THE WHOLE ranked/window subtree twice — Spark does not share
+    # common subtrees across join sides (r8 plan audit: the a and b
+    # sides each carried their own dfreq+window cascade).
+    pref = cacheutil.track(
+        ranked.filter(F.col("rn") <= F.col("n_sh") - need + 1)
+        .select("doc_id", "sh")
+        .persist()
     )
+    # merge hints on every corpus-scaled join side below: the
+    # post-aggregation size estimator undervalues the prefix
+    # relation / the collect_set arrays, so the planner broadcasts
+    # them once the raised 64 MB threshold lets it — fine at sf0.1,
+    # driver-fatal at sf10 (caught by the r7 measured-decade sweep),
+    # and the wrong shape at 100 TB where a build side proportional
+    # to the corpus must never be a broadcast.
     cand = (
         pref.alias("a")
         .join(
@@ -509,8 +524,14 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
+    # Persisted for the same both-join-sides reason (sa and sb).
+    sets = cacheutil.track(
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("sh").alias("shs"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .persist()
     )
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))

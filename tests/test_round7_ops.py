@@ -167,7 +167,13 @@ def test_prefix_jaccard_verify_joins_not_broadcast(spark):
     # r8: minhash_xxhash_production dropped its corpus-scaled truth
     # join (3 SMJ: band self-join + the two verify-array joins); the
     # full 6-SMJ certification shape lives in the sampled cert query.
-    for name, min_smj in (("jaccard_prefix_join", 4),
+    # r8 optimization: jaccard_prefix_pairs now computes document
+    # frequency as a count window over the shingle exchange instead
+    # of aggregating dfreq separately and merge-joining it back, so
+    # its SMJ floor is 3 (prefix self-join + two verify-array joins)
+    # — one fewer join, not a join downgraded to broadcast (the
+    # doc-keyed broadcast regex below still guards that).
+    for name, min_smj in (("jaccard_prefix_join", 3),
                           ("minhash_xxhash_production", 3),
                           ("minhash_xxhash_recall_cert", 6)):
         f = audit(REGISTRY[name].fn(spark, SF_DIR))
