@@ -673,21 +673,32 @@ def connected_components_star(
         # Lazy round plan to the plan tooling before the checkpoint
         # truncates it (no-op outside capture — see plans/audit.py).
         record_loop_plan("altstar_round", new_edges)
-        # eager: truncates the 4x/round lineage
-        new_edges = new_edges.localCheckpoint()
+        # Lazy checkpoint: the fingerprint probe right below is the
+        # materializing action, so truncation still happens once per
+        # round but without a separate checkpoint job.
+        new_edges = new_edges.localCheckpoint(eager=False)
         # Convergence probe: the directed edge set is a fixpoint.
         # Compare 1-row hash fingerprints of the two checkpointed
         # relations (one cheap map-side agg each — no per-round
         # subtract shuffles, which at 100 TB doubled round cost);
-        # only on fingerprint equality confirm once with the exact
-        # subtract probes, so a hash collision can never terminate
-        # the loop early.
+        # only on fingerprint equality confirm once with ONE exact
+        # symmetric-difference probe (both relations are distinct, so
+        # a signed-count aggregate witnesses set equality in a single
+        # shuffle — half the two subtract probes this replaced), so a
+        # hash collision can never terminate the loop early.
         new_fp = _relation_fingerprint(new_edges, ("u", "v"))
         converged = False
         if new_fp == fp:
-            grew = new_edges.subtract(edges).limit(1).count()
-            shrank = edges.subtract(new_edges).limit(1).count()
-            converged = grew == 0 and shrank == 0
+            converged = (
+                new_edges.withColumn("_s", F.lit(1))
+                .unionAll(edges.withColumn("_s", F.lit(-1)))
+                .groupBy("u", "v")
+                .agg(F.sum("_s").alias("_d"))
+                .filter(F.col("_d") != 0)
+                .limit(1)
+                .count()
+                == 0
+            )
         edges.unpersist()
         large.unpersist()
         edges = new_edges
