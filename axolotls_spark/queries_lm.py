@@ -423,7 +423,13 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _irls_beta(spark: SparkSession, feats: DataFrame, iters: int = 2) -> DataFrame:
     """Unrolled IRLS: each step one moment aggregate + a Cramer solve
-    on the resulting single row. Returns the 1-row (b0, b1, b2)."""
+    on the resulting single row. Returns the 1-row (b0, b1, b2),
+    persisted (caller-owned): every consumer references beta under
+    several broadcasts (scoring pass, accuracy pass, report row), and
+    without the persist each reference re-executes the full
+    iters-pass corpus aggregation chain."""
+    from axolotls_spark import cacheutil
+
     beta = spark.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
     )
@@ -436,7 +442,7 @@ def _irls_beta(spark: SparkSession, feats: DataFrame, iters: int = 2) -> DataFra
             F.expr(_OLS_B1).alias("b1"),
             F.expr(_OLS_B2).alias("b2"),
         )
-    return beta
+    return cacheutil.track(beta.persist())
 
 
 @register(
@@ -719,11 +725,22 @@ def logreg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feats.crossJoin(F.broadcast(beta)).select(
         "y", F.expr(_P).alias("p")
     )
-    b = scored.groupBy(
-        F.least(F.floor(F.col("p") * 64), F.lit(63)).cast("long").alias("bin")
-    ).agg(
-        F.sum("y").alias("npos"),
-        (F.count(F.lit(1)) - F.sum("y")).alias("nneg"),
+    from axolotls_spark import cacheutil
+
+    # Persisted (caller-owned): t, the ROC walk and the report row all
+    # reference this 64-row histogram — the corpus scoring aggregate
+    # must run once, not per reference (same fix as delong_auc_ci).
+    b = cacheutil.track(
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 64), F.lit(63))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.sum("y").alias("npos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("nneg"),
+        )
+        .persist()
     )
     t = b.agg(
         F.sum("npos").cast("double").alias("tp"),
@@ -1187,11 +1204,24 @@ def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feats.crossJoin(F.broadcast(beta)).select(
         "y", F.expr(_P).alias("p")
     )
-    b = scored.groupBy(
-        F.least(F.floor(F.col("p") * 64), F.lit(63)).cast("long").alias("bin")
-    ).agg(
-        F.sum("y").cast("long").alias("npos"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nneg"),
+    from axolotls_spark import cacheutil
+
+    # Persisted (caller-owned): the placement algebra below references
+    # this 64-row histogram ~10 times through the broadcast chain
+    # (t, c, v, a, s, report row) — without the persist each reference
+    # re-ran the corpus scoring aggregate (measured: 102 jobs for one
+    # query; the histogram is the last corpus-touching relation).
+    b = cacheutil.track(
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 64), F.lit(63))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.sum("y").cast("long").alias("npos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nneg"),
+        )
+        .persist()
     )
     t = b.agg(
         F.sum("npos").cast("double").alias("m"),
@@ -1208,13 +1238,22 @@ def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("npos").over(wprev), F.lit(0)).alias("cpos"),
         F.coalesce(F.sum("nneg").over(wprev), F.lit(0)).alias("cneg"),
     )
-    v = c.crossJoin(F.broadcast(t)).select(
-        "npos",
-        "nneg",
-        ((F.col("cneg") + 0.5 * F.col("nneg")) / F.col("n")).alias("v10"),
-        (
-            (F.col("m") - F.col("cpos") - 0.5 * F.col("npos")) / F.col("m")
-        ).alias("v01"),
+    # Also persisted: both the AUC aggregate and the S10/S01 variance
+    # aggregate consume the 64-row placement relation.
+    v = cacheutil.track(
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "npos",
+            "nneg",
+            ((F.col("cneg") + 0.5 * F.col("nneg")) / F.col("n")).alias(
+                "v10"
+            ),
+            (
+                (F.col("m") - F.col("cpos") - 0.5 * F.col("npos"))
+                / F.col("m")
+            ).alias("v01"),
+        )
+        .persist()
     )
     a = v.crossJoin(F.broadcast(t)).groupBy("m").agg(
         (F.sum(F.col("npos") * F.col("v10")) / F.col("m")).alias("auc")
