@@ -2284,11 +2284,24 @@ def cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = assign.select("vec_id", "cid").join(
         emb.select("vec_id", "label"), "vec_id"
     )
-    cont = lab.groupBy("cid", "label").agg(
-        F.count(F.lit(1)).cast("double").alias("nij")
+    from axolotls_spark import cacheutil
+
+    # Persisted (caller-owned): the contingency table and both
+    # marginals are each referenced by several of the entropy/MI
+    # aggregates below — without the persists every reference
+    # re-executed the whole k-means assignment chain (measured: 92
+    # jobs for this one query).  All three are <= k x |labels| rows.
+    cont = cacheutil.track(
+        lab.groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("double").alias("nij"))
+        .persist()
     )
-    margc = cont.groupBy("cid").agg(F.sum("nij").alias("ni"))
-    margl = cont.groupBy("label").agg(F.sum("nij").alias("nj"))
+    margc = cacheutil.track(
+        cont.groupBy("cid").agg(F.sum("nij").alias("ni")).persist()
+    )
+    margl = cacheutil.track(
+        cont.groupBy("label").agg(F.sum("nij").alias("nj")).persist()
+    )
     tot = cont.agg(F.sum("nij").alias("n"))
     mi = (
         cont.join(F.broadcast(margc), "cid")
