@@ -101,7 +101,14 @@ def _als_factors(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).alias("v")
         )
     )
-    u2 = (
+    from axolotls_spark import cacheutil
+
+    # u2/v2 persisted (caller-owned): consumers reference u2 three
+    # times (prediction join, v2's own half-round, the report join)
+    # and each lazy reference re-ran the whole unrolled chain of
+    # ratings joins+aggregates.  Both are entity-sized (|customers| /
+    # |parts|), the standard factor-relation cache of ALS.
+    u2 = cacheutil.track(
         ratings.join(v1, "p")
         .groupBy("c")
         .agg(
@@ -110,8 +117,9 @@ def _als_factors(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
                 / (F.sum(F.col("v") * F.col("v")) + lam)
             ).alias("u")
         )
+        .persist()
     )
-    v2 = (
+    v2 = cacheutil.track(
         ratings.join(u2, "c")
         .groupBy("p")
         .agg(
@@ -120,6 +128,7 @@ def _als_factors(ratings: DataFrame) -> tuple[DataFrame, DataFrame]:
                 / (F.sum(F.col("u") * F.col("u")) + lam)
             ).alias("v")
         )
+        .persist()
     )
     return u2, v2
 

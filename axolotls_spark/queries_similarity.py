@@ -666,16 +666,26 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    selected = (
+    # Each greedy pick is a 1-row relation, eagerly localCheckpoint-ed
+    # (r8 optimization): the old per-round `selected.unionAll(pick)
+    # .persist()` chain referenced the previous round's relation
+    # three times (anti-join, max-sim join, union), so the unrolled
+    # lazy lineage grew ~3^k and the 5-step loop fanned into ~50 AQE
+    # jobs of broadcast rebuilds.  The loop still touches ONLY the
+    # persisted 20-row candidate set and its pairwise-sim cache; the
+    # checkpoints make each round's plan O(1).
+    picks = [
         cand.orderBy(F.desc("rel"), "vec_id")
         .limit(1)
         .select(
             "vec_id", F.col("rel").alias("mmr"), F.lit(1).alias("sel_rank")
         )
-        .persist()
-    )
+        .localCheckpoint(eager=True)
+    ]
     for i in range(2, _MMR_K + 1):
-        sel_ids = selected.select("vec_id")
+        sel_ids = picks[0].select("vec_id")
+        for p in picks[1:]:
+            sel_ids = sel_ids.unionAll(p.select("vec_id"))
         msim = (
             pairs.join(
                 sel_ids.withColumnRenamed("vec_id", "pb"), "pb"
@@ -695,8 +705,12 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("mmr"), "vec_id")
             .limit(1)
+            .localCheckpoint(eager=True)
         )
-        selected = selected.unionAll(pick).persist()
+        picks.append(pick)
+    selected = picks[0]
+    for p in picks[1:]:
+        selected = selected.unionAll(p)
     return selected.select(
         F.col("sel_rank").cast("int").alias("sel_rank"),
         "vec_id",

@@ -1070,11 +1070,15 @@ def test_mmr_corpus_scored_once(spark):
     """The greedy MMR loop must run on the persisted 20-row
     candidate set: one corpus scan feeds relevance scoring (plus the
     pruned 1-row query-vector scan); the 5 unrolled steps only touch
-    cached relations."""
+    cached relations.  r8: each 1-row pick is eagerly checkpointed,
+    so the RETURNED plan is a union of materialized picks — the pin
+    is now stronger: ZERO parquet scans may appear in the final plan
+    (a regression that re-derived a pick from the corpus would
+    surface a scan here)."""
     spark.catalog.clearCache()
     f = _facts(spark, "mmr_diverse_topk")
-    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
-    assert f.text.count("InMemoryFileIndex") <= 2
+    assert f.text.count("InMemoryFileIndex") == 0
+    assert "Scan parquet" not in f.text
     assert "BatchEvalPython" not in f.text
 
 
