@@ -9408,14 +9408,20 @@ def tail_dependence_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 3-row quantile spine."""
     from axolotls_spark.operators.prefix import ranked_cumsum
 
+    from axolotls_spark import cacheutil
+
     o = load_table(spark, sf_dir, "orders")
-    base = (
+    # base feeds BOTH rank passes; ranked feeds the count and the
+    # lambda fold — persist both (caller-owned) so the per-customer
+    # aggregate and the rank join each run once, not per consumer.
+    base = cacheutil.track(
         o.groupBy(F.col("o_custkey").alias("k"))
         .agg(
             F.sum("o_totalprice").alias("x"),
             F.count(F.lit(1)).cast("long").alias("y"),
         )
         .withColumn("one", F.lit(1.0))
+        .persist()
     )
     rx = ranked_cumsum(
         base, [F.desc("x"), F.asc("k")], "one", rank_name="rx",
@@ -9425,7 +9431,7 @@ def tail_dependence_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, [F.desc("y"), F.asc("k")], "one", rank_name="ry",
         cum_name="__c2",
     ).select("k", "ry")
-    ranked = rx.join(ry, "k")
+    ranked = cacheutil.track(rx.join(ry, "k").persist())
     n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
     qs = spark.createDataFrame([(q,) for q in _TAIL_QS], ["p"])
     # ceil((100-p)/100 * n) in pure INTEGER arithmetic: a float

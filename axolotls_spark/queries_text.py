@@ -3381,27 +3381,22 @@ def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("double").alias("ns"),
     )
     cells = cells.crossJoin(F.broadcast(tot))
+    # r8 optimization: each margin sweep is a WINDOW SUM over the
+    # bounded cell relation instead of a separate margin aggregate
+    # broadcast-joined back — the sum is over the identical rows, but
+    # the whole 3-iteration loop becomes one linear plan (no per-sweep
+    # broadcast builds, no per-iteration checkpoint jobs: each step
+    # references cells exactly once, so lineage no longer doubles).
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
     for _ in range(_IPF_ITERS):
-        rm = cells.groupBy(F.col("lang").alias("__l")).agg(
-            F.sum("w").alias("rs")
+        cells = cells.withColumn(
+            "w",
+            F.col("w") * (F.col("nn") / F.col("nl")) / F.sum("w").over(wl),
         )
-        cells = (
-            cells.join(F.broadcast(rm), cells.lang == F.col("__l"))
-            .withColumn(
-                "w", F.col("w") * (F.col("nn") / F.col("nl")) / F.col("rs")
-            )
-            .drop("__l", "rs")
-        )
-        cm = cells.groupBy(F.col("source").alias("__s")).agg(
-            F.sum("w").alias("cs")
-        )
-        cells = (
-            cells.join(F.broadcast(cm), cells.source == F.col("__s"))
-            .withColumn(
-                "w", F.col("w") * (F.col("nn") / F.col("ns")) / F.col("cs")
-            )
-            .drop("__s", "cs")
-            .localCheckpoint(eager=True)
+        cells = cells.withColumn(
+            "w",
+            F.col("w") * (F.col("nn") / F.col("ns")) / F.sum("w").over(ws),
         )
     return cells.select(
         "lang",

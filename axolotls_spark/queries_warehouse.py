@@ -448,7 +448,14 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.range(1).select(
         F.lit(_BFS_SEED).alias("node"), F.lit(0).alias("hops")
     )
+    from axolotls_spark import cacheutil
+
     for _ in range(_BFS_DEPTH):
+        # Persist each round's <=25-row distance vector (caller-owned):
+        # every round references it twice (frontier join + min-merge
+        # union), so the unrolled lazy lineage re-executed 2^depth
+        # copies of the whole chain of broadcasts without the pin.
+        dist = cacheutil.track(dist.persist())
         nxt = edges.join(F.broadcast(dist), edges.src == dist.node).select(
             F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
         )
