@@ -1077,15 +1077,24 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL.  This is the recalibration step logreg_calibration_bins'
     docstring points at when a quality classifier's scores are
     miscalibrated but rank correctly."""
+    from axolotls_spark import cacheutil
+
     feats = _logreg_features(spark, sf_dir)
     beta = _irls_beta(spark, feats, iters=2)
     scored = feats.crossJoin(F.broadcast(beta)).select(
         "y",
         F.least(F.floor(F.expr(_P) * 10), F.lit(9)).cast("long").alias("bin"),
     )
-    bins = scored.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("double").alias("n_k"),
-        F.avg("y").alias("o_k"),
+    # Persisted (caller-owned): referenced by the i/j spines, the
+    # pooled-average join, the k spine and the report join — five
+    # references that each re-ran the corpus scoring aggregate.
+    bins = cacheutil.track(
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_k"),
+            F.avg("y").alias("o_k"),
+        )
+        .persist()
     )
     a = bins.select(F.col("bin").alias("i"))
     b = bins.select(F.col("bin").alias("j"))
