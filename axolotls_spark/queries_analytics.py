@@ -10603,7 +10603,14 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    from axolotls_spark import cacheutil
+
+    # Referenced 3x (z-weight join, da join, db join) — each
+    # reference re-ran the degree shuffle over the doubled edge
+    # relation without the pin.
+    deg = cacheutil.track(
+        und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    )
     x = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
     y = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
     cand = x.join(

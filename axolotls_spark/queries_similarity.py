@@ -1273,6 +1273,10 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cd.withColumn("rn", F.row_number().over(w_cell))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
+        # Referenced by both the residual build and the ADC probe
+        # join — without the pin each reference re-runs the whole
+        # cell-assignment chain (long ⋈ cent → groupBy → window).
+        .persist()
     )
     rlong = (
         long.join(cc, "vec_id")

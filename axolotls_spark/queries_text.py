@@ -4135,15 +4135,25 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
         F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n"),
     )
+    # Guide §8 / §2.3: the rolling-hash decision needs only
+    # (doc_id, i, v) — 24 bytes/row — but the first formulation
+    # carried the FULL document hex `hx` on every exploded byte row
+    # through both window sorts and the chunk aggregate's min(hx)
+    # state (O(doc_bytes²) bytes buffered per doc). Project `hx`
+    # away map-side right after computing the byte value; the chunk
+    # content hash re-attaches the one-row-per-doc `hx` by an
+    # equi-join AFTER the spans are decided (the heavy payload moves
+    # once, the per-byte pipeline shuffles/sorts only the proxy).
     pos = b.select(
         "doc_id",
-        "hx",
         F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
-    ).withColumn(
-        "v",
-        F.conv(F.substring("hx", 2 * F.col("i") + 1, 2), 16, 10).cast(
-            "long"
-        ),
+        "hx",
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(F.substring("hx", 2 * F.col("i") + 1, 2), 16, 10)
+        .cast("long")
+        .alias("v"),
     )
     wroll = (
         Window.partitionBy("doc_id")
@@ -4165,14 +4175,22 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = hashed.withColumn(
         "chunk_id", F.coalesce(F.sum("boundary").over(wcut), F.lit(0))
     )
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+    spans = chunked.groupBy("doc_id", "chunk_id").agg(
         F.min("i").alias("start"),
         F.count(F.lit(1)).cast("long").alias("len"),
+    )
+    # Re-attach the payload once the spans are decided. The merge
+    # hint keeps the corpus-sized hex side out of a broadcast build
+    # (the r7 sf10 hazard); both sides hang off the SAME
+    # hashpartitioning(doc_id) exchange, so the b-side resolves to a
+    # ReusedExchange — no second corpus scan.
+    chunks = spans.join(b.select("doc_id", "hx").hint("merge"), "doc_id").select(
+        "len",
         F.md5(
             F.substring(
-                F.min("hx").cast("string"),
-                (2 * F.min("i") + 1).cast("int"),
-                (2 * F.count(F.lit(1))).cast("int"),
+                F.col("hx").cast("string"),
+                (2 * F.col("start") + 1).cast("int"),
+                (2 * F.col("len")).cast("int"),
             )
         ).alias("chunk_hash"),
     )
