@@ -641,23 +641,31 @@ def connected_components_star(
                 )
             ).alias("e")
         ).select("e.u", "e.v")
-        lmin = und.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        # Closed-neighborhood min as a WINDOW over the one hash(u)
+        # exchange each star step already needs, instead of a
+        # groupBy + self-join pair: same m per node, but one shuffle
+        # per step where the agg+join form planned two (plus the
+        # join stages), and neither star relation is referenced
+        # twice any more — so the mid-round persist goes away too
+        # (guide §2.4: operations keyed the same way share one
+        # exchange). `large` loses its per-round distinct: duplicate
+        # orientations only fan into the small-star explode, whose
+        # output distinct below restores set semantics the
+        # convergence probe relies on.
+        wlarge = Window.partitionBy("u")
         large = (
-            und.join(lmin, "u")
+            und.withColumn(
+                "m", F.least(F.min("v").over(wlarge), F.col("u"))
+            )
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .persist()
         )
         # ---- small-star: edges now all point larger→smaller ----
-        smin = large.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
         new_edges = (
-            large.join(smin, "u")
+            large.withColumn(
+                "m", F.least(F.min("v").over(wlarge), F.col("u"))
+            )
             .select(
                 F.explode(
                     F.array(
@@ -700,7 +708,6 @@ def connected_components_star(
                 == 0
             )
         edges.unpersist()
-        large.unpersist()
         edges = new_edges
         fp = new_fp
         if converged:

@@ -184,3 +184,27 @@ def test_multimodal_ingestion_consistent_with_gate(spark):
             r["n_gate_dropped"] + r["n_dup_dropped"] + r["n_admitted"]
             == r["n_total"]
         )
+
+
+# --------------------------------------------------------------------------
+# Alternating-star CC: joinless star rounds (optimization round pin)
+
+
+def test_altstar_round_plan_is_joinless(spark):
+    """Each star step computes the closed-neighborhood min as a
+    window over its single hash(u) exchange — the groupBy+self-join
+    form it replaced planned two exchanges plus join stages per step.
+    Pin: a captured round plan contains window MIN nodes and NO join
+    operator of any kind."""
+    from axolotls_spark.plans.audit import capture_loop_plans
+
+    with capture_loop_plans() as buf:
+        REGISTRY["dedup_groups_altstar"].fn(spark, SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    rounds = [t for label, t in buf if label == "altstar_round"]
+    assert rounds, "no altstar round plans captured"
+    for text in rounds:
+        low = text.lower()
+        assert "window" in low
+        assert "join" not in low  # SortMergeJoin/BroadcastHashJoin/...
