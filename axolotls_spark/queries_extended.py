@@ -1948,10 +1948,14 @@ def ams_f2_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(h.isin(*_AMS_EVEN), F.lit(1)).otherwise(F.lit(-1))
 
-    comp = (
+    # Referenced by BOTH the per-flag estimate and the merge witness
+    # — without the pin the x32 md5 sign ladder over the key domain
+    # (the query's dominant compute) runs twice.
+    comp = cacheutil.track(
         cnt.crossJoin(spine)
         .groupBy("flag", "j")
         .agg(F.sum(F.col("c") * sign()).cast("long").alias("s"))
+        .persist()
     )
     flag_est = comp.groupBy("flag").agg(
         F.sum(F.col("s") * F.col("s")).cast("long").alias("est_ss")
@@ -1960,7 +1964,10 @@ def ams_f2_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
     )
-    gcnt = cnt.groupBy("k").agg(F.sum("c").cast("long").alias("c"))
+    # Two consumers (independent witness sketch + exact global F2).
+    gcnt = cacheutil.track(
+        cnt.groupBy("k").agg(F.sum("c").cast("long").alias("c")).persist()
+    )
     gcomp = (
         gcnt.crossJoin(spine)
         .groupBy("j")

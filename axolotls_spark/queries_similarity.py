@@ -1644,10 +1644,16 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed and the 'index' is a full scan in disguise — the
     build-time preflight every 100 TB vector deployment runs before
     trusting its recall/latency model."""
+    from axolotls_spark import cacheutil
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = emb.filter(F.col("vec_id") < 16)
     assigned = SIM.assign_cells(emb, cents)
-    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    # 16-row relation with two consumers (gate totals + top-4 scan
+    # bound) — each re-ran the corpus cell assignment without the pin.
+    sizes = cacheutil.track(
+        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz")).persist()
+    )
     tot = sizes.agg(
         F.sum("sz").cast("long").alias("n_vecs"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
@@ -2733,7 +2739,12 @@ def vector_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = cacheutil.track(
         SIM.assign_cells(emb, cents).persist()
     )
-    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    # 16-row relation with three consumers (gate totals, top-4 scan
+    # bound, per-query probe cost) — pin it so each reads the tiny
+    # cached rows instead of re-aggregating the assignment.
+    sizes = cacheutil.track(
+        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz")).persist()
+    )
     tot = sizes.agg(
         F.sum("sz").cast("long").alias("n_vecs"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
@@ -2749,9 +2760,14 @@ def vector_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     is_q = F.col("vec_id") % 25 == 0
-    probe_cells = SIM.assign_cells(
-        emb.filter(is_q), cents, n_best=_VIL_NPROBE
-    ).withColumnRenamed("vec_id", "query_id")
+    # Two consumers (probe-cost rollup + candidate broadcast): pin the
+    # |Q|·nprobe-row probe assignment so the query-slice scoring pass
+    # runs once.
+    probe_cells = cacheutil.track(
+        SIM.assign_cells(emb.filter(is_q), cents, n_best=_VIL_NPROBE)
+        .withColumnRenamed("vec_id", "query_id")
+        .persist()
+    )
     scan = (
         probe_cells.join(F.broadcast(sizes), "cell")
         .groupBy("query_id")

@@ -59,15 +59,16 @@ def test_observed_funnel_matches_recount(spark):
 
 
 def test_vector_index_lifecycle_plan(spark):
-    """The composite adds exactly FIVE wide edges beyond its three
+    """The composite adds exactly THREE wide edges beyond its three
     standalone parts (ivf_cell_balance + ann_ivf_topk's probe shape +
-    retrieval_mrr_recall's eval shape): the probe-cost groupBy + its
-    global avg (2), the overlap recount's pair-key exchange + its
-    groupBy (2), and the final single-partition assembly (1) — pinned
-    as a DELTA so the shared screen's own shape can evolve.  Note the
-    static plan re-expands the persisted assignment subtree per
-    consumer; at runtime the InMemoryRelation collapses those, so the
-    pinned static count is an upper bound on real shuffles."""
+    retrieval_mrr_recall's eval shape): the probe-cost groupBy's
+    global avg, the overlap recount's groupBy, and the final
+    single-partition assembly — pinned as a DELTA so the shared
+    screen's own shape can evolve.  (Was FIVE before the r8
+    optimization round pinned `sizes` and `probe_cells`: their
+    persists collapse the re-expanded assignment subtrees to
+    InMemoryRelations in the static plan.)  The static count remains
+    an upper bound on real shuffles."""
     from axolotls_spark.plans.audit import audit
 
     comp = audit(REGISTRY["vector_index_lifecycle"].fn(spark, SF_DIR))
@@ -77,7 +78,7 @@ def test_vector_index_lifecycle_plan(spark):
     assert "CartesianProduct" not in comp.text
     assert "BatchEvalPython" not in comp.text
     assert comp.n_exchanges == (
-        bal.n_exchanges + ivf.n_exchanges + mrr.n_exchanges + 5
+        bal.n_exchanges + ivf.n_exchanges + mrr.n_exchanges + 3
     )
 
 
