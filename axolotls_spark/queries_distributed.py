@@ -1397,9 +1397,16 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_mktsegment") == _KS_A, 1).otherwise(0).alias("a"),
         )
     )
-    dv = s.groupBy("v").agg(
-        F.sum("a").cast("long").alias("ca"),
-        (F.count(F.lit(1)) - F.sum("a")).cast("long").alias("cb"),
+    # Two consumers (global totals + the prefix relation) — each
+    # re-ran the orders x customer join and the distinct-value
+    # aggregate without the pin.
+    dv = cacheutil.track(
+        s.groupBy("v")
+        .agg(
+            F.sum("a").cast("long").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("a")).cast("long").alias("cb"),
+        )
+        .persist()
     )
     t = dv.agg(
         F.sum("ca").cast("long").alias("n1"),
@@ -1706,7 +1713,22 @@ def weighted_median_unit_price(
         .alias("v"),
         F.col("l_quantity").cast("long").alias("wt"),
     )
-    dv = base.groupBy("v").agg(F.sum("wt").cast("long").alias("w"))
+    from axolotls_spark import cacheutil
+
+    # One corpus pass for BOTH medians: the distinct-value relation
+    # carries the quantity weight AND the row frequency, so the
+    # unweighted median is percentile(v, 0.5, freq) over it — exactly
+    # the replicated-row semantics of percentile(v, 0.5) on the raw
+    # rows — instead of a second corpus aggregate. Persisted: three
+    # consumers (total weight, prefix relation, unweighted median).
+    dv = cacheutil.track(
+        base.groupBy("v")
+        .agg(
+            F.sum("wt").cast("long").alias("w"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .persist()
+    )
     tot = dv.agg(F.sum("w").cast("long").alias("tw"))
     cum = ranked_cumsum(
         dv, [F.asc("v")], "w", rank_name="_rn", cum_name="cw"
@@ -1716,7 +1738,7 @@ def weighted_median_unit_price(
         .filter(2 * F.col("cw") >= F.col("tw"))
         .agg(F.min("v").alias("wmed"))
     )
-    unw = base.agg(F.expr("percentile(v, 0.5)").alias("umed"))
+    unw = dv.agg(F.expr("percentile(v, 0.5, c)").alias("umed"))
     return (
         tot.crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(unw))
