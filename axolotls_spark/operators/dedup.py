@@ -115,6 +115,7 @@ def minhash_wide(
     text_col: str = "text",
     k: int = 8,
     n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, minh_0 … minh_{k-1}): whole MinHash signature in ONE
     row per doc, ONE shuffle.
@@ -124,9 +125,15 @@ def minhash_wide(
     shingle stream itself (with map-side partial mins collapsing it
     to ≤ k values per doc per partition), not the k× exploded stream
     a (doc, i) long-format aggregation would move.
+
+    ``sh`` optionally supplies a precomputed (doc_id, sh) shingle-hash
+    relation (caller-persisted) so composites that also need the exact
+    shingle sets — lsh_quality_report, minhash_jaccard_estimate — scan
+    and md5-hash the corpus ONCE instead of once per consumer.
     """
     params = minhash_params(k)
-    sh = doc_shingle_hashes(docs, id_col, text_col, n)
+    if sh is None:
+        sh = doc_shingle_hashes(docs, id_col, text_col, n)
     shp = F.col("sh") % MERSENNE_P
     return sh.groupBy("doc_id").agg(
         *[
@@ -236,6 +243,7 @@ def near_dup_candidate_pairs(
     k: int = 8,
     n: int = 3,
     bands: int = 2,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Fused MinHash→LSH candidate pairs: shingle scan → ONE wide
     signature aggregate → band keys as pure projection → equi-join.
@@ -243,11 +251,11 @@ def near_dup_candidate_pairs(
     Two shuffles end-to-end (signature agg + band self-join) vs four
     for the long-format composition (signature agg on (doc,i), band
     re-agg, join) — the difference between 2 and 4 full passes over
-    the signature stream at 100 TB.
+    the signature stream at 100 TB.  ``sh`` as in ``minhash_wide``.
     """
     if k % bands:
         raise ValueError("k must divide evenly into bands")
-    wide = minhash_wide(docs, id_col, text_col, k, n)
+    wide = minhash_wide(docs, id_col, text_col, k, n, sh=sh)
     banded = lsh_banded_keys(wide, k, bands)
     return bucket_group_pairs(banded)
 
@@ -444,6 +452,7 @@ def jaccard_prefix_pairs(
     n: int = 3,
     tau_num: int = 1,
     tau_den: int = 5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard join with PREFIX FILTERING (SSJoin /
     PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
@@ -468,12 +477,19 @@ def jaccard_prefix_pairs(
     per-doc window (partitioned — never global) for prefix ranks,
     one prefix-to-prefix equi-join (the candidate stream), and a
     candidate-sized verify join against the per-doc set arrays.
+
+    ``sh`` optionally supplies a precomputed, caller-persisted
+    (doc_id, sh) shingle-hash relation (r8 §2.3: composites that pair
+    this exact join with a MinHash candidate path — lsh_quality_report,
+    minhash_xxhash_recall_cert — otherwise scan and md5-hash the
+    corpus once per side).
     """
     from axolotls_spark import cacheutil
 
-    sh = cacheutil.track(
-        doc_shingle_hashes(docs, id_col, text_col, n).persist()
-    )
+    if sh is None:
+        sh = cacheutil.track(
+            doc_shingle_hashes(docs, id_col, text_col, n).persist()
+        )
     wdoc = Window.partitionBy("doc_id")
     # Document frequency as a count window over the SAME exchange the
     # prefix ranking needs anyway (r8 optimization): the old shape

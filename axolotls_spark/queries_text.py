@@ -1450,9 +1450,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision doubles match across engines.
     """
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    wide = D.minhash_wide(docs, k=8).persist()
-    pairs = D.bucket_group_pairs(D.lsh_banded_keys(wide, k=8, bands=2))
+    # ONE shingle scan feeds both the exact side and the signature
+    # aggregate (r8 §2.3) — minhash_wide(docs) used to re-run the
+    # explode + md5 pass the persisted sh relation already pays for.
     sh = D.doc_shingle_hashes(docs).distinct().persist()
+    wide = D.minhash_wide(docs, k=8, sh=sh).persist()
+    pairs = D.bucket_group_pairs(D.lsh_banded_keys(wide, k=8, bands=2))
     wa = wide.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"minh_{i}").alias(f"a{i}") for i in range(8)],
@@ -1743,10 +1746,16 @@ def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the deliverable; a crawl corpus with mid-J pairs produces
     the S-curve."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = D.near_dup_candidate_pairs(docs, k=8, bands=2).withColumn(
+    # ONE shingle scan for both the LSH candidate side and the exact
+    # prefix-join truth side (r8 §2.3/§5): without the shared persisted
+    # relation each side re-ran the explode + md5 token-hash pass.
+    from axolotls_spark.cacheutil import track
+
+    sh = track(D.doc_shingle_hashes(docs).persist())
+    cand = D.near_dup_candidate_pairs(docs, k=8, bands=2, sh=sh).withColumn(
         "in_cand", F.lit(True)
     )
-    truth = D.jaccard_prefix_pairs(docs, tau_num=1, tau_den=5)
+    truth = D.jaccard_prefix_pairs(docs, tau_num=1, tau_den=5, sh=sh)
     u = cand.join(truth, ["doc_a", "doc_b"], "full").select(
         F.coalesce("in_cand", F.lit(False)).alias("in_cand"), "jaccard"
     )
@@ -2244,8 +2253,15 @@ def _xxhash_verified_pairs(spark, docs, tau_num: int, tau_den: int):
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
+    # Persisted: sa/sb below are two join SIDES, and Spark builds the
+    # collect_set aggregate once per side without the pin (r8 §5).
+    sets = cacheutil.track(
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("sh").alias("shs"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .persist()
     )
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
@@ -2352,7 +2368,12 @@ def minhash_xxhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _XXMH_SAMPLE_MOD == 0
     )
     sh, found_pairs = _xxhash_verified_pairs(spark, docs, tau_num, tau_den)
-    truth = DD.jaccard_prefix_pairs(docs, tau_num=tau_num, tau_den=tau_den)
+    # Reuse the verify path's persisted shingle relation for the exact
+    # ground-truth join (r8 §2.3): identical (doc_id, sh) relation —
+    # previously scanned and md5-hashed the sample twice.
+    truth = DD.jaccard_prefix_pairs(
+        docs, tau_num=tau_num, tau_den=tau_den, sh=sh
+    )
     n_found = found_pairs.agg(F.count(F.lit(1)).alias("n_found"))
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_docs = sh.select("doc_id").distinct().agg(
