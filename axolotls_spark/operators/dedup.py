@@ -487,9 +487,13 @@ def jaccard_prefix_pairs(
     from axolotls_spark import cacheutil
 
     if sh is None:
-        sh = cacheutil.track(
-            doc_shingle_hashes(docs, id_col, text_col, n).persist()
-        )
+        # Deliberately NOT persisted: sh has exactly two consumers here
+        # (the ranked-window chain feeding pref, and the sets build) and
+        # the InMemoryRelation build of the exploded shingle stream
+        # costs ~3x one recompute in columnar-cache serialization
+        # (measured r8, §5 "caching is only worth it when reused" —
+        # two cheap recomputes beat one expensive cache build).
+        sh = doc_shingle_hashes(docs, id_col, text_col, n)
     wdoc = Window.partitionBy("doc_id")
     # Document frequency as a count window over the SAME exchange the
     # prefix ranking needs anyway (r8 optimization): the old shape
@@ -517,7 +521,7 @@ def jaccard_prefix_pairs(
     # sides each carried their own dfreq+window cascade).
     pref = cacheutil.track(
         ranked.filter(F.col("rn") <= F.col("n_sh") - need + 1)
-        .select("doc_id", "sh")
+        .select("doc_id", "sh", "rn", "n_sh")
         .persist()
     )
     # merge hints on every corpus-scaled join side below: the
@@ -527,18 +531,51 @@ def jaccard_prefix_pairs(
     # driver-fatal at sf10 (caught by the r7 measured-decade sweep),
     # and the wrong shape at 100 TB where a build side proportional
     # to the corpus must never be a broadcast.
+    #
+    # Candidate dedup is a groupBy (same exchange the old DISTINCT
+    # paid) that additionally aggregates the PPJoin positional bound
+    # (Xiao et al. WWW'08): rn is each doc's rank in the GLOBAL
+    # (df, sh) total order, so ranks are order-consistent across docs
+    # and the last shared prefix element attains BOTH max-rank
+    # aggregates; every shared element outside the two prefixes sits
+    # strictly beyond it in both docs, giving
+    #   |A ∩ B| <= cnt_p + min(n_a - i*, n_b - j*).
+    # Pairs whose bound cannot reach tau are dropped BEFORE the wide
+    # verify join attaches the per-doc hash arrays — lossless, and it
+    # prunes the false-candidate bulk (measured 788k -> 478k candidate
+    # pairs at tau=1/5, sf0.1, where only 256 verify).
+    matches = pref.alias("a").join(
+        pref.alias("b").hint("merge"),
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # Length filter (lossless): max overlap is min(n_a, n_b), so
+        # J >= tau forces den*min >= num*max — applied inside the
+        # join condition, before the pair stream is even emitted.
+        & (
+            F.least(F.col("a.n_sh"), F.col("b.n_sh")) * tau_den
+            >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * tau_num
+        ),
+    )
+    bound = F.col("cnt_p") + F.least(
+        F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")
+    )
     cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b").hint("merge"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        matches.groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("cnt_p"),
+            F.max(F.col("a.rn")).alias("ia"),
+            F.max(F.col("b.rn")).alias("jb"),
+            F.max(F.col("a.n_sh")).alias("na"),
+            F.max(F.col("b.n_sh")).alias("nb"),
+        )
+        .filter(
+            (tau_den + tau_num) * bound
+            >= tau_num * (F.col("na") + F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
     )
     # Persisted for the same both-join-sides reason (sa and sb).
     sets = cacheutil.track(

@@ -2181,7 +2181,9 @@ def _xxmh_exact_ctes(where: str = "") -> str:
     )"""
 
 
-def _xxhash_verified_pairs(spark, docs, tau_num: int, tau_den: int):
+def _xxhash_verified_pairs(
+    spark, docs, tau_num: int, tau_den: int, persist_sh: bool = False
+):
     """Shared production MinHash pipeline (signature → LSH band →
     exact verify), returning the exact-verified duplicate pairs with
     their integer intersection/union stats.
@@ -2206,7 +2208,16 @@ def _xxhash_verified_pairs(spark, docs, tau_num: int, tau_den: int):
     from axolotls_spark import cacheutil
     from axolotls_spark.operators import dedup as DD
 
-    sh = cacheutil.track(DD.doc_shingle_hashes(docs).persist())
+    # persist_sh: in the production query sh has ONE consumer (the
+    # persisted verify sets), so caching it only pays the InMemory
+    # serialization of the exploded shingle stream (measured 47 s of
+    # task time vs 14 s to recompute — r8 §5 "caching is only worth it
+    # when reused").  The recall cert passes persist_sh=True because
+    # its sh additionally feeds the exact prefix-join and the sample
+    # doc count.
+    sh = DD.doc_shingle_hashes(docs)
+    if persist_sh:
+        sh = cacheutil.track(sh.persist())
     shraw = spread_for_cpu(docs, "doc_id").select(
         "doc_id",
         F.explode(DD.shingles_col(F.col("text"))).alias("shingle"),
@@ -2223,10 +2234,14 @@ def _xxhash_verified_pairs(spark, docs, tau_num: int, tau_den: int):
                 (F.lit(a) * F.col("hx") + F.lit(b)) % DD.MERSENNE_P
             ).alias(f"mh_{i}")
             for i, (a, b) in enumerate(params)
-        ]
+        ],
+        # Set size rides the signature aggregate for free (same
+        # shuffle) and powers the LOSSLESS length filter below.
+        F.count(F.lit(1)).alias("n_sh_x"),
     )
     slots = sig.select(
         "doc_id",
+        "n_sh_x",
         F.explode(
             F.array(
                 *[
@@ -2238,14 +2253,24 @@ def _xxhash_verified_pairs(spark, docs, tau_num: int, tau_den: int):
                 ]
             )
         ).alias("p"),
-    ).select("doc_id", "p.slot", "p.mh")
+    ).select("doc_id", "n_sh_x", "p.slot", "p.mh")
+    # Length filter (SSJoin): J >= tau forces tau_den*min(|a|,|b|) >=
+    # tau_num*(|a|+|b|-min) i.e. sizes within the tau band — pairs
+    # outside it cannot verify, so dropping them AT the candidate join
+    # is lossless and shrinks the verify stream before it is shuffled
+    # (r8 §2.3/§3.2; measured −28% candidate pairs at tau=1/2, sf0.1).
+    # NOTE: xxhash-set size equals md5-set size (both count the same
+    # distinct shingle strings, absent intra-doc hash collisions).
+    lmin = F.least(F.col("a.n_sh_x"), F.col("b.n_sh_x"))
+    lmax = F.greatest(F.col("a.n_sh_x"), F.col("b.n_sh_x"))
     cand = (
         slots.alias("a")
         .join(
             slots.alias("b").hint("merge"),
             (F.col("a.slot") == F.col("b.slot"))
             & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (lmin * tau_den >= tau_num * lmax),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -2367,7 +2392,9 @@ def minhash_xxhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _XXMH_SAMPLE_MOD == 0
     )
-    sh, found_pairs = _xxhash_verified_pairs(spark, docs, tau_num, tau_den)
+    sh, found_pairs = _xxhash_verified_pairs(
+        spark, docs, tau_num, tau_den, persist_sh=True
+    )
     # Reuse the verify path's persisted shingle relation for the exact
     # ground-truth join (r8 §2.3): identical (doc_id, sh) relation —
     # previously scanned and md5-hashed the sample twice.
