@@ -35,7 +35,11 @@ from pyspark.sql.window import Window
 
 from axolotls_spark.cacheutil import track as _track
 
-__all__ = ["ranked_cumsum", "exclusive_prefix_max"]
+__all__ = [
+    "ranked_cumsum",
+    "exclusive_prefix_max",
+    "order_statistic_values",
+]
 
 _PART = "__rcs_part"
 _LRN = "__rcs_local_rn"
@@ -99,6 +103,69 @@ def ranked_cumsum(
         .withColumn(cum_name, F.col(_OFF_S) + F.col(_LCUM))
         .drop(_PART, _LRN, _LCUM, _OFF_N, _OFF_S)
     )
+
+
+def order_statistic_values(
+    df: DataFrame,
+    value_col: str,
+    targets: DataFrame,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact global order statistics of ONE numeric column without
+    ranking the whole relation: range-partition the values, turn the
+    ≤``n_parts``-row per-partition counts into exclusive offsets,
+    locate each target rank's partition + local rank, and row_number
+    ONLY the partitions that hold a target (r8 §2.3: selecting k order
+    statistics does not need the full ranked_cumsum sort of every
+    partition, nor the tie-break columns a total order would shuffle).
+
+    ``targets`` is a small relation with one BIGINT column
+    ``target_rn`` (1-indexed global ranks).  Returns (target_rn,
+    value).  Exact under ties: the rank-k VALUE of a multiset is
+    independent of tie order, and the RangePartitioner sends equal
+    keys to one partition, so per-partition counts locate ranks
+    consistently.
+    """
+    ranged = _track(
+        df.select(F.col(value_col).alias("_v"))
+        .repartitionByRange(n_parts, F.asc("_v"))
+        .withColumn(_PART, F.spark_partition_id())
+        .persist()
+    )
+    per_part = ranged.groupBy(_PART).agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy(_PART).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_part.select(
+        _PART,
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias(_OFF_N),
+        F.col("_n"),
+    )
+    tloc = (
+        targets.join(
+            F.broadcast(offsets),
+            (F.col("target_rn") > F.col(_OFF_N))
+            & (F.col("target_rn") <= F.col(_OFF_N) + F.col("_n")),
+        )
+        .select(
+            F.col(_PART).alias("_tpart"),
+            "target_rn",
+            (F.col("target_rn") - F.col(_OFF_N)).alias(_LRN),
+        )
+    )
+    wloc = Window.partitionBy(_PART).orderBy(F.asc("_v"))
+    hit = (
+        ranged.join(
+            F.broadcast(tloc.select("_tpart").distinct()),
+            F.col(_PART) == F.col("_tpart"),
+        )
+        .drop("_tpart")
+        .withColumn("_rn", F.row_number().over(wloc))
+    )
+    return hit.join(
+        F.broadcast(tloc),
+        (F.col(_PART) == F.col("_tpart")) & (F.col("_rn") == F.col(_LRN)),
+    ).select("target_rn", F.col("_v").alias("value"))
 
 
 def exclusive_prefix_max(

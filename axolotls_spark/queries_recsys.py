@@ -169,6 +169,11 @@ def als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra in plain SQL, certified round-for-round by the oracle's
     identical unrolling."""
     ratings = _ratings(spark, sf_dir).persist()
+    # Eagerly materialize: ratings fans out to several consumers (the
+    # ALS half-rounds, prediction join, n_items) whose lazy cache
+    # builds otherwise race — five lineitem scans measured for one
+    # action before the count (r8 §5).
+    ratings.count()
     try:
         u2, v2 = _als_factors(ratings)
         pred = ratings.join(u2, "c").join(v2, "p")
@@ -241,6 +246,11 @@ def als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     user" sweep — linear in |items| per user, never |users| x
     |items|."""
     ratings = _ratings(spark, sf_dir).persist()
+    # Eagerly materialize: ratings fans out to several consumers (the
+    # ALS half-rounds, prediction join, n_items) whose lazy cache
+    # builds otherwise race — five lineitem scans measured for one
+    # action before the count (r8 §5).
+    ratings.count()
     try:
         u2, v2 = _als_factors(ratings)
         users = spark.createDataFrame(

@@ -1255,6 +1255,12 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sub", ((F.col("pos") - 1) / F.lit(d_sub)).cast("int"))
         .persist()
     )
+    # Eagerly materialize: `long` fans out to five consumers (cent,
+    # assignment, residuals, query slice, query residuals) whose lazy
+    # cache builds otherwise RACE — each concurrent AQE stage re-ran
+    # the parquet scan + explode before any had populated the cache
+    # (measured r8: multiple full-input stages for one action).
+    long.count()
     cent = long.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), "pos", F.col("val").alias("cval")
     )
@@ -1278,6 +1284,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cell-assignment chain (long ⋈ cent → groupBy → window).
         .persist()
     )
+    cc.count()  # eager: serialize the two consumers' cache builds
     rlong = (
         long.join(cc, "vec_id")
         .join(F.broadcast(cent), ["cell", "pos"])
@@ -1287,6 +1294,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    rlong.count()  # eager, same reason (pq_train_long fans out)
     codes, pc1 = pq_train_long(rlong, k=k, iters=1, init_offset=n_cells)
     qd = (
         long.filter(F.col("vec_id") == 0)

@@ -903,36 +903,50 @@ def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the no-ties variance n(n−1)(2n+5)/18 applies.
 
     Scale shape: the corpus collapses to the per-day aggregate first
-    (day-domain relation, calendar-bounded); the pairwise self-join,
-    sign sum and pair-median all run on that bounded relation — the
-    O(d²) pair space never touches corpus-sized data. At 100 TB the
-    only corpus work is the one grouped scan. The pair-median itself
-    is distributed: Spark's exact ``percentile`` funnels every pair
-    into one count-map reducer (13 s on 2.9 M pairs), so the Sen
-    slope is instead the mean of the rank-⌈m/2⌉/⌈(m+1)/2⌉ order
-    statistics under operators/prefix.ranked_cumsum (range partitions
-    + broadcast offsets) with the pair count m = d(d−1)/2 derived
-    from the day count — no single-task sort anywhere.
+    (day-domain relation, calendar-bounded, eagerly checkpointed — it
+    feeds four independent subtrees whose lazy-cache materializations
+    otherwise RACE and re-scan orders once each, measured r8); the
+    pairwise self-join, sign sum and pair-median all run on that
+    bounded relation — the O(d²) pair space never touches corpus-sized
+    data. At 100 TB the only corpus work is the one grouped scan. The
+    pair-median itself is distributed: Spark's exact ``percentile``
+    funnels every pair into one count-map reducer (13 s on 2.9 M
+    pairs), so the Sen slope is instead the mean of the
+    rank-⌈m/2⌉/⌈(m+1)/2⌉ order statistics under
+    operators/prefix.order_statistic_values (range partitions +
+    broadcast count offsets; only the partition holding a target rank
+    is ever sorted, and only the slope column is shuffled — the rank-k
+    VALUE of a multiset needs no tie-break columns) with the pair
+    count m = d(d−1)/2 derived from the day count — no single-task
+    sort anywhere.  The pair stream is NOT cached: regenerating the
+    broadcast nested-loop join from the checkpointed day relation is
+    cheaper than serializing 2.9 M pair rows into the columnar cache,
+    and each consumer projects only the column it needs before the
+    pairs are materialized (r8 §2.3/§5).
     """
-    from axolotls_spark.operators.prefix import ranked_cumsum
+    from axolotls_spark.operators.prefix import order_statistic_values
 
-    daily = load_table(spark, sf_dir, "orders").groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev")).persist()
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
     a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("r1"))
     b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("r2"))
-    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2")).select(
-        "d1",
-        "d2",
-        F.when(F.col("r2") > F.col("r1"), 1)
-        .when(F.col("r2") < F.col("r1"), -1)
-        .otherwise(0)
-        .alias("sgn"),
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    slopes = pairs.select(
         (
             (F.col("r2") - F.col("r1"))
             / F.datediff(F.col("d2"), F.col("d1"))
-        ).alias("slope"),
-    ).persist()
+        ).alias("slope")
+    )
+    sgns = pairs.select(
+        F.when(F.col("r2") > F.col("r1"), 1)
+        .when(F.col("r2") < F.col("r1"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
     nd = daily.agg(F.count(F.lit(1)).cast("double").alias("n"))
     # Median targets from the closed-form pair count m = d(d-1)/2:
     # 1-indexed ranks (m+1) div 2 and (m+2) div 2 (equal when m odd);
@@ -947,17 +961,10 @@ def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("array<bigint>")
         ).alias("target_rn")
     )
-    ranked = ranked_cumsum(
-        pairs.withColumn("one", F.lit(1)),
-        [F.asc("slope"), F.asc("d1"), F.asc("d2")],
-        "one",
-        rank_name="rn",
-        cum_name="_cum",
+    sen = order_statistic_values(slopes, "slope", targets).agg(
+        F.avg("value").alias("sen")
     )
-    sen = ranked.join(
-        F.broadcast(targets), ranked.rn == targets.target_rn
-    ).agg(F.avg("slope").alias("sen"))
-    agg = pairs.agg(F.sum("sgn").alias("s")).crossJoin(F.broadcast(sen))
+    agg = sgns.agg(F.sum("sgn").alias("s")).crossJoin(F.broadcast(sen))
     var = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18
     return agg.crossJoin(F.broadcast(nd)).select(
         F.col("n").cast("long").alias("n_days"),

@@ -126,3 +126,34 @@ def test_exclusive_prefix_max_matches_window(spark):
     finally:
         df.unpersist()
         spark.catalog.clearCache()
+
+
+def test_order_statistic_values_matches_full_rank(spark):
+    """order_statistic_values must return exactly the rank-k values a
+    global row_number over the value column would — including under
+    heavy ties (equal values must land in one range partition) and at
+    the first/last ranks."""
+    from axolotls_spark.operators.prefix import order_statistic_values
+
+    n = 5_000
+    df = spark.range(n).select(
+        # non-monotone, with heavy ties (only 211 distinct values)
+        ((F.col("id") * 37) % 211).cast("double").alias("v")
+    )
+    targets = spark.createDataFrame(
+        [(1,), (2,), (1234,), (2500,), (2501,), (4999,), (5000,)],
+        "target_rn bigint",
+    )
+    got = {
+        r.target_rn: r.value
+        for r in order_statistic_values(df, "v", targets).collect()
+    }
+    want_sorted = sorted(
+        r.v for r in df.collect()
+    )
+    try:
+        for k in (1, 2, 1234, 2500, 2501, 4999, 5000):
+            assert got[k] == want_sorted[k - 1], (k, got[k])
+        assert len(got) == 7
+    finally:
+        spark.catalog.clearCache()
