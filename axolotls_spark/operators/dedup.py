@@ -933,14 +933,18 @@ def weighted_minhash_wide(
     weights (rare-feature-favoring, e.g. shingle IDF) keep the
     downstream bucket join sub-quadratic.
 
-    The weights relation has TWO consumers (the vocab for the param
-    derivation, and the sampler join), so it is persisted here and
-    tracked in the shared registry (caller-owned cache contract,
-    released via cacheutil.release_caches()) — without the pin the
-    whole upstream weighting pipeline runs twice."""
-    from axolotls_spark.cacheutil import track
-
-    tf = track(
+    The rep parameters (r_i, c_i, b_i) are md5-derived PER TERM and
+    computed INLINE on the weight rows (r8 §2.4/§3): the old shape
+    derived them on a distinct-vocab relation and joined back on term,
+    which cost a vocab aggregate plus a join the planner turned into a
+    BroadcastHashJoin with the CORPUS-SCALED weight stream as the
+    build side (the r7 sf10 broadcast-hazard class, measured as a
+    40 MiB broadcast at sf0.1); per-row md5 recomputation is a few
+    cpu-seconds while the join shape was the query's dominant cost.
+    Values are bit-identical (same md5-derived expressions per term).
+    Zero joins, zero broadcasts, one exchange (the doc aggregate)
+    downstream of the weights relation."""
+    j = (
         weights.select(
             "doc_id", "term", F.col("w").cast("double").alias("w")
         )
@@ -949,21 +953,20 @@ def weighted_minhash_wide(
         # a NULL-influenced sample) while DuckDB's ln() raises — a
         # divergent failure for callers passing raw TF-IDF with zeros.
         .filter(F.col("w") > 0)
-        .persist()
     )
-    vocab = tf.select("term").distinct()
-    cols: list[Column] = [F.col("term")]
     for i in range(k):
         u1 = _wmh_uniform(F.col("term"), i, "A", 1)
         u2 = _wmh_uniform(F.col("term"), i, "A", 16)
         u3 = _wmh_uniform(F.col("term"), i, "B", 1)
         u4 = _wmh_uniform(F.col("term"), i, "B", 16)
         beta = _wmh_uniform(F.col("term"), i, "C", 1)
-        cols.append((-(F.log(u1) + F.log(u2))).alias(f"r_{i}"))
-        cols.append((-(F.log(u3) + F.log(u4))).alias(f"c_{i}"))
-        cols.append(beta.alias(f"b_{i}"))
-    params = vocab.select(*cols)
-    j = tf.join(params, "term")
+        j = j.withColumns(
+            {
+                f"r_{i}": -(F.log(u1) + F.log(u2)),
+                f"c_{i}": -(F.log(u3) + F.log(u4)),
+                f"b_{i}": beta,
+            }
+        )
     aggs = []
     for i in range(k):
         t = F.floor(F.log("w") / F.col(f"r_{i}") + F.col(f"b_{i}"))

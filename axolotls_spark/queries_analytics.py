@@ -501,29 +501,51 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is bit-identical across engines, LN's last ulp is not —
     with the PMI itself emitted for the value compare (9 sig digits).
     """
+    from axolotls_spark import cacheutil
+
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
-    ).distinct()
+    # Persisted: the distinct (doc, term) relation feeds BOTH the
+    # document-frequency aggregate (via the vocab cut) and the pair
+    # expansion — without the pin the corpus tokenize+distinct ran
+    # once per consumer (r8 §5).
+    toks = cacheutil.track(
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .persist()
+    )
     freq = toks.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
     vocab = freq.orderBy(F.col("df").desc(), "term").limit(_PMI_V)
-    # tv feeds both sides of the pair self-join — persist so the
-    # tokenize→distinct→vocab-filter pipeline runs one corpus pass,
-    # not two (and vocab itself isn't re-derived inside the filter).
-    tv = toks.join(F.broadcast(vocab.select("term")), "term").persist()
+    tv = toks.join(F.broadcast(vocab.select("term")), "term")
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    a = tv.alias("a")
-    b = tv.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.term") < F.col("b.term")),
+    # Pair generation by per-doc combination expansion over ONE
+    # doc_id exchange (the bucket_group_pairs pattern) instead of a
+    # self-join that exchanged and sorted both cache reads separately
+    # (r8 §2.4).  Per-doc vocab-token lists are bounded by the V-term
+    # vocabulary cut, so the inline quadratic expansion is bounded by
+    # min(V, doc_len)² per document — identical pairs, same counts.
+    plists = tv.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("term")).alias("ts")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                lambda y: F.struct(
+                    x.alias("term_a"), y.alias("term_b")
+                ),
+            ),
         )
+    )
+    pairs = (
+        plists.select(F.explode(combos).alias("p"))
         .groupBy(
-            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+            F.col("p.term_a").alias("term_a"),
+            F.col("p.term_b").alias("term_b"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
         .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)

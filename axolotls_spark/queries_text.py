@@ -1967,12 +1967,22 @@ def _shingle_idf_weights(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(D.shingles_col(F.col("text"), 3)).alias("term"),
     )
-    dfreq = sh.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
+    # Document frequency as a COUNT WINDOW over one term exchange
+    # instead of a separate aggregate merge-joined back (r8 §2.4: two
+    # operations keyed the same way share one exchange).  The join
+    # form was also planned with the EXPLODED CORPUS side as a
+    # BroadcastHashJoin build (the post-Generate size estimator
+    # undervalues it) — the exact corpus-scaled-broadcast hazard the
+    # r7 sf10 sweep certified against, measured here as a 40 MiB
+    # broadcast of the shingle stream at sf0.1.
     nd = docs.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    from pyspark.sql.window import Window as _W
+
     return (
-        sh.join(dfreq, "term")
+        sh.withColumn(
+            "df",
+            F.count(F.lit(1)).over(_W.partitionBy("term")).cast("double"),
+        )
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -2663,27 +2673,44 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(stop, 1).otherwise(0)).over(w_seg).alias("seg"),
     )
     members = seg.filter(~F.col("stop")).select("doc_id", "seg", "pos", "tok")
-    phrases = members.groupBy("doc_id", "seg").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("long").alias("len"),
-    )
-    wstat = (
-        members.join(phrases, ["doc_id", "seg"])
-        .groupBy("tok")
+    # Persisted: the phrase relation feeds BOTH the word-stat aggregate
+    # and the occurrence scoring below; its upstream (posexplode +
+    # per-doc window + collect_list aggregate) is the query's dominant
+    # compute and was previously built TWICE — once per consumer —
+    # via a members ⋈ phrases join on each side (r8 §5).  The member
+    # tokens are re-derived by splitting the phrase string (it IS the
+    # sorted member-token list joined by single spaces, and tokens are
+    # \s+-split so they contain no spaces), which removes the join
+    # back to the token-level relation entirely (r8 §2.4).
+    from axolotls_spark import cacheutil
+
+    phrases = cacheutil.track(
+        members.groupBy("doc_id", "seg")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("freq"),
-            F.sum("len").cast("long").alias("deg"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("len"),
         )
+        .persist()
+    )
+    pw = phrases.select(
+        "doc_id",
+        "seg",
+        "phrase",
+        "len",
+        F.explode(F.split(F.col("phrase"), " ")).alias("tok"),
+    )
+    wstat = pw.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("len").cast("long").alias("deg"),
     )
     occ = (
-        members.join(phrases, ["doc_id", "seg"])
-        .join(F.broadcast(wstat), "tok")
+        pw.join(F.broadcast(wstat), "tok")
         .groupBy("phrase", "len", "doc_id", "seg")
         .agg(
             F.sum("deg").cast("long").alias("sum_deg"),
