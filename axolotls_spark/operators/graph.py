@@ -46,6 +46,11 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
     # a huge rank vector (billions of nodes) drop the repartition and
     # the same plan degrades gracefully to shuffled joins.
     edges = edges.repartition(1).persist()
+    # Eager materialization: the persisted graph fans out to nodes /
+    # ow / t, whose lazy cache builds RACE at the first action and
+    # each re-runs the full corpus-aggregation lineage (r8 §16). One
+    # count() serializes the build; every later pass is in-memory.
+    edges.count()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

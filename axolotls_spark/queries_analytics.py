@@ -294,15 +294,23 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     before pairing so the final aggregate is a plain SUM — no
     norm join after the (largest) pair relation.
     """
+    from axolotls_spark import cacheutil
+
     docs = spread_for_cpu(
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    # tf feeds the df aggregate AND the weight projection — persist +
+    # eager count so the corpus tokenizes once, not per consumer and
+    # not per racing lazy cache build (r8 §16).
+    tf = cacheutil.track(
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
     )
+    tf.count()
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
@@ -332,6 +340,10 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (two full corpus passes at 100 TB).  One pass, cached.
         .persist()
     )
+    u = cacheutil.track(u)
+    # Serialize the cache build — the two join sides' lazy builds
+    # otherwise race and each re-runs the normalize chain (r8 §16).
+    u.count()
     a = u.alias("a")
     b = u.alias("b")
     return (
@@ -2881,9 +2893,16 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trade graph.
 
     Scale shape: identical to cooccurrence_pmi up front (vocab cap
-    bounds pair fan-out at V², tv persisted so the tokenize pipeline
-    runs once per side-pair build), then aggregate-then-iterate on
-    the ≤V-node graph.
+    bounds pair fan-out at V²), but with ZERO corpus-keyed
+    exchanges: per-doc distinct is ``array_distinct`` (map-only, no
+    global DISTINCT exchange), the document-frequency aggregate is
+    map-side combined, the ≤{_TR_V}-term vocabulary collapses to a
+    ONE-ROW array that broadcast-crosses back onto the per-doc token
+    arrays, and pairs come from the per-doc combination expansion of
+    ``array_intersect(tokens, vocab)`` (r8 §2.4 — the old self-join
+    exchanged and sorted the (doc, term) relation twice; the r8
+    first cut persisted it, but the columnar cache build of an
+    exploded stream costs ~3× one recompute, r8 §13).
     """
     from pyspark.sql import Window
 
@@ -2892,21 +2911,40 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from axolotls_spark.operators.graph import pagerank
 
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
-    ).distinct()
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    dts = docs.select(
+        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("ts0")
+    )
+    freq = (
+        dts.select(F.explode("ts0").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
     # Vocab cap via distributed top-k (TakeOrderedAndProject): the
     # document-frequency relation grows with the corpus's distinct
     # vocabulary, so an unpartitioned Window rank would bottleneck.
+    # The capped vocabulary is a bounded 1-row ARRAY relation — the
+    # broadcast cross below never carries corpus-scaled data.
     vocab = freq.orderBy(F.desc("df"), "term").limit(_TR_V).select("term")
-    tv = toks.join(F.broadcast(vocab), "term").persist()
-    a = tv.select("doc_id", F.col("term").alias("ta"))
-    b = tv.select("doc_id", F.col("term").alias("tb"))
+    vocab_arr = vocab.agg(F.collect_list("term").alias("vs"))
+    # Per-doc vocab-token lists are bounded by the V-term cut, so the
+    # inline quadratic expansion is bounded by min(V, doc_len)² per
+    # document — identical pairs, same counts as a (doc, term)
+    # self-join, without ever shuffling the token stream by doc_id.
+    plists = dts.crossJoin(F.broadcast(vocab_arr)).select(
+        F.array_sort(F.array_intersect("ts0", "vs")).alias("ts")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                lambda y: F.struct(x.alias("ta"), y.alias("tb")),
+            ),
+        )
+    )
     co = (
-        a.join(b, "doc_id")
-        .filter(F.col("ta") < F.col("tb"))
-        .groupBy("ta", "tb")
+        plists.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .filter(F.col("w") >= _TR_MIN_CO)
     )
@@ -10533,30 +10571,41 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The edge relation feeds degree, wedge/two-hop candidates, and the
     closure joins in both consumers — persist once (caller-owned,
-    tracked) so the lineitem self-join lineage executes a single time,
-    not per consumer (PLANS.md showed 22 lineitem scans without this).
-    Edge generation fans out per ORDER (basket-bounded: <= 7 lineitems
-    per order in TPC-H, so pairs-per-order is a constant)."""
+    tracked) AND materialize eagerly so the consumers' racing lazy
+    cache builds don't each re-run the lineage (r8 §16; PLANS.md
+    showed 22 lineitem scans without the persist).  Edge generation
+    fans out per ORDER via per-basket combination expansion over ONE
+    l_orderkey exchange (basket-bounded: <= 7 lineitems per order in
+    TPC-H, so pairs-per-order is a constant) — the old lineitem
+    self-join exchanged and sorted the filtered scan twice for the
+    identical pair set (r8 §2.4)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= _LINKPRED_MIN_QTY)
         .select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        baskets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
     )
     from axolotls_spark import cacheutil
 
-    return cacheutil.track(edges.persist())
+    edges = cacheutil.track(edges.persist())
+    edges.count()
+    return edges
 
 
 @register(
@@ -10627,17 +10676,31 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from axolotls_spark import cacheutil
 
-    # Referenced 3x (z-weight join, da join, db join) — each
-    # reference re-ran the degree shuffle over the doubled edge
-    # relation without the pin.
-    deg = cacheutil.track(
-        und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    # ONE adjacency-list aggregate serves both the degree relation
+    # (list size — referenced 3x: z-weight join, da join, db join)
+    # and the two-hop candidates (per-node combination expansion over
+    # the same exchange — the old adjacency self-join exchanged and
+    # sorted the doubled edge stream twice, r8 §2.4). Persisted +
+    # eagerly materialized (r8 §16).
+    nbrs = cacheutil.track(
+        und.groupBy("u")
+        .agg(F.array_sort(F.collect_list("v")).alias("ns"))
+        .persist()
     )
-    x = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
-    y = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
-    cand = x.join(
-        y, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b"))
-    ).select("a", "b", "z")
+    nbrs.count()
+    deg = nbrs.select("u", F.size("ns").cast("long").alias("d"))
+    ccombos = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = nbrs.select(
+        F.col("u").alias("z"), F.explode(ccombos).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "z")
     nonadj = cand.join(
         edges,
         (cand["a"] == edges["u"]) & (cand["b"] == edges["v"]),
@@ -10913,23 +10976,39 @@ def clustering_coefficient_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the per-node ranking a recommender's bundling logic consumes,
     on the same edge relation as `link_prediction_copurchase`.
 
-    Scale shape: triangles close WEDGES — the adjacency self-join on
-    the shared endpoint (sum_z deg(z)^2 work, degree-bounded by the
-    quantity filter, max deg 23 measured) joined against the edge
-    relation; never an all-pairs or 3-way corpus join.  Top-20 cutoff
-    ordered purely by integers (triangles DESC, degree DESC, part),
-    so the boundary cannot tie; the float coefficient rides along as
+    Scale shape: triangles close WEDGES — per-node neighbor-list
+    combination expansion over ONE shared-endpoint exchange (sum_z
+    deg(z)^2 work, degree-bounded by the quantity filter, max deg 23
+    measured; the old adjacency self-join exchanged and sorted the
+    undirected edge stream twice for the same wedge set — r8 §2.4)
+    joined against the edge relation; never an all-pairs or 3-way
+    corpus join.  The degree rides the SAME aggregate (list size), so
+    the separate degree pass disappears.  Top-20 cutoff ordered
+    purely by integers (triangles DESC, degree DESC, part), so the
+    boundary cannot tie; the float coefficient rides along as
     float32."""
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    x = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
-    y = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
-    wedges = x.join(
-        y, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b"))
-    ).select("z", "a", "b")
+    # Neighbor lists are distinct by construction (edges is distinct
+    # with u < v, so the two union branches cannot collide).
+    nbrs = und.groupBy("u").agg(
+        F.array_sort(F.collect_list("v")).alias("ns")
+    )
+    deg = nbrs.select("u", F.size("ns").cast("long").alias("d"))
+    wcombos = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    wedges = nbrs.select(
+        F.col("u").alias("z"), F.explode(wcombos).alias("p")
+    ).select("z", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     tri = (
         wedges.join(
             edges,

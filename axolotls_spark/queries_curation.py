@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from axolotls_spark import cacheutil
 from axolotls_spark.io.sources import load_table, spread_for_cpu
 from axolotls_spark.operators.dedup import (
     doc_shingle_hashes,
@@ -350,10 +351,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    ).persist()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tf = cacheutil.track(
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
+    )
+    # Eager count: the three consumers' lazy cache builds otherwise
+    # race and each re-runs the corpus tokenize (r8 §16).
+    tf.count()
+    dl = cacheutil.track(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
+    )
     stats = dl.agg(
         F.avg("dl").alias("avgdl"),
         F.count(F.lit(1)).cast("double").alias("n_docs"),

@@ -84,24 +84,33 @@ def bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: unigram counts are Zipf-small and broadcast to both
     probe sides; the one genuinely wide edge is the doc-bigram →
-    bigram-count equi-join, which shuffles on the bigram key with
-    map-side combine on the count build — the textbook LM-scoring
-    join. Scoring the training corpus on itself means every probed
-    bigram exists, so no smoothing floor is needed; held-out scoring
-    adds a COALESCE to the backoff term.
+    bigram-count attachment, computed as a COUNT WINDOW over the
+    single (w1, w2) exchange the probe already pays — not as a
+    separate groupBy + equi-join, which exchanged the bigram stream
+    twice and sort-merged it against its own aggregate (r8 §2.4: two
+    operations keyed the same way share one exchange). Scoring the
+    training corpus on itself means every probed bigram exists, so
+    no smoothing floor is needed; held-out scoring adds a COALESCE
+    to the backoff term.
     """
+    from axolotls_spark import cacheutil
+
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    # Tokenization feeds four consumers (unigram counts, their total,
-    # bigram-count build, bigram probe) — persist it so the
-    # scan+split pipeline runs once; downstream passes are in-memory
-    # (the round-1 sparse_cosine lesson).
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t")).persist()
-    uni = (
+    # Tokenization feeds both consumers (unigram counts, bigram
+    # stream) — persist AND materialize it eagerly: the lazy cache
+    # builds of concurrent consumers race and each re-runs the
+    # scan+split pipeline (r8 §16).
+    toks = cacheutil.track(
+        docs.select("doc_id", tokens_col(F.col("text")).alias("t")).persist()
+    )
+    toks.count()
+    uni = cacheutil.track(
         toks.select(F.explode("t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("cu"))
         .persist()  # Zipf-small; read by tot and both probe sides
     )
+    uni.count()  # serialize the cache build (3 racing consumers)
     tot = uni.agg(F.sum("cu").alias("tt"))
     bg = toks.filter(F.size("t") >= 2).select(
         "doc_id",
@@ -110,13 +119,11 @@ def bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))")
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    bgc = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("cb")
-    )
     u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))
     u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))
+    wb = Window.partitionBy("w1", "w2")
     scored = (
-        bg.join(bgc, ["w1", "w2"])
+        bg.withColumn("cb", F.count(F.lit(1)).over(wb).cast("double"))
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
         .crossJoin(F.broadcast(tot))
@@ -976,14 +983,20 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, which is Zipf-small.
 
     Scale shape: mirror of bigram_interp_logprob — one tokenize
-    pass persisted, the doc-bigram → bigram-count equi-join is the
-    single wide shuffle, the fan-out/fan-in relations ride the same
-    bgc aggregate and broadcast onto the probe.
+    pass persisted and eagerly materialized (racing lazy cache
+    builds re-ran it per consumer, r8 §16); the doc-bigram →
+    bigram-count attachment is a COUNT WINDOW over the single
+    (w1, w2) exchange (not a groupBy + self-equi-join — r8 §2.4);
+    the fan-out/fan-in relations ride the same bgc aggregate and
+    broadcast onto the probe.
     """
+    from axolotls_spark import cacheutil
+
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        "doc_id", tokens_col(F.col("text")).alias("t")
-    ).persist()
+    toks = cacheutil.track(
+        docs.select("doc_id", tokens_col(F.col("text")).alias("t")).persist()
+    )
+    toks.count()
     bg = toks.filter(F.size("t") >= 2).select(
         "doc_id",
         F.explode(
@@ -993,9 +1006,16 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    bgc = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("cb")
-    ).persist()
+    # Zipf-small bigram-TYPE relation: feeds the fw/bw/ty statistics
+    # (the probe no longer joins it — cb rides the count window).
+    # Eagerly materialized so the three consumers' lazy cache builds
+    # don't race (r8 §16).
+    bgc = cacheutil.track(
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("cb"))
+        .persist()
+    )
+    bgc.count()
     fw = bgc.groupBy("w1").agg(
         F.sum("cb").alias("cw1"),
         F.count(F.lit(1)).cast("double").alias("n1p_fw"),
@@ -1011,8 +1031,9 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("cw1")
         * (F.col("n1p_bw") / F.col("tt"))
     )
+    wb = Window.partitionBy("w1", "w2")
     return (
-        bg.join(bgc, ["w1", "w2"])
+        bg.withColumn("cb", F.count(F.lit(1)).over(wb).cast("double"))
         .join(F.broadcast(fw), "w1")
         .join(F.broadcast(bw), "w2")
         .crossJoin(F.broadcast(ty))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from axolotls_spark import cacheutil
 from axolotls_spark.io.sources import load_table, spread_for_cpu
 from axolotls_spark.operators import dedup as D
 from axolotls_spark.operators import text_analysis as T
@@ -917,10 +918,19 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(T.tokens_col(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    # The inverted (doc, term, tf) relation feeds three consumers
+    # (doc lengths, document frequencies, the candidate probe) and
+    # dl feeds two more — unpersisted, the corpus tokenize+aggregate
+    # ran once per consumer: persist + eager count = one pass (§16).
+    tf = cacheutil.track(
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tf.count()
+    dl = cacheutil.track(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
+    )
     stats = dl.agg(
         F.avg("dl").alias("avgdl"),
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -1885,16 +1895,26 @@ def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(T.tokens_col(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    # tf feeds FOUR consumers here (dl, dfreq, the scored probe and
+    # the expansion probe) and dfreq/dl two each — persist + eager
+    # count so the corpus tokenize+aggregate runs once (§16).
+    tf = cacheutil.track(
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tf.count()
+    dl = cacheutil.track(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
+    )
     stats = dl.agg(
         F.avg("dl").alias("avgdl"),
         F.count(F.lit(1)).cast("double").alias("n_docs"),
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
+    dfreq = cacheutil.track(
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .persist()
     )
     q = spark.createDataFrame(
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
@@ -2938,11 +2958,18 @@ def lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(D.tokens_col(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    # tf feeds dl, the collection LM and the probe (and coll feeds
+    # tot) — persist + eager count = one corpus tokenize (§16).
+    tf = cacheutil.track(
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
     )
+    tf.count()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    coll = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    coll = cacheutil.track(
+        tf.groupBy("term").agg(F.sum("tf").alias("cf")).persist()
+    )
     tot = coll.agg(F.sum("cf").alias("t"))
     qrows = [
         (qid, t) for qid, ts in _BM25_QUERIES for t in ts
