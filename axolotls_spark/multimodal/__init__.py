@@ -6,6 +6,7 @@ from axolotls_spark.multimodal.ops import (  # noqa: F401
     byte_count_histogram,
     byte_histogram_features,
     decode_media,
+    entropy_ahash_pass,
     frame_sample,
     resize_images,
     scene_changes,

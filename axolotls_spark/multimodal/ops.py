@@ -444,6 +444,71 @@ def byte_count_histogram(
     )
 
 
+ENTROPY_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("counts", ArrayType(LongType())),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
+
+
+def entropy_ahash_pass(
+    manifest: DataFrame, bins: int = 16, nibble: str = "low"
+) -> DataFrame:
+    """ONE Arrow-batched payload pass emitting BOTH the nibble
+    histogram of :func:`byte_count_histogram` AND the banded aHash of
+    :func:`ahash64` (bit-identical code per part), plus the manifest's
+    ``media_type`` echoed through — for composites that need all three
+    (``multimodal_ingestion``): the payload bytes cross the JVM→Python
+    boundary once instead of twice, and the downstream meta/hash joins
+    on doc_id disappear because every per-doc column rides one row
+    (guide §4.1 — you cannot remove the boundary cost, so cross it
+    once)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        shift = 8 - bins.bit_length() + 1
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                keyed = (arr & 0xF) if nibble == "low" else (arr >> shift)
+                hist = np.bincount(keyed, minlength=bins)[:bins]
+                b = arr.astype(np.int64)
+                n = len(b)
+                tot = int(b.sum())
+                bands = [0, 0, 0, 0]
+                for k in range(64):
+                    lo, hi = (k * n) // 64, ((k + 1) * n) // 64
+                    seg = b[lo:hi]
+                    if int(seg.sum()) * n > tot * len(seg):
+                        bands[k // 16] |= 1 << (k % 16)
+                rows.append(
+                    (doc_id, mt, int(arr.size), [int(x) for x in hist], *bands)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "n_bytes", "counts",
+                    "b0", "b1", "b2", "b3",
+                ],
+            )
+
+    return manifest.select(
+        "doc_id", F.col("meta.media_type").alias("media_type"), "payload"
+    ).mapInPandas(run, ENTROPY_AHASH_SCHEMA)
+
+
 SCENE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -457,21 +457,38 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing the spans turns suffix-array matching into an equi-join.
 
     Scale shape: per-doc work is linear in token count (shingle +
-    hash, map-only); candidate pairs come ONLY from the equi-join on
-    span hash — the shared-key join the dedup module uses everywhere,
-    never an all-pairs comparison. Boilerplate spans that appear in
-    thousands of docs are the skew hazard; AQE skew-join splitting
-    plus an optional per-span doc-count cap (drop spans with df
-    above a threshold — they are boilerplate, not copying) bound the
-    fan-out at 100 TB.
+    hash, map-only); candidate pairs come ONLY from per-span-hash
+    combination expansion over ONE span-hash exchange — never an
+    all-pairs comparison, and never the self-join that re-derived
+    the tokenize+hash pass once PER SIDE (r8 §2.4). Boilerplate
+    spans that appear in thousands of docs are the fan-out hazard
+    (each span's pair block materializes in one task): at 100 TB add
+    the per-span doc-count cap (drop spans with df above a threshold
+    — they are boilerplate, not copying), exactly as
+    ``winnow_shared_spans`` does with its df-cap.
     """
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = doc_shingle_hashes(docs, n=_SPAN_N)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    groups = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (a.sh == b.sh_b) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
+        groups.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
 
@@ -730,7 +747,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 is orderBy+limit on the ROUNDED score (ties by doc_id),
     so cross-engine float noise cannot reorder the cut."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = (
+    toks = cacheutil.track(
         docs.select(
             "doc_id", "lang",
             F.explode(tokens_col(F.col("text"))).alias("term"),
@@ -740,6 +757,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Eager count: four consumers (raw, target, totals, per-doc fold)
+    # otherwise race the lazy cache build and each re-runs the
+    # tokenize+hash pass (r8 §16).
+    toks.count()
     raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
     tgt = (
         toks.filter(F.col("lang") == "en")

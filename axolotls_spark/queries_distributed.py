@@ -1520,35 +1520,42 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the distributed prefix sum over the DISTINCT-VALUE
     relation (operators/prefix.ranked_cumsum: avg_rank(v) =
     C_<v + (t_v+1)/2), so there is no corpus-wide sort and no
-    single-partition window; one equi-join back on value, one 2-cell
-    aggregate, and the tie term rides the same distinct-value
-    relation."""
+    single-partition window.  The per-group rank sum needs NO join
+    back to the corpus either (the old plan shuffled every lineitem
+    row onto the value key a second time — r8 §2.3): the per-value
+    group count t_A rides the SAME distinct-value aggregate, so
+    ra = Σ_v ar(v)·t_A(v) is one more cell of the value-domain
+    aggregate, and the tie term rides the same relation."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_linestatus").alias("grp"),
         F.col("l_extendedprice").alias("v"),
     )
-    dv = li.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("t"))
+    dv = li.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum(F.when(F.col("grp") == "F", 1).otherwise(0))
+        .cast("double")
+        .alias("ta"),
+    )
     rc = ranked_cumsum(
         dv, [F.asc("v")], "t", rank_name="_rn", cum_name="cumt"
     ).select(
         "v",
+        "t",
+        "ta",
         (F.col("cumt") - F.col("t") + (F.col("t") + 1) / 2).alias("ar"),
     )
-    isa = F.col("grp") == "F"
-    g = li.join(rc, "v").agg(
-        F.sum(F.when(isa, F.col("ar"))).alias("ra"),
-        F.sum(F.when(isa, 1).otherwise(0)).cast("double").alias("na"),
-        F.sum(F.when(~isa, 1).otherwise(0)).cast("double").alias("nb"),
-    )
-    ties = dv.agg(
+    g = rc.agg(
+        F.sum(F.col("ar") * F.col("ta")).alias("ra"),
+        F.sum("ta").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).alias("nb"),
         F.coalesce(
             F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
             F.lit(0.0),
-        ).alias("tie")
+        ).alias("tie"),
     )
     u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
     n = F.col("na") + F.col("nb")
-    return g.crossJoin(F.broadcast(ties)).select(
+    return g.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         u.cast("float").alias("u_stat"),

@@ -1414,6 +1414,21 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type first-doc), two broadcast-checkpoint conditional
     aggregates, one 6-cell moment aggregate."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    # Per-doc trigram COUNT is just size(toks) - 2 — a map-only
+    # projection; the old groupBy over the exploded trigram stream
+    # re-ran the whole tokenize+explode pass a second time just to
+    # count rows per doc (r8 §2.3: don't shuffle what a projection
+    # already knows).  Duplicates are kept in the count (c counts ALL
+    # trigram instances), so the arithmetic is unchanged.
+    per_doc = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.when(F.size("toks") >= 3, F.size("toks") - 2)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("c"),
+    ).filter(F.col("c") > 0)
     tri = docs.select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     ).select(
@@ -1427,9 +1442,6 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("g"),
-    )
-    per_doc = tri.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
     )
     fd = tri.groupBy("g").agg(F.min("doc_id").alias("fdoc"))
     nn = per_doc.agg((F.max("doc_id") + 1).alias("n"))

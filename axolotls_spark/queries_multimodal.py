@@ -695,42 +695,37 @@ def multimodal_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical screen, so an implementation that dropped or invented
     a duplicate would mismatch.
 
-    Scale shape: two Arrow-batched map-only passes over the payload
-    scan (entropy counts, aHash bands) — no payload bytes ever
-    shuffle; the screen shuffles only 4 integer band keys per
-    survivor (bucket equi-join, never all-pairs); every doc_id-keyed
-    join side is corpus-scaled and merge-hinted (the r7 broadcast
-    finding); the final rollup is a 3-group hash aggregate."""
+    Scale shape: ONE Arrow-batched map-only pass over the payload
+    scan computes the entropy counts AND the aHash bands AND carries
+    media_type (``entropy_ahash_pass`` — the payload crosses the
+    JVM→Python boundary once, guide §4.1; the r8 first cut paid two
+    payload passes plus doc_id-keyed meta/hash joins to reassemble
+    what one row can carry) — no payload bytes ever shuffle; the
+    gate and the survivor hash relation are FILTERS on that one
+    persisted, eagerly-materialized relation (r8 §16); the screen
+    shuffles only 4 integer band keys per survivor (bucket
+    equi-join, never all-pairs); the dup flag joins back
+    merge-hinted (the r7 broadcast finding); the final rollup is a
+    3-group hash aggregate."""
     from axolotls_spark.cacheutil import track
 
     docs = load_table(spark, sf_dir, "documents")
     manifest = M.attach_payload(spread_for_cpu(docs, "doc_id"))
-    meta_rel = manifest.select(
-        "doc_id", F.col("meta.media_type").alias("media_type")
-    )
 
-    # Stage 2: entropy gate (shared pinned-op-order expression).
-    # Persisted: consumed by the survivor filter AND the final
-    # classification — one mapInPandas pass over the payloads, not
-    # two (caller-owned cache, released via cacheutil).
-    ent = track(
-        M.byte_count_histogram(manifest, nibble="low")
-        .select(
-            "doc_id",
-            "n_bytes",
-            _nibble_entropy_f32().alias("nibble_entropy"),
-        )
+    # Stages 2+3 input: one payload pass, persisted + eager count.
+    fused = track(
+        M.entropy_ahash_pass(manifest, nibble="low")
+        .withColumn("nibble_entropy", _nibble_entropy_f32())
         .persist()
     )
-    surv = ent.filter(F.col("nibble_entropy") >= _ENT_THRESHOLD).select(
-        "doc_id"
-    )
+    fused.count()
 
-    # Stage 3: aHash near-dup screen among survivors.  Persisted:
-    # the survivor hash relation feeds the band explode AND both
-    # exact-verify probes (three consumers, one aHash pass).
-    ah = M.ahash64(manifest)
-    sbh = track(ah.join(surv.hint("merge"), "doc_id").persist())
+    # Stage 3: aHash near-dup screen among survivors — a filter on
+    # the fused relation (the old plan joined a second payload pass
+    # against the survivor ids).
+    sbh = fused.filter(F.col("nibble_entropy") >= _ENT_THRESHOLD).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    )
     banded = sbh.select(
         "doc_id",
         F.explode(
@@ -779,15 +774,12 @@ def multimodal_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Stage 4: admission summary.
+    # Stage 4: admission summary — media_type and the gate verdict
+    # ride the fused relation (the old plan re-attached each with a
+    # corpus-scaled doc_id join); only the small dup-id relation
+    # joins back.
     per_doc = (
-        ent.join(meta_rel.hint("merge"), "doc_id")
-        .join(
-            surv.withColumn("is_surv", F.lit(1)).hint("merge"),
-            "doc_id",
-            "left",
-        )
-        .join(
+        fused.join(
             dups.withColumn("is_dup", F.lit(1)).hint("merge"),
             "doc_id",
             "left",
@@ -795,11 +787,13 @@ def multimodal_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "media_type",
             "n_bytes",
-            F.when(F.col("is_surv").isNull(), 1).otherwise(0).alias(
-                "gate_dropped"
-            ),
+            F.when(F.col("nibble_entropy") >= _ENT_THRESHOLD, 0)
+            .otherwise(1)
+            .alias("gate_dropped"),
             F.when(
-                F.col("is_surv").isNotNull() & F.col("is_dup").isNotNull(), 1
+                (F.col("nibble_entropy") >= _ENT_THRESHOLD)
+                & F.col("is_dup").isNotNull(),
+                1,
             )
             .otherwise(0)
             .alias("dup_dropped"),

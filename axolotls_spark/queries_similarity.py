@@ -2559,13 +2559,21 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     yc = SIM.spread_for_cpu(
         emb.filter(F.col("vec_id") % 2 == 1), "vec_id"
     ).select(F.col("vec_id").alias("y_id"), F.col("embedding").alias("yv"))
-    scored = yc.join(
-        F.broadcast(x), F.col("x_id") != F.col("y_id")
-    ).select(
-        "x_id",
-        "y_id",
-        SIM.cosine(F.col("xv"), F.col("yv")).alias("sim"),
+    from axolotls_spark import cacheutil
+
+    # The scored relation feeds BOTH argmax directions — unpersisted,
+    # the |X|·|Y| cosine sweep (the query's dominant compute) ran
+    # twice; persist + eager count = one sweep (r8 §5, §16).
+    scored = cacheutil.track(
+        yc.join(F.broadcast(x), F.col("x_id") != F.col("y_id"))
+        .select(
+            "x_id",
+            "y_id",
+            SIM.cosine(F.col("xv"), F.col("yv")).alias("sim"),
+        )
+        .persist()
     )
+    scored.count()
     wx = Window.partitionBy("x_id").orderBy(F.desc("sim"), F.asc("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.desc("sim"), F.asc("x_id"))
     best_xy = (

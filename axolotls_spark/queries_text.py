@@ -1646,31 +1646,41 @@ def winnow_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to MinHash near-dup (winnowing guarantees detection
     of any 6-token verbatim overlap, not just global set overlap).
 
-    Scale shape: candidates come from an EQUI-join on fingerprint
-    hash, never all-pairs; hot fingerprints (boilerplate shared by
-    more than {_WINNOW_DF_CAP} docs) are dropped by a df-cap before
-    the join, bounding every join block — the same hot-block control
-    as ER blocking. The df-cap count is a partitioned window, one
-    shuffle on the fingerprint domain."""
+    Scale shape: candidates come from per-fingerprint combination
+    expansion over ONE fp_hash exchange, never all-pairs (the old
+    self-join re-derived the winnow fingerprint pass once PER SIDE
+    and exchanged + sorted both — r8 §2.4); hot fingerprints
+    (boilerplate shared by more than {_WINNOW_DF_CAP} docs) are
+    dropped by the df-cap — the doc-list SIZE of the same aggregate,
+    so the old df window disappears too — bounding every expansion
+    block, the same hot-block control as ER blocking."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     fph = (
         D.winnow_fingerprints_df(docs, k=3, w=4)
         .select("doc_id", "fp_hash")
         .distinct()
     )
-    capped = fph.withColumn(
-        "df", F.count("*").over(Window.partitionBy("fp_hash"))
-    ).filter(F.col("df") <= _WINNOW_DF_CAP)
-    a, b = capped.alias("a"), capped.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp_hash") == F.col("b.fp_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    groups = (
+        fph.groupBy("fp_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") > 1) & (F.size("ids") <= _WINNOW_DF_CAP)
         )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
         )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
@@ -2831,13 +2841,21 @@ def term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(D.tokens_col(F.col("text"))).alias("tok")
     )
-    part_sizes = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("tp")
+    # The (term, source) cell relation is the ONLY corpus-sized
+    # aggregate; everything else derives from it — the source sizes
+    # are its per-source sums (the old separate toks aggregate was a
+    # second full tokenize pass), and it feeds the per-term totals
+    # and the cell join, so persist + eager count (r8 §16, §2.3).
+    tf = cacheutil.track(
+        toks.groupBy("tok", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .persist()
+    )
+    tf.count()
+    part_sizes = tf.groupBy("source").agg(
+        F.sum("f").cast("long").alias("tp")
     )
     tot = part_sizes.agg(F.sum("tp").cast("long").alias("t"))
-    tf = toks.groupBy("tok", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("f")
-    )
     cf = (
         tf.groupBy("tok")
         .agg(F.sum("f").cast("long").alias("ft"))

@@ -220,3 +220,44 @@ def test_audio_vad_vs_pure_python(spark):
         tot_win += nw
     # Gate is discriminative on the synthetic corpus (~60/40 split).
     assert 0 < tot_active < tot_win
+
+
+def test_entropy_ahash_pass_matches_standalone_ops(spark):
+    """The r8 fused payload pass (one JVM->Python crossing) must
+    reproduce byte_count_histogram(nibble='low') and ahash64
+    bit-for-bit, and echo the manifest's media_type unchanged."""
+    from axolotls_spark.multimodal import (
+        ahash64,
+        attach_payload,
+        byte_count_histogram,
+        entropy_ahash_pass,
+    )
+
+    texts = [
+        (1, "ab"),
+        (2, "z" * 100),
+        (3, "".join(chr(33 + (i * 7) % 90) for i in range(200))),
+        (4, "the quick brown fox jumps over the lazy dog " * 4),
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    manifest = attach_payload(df)
+    fused = {r.doc_id: r for r in entropy_ahash_pass(manifest).collect()}
+    hist = {
+        r.doc_id: r
+        for r in byte_count_histogram(manifest, nibble="low").collect()
+    }
+    ah = {r.doc_id: r for r in ahash64(manifest).collect()}
+    meta = {
+        r.doc_id: r.mt
+        for r in manifest.select(
+            "doc_id", manifest["meta.media_type"].alias("mt")
+        ).collect()
+    }
+    assert set(fused) == set(hist) == set(ah)
+    for did, r in fused.items():
+        assert r.n_bytes == hist[did].n_bytes
+        assert list(r.counts) == list(hist[did].counts)
+        assert (r.b0, r.b1, r.b2, r.b3) == (
+            ah[did].b0, ah[did].b1, ah[did].b2, ah[did].b3
+        )
+        assert r.media_type == meta[did]

@@ -73,19 +73,20 @@ def test_multimodal_ingestion_plan(spark):
     assert ent.n_exchanges == 0
     assert ah.n_exchanges == 0
     # The load-bearing pin: every doc_id/band-keyed join side is
-    # corpus-scaled, so ALL SEVEN joins (survivor semi, band
-    # self-join, two exact-verify probes, metadata + two flag joins)
-    # must be sort-merge and NONE broadcast (r7 sf10 finding).
-    assert comp.n_sort_merge_joins == 7
+    # corpus-scaled, so ALL FOUR remaining joins (band self-join,
+    # two exact-verify probes, dup-flag join) must be sort-merge and
+    # NONE broadcast (r7 sf10 finding).  The r8 fused payload pass
+    # removed the survivor semi, metadata and gate-flag joins — the
+    # gate verdict and media_type ride the one fused relation.
+    assert comp.n_sort_merge_joins == 4
     assert comp.n_broadcast_hash_joins == 0
-    # Exchange delta vs the two zero-exchange map-only parts: 7 SMJs
+    # Exchange delta vs the two zero-exchange map-only parts: 4 SMJs
     # + the candidate distinct + the final 3-group rollup.  The
-    # static plan re-expands the two persisted subtrees (entropy
-    # relation, survivor hashes) per consumer — runtime
-    # InMemoryRelations collapse them, so the static count is an
-    # upper bound; the +/-1 band absorbs spread_for_cpu's
-    # parallelism-conditional repartition.
-    assert 15 <= comp.n_exchanges - ent.n_exchanges - ah.n_exchanges <= 17
+    # static plan re-expands the persisted fused subtree per
+    # consumer — runtime InMemoryRelations collapse it, so the
+    # static count is an upper bound; the +/-1 band absorbs
+    # spread_for_cpu's parallelism-conditional repartition.
+    assert 10 <= comp.n_exchanges - ent.n_exchanges - ah.n_exchanges <= 12
 
 
 def test_multimodal_ingestion_vs_byte_loop(spark):
