@@ -113,7 +113,14 @@ def doc_fingerprint(text: Column) -> Column:
 def ngrams_all_col(text: Column, n: int) -> Column:
     """All word n-grams (duplicates KEPT — unlike dedup.shingles_col)
     so repetition can be measured. Empty array below n tokens."""
-    toks = tokens_col(text)
+    return ngrams_from_tokens(tokens_col(text), n)
+
+
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """``ngrams_all_col`` on an already-materialized token array —
+    for staged projections that tokenize once per row (guide §1.3:
+    the regexp split is the expensive leaf; reference the ARRAY, not
+    the expression, when several stats consume it)."""
     seq = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     return F.when(
         F.size(toks) >= n,
@@ -137,7 +144,14 @@ def top_ngram_frac(text: Column, n: int = 2) -> Column:
     a map-only expression that stays in codegen. The DuckDB oracle
     does the relational unnest/GROUP BY version of the same algebra.
     """
-    grams = F.array_sort(ngrams_all_col(text, n))
+    return top_run_frac_sorted(F.array_sort(ngrams_all_col(text, n)))
+
+
+def top_run_frac_sorted(grams: Column) -> Column:
+    """Longest-equal-run fraction of an ALREADY-SORTED n-gram array
+    (the fold of ``top_ngram_frac``, split out so staged projections
+    can feed it a materialized column instead of re-deriving the
+    sorted-gram expression per reference)."""
 
     def merge(acc, x):
         run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
@@ -160,6 +174,38 @@ def top_ngram_frac(text: Column, n: int = 2) -> Column:
     return F.when(
         F.size(grams) > 0, mx.cast("double") / F.size(grams)
     ).otherwise(F.lit(0.0))
+
+
+def staged_repetition_gate(df: "DataFrame", n: int = 2) -> "DataFrame":
+    """Append the Gopher repetition stats — ``_rep_ntok`` (token
+    count), ``_rep_dup`` (duplicate-token fraction), ``_rep_top``
+    (top-n-gram fraction) — to ``df`` (which must carry ``text``)
+    via STAGED projections: the token array and the sorted n-gram
+    array each materialize exactly once per row.  Inlining the
+    expressions instead re-evaluates the regexp split per reference
+    (the fold is a higher-order function, outside codegen's
+    subexpression elimination — r8 measurement: ~2.3× the CPU of the
+    staged form).  CollapseProject keeps the stages apart because
+    the aliases are non-cheap and multiply referenced."""
+    cols = [F.col(c) for c in df.columns]
+    base = df.select(*cols, tokens_col(F.col("text")).alias("_rep_toks"))
+    g = base.select(
+        *cols,
+        F.size("_rep_toks").alias("_rep_ntok"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("_rep_toks")) / F.size("_rep_toks")
+        ).alias("_rep_dup"),
+        F.array_sort(
+            ngrams_from_tokens(F.col("_rep_toks"), n)
+        ).alias("_rep_grams"),
+    )
+    return g.select(
+        *cols,
+        "_rep_ntok",
+        "_rep_dup",
+        top_run_frac_sorted(F.col("_rep_grams")).alias("_rep_top"),
+    )
 
 
 def benchmark_ngram_overlap(

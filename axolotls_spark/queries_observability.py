@@ -69,10 +69,17 @@ def observed_screen(
                       "after_exact")
     after_near = tap(after_exact.join(near_hits, "doc_id", "left_anti"),
                      "after_near")
-    dup = T.dup_token_frac(F.col("text"))
-    top = T.top_ngram_frac(F.col("text"), n=2)
-    admitted = tap(after_near.filter((dup <= 0.65) & (top <= 0.06)),
-                   "admitted")
+    # Gate stats via staged projections (tokenize once per row, not
+    # per expression reference — see T.staged_repetition_gate); the
+    # helper columns are dropped after the filter so the tapped
+    # relation keeps the original screen schema.
+    st = T.staged_repetition_gate(after_near)
+    admitted = tap(
+        st.filter(
+            (F.col("_rep_dup") <= 0.65) & (F.col("_rep_top") <= 0.06)
+        ).select(*after_near.columns),
+        "admitted",
+    )
     return admitted, obs
 
 

@@ -798,17 +798,49 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction and top-bigram fraction per document, with the keep
     decision. Entirely map-only on the Spark side — the bigram
     max-run is a sorted-array fold (operators/text_analysis.py
-    top_ngram_frac), zero shuffles, so at 100 TB this runs at scan
-    rate; the oracle computes the identical numbers relationally."""
+    top_run_frac_sorted), zero shuffles, so at 100 TB this runs at
+    scan rate; the oracle computes the identical numbers
+    relationally.
+
+    The stats ride a STAGED projection: the single-select version
+    referenced the regexp-split token expression 5× and the sorted
+    bigram array 3× (dup/top each appear in their own column AND in
+    keep), and higher-order folds fall out of codegen so Spark's
+    subexpression elimination does not rescue them — each reference
+    re-tokenized the row (r8 measurement: the one-Project plan cost
+    ~2.3× the staged one).  CollapseProject keeps the stages apart
+    because the aliases are non-cheap and multiply referenced, so
+    toks and grams materialize exactly once per row."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    dup = T.dup_token_frac(F.col("text"))
-    top = T.top_ngram_frac(F.col("text"), n=2)
-    return docs.select(
+    base = docs.select(
+        "doc_id", D.tokens_col(F.col("text")).alias("toks")
+    )
+    g = base.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        dup.alias("dup_token_frac"),
-        top.alias("top_bigram_frac"),
-        ((dup <= 0.65) & (top <= 0.06)).alias("keep"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")) / F.size("toks")
+        ).alias("dup_token_frac"),
+        F.array_sort(
+            T.ngrams_from_tokens(F.col("toks"), 2)
+        ).alias("grams"),
+    )
+    h = g.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        T.top_run_frac_sorted(F.col("grams")).alias("top_bigram_frac"),
+    )
+    return h.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram_frac",
+        (
+            (F.col("dup_token_frac") <= 0.65)
+            & (F.col("top_bigram_frac") <= 0.06)
+        ).alias("keep"),
     )
 
 
@@ -1180,36 +1212,37 @@ def incremental_dedup_screen(docs: DataFrame, is_new):
     each a 1-column ``doc_id`` relation of batch documents that
     collide with the corpus.
 
-    Scale shape: the banded-signature relation is computed once over
-    batch ∪ corpus and persisted (tracked — the harness releases it
-    after materialization); the near tier is an equi-join of its
-    batch slice against its corpus slice on (band, bucket_key) — work
-    proportional to bucket collisions, never corpus-vs-corpus.  The
-    exact tier is a semi-join on a 60-bit digest."""
-    from axolotls_spark import cacheutil
-
+    Scale shape: each tier is ONE aggregate over its own key domain.
+    The near tier groups the banded-signature relation by (band,
+    bucket_key) and emits the batch ids of buckets that ALSO contain
+    a corpus doc — the batch-vs-corpus equi-join this replaces
+    consumed the signature relation twice, which meant either two
+    shingle→minhash pipelines or a persisted relation paying the
+    columnar cache build plus the racing lazy rebuild (r8 §16); the
+    fold consumes it once, so nothing needs caching at all.  The
+    exact tier folds the 60-bit digests the same way.  Work stays
+    proportional to bucket collisions, never corpus-vs-corpus."""
     wide = D.minhash_wide(docs, k=8)
-    banded = cacheutil.track(
-        D.lsh_banded_keys(wide, k=8, bands=2).persist()
-    )
+    banded = D.lsh_banded_keys(wide, k=8, bands=2)
     near_hits = (
-        banded.filter(is_new)
-        .alias("a")
-        .join(
-            banded.filter(~is_new).alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket_key") == F.col("b.bucket_key")),
+        banded.groupBy("band", "bucket_key")
+        .agg(
+            F.collect_set(F.when(is_new, F.col("doc_id"))).alias("new_ids"),
+            F.max(F.when(is_new, 0).otherwise(1)).alias("has_corpus"),
         )
-        .select(F.col("a.doc_id").alias("doc_id"))
+        .filter((F.col("has_corpus") == 1) & (F.size("new_ids") > 0))
+        .select(F.explode("new_ids").alias("doc_id"))
         .distinct()
     )
-    h = cacheutil.track(
-        docs.select("doc_id", F.md5("text").alias("h")).persist()
-    )
     exact_hits = (
-        h.filter(is_new)
-        .join(h.filter(~is_new).select("h").distinct(), "h", "left_semi")
-        .select("doc_id")
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.collect_set(F.when(is_new, F.col("doc_id"))).alias("new_ids"),
+            F.max(F.when(is_new, 0).otherwise(1)).alias("has_corpus"),
+        )
+        .filter((F.col("has_corpus") == 1) & (F.size("new_ids") > 0))
+        .select(F.explode("new_ids").alias("doc_id"))
     )
     return exact_hits, near_hits
 
@@ -1251,13 +1284,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge, and NOTHING recomputes corpus-vs-corpus pairs.
 
     Scale shape: the banded-signature relation is computed once over
-    batch ∪ corpus and persisted; the near tier is then an equi-join
-    of its batch slice against its corpus slice on (band, bucket_key)
-    — work proportional to bucket collisions. In a production
-    deployment the corpus side's signatures/hashes are a precomputed
-    bucketed table, so the per-batch cost is the batch's own
-    signatures plus bucket probes; the exact tier is a semi-join on a
-    60-bit digest. One corpus pass here, zero at steady state.
+    batch ∪ corpus and consumed by ONE (band, bucket_key) aggregate
+    that emits the batch ids of mixed buckets (see
+    incremental_dedup_screen) — work proportional to bucket
+    collisions. In a production deployment the corpus side's
+    signatures/hashes are a precomputed bucketed table, so the
+    per-batch cost is the batch's own signatures plus bucket probes;
+    the exact tier is the same fold over a 60-bit digest. One corpus
+    pass here, zero at steady state.
     """
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     is_new = (F.col("doc_id") % 10) == 0
@@ -1379,11 +1413,14 @@ def daily_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near_hits, "doc_id", "left_anti")
     )
 
-    # Quality gate: map-only Gopher repetition metrics (same
-    # expressions gopher_repetition_filters certifies standalone).
-    dup = T.dup_token_frac(F.col("text"))
-    top = T.top_ngram_frac(F.col("text"), n=2)
-    admitted = survivors.filter((dup <= 0.65) & (top <= 0.06))
+    # Quality gate: map-only Gopher repetition metrics (same values
+    # gopher_repetition_filters certifies standalone), via the STAGED
+    # projections of T.staged_repetition_gate — tokenize once per
+    # row, not once per expression reference (r8).
+    st = T.staged_repetition_gate(survivors.select("text"))
+    admitted = st.filter(
+        (F.col("_rep_dup") <= 0.65) & (F.col("_rep_top") <= 0.06)
+    )
 
     # Content-keyed split: exact duplicates co-assign determinist-
     # ically on any engine/partitioning; 10% test / 10% val.
@@ -1391,7 +1428,7 @@ def daily_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % 10
     )
     assigned = admitted.select(
-        T.token_count(F.col("text")).alias("n_tokens"),
+        F.col("_rep_ntok").cast("long").alias("n_tokens"),
         F.when(bucket == 0, "test")
         .when(bucket == 1, "val")
         .otherwise("train")

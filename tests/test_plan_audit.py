@@ -751,11 +751,22 @@ def test_label_propagation_iterates_over_persisted_edges(spark):
 
 
 def test_incremental_dedup_shares_signature_pipeline(spark):
-    """The banded-signature relation feeds both sides of the
-    batch-vs-corpus probe from cache — the shingle→minhash pipeline
-    runs once, and the probe stays an equi-join on (band, key)."""
+    """Each dedup tier is ONE aggregate over its key domain — the
+    shingle→minhash pipeline appears exactly once in the plan (the
+    r8 fold rewrite; the old batch-vs-corpus self-join needed a
+    persisted signature relation to avoid running it per side, and
+    paid the columnar cache build + racing lazy rebuild for it), and
+    the md5 digest scan exactly once.  No cache, no cartesian."""
     f = _facts(spark, "dedup_incremental_batch")
-    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+    # One minhash signature aggregate (k=8 min() columns, partial +
+    # final, each printed in tree and detail = 32 "min(" mentions)
+    # and one md5 digest projection (tree + detail = 2): doubled
+    # counts would mean a tier re-derives its pipeline per side.
+    assert f.text.count("min(") <= 32
+    assert f.text.count("md5") <= 2
+    # documents scanned 3x (near tier, exact tier, batch spine; ×2
+    # for explain's tree+detail) — bounded, not per-join-side.
+    assert f.text.count("Scan parquet") <= 6
     assert "CartesianProduct" not in f.text
 
 
