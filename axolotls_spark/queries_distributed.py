@@ -683,6 +683,10 @@ def max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_name="_rn",
         cum_name="cum",
     ).select("t", "cum").persist()  # feeds the max AND the argmin fold
+    # Eager count: the max aggregate and the argmin join otherwise
+    # race the lazy cache build and each re-runs the whole boundary
+    # explode + prefix-sum chain (r8 §16).
+    cum.count()
     mx = cum.agg(F.max("cum").alias("max_concurrent"))
     return (
         cum.join(F.broadcast(mx), cum.cum == mx.max_concurrent)

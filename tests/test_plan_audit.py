@@ -313,6 +313,11 @@ def test_gopher_filters_map_only(spark):
     """Repetition metrics are a sorted-array fold per row — besides
     the deliberate small-file spread there is NO shuffle, and no
     Python in the plan: the filter runs at scan rate at 100 TB."""
+    # Cache-free pin: the staged token projection canonically matches
+    # the bigram-LM queries' persisted token relation, so a cache
+    # leaked by an earlier test would substitute an InMemoryRelation
+    # (and its stored exchange) into this plan.
+    spark.catalog.clearCache()
     f = _facts(spark, "gopher_repetition_filters")
     assert f.n_exchanges <= 1  # only the spread_for_cpu repartition
     assert "BatchEvalPython" not in f.text
@@ -1104,15 +1109,20 @@ def test_hll_estimate_reuses_register_relation(spark):
     assert f.text.count("InMemoryFileIndex") <= 2
 
 
-def test_span_dedup_self_join_reuses_exchange(spark):
-    """The span-hash self-join's two sides are IDENTICAL subtrees;
-    AQE must collapse them to one executed exchange (ReusedExchange
-    in the final plan) so the shingle+hash pipeline runs once. An
-    'optimization' that makes the two sides structurally different
-    would silently double the corpus pass — this pins the reuse."""
+def test_span_dedup_single_span_exchange(spark):
+    """Candidate pairs come from per-span-hash combination expansion
+    over ONE sh exchange (r8 — the old self-join needed AQE's
+    ReusedExchange to avoid running the shingle+hash pipeline per
+    side; the group expansion removes the join entirely).  Pins: no
+    join operator at all, and exactly the two expected exchanges
+    (spread + the span-hash groupBy) feeding the pair aggregate."""
     spark.catalog.clearCache()
-    f = _facts(spark, "substring_span_dedup", execute=True)
-    assert f.text.count("ReusedExchange") >= 1
+    f = _facts(spark, "substring_span_dedup")
+    assert f.n_sort_merge_joins == 0
+    assert f.n_broadcast_hash_joins == 0
+    assert "CartesianProduct" not in f.text
+    # spread repartition + sh groupBy + final (doc_a, doc_b) groupBy.
+    assert f.n_exchanges <= 3
 
 
 def test_adc_family_topk_is_distributed(spark):
