@@ -55,6 +55,7 @@ def ranked_cumsum(
     rank_name: str = "rn",
     cum_name: str = "cum",
     n_parts: int = 32,
+    extra_cums: dict[str, str] | None = None,
 ) -> DataFrame:
     """Attach a global ``row_number`` (``rank_name``) and running sum of
     ``value_col`` (``cum_name``) ordered by ``order_cols``, without any
@@ -62,6 +63,12 @@ def ranked_cumsum(
 
     ``order_cols`` are Column sort expressions (e.g. ``[F.desc("cnt"),
     F.asc("term")]``) and MUST define a total order over the rows.
+
+    ``extra_cums`` maps additional value columns to their cumulative-sum
+    output names, accumulated over the SAME order in the SAME pass —
+    callers needing k running sums pay ONE range shuffle + one cached
+    relation instead of chaining k ranked_cumsum calls (r8: ks_two_sample
+    chained two full prefix scaffolds for two integer cumulants).
     """
     # The range shuffle is consumed TWICE (per-partition offsets +
     # the final join).  Without pinning, each consumer may plan its
@@ -74,6 +81,7 @@ def ranked_cumsum(
     # follows the caller-owned cache contract — the handle is tracked
     # in the shared registry (cacheutil.release_caches()), so session
     # owners can free per-call persists without a blanket clearCache.
+    extra = extra_cums or {}
     ranged = _track(
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn(_PART, F.spark_partition_id())
@@ -82,7 +90,9 @@ def ranked_cumsum(
     # One row per partition; the exclusive-prefix window below is over
     # this ≤n_parts-row relation only.
     per_part = ranged.groupBy(_PART).agg(
-        F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_s")
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(value_col).alias("_s"),
+        *[F.sum(c).alias(f"_s_{c}") for c in extra],
     )
     woff = (
         Window.orderBy(_PART)
@@ -92,16 +102,29 @@ def ranked_cumsum(
         _PART,
         F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias(_OFF_N),
         F.coalesce(F.sum("_s").over(woff), F.lit(0)).alias(_OFF_S),
+        *[
+            F.coalesce(F.sum(f"_s_{c}").over(woff), F.lit(0)).alias(
+                f"{_OFF_S}_{c}"
+            )
+            for c in extra
+        ],
     )
     wloc = Window.partitionBy(_PART).orderBy(*order_cols)
     wcum = wloc.rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    out = (
         ranged.join(F.broadcast(offsets), _PART)
         .withColumn(_LRN, F.row_number().over(wloc))
         .withColumn(_LCUM, F.sum(value_col).over(wcum))
         .withColumn(rank_name, F.col(_OFF_N) + F.col(_LRN))
         .withColumn(cum_name, F.col(_OFF_S) + F.col(_LCUM))
-        .drop(_PART, _LRN, _LCUM, _OFF_N, _OFF_S)
+    )
+    for c, out_name in extra.items():
+        out = out.withColumn(
+            out_name, F.col(f"{_OFF_S}_{c}") + F.sum(c).over(wcum)
+        )
+    return out.drop(
+        _PART, _LRN, _LCUM, _OFF_N, _OFF_S,
+        *[f"{_OFF_S}_{c}" for c in extra],
     )
 
 

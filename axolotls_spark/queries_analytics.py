@@ -9474,6 +9474,10 @@ def tail_dependence_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base feeds BOTH rank passes; ranked feeds the count and the
     # lambda fold — persist both (caller-owned) so the per-customer
     # aggregate and the rank join each run once, not per consumer.
+    # (r8: eager counts were tried and REVERTED — jobs 27->30, tasks
+    # 585->619 with no rebuild eliminated; AQE's TableCacheQueryStage
+    # already serializes these cache builds, so the counts were pure
+    # overhead here.)
     base = cacheutil.track(
         o.groupBy(F.col("o_custkey").alias("k"))
         .agg(

@@ -220,7 +220,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assign, _ = CLU.kmeans(emb, k=8, iters=2)
-    mem = (
+    mem = cacheutil.track(
         assign.select("vec_id", "cid")
         .join(emb, "vec_id")
         .select(
@@ -228,6 +228,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # (r8: an eager count was tried and REVERTED — tasks 205->207, no
+    # rebuild eliminated; the kmeans loop's own checkpoints already
+    # serialize the lineage, so the self-join sides share the lazy
+    # cache build without racing.)
     a = mem.select(
         F.col("vec_id").alias("a_id"),
         "cid",
@@ -642,7 +646,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_rows = []
     for r in range(1, _BPE_ROUNDS + 1):
-        v = v.persist()
+        # (r8: per-round eager counts were tried and REVERTED — jobs
+        # 17->24, tasks 394->430 with nothing eliminated; the rounds'
+        # cache builds already serialize through the broadcast-merge
+        # dependency chain.)
+        v = cacheutil.track(v.persist())
         pairs = (
             v.select(F.split("sym", " ").alias("arr"), "cnt")
             .filter(F.size("arr") >= 2)
@@ -659,7 +667,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("cnt").alias("pc"))
         )
-        top = (
+        top = cacheutil.track(
             pairs.orderBy(F.desc("pc"), "pair")
             .limit(1)
             .select("pair", F.expr("replace(pair, ' ', '')").alias("merged"),

@@ -1046,6 +1046,10 @@ def kruskal_wallis_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    # (r8: a (seg, v)-cell rewrite was tried and REVERTED — v is
+    # near-continuous, so the cells are corpus-sized and the persist +
+    # extra exchange cost more than the re-scan they saved; tasks
+    # 146->302.)
     j = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"),
         F.col("o_totalprice").alias("v"),
@@ -1141,6 +1145,11 @@ def spearman_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE final moment aggregate.  Quantity has ~50 distinct values
     (heavy ties — midranks matter); price is near-continuous.
     """
+    # (r8: a distinct-(x,y)-cell rewrite — lineitem scanned once, rank
+    # maps joined onto the cells — was tried and REVERTED: price is
+    # near-continuous, so the cell relation is corpus-sized and its
+    # persist + extra exchange cost more than the two parquet re-scans
+    # it saved; tasks 288->443, shuffle 35.8->48.8 MB.)
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
@@ -1416,16 +1425,15 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("long").alias("n1"),
         F.sum("cb").cast("long").alias("n2"),
     )
-    # Two cumulative counts from the prefix primitive (it carries ONE
-    # value column): first pass accumulates the combined count, the
-    # chained second pass accumulates cb; c1 falls out by subtraction
-    # — no join between the two prefix relations.
+    # BOTH cumulative counts ride ONE prefix pass (extra_cums): the
+    # combined count is the primary cumulant and cb accumulates over
+    # the same value order — one range shuffle + one cached ranged
+    # relation instead of two chained prefix scaffolds (r8); c1 falls
+    # out by subtraction, exact BIGINT arithmetic throughout.
     both = dv.select("v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("ct"))
     rk = ranked_cumsum(both, [F.asc("v")], "ct", rank_name="_rn",
-                       cum_name="cboth").select("v", "cb", "cboth")
-    rk2 = ranked_cumsum(rk, [F.asc("v")], "cb", rank_name="_rn2",
-                        cum_name="c2")
-    cum = rk2.select(
+                       cum_name="cboth", extra_cums={"cb": "c2"})
+    cum = rk.select(
         "v",
         (F.col("cboth") - F.col("c2")).alias("c1"),
         "c2",
@@ -2142,6 +2150,10 @@ def learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit from the same moments in the same operation order, and every
     emitted float is float32 (only MAX/mean of |residual| — no
     decision boundaries)."""
+    # (r8: a persist + eager count of ranked was tried and REVERTED —
+    # measured 7.4 -> 15.1 cpu_s: the fit and residual consumers
+    # already share the ranked chain through runtime ReusedExchange,
+    # so the columnar cache build was pure added cost.)
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("x"),
         F.col("o_orderkey").alias("k"),

@@ -184,10 +184,12 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the corpus). Coverage ratios are exact-integer divisions,
     so the float32 emit is bit-stable across engines.
     """
+    from axolotls_spark import cacheutil
+
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     # freq feeds both the ranking and the total — persist the
     # Zipf-small relation so the corpus is tokenized exactly once.
-    freq = (
+    freq = cacheutil.track(
         docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -256,13 +258,18 @@ def nucleus_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-small vocab; the cumulative comparison is exact integer
     arithmetic on both engines.
     """
+    from axolotls_spark import cacheutil
+
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    freq = (
+    freq = cacheutil.track(
         docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()  # read by both the rank/cumsum branch and the total
     )
+    # (r8: an eager count was tried and REVERTED — jobs 16->18, tasks
+    # 291->324, nothing eliminated; the prefix scaffold's broadcast-
+    # offsets job already materializes the cache first.)
     # Global rank + running sum over the full (corpus-growing) vocab —
     # the one cumulative query a top-k limit can't truncate. Computed
     # via the two-level distributed prefix sum (operators/prefix.py):

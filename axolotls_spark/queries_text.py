@@ -574,17 +574,23 @@ def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     'how many LLM tokens is this corpus' that runs at scan rate.
     chars-per-token is the usual budget estimator."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
-    bpe = T.bpe_tokens_col(F.col("text"))
     is_word = lambda t: t.rlike("^[A-Za-z]")  # noqa: E731
     is_num = lambda t: t.rlike("^[0-9]")  # noqa: E731
-    return docs.select(
+    # Staged projection (r8 §21 / guide §1.3): inlining the regex
+    # tokenizer expression into every consumer re-tokenized the row
+    # 4x (size + two higher-order filters sit outside codegen
+    # subexpression elimination).  A separate Project materializes
+    # the array once per row; CollapseProject keeps the stages apart
+    # because the alias is non-cheap and multiply referenced.
+    staged = docs.withColumn("_bpe", T.bpe_tokens_col(F.col("text")))
+    return staged.select(
         "doc_id",
-        F.size(bpe).cast("long").alias("n_bpe_tokens"),
-        F.size(F.filter(bpe, is_word)).cast("long").alias("n_word_tokens"),
-        F.size(F.filter(bpe, is_num)).cast("long").alias("n_number_tokens"),
+        F.size("_bpe").cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter("_bpe", is_word)).cast("long").alias("n_word_tokens"),
+        F.size(F.filter("_bpe", is_num)).cast("long").alias("n_number_tokens"),
         (
             F.col("n_chars").cast("double")
-            / F.nullif(F.size(bpe), F.lit(0))
+            / F.nullif(F.size("_bpe"), F.lit(0))
         ).alias("chars_per_token"),
     )
 
@@ -3212,6 +3218,14 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (source, token) aggregate, one vocabulary
     self-join keyed on token (vocabulary-sized, not corpus-sized),
     one 10-row pair aggregate."""
+    # (r8: two rewrites were tried and REVERTED — a persist+eager
+    # count of tf (tasks 41->232: cache machinery > the passes it
+    # saved) and a source-window + per-token combination expansion
+    # (CPU a wash, and partitionBy(source) caps parallelism at the
+    # handful of sources — worse at scale).  The self-join's two sides
+    # and the broadcast total already share ONE tokenize+aggregate at
+    # runtime through ReusedExchange, so the original shape was never
+    # paying the 3 passes its initial plan suggests.)
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "source", F.explode(D.tokens_col(F.col("text"))).alias("tok")
@@ -3319,19 +3333,28 @@ def hill_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast total — two passes over the vocabulary relation,
     nothing corpus-sized after the first groupBy."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), "doc_id")
+    # ONE pass (r8): the broadcast-total form re-ran the corpus
+    # tokenize for each of its two consumers; instead fold the
+    # UNNORMALIZED vocabulary moments (Σc, Σc·ln c, Σc², max c) in a
+    # single aggregate and normalize in the 1-row projection —
+    # shannon = ln t − (Σ c·ln c)/t etc.  (A persist + eager count of
+    # tf was tried first and measured slower: cache build machinery >
+    # the one tokenize pass it saved.)
     tf = docs.select(
         F.explode(D.tokens_col(F.col("text"))).alias("tok")
     ).groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    tot = tf.agg(F.sum("c").alias("t"))
-    s = tf.crossJoin(F.broadcast(tot)).agg(
+    m = tf.agg(
         F.count(F.lit(1)).cast("long").alias("vocab"),
-        F.sum(
-            (F.col("c") / F.col("t")) * F.log(F.col("t") / F.col("c"))
-        ).alias("shannon"),
-        F.sum(
-            (F.col("c") / F.col("t")) * (F.col("c") / F.col("t"))
-        ).alias("simpson"),
-        F.max(F.col("c") / F.col("t")).alias("pmax"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+        F.max("c").alias("cmax"),
+    )
+    s = m.select(
+        "vocab",
+        (F.log("t") - F.col("clnc") / F.col("t")).alias("shannon"),
+        (F.col("c2") / (F.col("t") * F.col("t"))).alias("simpson"),
+        (F.col("cmax") / F.col("t")).alias("pmax"),
     )
     return s.select(
         F.col("vocab").alias("hill_q0"),

@@ -157,3 +157,27 @@ def test_order_statistic_values_matches_full_rank(spark):
         assert len(got) == 7
     finally:
         spark.catalog.clearCache()
+
+
+def test_extra_cums_matches_chained_passes(spark):
+    """extra_cums accumulates additional value columns in the SAME
+    pass, bit-identically to chaining a second ranked_cumsum over the
+    same total order (the r8 ks_two_sample shape: two integer
+    cumulants, one range shuffle)."""
+    df = _data(spark).withColumn("w", (F.col("k") % 3) + 1)
+    one = ranked_cumsum(
+        df,
+        [F.desc("v"), F.asc("k")],
+        "v",
+        extra_cums={"w": "cw"},
+    ).select("k", "rn", "cum", "cw")
+    chained = ranked_cumsum(
+        ranked_cumsum(df, [F.desc("v"), F.asc("k")], "v"),
+        [F.desc("v"), F.asc("k")],
+        "w",
+        rank_name="_rn2",
+        cum_name="cw",
+    ).select("k", "rn", "cum", "cw")
+    got = [tuple(r) for r in one.orderBy("rn").collect()]
+    want = [tuple(r) for r in chained.orderBy("rn").collect()]
+    assert got == want
