@@ -46,6 +46,17 @@ def write_bucketed(
 ) -> None:
     """Bucketed (and optionally sorted) managed table — the on-disk
     co-partitioning that turns repeated key-joins shuffle-free."""
+    # A kilobytes-per-row input scans as ONE partition, making the
+    # bucketed write single-threaded (one task hash-splits and sorts
+    # every bucket — measured 4.3 cpu_s serialized).  Repartitioning
+    # on the bucket key into n_buckets tasks writes each bucket in
+    # parallel as exactly one sorted file (repartition and bucketBy
+    # share Murmur3 hash partitioning, so task i holds bucket i) —
+    # the guide §6 hash write-distribution mode.  Skipped when the
+    # input already has enough partitions: collapsing a big scan to
+    # n_buckets tasks would REDUCE write parallelism.
+    if df.rdd.getNumPartitions() < n_buckets:
+        df = df.repartition(n_buckets, *bucket_by)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)

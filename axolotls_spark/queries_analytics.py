@@ -1043,7 +1043,12 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the explode factor is the only cost knob — exactly how
     production metric pipelines bootstrap trillions of rows.
     """
-    o = load_table(spark, sf_dir, "orders").select(
+    # The ×B explode + per-row md5 ladder runs in the SCAN stage, and
+    # a single-row-group parquet file is one unsplittable partition —
+    # measured 4.3 s of md5 on one task while 31 cores idled.
+    o = spread_for_cpu(
+        load_table(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(
         F.col("o_orderkey").cast("string").alias("k"),
         F.col("o_totalprice").alias("v"),
     )
@@ -5604,6 +5609,17 @@ def psm_caliper_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").alias("xc"),
             F.floor(F.col("p") / F.col("caliper")).alias("kk"),
         )
+    )
+    # The bucket join's INPUTS are byte-tiny (treated×3 + controls,
+    # ~50 KB at sf0.1) so AQE coalesces the join to ONE partition —
+    # but its OUTPUT is row-explosive (every within-bucket pair) and
+    # the argmin scans it, measured as a single 3 s task while 31
+    # cores idled.  Pinning the treated side's exchange to
+    # defaultParallelism keeps the pair generation + argmin parallel;
+    # AQE never coalesces a user-numbered repartition, and at cluster
+    # scale the same expression sizes with the executor count.
+    tr = tr.repartition(
+        spark.sparkContext.defaultParallelism, "kk"
     )
     best = (
         tr.join(co, "kk")
@@ -10264,7 +10280,12 @@ def bca_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-scaled work (identical to the percentile bootstrap);
     everything after — jackknife, probit, CDF, rank selection — runs
     on ≤32-row bounded relations."""
-    o = load_table(spark, sf_dir, "orders").select(
+    # Same single-row-group scan-parallelism fix as
+    # bootstrap_ci_poisson: the ×B explode + md5 ladder otherwise
+    # runs on the one scan task.
+    o = spread_for_cpu(
+        load_table(spark, sf_dir, "orders"), "o_orderkey"
+    ).select(
         F.col("o_orderkey").cast("string").alias("k"),
         F.col("o_totalprice").alias("v"),
         F.col("o_custkey").alias("ck"),

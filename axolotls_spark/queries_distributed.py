@@ -900,7 +900,12 @@ def consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = F.expr(f"try_element_at(filter({arr}, p -> p >= h), 1)")
         return F.col("m")[F.coalesce(hit, F.element_at(F.col(arr), 1))]
 
-    keys = orders.select(
+    # The per-key work (md5 hash + two 160-element array walks) runs
+    # in the scan stage, and a kilobytes-per-row parquet file is ONE
+    # scan partition — measured 2.4 cpu_s serialized on one task.
+    from axolotls_spark.io.sources import spread_for_cpu
+
+    keys = spread_for_cpu(orders, "o_orderkey").select(
         F.col("o_orderkey").alias("k"),
         token_hash(F.col("o_orderkey").cast("string")).alias("h"),
     )

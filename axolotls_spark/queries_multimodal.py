@@ -307,8 +307,19 @@ def image_ahash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no byte-identical payloads), which the report surfaces
     honestly — a banded-LSH candidate stage would be layered in
     front only for thresholds <= 3 where it is lossless."""
+    from axolotls_spark.cacheutil import track
+
     docs = load_table(spark, sf_dir, "documents")
-    h = M.ahash64(M.attach_payload(docs))
+    # h fans out to BOTH join sides (probes broadcast + candidate
+    # stream), and the Arrow decode+hash pass is opaque to pushdown —
+    # unpersisted, every payload crossed the Python boundary TWICE
+    # (once to build 5 probe rows), on the single scan task (measured
+    # 1.7 s wall for 0.14 cpu_s).  Spread the scan so the Python pass
+    # parallelizes, persist + eager-count so it runs once (r8 §16).
+    h = track(
+        M.ahash64(M.attach_payload(spread_for_cpu(docs, "doc_id"))).persist()
+    )
+    h.count()
     probes = h.filter(F.col("doc_id") < _AHASH_N_PROBES).select(
         F.col("doc_id").alias("probe_id"),
         *[F.col(c).alias(f"p{c}") for c in ("b0", "b1", "b2", "b3")],

@@ -2082,7 +2082,18 @@ def alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bkt"
         ),
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # Both pair joins key on LOW-CARDINALITY columns (|labels|, 16
+    # buckets), so the sort-merge exchange capped parallelism at the
+    # key count and the 64-dim dot products ran on ≤9 tasks (2.1
+    # cpu_s serialized).  Broadcasting one side turns each into a
+    # BroadcastHashJoin whose STREAMED side is the spread scan — the
+    # pair generation + dot fold now parallelize with the corpus
+    # scan, not with the key cardinality.  The broadcast side is the
+    # bounded embeddings slice (~600 KB here; vectors are the small
+    # relation by design at every SF) — NOT the r7 corpus-broadcast
+    # hazard class, which concerned corpus-scaled build sides.
+    a = SIM.spread_for_cpu(emb, "vec_id").alias("a")
+    b = F.broadcast(emb.alias("b"))
 
     def d2() -> F.Column:
         return 2.0 - 2.0 * (
@@ -2447,9 +2458,17 @@ def retrieval_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrel = emb.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_lab")
     )
+    # The broadcast join streams the CORPUS side, and a kilobytes-
+    # per-row parquet scan is one partition — so all |Q|x|C| cosines
+    # ran on a single task (measured: 7 tasks, 2.9 cpu_s, 4.2 s
+    # wall).  Spread ONLY the streamed side (nrel's aggregate doesn't
+    # need it); no-op once file count provides scan parallelism.
     scored = (
         F.broadcast(q)
-        .join(emb.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+        .join(
+            SIM.spread_for_cpu(emb, "vec_id").alias("c"),
+            F.col("c.vec_id") != F.col("query_id"),
+        )
         .select(
             "query_id",
             "q_lab",
@@ -2818,9 +2837,16 @@ def vector_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _VIL_K)
         .select("query_id", "cand_id")
     )
+    # The recall ground truth streams the CORPUS against the query
+    # broadcast, and the single-row-group scan is one partition — the
+    # |Q|x|C| cosine sweep measured 3.9 s on ONE task.  Spread the
+    # streamed side (same fix as retrieval_mrr_recall).
     exact10 = (
         F.broadcast(qv)
-        .join(emb.alias("c"), F.col("c.vec_id") != F.col("query_id"))
+        .join(
+            SIM.spread_for_cpu(emb, "vec_id").alias("c"),
+            F.col("c.vec_id") != F.col("query_id"),
+        )
         .select(
             "query_id",
             F.col("c.vec_id").alias("cand_id"),

@@ -932,7 +932,15 @@ def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("rev"))
         .localCheckpoint(eager=True)
     )
-    a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("r1"))
+    # The checkpointed day relation is byte-tiny (one coalesced
+    # partition), so the nested-loop pair generation STREAMED it on a
+    # single task — measured 7.7 s (6.8 cpu_s) for the 2.9 M slope/
+    # sign rows while 31 cores idled.  Spreading the stream side
+    # keeps the O(d²) expansion parallel; the broadcast side is the
+    # same bounded day relation.
+    a = daily.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(F.col("day").alias("d1"), F.col("rev").alias("r1"))
     b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("r2"))
     pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
     slopes = pairs.select(

@@ -2036,7 +2036,9 @@ def _shingle_idf_weights(docs: DataFrame) -> DataFrame:
     smoothed IDF, w = ln((N+1)/df) > 0.  Two aggregates (df per
     shingle, N) on the shingle relation; the weights join is on the
     Zipf-small shingle vocabulary."""
-    sh = docs.select(
+    from axolotls_spark.io.sources import spread_for_cpu
+
+    sh = spread_for_cpu(docs, "doc_id").select(
         "doc_id",
         F.explode(D.shingles_col(F.col("text"), 3)).alias("term"),
     )
@@ -2051,6 +2053,17 @@ def _shingle_idf_weights(docs: DataFrame) -> DataFrame:
     nd = docs.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
     from pyspark.sql.window import Window as _W
 
+    # Pin the term exchange to defaultParallelism: the shingle stream
+    # is byte-small at bench scale (AQE coalesced it to ~10
+    # partitions) but every row downstream of this exchange pays the
+    # 12-md5 CWS parameter derivation in weighted_minhash_wide —
+    # measured 10.6 cpu_s on ≤11 tasks.  The window reuses the
+    # explicit hash(term) partitioning (same key → no second
+    # exchange), and AQE never coalesces a user-numbered repartition;
+    # at cluster scale defaultParallelism sizes with the executors.
+    sh = sh.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "term"
+    )
     return (
         sh.withColumn(
             "df",
