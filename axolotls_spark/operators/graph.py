@@ -63,16 +63,32 @@ def pagerank(edges: DataFrame, damping: float = DAMPING,
         "src", "dst", (F.col("w") / F.col("ow")).alias("wn")
     ).persist()
     # (node, n) base relation every iteration rebuilds ranks from.
-    base = nodes.crossJoin(F.broadcast(ncnt)).persist()
+    # repartition(1): nodes descends from a DISTINCT whose exchange
+    # leaves it hash-partitioned at shuffle.partitions — paired with
+    # the SinglePartition t, every loop join would re-shuffle one
+    # side per iteration.  Collapsing base to SinglePartition (25
+    # rows) makes all loop inputs co-partitioned.
+    base = nodes.crossJoin(F.broadcast(ncnt)).repartition(1).persist()
     ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    # Merge-hinted (not broadcast) iteration joins: every relation in
+    # the loop is SinglePartition (edges/t/base descend from the
+    # repartition(1)), and SinglePartition satisfies any clustered
+    # distribution — so SMJ needs NO exchange and the per-node
+    # aggregate none either.  The broadcast form cost one broadcast
+    # job + one AQE stage per unrolled step, and the driver's ~60 ms
+    # re-optimization gap BETWEEN stages dominated the query
+    # (measured: 41 jobs, 1.1 cpu_s, 3.3 s wall); the exchange-free
+    # loop pipelines all iterations inside a single stage.  For a
+    # huge rank vector drop the repartition(1) upstream and the same
+    # hints yield ordinary shuffled merge joins.
     for _ in range(iters):
         contrib = (
-            t.join(F.broadcast(ranks), t.src == ranks.node)
+            t.join(ranks.hint("merge"), t.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("wn")).alias("s"))
         )
         ranks = (
-            base.join(contrib, base.node == contrib.dst, "left")
+            base.join(contrib.hint("merge"), base.node == contrib.dst, "left")
             .select(
                 "node",
                 (
@@ -111,6 +127,11 @@ def personalized_pagerank(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # SinglePartition so every loop join below is co-partitioned
+        # with the SinglePartition t — same exchange-free iteration
+        # as pagerank() (the DISTINCT otherwise leaves nodes hash-
+        # partitioned and each step re-shuffles one side).
+        .repartition(1)
         .persist()
     )
     ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -121,14 +142,15 @@ def personalized_pagerank(
         F.lit(0.0)
     )
     ranks = nodes.select("node", restart.alias("rank"))
+    # Merge-hinted exchange-free iteration — see pagerank() above.
     for _ in range(iters):
         contrib = (
-            t.join(F.broadcast(ranks), t.src == ranks.node)
+            t.join(ranks.hint("merge"), t.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("wn")).alias("s"))
         )
         ranks = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
+            contrib.hint("merge"), nodes.node == contrib.dst, "left"
         ).select(
             "node",
             (

@@ -384,10 +384,16 @@ def test_sparse_cosine_prunes_and_broadcasts_df(spark):
 
 def test_pagerank_aggregate_then_iterate(spark):
     """The only corpus-sized work is the edge aggregation (dims all
-    broadcast); every power iteration joins a broadcast rank vector.
-    No sort-merge join, cartesian, or Python anywhere in the plan."""
+    broadcast).  r9: every power iteration is a MERGE join between
+    SinglePartition relations (edges/base descend from the
+    repartition(1)), so the unrolled loop runs exchange-free in one
+    stage — the old broadcast-per-iteration shape paid one broadcast
+    job plus a ~60 ms AQE driver-replanning gap per step (41 jobs for
+    1.1 cpu_s).  Pin: dims still broadcast on the corpus pass, the
+    loop is sort-merge (2 per iteration), and no cartesian/Python."""
     f = _facts(spark, "pagerank_trade_graph")
-    assert f.n_broadcast_hash_joins >= 8  # 4 dims + ranks per iteration
+    assert f.n_broadcast_hash_joins >= 4   # the 4 dim joins
+    assert f.n_sort_merge_joins >= 10      # 2 merge joins x 5 iterations
     assert "CartesianProduct" not in f.text
     assert "BatchEvalPython" not in f.text
 
@@ -861,20 +867,33 @@ def test_registry_wide_plan_hygiene(spark):
                                     # (spending-increment lag; same
                                     # class as ewma/cusum)
     }
-    offenders = []
-    for name, spec in sorted(REGISTRY.items()):
-        if name.startswith("streaming_"):
-            continue
+    # Audits are driver-side planning only (no jobs), dominated by
+    # py4j + Catalyst latency per query — a small thread pool overlaps
+    # them (the serial sweep was the suite's #2 cost at ~260 s; the
+    # r8 driver verify timed out on the full suite).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(item):
+        name, spec = item
+        bad = []
         f = audit(spec.fn(spark, SF_DIR))
         if "CartesianProduct" in f.text:
-            offenders.append((name, "CartesianProduct"))
+            bad.append((name, "CartesianProduct"))
         if "BatchEvalPython" in f.text and name not in pyrow_ok:
-            offenders.append((name, "BatchEvalPython"))
+            bad.append((name, "BatchEvalPython"))
         if (
             f.n_single_partition_windows > 0
             and name not in global_window_ok
         ):
-            offenders.append((name, "single-partition Window funnel"))
+            bad.append((name, "single-partition Window funnel"))
+        return bad
+
+    items = [
+        (n, s) for n, s in sorted(REGISTRY.items())
+        if not n.startswith("streaming_")
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [b for bad in pool.map(_one, items) for b in bad]
     assert not offenders, offenders
 
 
@@ -931,8 +950,14 @@ def test_textrank_single_edge_derivation(spark):
     spark.catalog.clearCache()
     f = _facts(spark, "textrank_keywords")
     assert f.text.count("InMemoryFileIndex") <= 2
-    assert f.n_sort_merge_joins <= 4
-    assert f.n_exchanges <= 16
+    # <=4 SMJs of its own + 10 from pagerank's r9 exchange-free
+    # merge-join iterations (2 per unrolled step — those replace the
+    # broadcast-per-iteration shape and add no PER-ITERATION
+    # exchanges; the static count grows only by the one-time
+    # SinglePartition pins on the graph/base relations and their
+    # repetition inside cached-lineage dumps).
+    assert f.n_sort_merge_joins <= 14
+    assert f.n_exchanges <= 24
 
 
 def test_kcore_iterates_over_persisted_edges(spark):
